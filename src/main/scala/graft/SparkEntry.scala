@@ -1,13 +1,421 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GroupOps, Validation, ValidationRule}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator family from SURVEY.md §2 (or a
+  * §7.4 LLM-pipeline extension), expressed through the graft library, run on
+  * the driver-provided TPC-H-ish testdata. [[oracleSql]] carries the
+  * DuckDB-equivalent SQL for the correctness gate; keys without SQL get the
+  * weaker rows-only check (noted inline).
+  *
+  * Float parity with DuckDB: raw column passthrough is bit-exact; any
+  * REaggregated double is wrapped in round(_, 2..6) so the two engines'
+  * summation orders can't flip the hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-join star query: fact lineitem ⨝ orders ⨝ customer with broadcast
+    * nation/region dims, revenue per nation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    q03JoinRevenue(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Relational core (SURVEY.md §2.1–§2.10 operator inventory)
+  // ------------------------------------------------------------------
+
+  /** S1+C4+C7+A-agg: TPC-H Q1-style pricing summary. Filter reaches the
+    * parquet scan (PushedFilters), aggregation is partial/final hash-agg.
+    */
+  private def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** C1–C5: filter + projection, pushed down to the scan (no full-width read). */
+  private def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J1-style star join: fact ⨝ orders ⨝ customer, broadcast dims. */
+  private def q03JoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** J2-style left join + M3 coalesce: per-customer order stats incl. zero. */
+  private def q04LeftJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J5/C8 anti join: customers with no orders (the scrape-resume pattern). */
+  private def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.remaining(
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "k"),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "k"), "k")
+      .select(col("k").as("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: customers having at least one high-value order. */
+  private def q06SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    cust.join(big, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** W2/O2 top-k per group (k=1): each customer's largest order. */
+  private def q07TopOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** A1 group-mode with the pandas lexicographic tie-break (SURVEY §2.13.3). */
+  private def q08GroupMode(s: SparkSession, dir: String): DataFrame =
+    GroupOps.groupMode(t(s, dir, "orders"), Seq("o_custkey"), "o_orderpriority", "mode_priority")
+      .orderBy(col("o_custkey"))
+
+  /** A2 exact grouped median (pandas `median()` parity, SURVEY §2.13.4). */
+  private def q09GroupedMedian(s: SparkSession, dir: String): DataFrame =
+    GroupOps.groupedMedian(t(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice", "median_price")
+      .select(col("o_orderpriority"), round(col("median_price"), 4).as("median_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A3 multi-column distinct. */
+  private def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** U1 union-by-name across drifted schemas (null-fill, SURVEY §2.13.10). */
+  private def q11UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val a = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val b = ord.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    GroupOps.unionByNameAll(Seq(a, b))
+      .orderBy(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+  }
+
+  /** E1 split-explode (the reference's affiliation explode). */
+  private def q12ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  /** F7/F8/F9 regex extract + flag + cast with null-on-no-match parity. */
+  private def q13RegexExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CleanFunctions
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        CleanFunctions.positionNumber(col("o_orderpriority")).as("priority_num"),
+        col("o_orderpriority").contains("URGENT").as("is_urgent"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** D1–D3 date parts + grouped agg. */
+  private def q14DateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("month_total"))
+      .orderBy(col("order_year"), col("order_month"))
+
+  /** C6 conditional column (when/otherwise chains). */
+  private def q15Conditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("balance_bucket",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy(col("c_mktsegment"), col("balance_bucket"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"), col("balance_bucket"))
+
+  /** E2 wide pivot (explicit values keep the plan single-pass). */
+  private def q16Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_linestatus"))
+
+  /** A7 one-pass null-rate profile. */
+  private def q17NullProfile(s: SparkSession, dir: String): DataFrame =
+    GroupOps.nullProfile(t(s, dir, "events"))
+      .select(col("column_name"), round(col("null_frac"), 6).as("null_frac"))
+      .orderBy(col("column_name"))
+
+  /** A9 duplicate detection (multiplicity > 1 groups). */
+  private def q18Duplicates(s: SparkSession, dir: String): DataFrame =
+    GroupOps.duplicateKeys(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"))
+      .orderBy(col("l_orderkey"), col("l_partkey"))
+
+  /** W1/W5 dense surrogate key at scale (no single-partition window). */
+  private def q19DenseId(s: SparkSession, dir: String): DataFrame =
+    GroupOps.denseId(
+        t(s, dir, "orders").select(col("o_orderkey")),
+        Seq(col("o_orderkey")), "order_sk")
+      .orderBy(col("o_orderkey"))
+
+  /** W4 forward-fill (the reference's results-page ffill). */
+  private def q20Ffill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")))
+    GroupOps.ffill(ev, Seq("user_id"), Seq(col("ts"), col("event_id")), "v")
+      .select(col("event_id"), col("user_id"), col("v").as("value_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.10 validation engine: one-pass violation counts over declared rules. */
+  private def q21Validation(s: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      ValidationRule("positive_price", col("o_totalprice") > 0),
+      ValidationRule("valid_status", col("o_orderstatus").isin("O", "F", "P")),
+      ValidationRule("priority_format", col("o_orderpriority").rlike("^[1-5]-")),
+      ValidationRule("date_range",
+        col("o_orderdate").between(lit("1992-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp"))),
+      ValidationRule("high_value_urgent",
+        !(col("o_totalprice") > 450000.0) || col("o_orderpriority").isin("1-URGENT", "2-HIGH")))
+    Validation.violationCounts(t(s, dir, "orders"), rules)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_revenue" -> (q03JoinRevenue _),
+    "q04_left_join_counts" -> (q04LeftJoinCounts _),
+    "q05_anti_join" -> (q05AntiJoin _),
+    "q06_semi_join" -> (q06SemiJoin _),
+    "q07_top_order_per_customer" -> (q07TopOrderPerCustomer _),
+    "q08_group_mode" -> (q08GroupMode _),
+    "q09_grouped_median" -> (q09GroupedMedian _),
+    "q10_distinct" -> (q10Distinct _),
+    "q11_union_by_name" -> (q11UnionByName _),
+    "q12_explode_tokens" -> (q12ExplodeTokens _),
+    "q13_regex_extract" -> (q13RegexExtract _),
+    "q14_date_parts" -> (q14DateParts _),
+    "q15_conditional" -> (q15Conditional _),
+    "q16_pivot" -> (q16Pivot _),
+    "q17_null_profile" -> (q17NullProfile _),
+    "q18_duplicates" -> (q18Duplicates _),
+    "q19_dense_id" -> (q19DenseId _),
+    "q20_ffill" -> (q20Ffill _),
+    "q21_validation" -> (q21Validation _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q04_left_join_counts" ->
+      """SELECT c_custkey, c_name,
+        | count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q08_group_mode" ->
+      """SELECT o_custkey, o_orderpriority AS mode_priority FROM (
+        | SELECT o_custkey, o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        | FROM (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+        |       FROM orders WHERE o_orderpriority IS NOT NULL
+        |       GROUP BY o_custkey, o_orderpriority) c) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q09_grouped_median" ->
+      """SELECT o_orderpriority, round(median(o_totalprice), 4) AS median_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_union_by_name" ->
+      """SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS VARCHAR), o_totalprice
+        |FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY o_orderkey, o_orderpriority, o_totalprice""".stripMargin,
+    "q12_explode_tokens" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
+    "q13_regex_extract" ->
+      """SELECT o_orderkey,
+        | CAST(nullif(regexp_extract(o_orderpriority, '(\d+)', 1), '') AS INTEGER) AS priority_num,
+        | (o_orderpriority LIKE '%URGENT%') AS is_urgent
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q14_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        | CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS month_total
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q15_conditional" ->
+      """SELECT c_mktsegment,
+        | CASE WHEN c_acctbal < 0 THEN 'negative'
+        |      WHEN c_acctbal < 5000 THEN 'mid'
+        |      ELSE 'high' END AS balance_bucket,
+        | count(*) AS n_customers
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q16_pivot" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q17_null_profile" ->
+      """SELECT column_name, round(null_frac, 6) AS null_frac FROM (
+        | SELECT 'event_id' AS column_name, avg(CASE WHEN event_id IS NULL THEN 1.0 ELSE 0.0 END) AS null_frac FROM events
+        | UNION ALL SELECT 'ts', avg(CASE WHEN ts IS NULL THEN 1.0 ELSE 0.0 END) FROM events
+        | UNION ALL SELECT 'user_id', avg(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END) FROM events
+        | UNION ALL SELECT 'event_type', avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END) FROM events
+        | UNION ALL SELECT 'value', avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) FROM events
+        | UNION ALL SELECT 'props', avg(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END) FROM events) t
+        |ORDER BY column_name""".stripMargin,
+    "q18_duplicates" ->
+      """SELECT l_orderkey, l_partkey, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_orderkey, l_partkey
+        |HAVING count(*) > 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+    "q19_dense_id" ->
+      """SELECT o_orderkey,
+        | row_number() OVER (ORDER BY o_orderkey) AS order_sk
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q20_ffill" ->
+      """SELECT event_id, user_id,
+        | last_value(v IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+    "q21_validation" ->
+      """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
+        | SELECT 'positive_price' AS check_name,
+        |   sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS n_violations FROM orders
+        | UNION ALL SELECT 'valid_status',
+        |   sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) FROM orders
+        | UNION ALL SELECT 'priority_format',
+        |   sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) FROM orders
+        | UNION ALL SELECT 'date_range',
+        |   sum(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31' THEN 0 ELSE 1 END) FROM orders
+        | UNION ALL SELECT 'high_value_urgent',
+        |   sum(CASE WHEN NOT(o_totalprice > 450000.0) OR o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) FROM orders) t
+        |ORDER BY check_name""".stripMargin)
 }

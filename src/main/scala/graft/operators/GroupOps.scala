@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Grouped/analytic operators from SURVEY.md §2.4–§2.7 (A1–A9, W1–W5, U1),
+  * with the §2.13 parity decisions baked in. Everything here is plain
+  * DataFrame API so Catalyst keeps pushdown / partial aggregation / AQE.
+  */
+object GroupOps {
+
+  /** A1/W2/O2 group-mode: the most frequent value of `valueCol` per `keys`.
+    * Tie-break pinned to the reference's pandas semantics (`mode().iloc[0]`
+    * = lexicographic minimum; reference data_clean_II.py:20-24) — the Glue
+    * variant's bare `orderBy(desc(count))` (data_clean_II_glue.py:57-66) is
+    * nondeterministic, which SURVEY §2.13.3 flags. Two shuffles: a partial-
+    * aggregated count by (keys, value), then a window by keys — both on the
+    * group keys, so AQE can coalesce and no row explosion happens.
+    */
+  def groupMode(df: DataFrame, keys: Seq[String], valueCol: String, out: String): DataFrame = {
+    val counted = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__cnt").desc, col(valueCol).asc)
+    counted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) :+ col(valueCol).as(out): _*)
+  }
+
+  /** A2 grouped median, exact (`percentile`, mean-of-middle-two) to match
+    * pandas `median()` — SURVEY §2.13.4 chooses exact over
+    * `percentile_approx` for oracle parity. Returns one row per key group.
+    * At 100 TB prefer `percentile_approx(c, 0.5, accuracy)` (sketch-mergeable,
+    * no sort buffer per group); exposed via `approximate = true`.
+    */
+  def groupedMedian(df: DataFrame, keys: Seq[String], valueCol: String, out: String,
+                    approximate: Boolean = false): DataFrame = {
+    val med =
+      if (approximate) percentile_approx(col(valueCol), lit(0.5), lit(10000))
+      else expr(s"percentile($valueCol, 0.5)")
+    df.groupBy(keys.map(col): _*).agg(med.as(out))
+  }
+
+  /** A2/M3 grouped-median imputation with fallback, as the reference's
+    * stage-II height/weight fill (data_clean_II.py:34-45): null values get
+    * the median of their (fine) group, then of the (coarse) group. Adds an
+    * `<valueCol>_Imputed` audit flag. Implemented as two broadcast-joined
+    * median tables (group counts are tiny relative to the fact table) rather
+    * than a window over every row.
+    */
+  def imputeWithGroupedMedian(df: DataFrame, fineKeys: Seq[String], coarseKeys: Seq[String],
+                              valueCol: String): DataFrame = {
+    val fine = broadcast(
+      groupedMedian(df.filter(col(valueCol).isNotNull), fineKeys, valueCol, "__fine_med"))
+    val coarse = broadcast(
+      groupedMedian(df.filter(col(valueCol).isNotNull), coarseKeys, valueCol, "__coarse_med"))
+    df.join(fine, fineKeys, "left")
+      .join(coarse, coarseKeys, "left")
+      .withColumn(s"${valueCol}_Imputed", col(valueCol).isNull)
+      .withColumn(valueCol, coalesce(col(valueCol), col("__fine_med"), col("__coarse_med")))
+      .drop("__fine_med", "__coarse_med")
+  }
+
+  /** W4 forward-fill: within each `partCols` group ordered by `orderCols`,
+    * replace nulls of `valueCol` with the last preceding non-null value
+    * (reference ffill, athlete_scrape.py:142-158). The only frame-spec window
+    * the reference needs; shuffles once on `partCols`.
+    */
+  def ffill(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column], valueCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** W1/W5 dense sequential surrogate key (1..n) in global `orderCols` order,
+    * without the single-partition `Window.orderBy` the Glue variant uses
+    * (data_clean_glue.py:567-570 — fine at 76 rows, a driver-melting
+    * bottleneck at 100 TB). Range-repartition + per-partition sort gives a
+    * global order; a tiny count-per-partition job computes offsets; ids are
+    * then assigned partition-locally. `orderCols` must be a total order
+    * (include a unique key) or ids among ties are unspecified.
+    */
+  def denseId(df: DataFrame, orderCols: Seq[Column], out: String, start: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+    sorted.persist()
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = counts.scanLeft(start)(_ + _)
+    val withId = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var id = offsets(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ id); id += 1; out }
+    }
+    val res = spark.createDataFrame(withId, sorted.schema.add(out, LongType, nullable = false))
+    res
+  }
+
+  /** W1 small-dimension variant: plain `row_number` over a global order —
+    * correct and simplest when the input is provably small (a dim table).
+    */
+  def rowNumberId(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame =
+    df.withColumn(out, row_number().over(Window.orderBy(orderCols: _*)).cast(LongType))
+
+  /** A9 duplicate detection: groups of `keys` occurring more than once,
+    * with their multiplicity (reference df.duplicated,
+    * data_quality_and_validation.py:24-28). Map-side partial count then
+    * filter — no window, no row explosion.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** A7 null-rate profile: % null per column in ONE pass over the data
+    * (reference df_nan_percentage, data_quality_and_validation.py:9-12).
+    * Output: one row per column (column_name, null_frac).
+    */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.map(c => avg(col(c).isNull.cast("double")).as(c))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to long form so the profile is a table, not a 1-row monster
+    val spark = df.sparkSession
+    val stacked = one.select(expr(
+      s"stack(${df.columns.length}, " +
+        df.columns.map(c => s"'$c', `$c`").mkString(", ") +
+        ") as (column_name, null_frac)"))
+    stacked
+  }
+
+  /** U1 union-by-name with null-fill for drifting schemas — the reference's
+    * pandas `concat` aligns by name (SURVEY §2.13.10: positional `union`
+    * corrupts when schemas drift).
+    */
+  def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}

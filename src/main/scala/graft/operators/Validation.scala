@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative validation engine — the Spark-first re-expression of the
+  * reference's Pandera surface (SURVEY.md §2.10; reference
+  * data_quality_and_validation.py:47-360). Each rule is one boolean
+  * `Column`; evaluation is lazy+collect-all like Pandera's `lazy=True`:
+  * a row VIOLATES a rule when the predicate is not TRUE (false or null),
+  * matching Pandera's treatment of failed coercion/null checks.
+  */
+case class ValidationRule(name: String, predicate: Column)
+
+object Validation {
+
+  private def violates(r: ValidationRule): Column =
+    when(r.predicate, lit(0L)).otherwise(lit(1L))
+
+  /** Violation counts for every rule (zero rows kept) in ONE pass over the
+    * table — a single partial-aggregated scan, no per-rule jobs. Output:
+    * (check_name, n_violations) sorted by check_name.
+    */
+  def violationCounts(df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
+    val aggs = rules.map(r => sum(violates(r)).as(r.name))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(expr(
+        s"stack(${rules.length}, " +
+          rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ") +
+          ") as (check_name, n_violations)"))
+      .orderBy("check_name")
+  }
+
+  /** Failure-case audit table (reference get_error_df,
+    * data_quality_and_validation.py:240-289): the violating rows themselves,
+    * tagged with the failed check, all rules unioned. One scan per rule but
+    * each is filter-pushed; at scale prefer [[failureCasesOnePass]].
+    */
+  def failureCases(df: DataFrame, rules: Seq[ValidationRule]): DataFrame =
+    rules.map { r =>
+      df.filter(violates(r) === 1L).withColumn("failed_check", lit(r.name))
+    }.reduce(_.unionByName(_))
+
+  /** Same audit table in one scan: build an array of failed check names per
+    * row, explode non-empty. The winner when the table is 100 TB and rules
+    * are many — rows are read once.
+    */
+  def failureCasesOnePass(df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
+    val failedArr = array(rules.map(r =>
+      when(violates(r) === 1L, lit(r.name)).otherwise(lit(null))): _*)
+    df.withColumn("__failed", filter(failedArr, c => c.isNotNull))
+      .filter(size(col("__failed")) > 0)
+      .withColumn("failed_check", explode(col("__failed")))
+      .drop("__failed")
+  }
+
+  /** Pandera `strict=True` column-set check: schema columns must equal the
+    * expected set exactly. Returns the offending names (empty = pass).
+    */
+  def strictColumnCheck(df: DataFrame, expected: Seq[String]): (Seq[String], Seq[String]) = {
+    val have = df.columns.toSet
+    val want = expected.toSet
+    ((want -- have).toSeq.sorted, (have -- want).toSeq.sorted) // (missing, extra)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Readers/writers for the lakehouse layout (SURVEY.md §2.1, S1–S9).
+  *
+  * The reference reads bronze/silver/gold parquet + a header CSV lookup and
+  * writes overwrite/append parquet with bounded file counts
+  * (reference: athlete_scrape_glue.py:325-357, data_clean_glue.py:623-663,
+  * columns_renaming_reordering_glue.py:140-147). Here those become thin,
+  * schema-pinnable wrappers over `spark.read`/`df.write` — Catalyst handles
+  * pushdown/pruning as long as we don't materialize in between.
+  */
+object Tables {
+
+  /** Driver-provided TPC-H-ish test tables (TESTDATA.md). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S1: parquet scan. `name` without extension, resolved under `dir`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table's `ts` is parquet TIMESTAMP(NANOS), read as Long ns
+    * (spark.sql.legacy.parquet.nanosAsLong) — this adds `event_time` as a
+    * true TimestampType (µs precision) for window/watermark operators.
+    */
+  def withEventTime(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.withColumn("event_time",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (col(tsCol) / 1000L).cast("long")))
+
+  /** S1 with a pinned schema (skip footer-schema merge on huge table dirs). */
+  def tableWithSchema(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+
+  /** S2: header CSV scan with explicit schema (never inferSchema at scale —
+    * inference is a full extra pass over the data).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S5: wildcard/union scan over a checkpoint-style directory of parts. */
+  def multiScan(spark: SparkSession, glob: String): DataFrame =
+    spark.read.parquet(glob)
+
+  /** S6/S7: parquet sink with bounded output file count. `files <= 0` keeps
+    * the natural partitioning (the right default at 100 TB — coalesce(1)
+    * serializes the write through one task).
+    */
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite, files: Int = 0): Unit = {
+    val out = if (files > 0) df.coalesce(files) else df
+    out.write.mode(mode).parquet(path)
+  }
+
+  /** S8: error side-channel sink — same sink, conventional path suffix. */
+  def writeErrors(df: DataFrame, basePath: String): Unit =
+    write(df, s"$basePath/_errors", SaveMode.Append)
+
+  /** S9/J5/C8: idempotent resume — rows of `all` whose `keyCol` has not been
+    * seen in `done`. Left-anti join instead of the reference's driver-side
+    * set-diff (athlete_scrape.py:244-246) so it stays distributed.
+    */
+  def remaining(all: DataFrame, done: DataFrame, keyCol: String): DataFrame =
+    all.join(done.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+}
