@@ -235,6 +235,132 @@ object SparkEntry {
     Validation.violationCounts(t(s, dir, "orders"), rules)
   }
 
+  // ------------------------------------------------------------------
+  // LLM-data-pipeline extensions (SURVEY.md §7.4): dedup, similarity,
+  // text analysis, JSON events, windowed time aggregation
+  // ------------------------------------------------------------------
+
+  /** Exact dedup groups by content fingerprint (md5 of normalized text). */
+  private def q22DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.exactDedupGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fingerprint"))
+  }
+
+  /** Exact token-set Jaccard near-dup pairs (threshold 0.95, lang-blocked). */
+  private def q23JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.95)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash+LSH near-dup pairs with exact verification — same contract as
+    * q23, so the DuckDB brute-force oracle checks LSH recall too
+    * (P[miss | j≥0.95] < 1e-24 with 24 bands × 2 rows).
+    */
+  private def q24MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.95)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs (segmented candidate generation, exact Hamming
+    * verify). Rows-only check: the 64-bit signature itself is not
+    * reproducible in ANSI SQL.
+    */
+  private def q25Simhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.simhashDupPairsSegmented(t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.35 over the full corpus. */
+  private def q26CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.cosinePairsAbove(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-5 neighbours for a bounded query batch. */
+  private def q27AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbour_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+      .orderBy(col("query_id"), col("neighbour_id"))
+  }
+
+  /** LSH-bucketed approximate top-k (the scale path). Rows-only: recall is
+    * probabilistic; the ScalaTest suite checks recall ≥ 0.8 vs q27.
+    */
+  private def q28AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 5, dim = 64)
+      .select(col("query_id"), col("neighbour_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+      .orderBy(col("query_id"), col("neighbour_id"))
+  }
+
+  /** Text quality + token statistics (one map-side pass). */
+  private def q29TextStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val stop = Seq("the", "a", "and", "of", "to")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(uniqueTokenRatio(col("text")), 6).as("uniq_ratio"),
+      round(avgTokenLength(col("text")), 6).as("avg_token_len"),
+      round(stopwordRatio(col("text"), stop), 6).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language scoring + argmax language ID. */
+  private def q30LangId(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.langHits(col("text"), "en").as("en_hits"),
+      TextFunctions.langHits(col("text"), "de").as("de_hits"),
+      TextFunctions.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint (md5 of normalized text) — engine-independent. */
+  private def q31Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON property extraction from events.props (from_json → typed field). */
+  private def q32JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    t(s, dir, "events")
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k_mod"))
+  }
+
+  /** Tumbling 1-hour window aggregation over event time (batch form of the
+    * Structured-Streaming window; same window() expression runs in both).
+    */
+  private def q33TumblingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    ev.groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -257,7 +383,19 @@ object SparkEntry {
     "q18_duplicates" -> (q18Duplicates _),
     "q19_dense_id" -> (q19DenseId _),
     "q20_ffill" -> (q20Ffill _),
-    "q21_validation" -> (q21Validation _))
+    "q21_validation" -> (q21Validation _),
+    "q22_dedup_exact" -> (q22DedupExact _),
+    "q23_jaccard_pairs" -> (q23JaccardPairs _),
+    "q24_minhash_lsh" -> (q24MinhashLsh _),
+    "q25_simhash" -> (q25Simhash _),
+    "q26_cosine_pairs" -> (q26CosinePairs _),
+    "q27_ann_topk" -> (q27AnnTopK _),
+    "q28_ann_lsh" -> (q28AnnLsh _),
+    "q29_text_stats" -> (q29TextStats _),
+    "q30_lang_id" -> (q30LangId _),
+    "q31_fingerprint" -> (q31Fingerprint _),
+    "q32_json_extract" -> (q32JsonExtract _),
+    "q33_tumbling_window" -> (q33TumblingWindow _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -417,5 +555,87 @@ object SparkEntry {
         |   sum(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31' THEN 0 ELSE 1 END) FROM orders
         | UNION ALL SELECT 'high_value_urgent',
         |   sum(CASE WHEN NOT(o_totalprice > 450000.0) OR o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) FROM orders) t
-        |ORDER BY check_name""".stripMargin)
+        |ORDER BY check_name""".stripMargin,
+    "q22_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q23_jaccard_pairs" -> jaccardOracle,
+    "q24_minhash_lsh" -> jaccardOracle,
+    "q26_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q27_ann_topk" ->
+      """SELECT query_id, neighbour_id, round(c, 6) AS cosine_sim FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS c,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rn
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 20) t
+        |WHERE rn <= 5
+        |ORDER BY query_id, neighbour_id""".stripMargin,
+    "q29_text_stats" ->
+      """SELECT doc_id,
+        | len(toks) AS n_tokens,
+        | round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS uniq_ratio,
+        | round(list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks), 6) AS avg_token_len,
+        | round(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) * 1.0 / len(toks), 6) AS stopword_ratio
+        |FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "q30_lang_id" ->
+      """SELECT doc_id, en_hits, de_hits,
+        | CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) = 0 THEN 'und'
+        |      WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+        |      WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+        |      WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+        |      WHEN fr_hits >= zh_hits THEN 'fr'
+        |      ELSE 'zh' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','eine','mit','von'))) AS de_hits,
+        |  len(list_filter(toks, t -> t IN ('the','a','and','is','not','of','to','in','it','that'))) AS en_hits,
+        |  len(list_filter(toks, t -> t IN ('el','la','los','las','y','es','no','un','una','de'))) AS es_hits,
+        |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','un','une','dans','que'))) AS fr_hits,
+        |  len(list_filter(toks, t -> t IN ('的','是','不','了','在','我','有','和','就','人'))) AS zh_hits
+        | FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents) d) h
+        |ORDER BY doc_id""".stripMargin,
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q32_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q33_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+
+  /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
+    * exact verify): both must produce the identical pair set.
+    */
+  private val jaccardOracle: String =
+    """SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+      |FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      | FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token FROM documents) a
+      | JOIN (SELECT doc_id, lang, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token FROM documents) b
+      |   ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2) p
+      |JOIN (SELECT doc_id, len(list_distinct(string_split(lower(trim(text)), ' '))) AS na FROM documents) sa ON p.id_a = sa.doc_id
+      |JOIN (SELECT doc_id, len(list_distinct(string_split(lower(trim(text)), ' '))) AS nb FROM documents) sb ON p.id_b = sb.doc_id
+      |WHERE shared * 1.0 / (na + nb - shared) >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token stats,
+  * quality scoring, stopword-profile language ID, and document
+  * fingerprinting. No reference implementation (SURVEY.md §7.4) — spec'd
+  * from standard corpus-filtering practice (C4/Gopher-style quality rules).
+  * Everything is built-in expressions (split/HOFs/regexp) — no UDFs, so the
+  * scan stays whole-stage-codegen'd or at worst native-expression-evaluated,
+  * and at 100 TB these are pure map-side columns computed in the same pass
+  * as the parquet scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token fraction — low values flag boilerplate/spam. */
+  def uniqueTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Mean token length in characters. */
+  def avgTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t)
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      length(text)
+
+  /** Fraction of tokens found in `stopwords` (a bounded literal list). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isInCollection(stopwords))).cast("double") / size(t)
+  }
+
+  /** Composite quality score in [0,1], Gopher-flavoured: rewards normal
+    * token lengths, lexical diversity and some stopword mass; penalizes
+    * punctuation soup. Weights are engine policy, not reference semantics.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenOk = when(tokenCount(text).between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    val wordLenOk = when(avgTokenLength(text).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val diversity = least(uniqueTokenRatio(text) * 2.0, lit(1.0))
+    val stop = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    round(lenOk * 0.2 + wordLenOk * 0.2 + diversity * 0.2 + stop * 0.2 + punctOk * 0.2, 6)
+  }
+
+  // ------------------------------------------------------------------
+  // Language identification (stopword-profile heuristic)
+  // ------------------------------------------------------------------
+
+  /** Tiny high-frequency function-word profiles. A real pipeline would use
+    * char n-gram profiles over a trained table; the operator shape (score
+    * per language in one map-side pass, argmax with deterministic
+    * tie-break) is what matters for the engine.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "en" -> Seq("the", "a", "and", "is", "not", "of", "to", "in", "it", "that"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "dans", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和", "就", "人"))
+
+  /** Hit-count of one language profile against the token list. */
+  def langHits(text: Column, lang: String): Column = {
+    val words = langProfiles.toMap.apply(lang)
+    size(filter(tokens(text), w => w.isInCollection(words)))
+  }
+
+  /** Predicted language: argmax of profile hit-counts; ties break to the
+    * lexicographically first language code; all-zero scores → "und"
+    * (undetermined, BCP-47 style).
+    */
+  def langId(text: Column): Column = {
+    // max hits wins; ties break to the lexicographically FIRST lang, so a
+    // plain sort_array desc on (hits, lang) structs won't do — filter to
+    // the max-hits entries and take the min lang.
+    val arr = array(langProfiles.map { case (lang, _) =>
+      struct(langHits(text, lang).as("hits"), lit(lang).as("lang"))
+    }: _*)
+    val maxHits = array_max(transform(arr, s => s.getField("hits")))
+    val winners = filter(arr, s => s.getField("hits") === maxHits)
+    val winner = array_min(transform(winners, s => s.getField("lang")))
+    when(maxHits === 0, lit("und")).otherwise(winner)
+  }
+
+  // ------------------------------------------------------------------
+  // Fingerprinting
+  // ------------------------------------------------------------------
+
+  /** Content fingerprint: md5 hex of the whitespace-normalized lowercase
+    * text — stable across engines (pure function of bytes).
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style rolling fingerprint (Schleimer et al. '03): hash every
+    * k-gram shingle, slide a window of `w` hashes, keep each window's
+    * minimum — the classic local document fingerprint set for plagiarism /
+    * near-dup detection. Output: array of selected hashes (distinct,
+    * sorted for determinism).
+    */
+  def winnowingFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " ")))
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    array_sort(array_distinct(windows))
+  }
+}

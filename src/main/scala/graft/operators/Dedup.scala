@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for LLM training-data pipelines — exact,
+  * MinHash+LSH, SimHash, and exact n-gram/token Jaccard. No reference
+  * implementation exists (SURVEY.md §7.4: spec'd from the Spark API and
+  * published literature — Broder '97 MinHash, Charikar '02 SimHash,
+  * Leskovec et al. "Mining of Massive Datasets" ch.3 LSH banding).
+  *
+  * Scale design (100 TB): signatures are computed PER ROW with higher-order
+  * functions on the token array — no explode, no shuffle, no UDF. The only
+  * shuffles are (a) the LSH band self-join, keyed on (band_idx, band_hash)
+  * so AQE can handle bucket skew, and (b) the final distinct on candidate
+  * pairs. Exact verification joins candidates back to the (doc_id → tokens)
+  * projection twice — at 100 TB that join is shuffle-hash on doc_id; the
+  * candidate side is orders of magnitude smaller than the corpus.
+  */
+object Dedup {
+
+  /** Whitespace-token set of a text column (lowercased, trimmed). */
+  def tokenSet(text: Column): Column =
+    array_distinct(split(lower(trim(text)), "\\s+"))
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup by content fingerprint: md5 of the normalized text. One
+    * hash-shuffle on the (much narrower) fingerprint; keeps the minimum id
+    * as the canonical representative — deterministic, unlike dropDuplicates
+    * (which keeps an arbitrary first row per partition ordering).
+    * Output: (fingerprint, keep_id, group_size).
+    */
+  def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        md5(lower(trim(col(textCol)))).as("fingerprint"),
+        col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** The deduplicated table itself: one row per distinct normalized text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDedupGroups(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // Exact Jaccard pair mining (token-level; the oracle-checkable baseline)
+  // ------------------------------------------------------------------
+
+  /** All pairs with token-set Jaccard ≥ threshold, blocked by `blockCol`
+    * (pairs are only considered within a block — e.g. language). Inverted-
+    * index style: explode tokens, self-join on (block, token), count shared
+    * tokens per pair, then jaccard = shared / (|a| + |b| − shared).
+    *
+    * Scale: the token join is the classic hot spot — high-frequency tokens
+    * fan out quadratically. At 100 TB drop the top-percentile document-
+    * frequency tokens first (they carry no similarity signal); here the
+    * corpus is uniform so no stop-list is needed.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      explode(tokenSet(col(textCol))).as("token"))
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = tok.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** k-permutation MinHash signature of an item-set column, computed per
+    * row with built-in higher-order functions (fully distributed, no
+    * shuffle): signature[i] = min over items of xxhash64(item, i).
+    */
+  def minhashSignature(items: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(items, t => xxhash64(t, i))))
+
+  /** LSH banding of a signature: `bands` rows of (band_idx, band_hash)
+    * per document, where band_hash collapses `rowsPerBand` signature slots.
+    * Two documents land in the same bucket for band j iff their signature
+    * slices agree — P[candidate] = 1 − (1 − j^r)^b.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band_idx"),
+        xxhash64(slice(signature, j * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))
+
+  /** Candidate near-duplicate pairs via MinHash LSH, then EXACT token-set
+    * Jaccard verification ≥ threshold (so the output has no false
+    * positives; false negatives are bounded by the banding probability —
+    * with b=24, r=2, P[miss | j=0.95] ≈ (1−0.95²)²⁴ < 1e-24).
+    * Same output contract as [[jaccardPairs]].
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      blockCol: String, threshold: Double,
+                      numHashes: Int = 48, bands: Int = 24): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"), col(blockCol).as("blk"),
+      tokenSet(col(textCol)).as("toks"))
+      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+      .withColumn("band", explode(lshBands(col("sig"), bands, r)))
+      .select(col("id"), col("blk"), col("toks"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val candidates = withSig.as("a")
+      .join(withSig.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.toks").as("ta"), col("b.toks").as("tb"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash of a token array: bit b of the hash is 1 iff the sum
+    * over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
+    * Pure per-row expression — no shuffle, no UDF.
+    */
+  def simhash64(items: Column): Column = {
+    val bitCounts = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(items, lit(0),
+        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, b) => acc + when(element_at(bitCounts, b + 1) > 0,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance within a
+    * block. Pair generation here is a blocked self-join on the (narrow)
+    * (id, simhash) projection; at 100 TB use the standard prefix-rotation
+    * trick (split the 64 bits into maxDistance+1 segments; equal-segment
+    * join guarantees recall) — the block join below is the small-block
+    * fallback. Output: (id_a, id_b, hamming).
+    */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      blockCol: String, maxDistance: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      simhash64(tokenSet(col(textCol))).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
+
+  /** Scalable SimHash candidate generation: segment-equality blocking
+    * (pigeonhole — any pair within `maxDistance` bit flips agrees on at
+    * least one of maxDistance+1 segments), then exact Hamming verify.
+    * Recall 100%, unlike a prefix-only block.
+    */
+  def simhashDupPairsSegmented(df: DataFrame, idCol: String, textCol: String,
+                               maxDistance: Int): DataFrame = {
+    val nSeg = maxDistance + 1
+    val segBits = 64 / nSeg
+    val sh = df.select(col(idCol).as("id"), simhash64(tokenSet(col(textCol))).as("sh"))
+      .withColumn("seg", explode(transform(sequence(lit(0), lit(nSeg - 1)),
+        s => struct(s.as("seg_idx"),
+          call_function("shiftright", col("sh"), s * segBits)
+            .bitwiseAND(if (segBits >= 64) -1L else (1L << segBits) - 1).as("seg_val")))))
+    sh.as("a").join(sh.as("b"),
+        col("a.seg.seg_idx") === col("b.seg.seg_idx") &&
+          col("a.seg.seg_val") === col("b.seg.seg_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDistance)
+  }
+}

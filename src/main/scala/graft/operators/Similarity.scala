@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `Array[Float]` columns — brute-force
+  * cosine top-k as the exact baseline, plus a random-hyperplane LSH path
+  * for scale. No reference implementation (SURVEY.md §7.4); semantics from
+  * the Spark API + Charikar '02 (SimHash/hyperplane LSH) + the IVF idea
+  * from Jégou et al. '11.
+  *
+  * All vector math is built-in higher-order functions in DOUBLE precision
+  * (zip_with + aggregate): codegen-free but native expressions, no UDF,
+  * no serialization of the vectors off the JVM heap.
+  *
+  * Scale design: brute-force is O(|Q|·|C|) — correct tool when |Q| is a
+  * bounded query batch broadcast against a huge corpus (the corpus is
+  * scanned once, map-side only, no shuffle of the corpus). The LSH variant
+  * prunes the corpus to same-bucket candidates first; recall is tunable
+  * with (nPlanes, nTables).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k nearest neighbours by cosine for each query vector.
+    * `queries` is broadcast (bounded batch); the corpus is scanned once.
+    * Self-matches (same id) are excluded. Deterministic tie-break on
+    * neighbour id. Output: (query_id, neighbour_id, cosine_sim).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbour_id"))
+      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-duplicate
+    * detection). All-pairs within the frame — use only on a bounded set or
+    * pre-blocked input; the LSH path below is the scale route.
+    * Output: (id_a, id_b, cosine_sim), id_a < id_b.
+    */
+  def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine_sim", cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine_sim"))
+  }
+
+  /** Deterministic random hyperplanes: `nTables` tables × `nPlanes` planes
+    * of `dim` gaussian components, seeded — same planes on every executor
+    * because they ship as a literal column, not via RNG at execution time.
+    */
+  private def hyperplanes(nTables: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nTables, nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-signature of a vector under one table's planes → one int bucket
+    * (bit p set iff dot(v, plane_p) > 0).
+    */
+  private def bucketFor(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeLit, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: random-hyperplane LSH candidate generation
+    * (same bucket in ANY of `nTables` tables) + exact cosine re-rank.
+    * Tune recall with nTables/nPlanes (more tables → higher recall,
+    * more candidates; more planes → smaller buckets).
+    * Output contract matches [[bruteForceTopK]].
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, dim: Int, nTables: Int = 8, nPlanes: Int = 12,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+      df.withColumn("buckets", array((0 until nTables).map(t =>
+          struct(lit(t).as("table_id"), bucketFor(col(v), planes(t)).as("bucket"))): _*))
+        .select(col(id), col(v), explode(col("buckets")).as("tb"))
+        .select(col(id), col(v), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    val q = broadcast(withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv"))
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv")), "neighbour_id", "cv")
+    // join on (table_id, bucket), dedupe across tables, then exact re-rank
+    val cand = c.as("c").join(q.as("q"),
+        col("c.table_id") === col("q.table_id") &&
+          col("c.bucket") === col("q.bucket") &&
+          col("q.query_id") =!= col("c.neighbour_id"))
+      .select(col("q.query_id").as("query_id"), col("c.neighbour_id").as("neighbour_id"),
+        col("q.qv").as("qv"), col("c.cv").as("cv"))
+      .dropDuplicates("query_id", "neighbour_id")
+      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids` (a small broadcast table id → vec), so downstream searches
+    * probe only matching cells. The centroid table would come from a
+    * sampled k-means at scale; any bounded centroid set works here.
+    * Output: input + `cell` column.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+                centroidId: String, centroidVec: String): DataFrame = {
+    val c = broadcast(centroids.select(col(centroidId).as("__cid"), col(centroidVec).as("__cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("__cid").asc)
+    df.join(c) // broadcast nested loop: |df| × |centroids|, map-side only
+      .withColumn("__sim", cosine(col(vecCol), col("__cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__cv", "__sim", "__rn")
+      .withColumnRenamed("__cid", "cell")
+  }
+}
