@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import TextFunctions._
+
+  private def one[T](in: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T = {
+    import spark.implicits._
+    Seq(Tuple1(in)).toDF("t").select(c(col("t")).as("r")).collect()(0).getAs[T](0)
+  }
+
+  test("token stats") {
+    assert(one[Int]("a b c a", tokenCount) == 4)
+    assert(one[Double]("a b c a", uniqueTokenRatio) == 0.75)
+    assert(one[Double]("ab cd", avgTokenLength) == 2.0)
+    assert(one[Double]("a, b!", punctRatio) == 2.0 / 5.0)
+    assert(one[Double]("the cat sat", t => stopwordRatio(t, Seq("the", "a"))) == 1.0 / 3.0)
+  }
+
+  test("qualityScore in [0,1]; clean prose beats punctuation soup") {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val good = one[Double]("the quick brown fox jumps over the lazy dog and runs to the hills", t => qualityScore(t, stop))
+    val bad = one[Double]("!!! ??? ;;; ***", t => qualityScore(t, stop))
+    assert(good >= 0 && good <= 1 && bad >= 0 && bad <= 1)
+    assert(good > bad)
+  }
+
+  test("langId on real sentences") {
+    assert(one[String]("the cat is not in the house", langId) == "en")
+    assert(one[String]("der Hund ist nicht mit der Katze", langId) == "de")
+    assert(one[String]("el perro no es un gato", langId) == "es")
+    assert(one[String]("le chien est dans la maison", langId) == "fr")
+    assert(one[String]("我 是 不 在", langId) == "zh")
+    assert(one[String]("xyzzy plugh", langId) == "und")
+  }
+
+  test("langId tie-break is lexicographic first") {
+    // "la" is in both es and fr profiles → tie 1:1 → es (lexicographically first)
+    assert(one[String]("la table", langId) == "es")
+  }
+
+  test("contentFingerprint: whitespace-insensitive, case-insensitive") {
+    val a = one[String]("Hello  World", contentFingerprint)
+    val b = one[String]("hello world", contentFingerprint)
+    val c = one[String]("hello worlds", contentFingerprint)
+    assert(a == b && a != c)
+  }
+
+  private def winnow(in: String): Seq[Long] = {
+    import spark.implicits._
+    Seq(Tuple1(in)).toDF("t")
+      .select(winnowingFingerprints(col("t")).as("r")).collect()(0).getSeq[Long](0)
+  }
+
+  test("winnowing: identical docs share all fingerprints; shifted doc shares most") {
+    val a = winnow("one two three four five six seven eight nine ten")
+    val b = winnow("one two three four five six seven eight nine ten")
+    val shifted = winnow("zero one two three four five six seven eight nine ten")
+    assert(a == b)
+    val overlap = a.toSet.intersect(shifted.toSet).size.toDouble / a.size
+    assert(overlap > 0.5, s"winnowing should be robust to prefix shift, overlap=$overlap")
+  }
+}

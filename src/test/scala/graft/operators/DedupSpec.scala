@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "The quick brown fox jumps over the lazy dog", "en"),   // case dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat", "en"),   // near dup
+      (4L, "completely different content about spark engines", "en"),
+      (5L, "der schnelle braune fuchs", "de")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("exactDedupGroups: case-insensitive exact dup found, min id kept") {
+    val groups = Dedup.exactDedupGroups(docs, "doc_id", "text")
+      .filter(col("group_size") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getLong(1) == 1L && groups(0).getLong(2) == 2L)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles: word n-grams, distinct") {
+    import spark.implicits._
+    val got = Seq(Tuple1("a b c b c")).toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("s")).collect()(0).getSeq[String](0)
+    assert(got.toSet == Set("a b", "b c", "c b"))
+  }
+
+  test("jaccardPairs finds the near-dup pair, blocked by lang") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1/2 identical token sets (jac 1.0); 1-3 and 2-3 share 8 of 10
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash signature: identical token sets → identical signatures; " +
+    "near sets → mostly agreeing slots") {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.tokenSet(col("text")), 48).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree13 > 24, s"expected >half slots agreeing for jac≈0.8 pair, got $agree13/48")
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree14 < 10, s"unrelated docs should rarely agree, got $agree14/48")
+  }
+
+  test("minhashDupPairs == jaccardPairs at high threshold (recall check)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.7)
+    val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", "lang", 0.7)
+    assert(rowsOf(exact.select("id_a", "id_b")) == rowsOf(lsh.select("id_a", "id_b")))
+  }
+
+  test("simhash: identical texts → identical hash; near texts → small hamming") {
+    import spark.implicits._
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(Dedup.tokenSet(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)),
+      "near-dup must be closer in hamming space than unrelated doc")
+  }
+
+  test("simhashDupPairsSegmented matches blocked all-pairs within distance") {
+    val seg = Dedup.simhashDupPairsSegmented(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b")
+    // all-pairs ground truth with one global block
+    val full = Dedup.simhashDupPairs(docs.withColumn("one", lit(1)),
+      "doc_id", "text", "one", 3).select("id_a", "id_b")
+    assert(rowsOf(seg) == rowsOf(full))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GroupOpsSpec extends SparkSpec {
+
+  test("groupMode: pandas lexicographic tie-break (§2.13.3)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "b"), (1, "b"), (1, "a"), (1, "a"), // tie b=2 a=2 → "a"
+      (2, "z"), (2, "z"), (2, "y"),           // z wins by count
+      (3, null.asInstanceOf[String]), (3, "c") // nulls excluded
+    ).toDF("id", "v")
+    val got = GroupOps.groupMode(df, Seq("id"), "v", "mode").orderBy("id")
+    assert(got.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "z"), (3, "c")))
+  }
+
+  test("groupedMedian exact: mean-of-middle-two (§2.13.4)") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 10.0)).toDF("k", "v")
+    val got = GroupOps.groupedMedian(df, Seq("k"), "v", "med").collect()(0).getDouble(1)
+    assert(got == 2.5) // pandas median of [1,2,3,10]
+  }
+
+  test("imputeWithGroupedMedian: fine then coarse fallback + audit flag") {
+    import spark.implicits._
+    val df = Seq(
+      ("M", "run", Some(180.0)), ("M", "run", Some(190.0)), ("M", "run", None),
+      ("M", "swim", None), // no fine group values → falls back to sex median
+      ("F", "run", Some(160.0))
+    ).toDF("sex", "disc", "h")
+    val got = GroupOps.imputeWithGroupedMedian(df, Seq("sex", "disc"), Seq("sex"), "h")
+    val byKey = got.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    // fine group (M,run) median = 185; (M,swim) → coarse M median = 185
+    assert(byKey.count(_._4) == 2)
+    assert(byKey.filter(t => t._2 == "swim").head._3 == 185.0)
+    assert(byKey.forall(_._3 > 0))
+  }
+
+  test("ffill fills from last non-null within partition order (W4)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 1, Some("a")), (1, 2, None), (1, 3, None), (1, 4, Some("b")), (1, 5, None),
+      (2, 1, None) // leading null stays null
+    ).toDF("grp", "ord", "v")
+    val got = GroupOps.ffill(df, Seq("grp"), Seq(col("ord")), "v")
+      .orderBy("grp", "ord").collect().map(r => Option(r.getString(2))).toSeq
+    assert(got == Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("b"), None))
+  }
+
+  test("denseId: dense 1..n in global order, no single-partition window (W1/W5)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (1001 - i).toLong).toDF("k").repartition(7)
+    val got = GroupOps.denseId(df, Seq(col("k")), "sk")
+    val rows = got.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq == (1L to 1000L))
+    assert(rows.head == (1L, 1L) && rows.last == (1000L, 1000L))
+  }
+
+  test("nullProfile: one row per column with null fraction (A7)") {
+    import spark.implicits._
+    val df = Seq((Some(1), "x"), (None, "y"), (None, null.asInstanceOf[String]), (Some(2), "z"))
+      .toDF("a", "b")
+    val got = GroupOps.nullProfile(df).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got("a") == 0.5 && got("b") == 0.25)
+  }
+
+  test("unionByNameAll aligns drifted schemas with null fill (U1, §2.13.10)") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2.5, 9)).toDF("score", "id") // different order + extra col
+    val got = GroupOps.unionByNameAll(Seq(a, b))
+    assert(got.columns.toSet == Set("id", "name", "score"))
+    val rows = rowsOf(got)
+    assert(rows.size == 2)
+  }
+
+  test("duplicateKeys reports multiplicity (A9)") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("k1", "k2")
+    val got = GroupOps.duplicateKeys(df, Seq("k1", "k2")).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 3L)
+  }
+}

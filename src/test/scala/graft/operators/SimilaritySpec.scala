@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+      (4L, Array(0.7f, 0.7f, 0.0f))    // 45° to 0 and 2
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine: exact values for known geometry") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+                 (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+                 (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+                 (Array(3.0f, 4.0f), Array(4.0f, 3.0f), 24.0 / 25.0))
+      .toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK: correct neighbours, self excluded, ordered ties by id") {
+    val got = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1).forall(_ == 0L))
+    assert(got.map(_._2) == Seq(1L, 4L)) // by cosine: 1 (~.994) then 4 (~.707)
+  }
+
+  test("cosinePairsAbove finds exactly the high-similarity pairs") {
+    val got = Similarity.cosinePairsAbove(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("lshTopK recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 5, dim = 64, nTables = 16, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@5 too low: $recall")
+  }
+
+  test("ivfAssign puts every vector in its nearest centroid cell") {
+    import spark.implicits._
+    val centroids = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val got = Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids, "cid", "cvec")
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == 10L && got(1L) == 10L && got(2L) == 20L)
+    assert(got(4L) == 10L) // tie at 45° breaks to lower centroid id
+  }
+}

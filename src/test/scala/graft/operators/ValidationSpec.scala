@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ValidationSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1, 180.0, 75.0),   // ok
+      (2, 180.0, 300.0),  // weight out of range
+      (3, -1.0, 75.0),    // height out of range (and BMI null-ish)
+      (4, 180.0, 75.0)    // ok
+    ).toDF("id", "h", "w")
+  }
+
+  private def rules = Seq(
+    ValidationRule("h_range", col("h").between(100, 250)),
+    ValidationRule("w_range", col("w").between(25, 200)),
+    ValidationRule("id_pos", col("id") >= 1))
+
+  test("violationCounts: one pass, all rules, NOT-TRUE counts as violation") {
+    val got = Validation.violationCounts(fixture, rules)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("h_range" -> 1L, "w_range" -> 1L, "id_pos" -> 0L))
+  }
+
+  test("failureCases tags each violating row with the failed check") {
+    val got = Validation.failureCases(fixture, rules)
+      .select("id", "failed_check").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((2, "w_range"), (3, "h_range")))
+  }
+
+  test("failureCasesOnePass matches the multi-scan variant") {
+    val a = Validation.failureCases(fixture, rules).select("id", "failed_check")
+    val b = Validation.failureCasesOnePass(fixture, rules).select("id", "failed_check")
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
+  test("null predicate counts as violation (Pandera lazy semantics)") {
+    import spark.implicits._
+    val df = Seq(Tuple1[java.lang.Double](null), Tuple1[java.lang.Double](150.0)).toDF("h")
+    val got = Validation.violationCounts(df, Seq(ValidationRule("h_range", col("h").between(100, 250))))
+      .collect()(0).getLong(1)
+    assert(got == 1L)
+  }
+
+  test("strictColumnCheck reports missing and extra") {
+    val (missing, extra) = Validation.strictColumnCheck(fixture, Seq("id", "h", "bmi"))
+    assert(missing == Seq("bmi") && extra == Seq("w"))
+  }
+}
