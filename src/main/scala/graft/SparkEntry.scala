@@ -361,6 +361,43 @@ object SparkEntry {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Sliding-window counts (1h window / 15m slide) — batch form of the
+    * streaming sliding window; each event lands in 4 windows.
+    */
+  private def q34SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    EventStreams.slidingCounts(EventStreams.withEventTime(t(s, dir, "events")))
+      .select(col("window_start").cast("string").as("window_start"), col("n_events"))
+      .orderBy(col("window_start"))
+  }
+
+  /** Session windows per user (30-minute gap), batch form. Session start
+    * reported as the raw ns epoch so both engines compare integers.
+    */
+  private def q35SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    EventStreams.sessionCounts(EventStreams.withEventTime(t(s, dir, "events")))
+      // µs granularity: DuckDB reads parquet TIMESTAMP(NANOS) at µs.
+      // Integer div — double division is ±1µs lossy at epoch-ns scale.
+      .withColumn("session_start_us", expr("session_start_ns div 1000"))
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** Multimodal plumbing: synthetic media → partition-wise decode stub →
+    * feature extraction. Rows-only (payloads are engine-synthesized).
+    */
+  private def q36Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(s, 300)
+    Multimodal.decodeFeatures(media, frameStride = 2).toDF()
+      .select(col("mediaId").as("media_id"), col("modality"),
+        col("decodedWidth").as("w"), col("decodedHeight").as("h"),
+        col("nFramesSampled").as("frames_sampled"),
+        round(element_at(col("feature"), 1), 4).as("f0"))
+      .orderBy(col("media_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -395,7 +432,10 @@ object SparkEntry {
     "q30_lang_id" -> (q30LangId _),
     "q31_fingerprint" -> (q31Fingerprint _),
     "q32_json_extract" -> (q32JsonExtract _),
-    "q33_tumbling_window" -> (q33TumblingWindow _))
+    "q33_tumbling_window" -> (q33TumblingWindow _),
+    "q34_sliding_window" -> (q34SlidingWindow _),
+    "q35_session_window" -> (q35SessionWindow _),
+    "q36_multimodal" -> (q36Multimodal _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -621,7 +661,24 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "q34_sliding_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS VARCHAR) AS window_start,
+        | count(*) AS n_events
+        |FROM events, unnest([0, 1, 2, 3]) AS u(k)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q35_session_window" ->
+      """SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+        |FROM (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |       FROM events) g) s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -122,26 +122,34 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       blockCol: String, threshold: Double,
-                      numHashes: Int = 48, bands: Int = 24): DataFrame = {
+                      numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df.select(
+    // Banding rows stay NARROW (id, blk, band) — carrying the token arrays
+    // through a bands×-amplified self-join + distinct was the dominant cost
+    // at bench; token sets are joined back only for the deduped candidates.
+    val withBand = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
-      tokenSet(col(textCol)).as("toks"))
-      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+      minhashSignature(tokenSet(col(textCol)), numHashes).as("sig"))
       .withColumn("band", explode(lshBands(col("sig"), bands, r)))
-      .select(col("id"), col("blk"), col("toks"),
+      .select(col("id"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    val candidates = withSig.as("a")
-      .join(withSig.as("b"),
+    val candidates = withBand.as("a")
+      .join(withBand.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.toks").as("ta"), col("b.toks").as("tb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Verify on HASHED token sets: long equality is cheaper than string,
+    // and the candidate-side shuffle shrinks ~2×. xxhash64 collisions
+    // within one pair's union are ~1e-16 — numerically exact.
+    val toks = df.select(col(idCol).as("id"),
+      transform(tokenSet(col(textCol)), t => xxhash64(t)).as("toks"))
     candidates
+      .join(toks.withColumnsRenamed(Map("id" -> "id_a", "toks" -> "ta")), "id_a")
+      .join(toks.withColumnsRenamed(Map("id" -> "id_b", "toks" -> "tb")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))))
@@ -153,9 +161,34 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
+  /** Scalable SimHash computation: explode tokens, hash each ONCE, then 64
+    * codegen'd conditional sums in one hash aggregate (map-side combine).
+    * The per-row expression variant [[simhash64]] recomputes the token hash
+    * per bit in interpreted HOFs — two orders of magnitude slower; this is
+    * the path every pair-mining entry point uses.
+    * Output: (id, sh).
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("token"))
+      .select(col("id"), xxhash64(col("token")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s_$b")
+    }
+    val sh = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    hashed.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sh.as("sh"))
+  }
+
   /** 64-bit SimHash of a token array: bit b of the hash is 1 iff the sum
     * over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
-    * Pure per-row expression — no shuffle, no UDF.
+    * Pure per-row expression — no shuffle, no UDF. NOTE: interpreted and
+    * O(64·n) hash calls — fine for small arrays / tests; use
+    * [[simhashTable]] for corpus-scale pair mining.
     */
   def simhash64(items: Column): Column = {
     val bitCounts = transform(sequence(lit(0), lit(63)), b =>
@@ -175,8 +208,8 @@ object Dedup {
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       blockCol: String, maxDistance: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      simhash64(tokenSet(col(textCol))).as("sh"))
+    val sh = simhashTable(df, idCol, textCol)
+      .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
     sh.as("a").join(sh.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
@@ -193,7 +226,7 @@ object Dedup {
                                maxDistance: Int): DataFrame = {
     val nSeg = maxDistance + 1
     val segBits = 64 / nSeg
-    val sh = df.select(col(idCol).as("id"), simhash64(tokenSet(col(textCol))).as("sh"))
+    val sh = simhashTable(df, idCol, textCol)
       .withColumn("seg", explode(transform(sequence(lit(0), lit(nSeg - 1)),
         s => struct(s.as("seg_idx"),
           call_function("shiftright", col("sh"), s * segBits)

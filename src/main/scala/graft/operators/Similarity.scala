@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * the Spark API + Charikar '02 (SimHash/hyperplane LSH) + the IVF idea
   * from Jégou et al. '11.
   *
-  * All vector math is built-in higher-order functions in DOUBLE precision
-  * (zip_with + aggregate): codegen-free but native expressions, no UDF,
-  * no serialization of the vectors off the JVM heap.
+  * Vector math: the hot kernels (cosine, hyperplane projection) are Scala
+  * UDFs — tight JIT'd JVM loops. Catalyst higher-order functions evaluate
+  * interpreted per element (~100× slower on a 64-dim dot product measured
+  * at bench), and Spark has no native dot-product expression; per the
+  * "native Expression beats UDF beats everything" ladder, a codegen
+  * Expression is the next step if BENCH ever shows the UDF hot. The
+  * expression variant is kept as [[cosineExpr]] for contexts where a UDF
+  * is unwanted (e.g. view-only SQL).
   *
   * Scale design: brute-force is O(|Q|·|C|) — correct tool when |Q| is a
   * bounded query batch broadcast against a huge corpus (the corpus is
@@ -22,8 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def normF(a: Array[Float]): Double = math.sqrt(dotF(a, a))
+
+  private val cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    dotF(a, b) / (normF(a) * normF(b))
+  }
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * (JIT'd JVM kernel; left-to-right summation — matches a sequential
+    * fold, so oracle-comparable to 1e-15).
+    */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  /** Pure-expression cosine (no UDF) — interpreted, so ~100× slower per
+    * pair; useful where UDFs can't go.
+    */
+  def cosineExpr(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -74,16 +98,25 @@ object Similarity {
     Array.fill(nTables, nPlanes, dim)(rng.nextGaussian())
   }
 
-  /** Sign-signature of a vector under one table's planes → one int bucket
-    * (bit p set iff dot(v, plane_p) > 0).
+  /** Sign-signature buckets for ALL tables in one UDF call per row (bit p
+    * of table t's bucket set iff dot(v, plane_tp) > 0) — one JIT'd pass
+    * over nTables×nPlanes×dim multiply-adds; the planes ship once per
+    * executor inside the closure.
     */
-  private def bucketFor(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeLit, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private def allBuckets(planes: Array[Array[Array[Double]]]) = udf { (v: Array[Float]) =>
+    planes.map { table =>
+      var bucket = 0
+      var p = 0
+      while (p < table.length) {
+        val plane = table(p)
+        var s = 0.0; var i = 0
+        while (i < plane.length) { s += v(i) * plane(i); i += 1 }
+        if (s > 0) bucket |= 1 << p
+        p += 1
+      }
+      bucket
+    }
+  }
 
   /** Approximate top-k: random-hyperplane LSH candidate generation
     * (same bucket in ANY of `nTables` tables) + exact cosine re-rank.
@@ -95,11 +128,9 @@ object Similarity {
               k: Int, dim: Int, nTables: Int = 8, nPlanes: Int = 12,
               seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    val bucketsUdf = allBuckets(planes)
     def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
-      df.withColumn("buckets", array((0 until nTables).map(t =>
-          struct(lit(t).as("table_id"), bucketFor(col(v), planes(t)).as("bucket"))): _*))
-        .select(col(id), col(v), explode(col("buckets")).as("tb"))
-        .select(col(id), col(v), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+      df.select(col(id), col(v), posexplode(bucketsUdf(col(v))).as(Seq("table_id", "bucket")))
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv"))
     val c = withBuckets(

@@ -31,7 +31,9 @@ object Tables {
   def withEventTime(events: DataFrame, tsCol: String = "ts"): DataFrame =
     events.withColumn("event_time",
       org.apache.spark.sql.functions.timestamp_micros(
-        (col(tsCol) / 1000L).cast("long")))
+        // integer div — `/` would go through double and lose ±1µs on
+        // epoch-ns magnitudes (2^60 > 2^53 double mantissa)
+        org.apache.spark.sql.functions.expr(s"$tsCol div 1000")))
 
   /** S1 with a pinned schema (skip footer-schema merge on huge table dirs). */
   def tableWithSchema(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference has no
+  * true streaming (SURVEY.md §2.12) — its closest analog is checkpointed
+  * incremental batch — so these are new capability, spec'd from the Spark
+  * Structured Streaming API.
+  *
+  * Design rule: every transform is a pure DataFrame => DataFrame usable in
+  * BOTH batch and streaming (the Spark unified-engine contract), so the
+  * batch DuckDB oracle validates the same expression the stream runs.
+  * Watermarks bound state at scale: without one, windowed state grows
+  * unboundedly on a 100 TB/day stream.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch (parquet TIMESTAMP(NANOS) read raw)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Normalize the raw ns-long `ts` to a TimestampType `event_time`.
+    * Integer div, not `/`: double division loses ±1µs at epoch-ns scale.
+    */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** File-based stream over a DIRECTORY of events parquet files (file
+    * stream sources watch directories, not single files) — the test/demo
+    * source; in production this would be Kafka with the same downstream.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(
+      spark.readStream.schema(eventSchema).parquet(dir))
+
+  /** Tumbling-window counts/sums per event type, 10-minute watermark.
+    * Works identically on a batch frame (watermark is a no-op there).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windows (1h length, 15m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Session windows per user with a 30-minute inactivity gap — built-in
+    * session_window, state bounded by the watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(session_window(col("event_time"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start_ns"))
+      .select(col("user_id"), col("session_start_ns"), col("n_events"))
+
+  /** Custom per-key state: running count + max value per user via
+    * mapGroupsWithState — the escape hatch for state machines the built-in
+    * windows can't express. ProcessingTimeTimeout keeps state bounded.
+    */
+  case class UserAgg(userId: Long, nEvents: Long, maxValue: Double)
+
+  def statefulUserAgg(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, Double.MinValue))
+          val (n, mx) = rows.foldLeft((prev.nEvents, prev.maxValue)) {
+            case ((c, m), (_, v)) => (c + 1, math.max(m, v))
+          }
+          val next = UserAgg(uid, n, mx)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Run a streaming frame to completion against a bounded file source and
+    * return the final result from the in-memory sink (test/demo helper —
+    * production uses a real sink with checkpointing).
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
