@@ -41,7 +41,7 @@ object GroupOps {
                     approximate: Boolean = false): DataFrame = {
     val med =
       if (approximate) percentile_approx(col(valueCol), lit(0.5), lit(10000))
-      else expr(s"percentile($valueCol, 0.5)")
+      else expr(s"percentile(`$valueCol`, 0.5)")
     df.groupBy(keys.map(col): _*).agg(med.as(out))
   }
 
