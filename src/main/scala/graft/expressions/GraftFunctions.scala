@@ -1,0 +1,40 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native expressions, two ways:
+  *
+  *  - [[GraftFunctions.register]]: imperative, idempotent, on a live
+  *    session — used by the operator library and tests.
+  *  - [[GraftExtensions]]: the `spark.sql.extensions` injection point for
+  *    clusters configured with
+  *    `--conf spark.sql.extensions=graft.expressions.GraftExtensions`,
+  *    making `cosine_similarity(a, b)` available in pure SQL.
+  */
+object GraftFunctions {
+
+  private[expressions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_similarity takes exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+
+  /** Idempotent runtime registration into the session's function registry. */
+  def register(spark: SparkSession): Unit = functions.foreach {
+    case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}

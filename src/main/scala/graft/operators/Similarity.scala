@@ -44,6 +44,16 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
+  /** Fastest path: the native codegen'd [[graft.expressions.CosineSimilarity]]
+    * Expression (no per-row boxing, inlined into whole-stage codegen).
+    * Needs a session to (idempotently) register the function; the
+    * operators below all route through this.
+    */
+  private def cosineNative(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    call_function("cosine_similarity", a, b)
+  }
+
   /** Pure-expression cosine (no UDF) — interpreted, so ~100× slower per
     * pair; useful where UDFs can't go.
     */
@@ -67,7 +77,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbour_id"))
-      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cosine_sim", cosineNative(corpus)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -84,7 +94,7 @@ object Similarity {
                        threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine_sim", cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine_sim", cosineNative(df)(col("a.v"), col("b.v")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine_sim"))
   }
@@ -143,7 +153,7 @@ object Similarity {
       .select(col("q.query_id").as("query_id"), col("c.neighbour_id").as("neighbour_id"),
         col("q.qv").as("qv"), col("c.cv").as("cv"))
       .dropDuplicates("query_id", "neighbour_id")
-      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cosine_sim", cosineNative(corpus)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)
     cand.withColumn("rn", row_number().over(w))
@@ -162,7 +172,7 @@ object Similarity {
     val c = broadcast(centroids.select(col(centroidId).as("__cid"), col(centroidVec).as("__cv")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("__cid").asc)
     df.join(c) // broadcast nested loop: |df| × |centroids|, map-side only
-      .withColumn("__sim", cosine(col(vecCol), col("__cv")))
+      .withColumn("__sim", cosineNative(df)(col(vecCol), col("__cv")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__cv", "__sim", "__rn")
