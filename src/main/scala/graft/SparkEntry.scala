@@ -247,10 +247,13 @@ object SparkEntry {
       .orderBy(col("fingerprint"))
   }
 
-  /** Exact token-set Jaccard near-dup pairs (threshold 0.95, lang-blocked). */
+  /** Exact token-set Jaccard near-dup pairs (threshold 0.95, lang-blocked),
+    * via equivalence-class collapse (the inverted-index variant
+    * `Dedup.jaccardPairs` computes the identical set; see DedupSpec).
+    */
   private def q23JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.95)
+    Dedup.jaccardPairsClassed(t(s, dir, "documents"), "doc_id", "text", "lang", 0.95)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -92,6 +92,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard pair mining via equivalence-class collapse — the scale
+    * path for corpora with repeated content (exactly what LLM training
+    * data looks like): group documents by identical token SET first
+    * (within-class pairs have jaccard 1.0 by construction), then mine
+    * pairs between the (far fewer) class representatives and expand back
+    * to document pairs. Compared to [[jaccardPairs]]'s inverted index this
+    * replaces the token-fanout shuffle (quadratic in document frequency)
+    * with a within-block class self-join on hashed-long token arrays.
+    * Output contract identical to [[jaccardPairs]].
+    */
+  def jaccardPairsClassed(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"))
+    val classes = toks
+      .groupBy(col("blk"), col("toks"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cls", xxhash64(col("blk"), col("toks")))
+
+    // within-class doc pairs: jaccard 1.0
+    val within = classes
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+
+    // cross-class pairs: all-pairs within block over class reps (bounded by
+    // distinct-content count, not corpus size), jaccard on long arrays.
+    // Broadcast the build side: the block column may have very few distinct
+    // values (e.g. 5 languages), so a shuffle join would cap parallelism at
+    // |blocks| tasks; the broadcast join keeps the probe side map-parallel.
+    val crossCls = classes.as("a").join(broadcast(classes.as("b")),
+        col("a.blk") === col("b.blk") && col("a.cls") < col("b.cls"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
+    val cross = crossCls
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+
+    within.select("id_a", "id_b", "jaccard").unionByName(cross)
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -53,6 +53,19 @@ class DedupSpec extends SparkSpec {
     assert(agree14 < 10, s"unrelated docs should rarely agree, got $agree14/48")
   }
 
+  test("jaccardPairsClassed == jaccardPairs (same pair set and values)") {
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+    val b = Dedup.jaccardPairsClassed(docs, "doc_id", "text", "lang", 0.5)
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
+  test("jaccardPairsClassed on real documents == inverted-index variant") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.jaccardPairs(real, "doc_id", "text", "lang", 0.9)
+    val b = Dedup.jaccardPairsClassed(real, "doc_id", "text", "lang", 0.9)
+    assert(rowsOf(a.select("id_a", "id_b")) == rowsOf(b.select("id_a", "id_b")))
+  }
+
   test("minhashDupPairs == jaccardPairs at high threshold (recall check)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.7)
     val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", "lang", 0.7)
