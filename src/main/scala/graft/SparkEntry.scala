@@ -401,6 +401,52 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Beyond-reference OLAP coverage (SURVEY.md §2.12 negative list):
+  // grouping sets, distinct aggregates, global top-k
+  // ------------------------------------------------------------------
+
+  /** ROLLUP hierarchy totals (region → nation → grand total). */
+  private def q37Rollup(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_balance"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE over two independent dimensions. */
+  private def q38Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Distinct aggregates: exact count-distinct per group (plus the
+    * mergeable approx_count_distinct HLL as the documented 100 TB path —
+    * not in the oracle output since sketches aren't engine-portable).
+    */
+  private def q39CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Global top-k (ORDER BY ... LIMIT k): TakeOrderedAndProject — a
+    * per-partition heap + driver merge, no global sort of the table.
+    */
+  private def q40GlobalTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -438,7 +484,11 @@ object SparkEntry {
     "q33_tumbling_window" -> (q33TumblingWindow _),
     "q34_sliding_window" -> (q34SlidingWindow _),
     "q35_session_window" -> (q35SessionWindow _),
-    "q36_multimodal" -> (q36Multimodal _))
+    "q36_multimodal" -> (q36Multimodal _),
+    "q37_rollup" -> (q37Rollup _),
+    "q38_cube" -> (q38Cube _),
+    "q39_count_distinct" -> (q39CountDistinct _),
+    "q40_global_topk" -> (q40GlobalTopK _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -681,7 +731,34 @@ object SparkEntry {
         | FROM (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |       FROM events) g) s
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start_us""".stripMargin)
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "q37_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q38_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q39_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_suppliers,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q40_global_topk" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
