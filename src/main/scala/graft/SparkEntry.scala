@@ -447,6 +447,40 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(20)
 
+  /** As-of join (backward): each event gets the latest prior purchase
+    * value of the same user — union-sort-ffill composition, one shuffle
+    * (DuckDB native ASOF JOIN is the oracle).
+    */
+  private def q41AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TemporalJoins
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    TemporalJoins.asofBackward(ev, purchases, Seq("user_id"), "ts",
+        Seq("purchase_value"), tieCol = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        round(col("asof_purchase_value"), 4).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join (point-in-interval): lineitems shipped within 2 days of
+    * each distinct order date — bucketed equi-join, not a nested loop.
+    */
+  private def q42RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TemporalJoins
+    val epoch = lit("1970-01-01").cast("date")
+    val li = t(s, dir, "lineitem").select(
+      datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ship_day"))
+    val iv = t(s, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("order_date")).distinct()
+      .withColumn("s", datediff(col("order_date"), epoch).cast("long"))
+      .withColumn("e", col("s") + 2)
+    TemporalJoins.pointInIntervalJoin(li, "ship_day", iv, "s", "e", bucketSize = 2L)
+      .groupBy(col("order_date").cast("string").as("order_date"))
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy(col("order_date"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -488,7 +522,9 @@ object SparkEntry {
     "q37_rollup" -> (q37Rollup _),
     "q38_cube" -> (q38Cube _),
     "q39_count_distinct" -> (q39CountDistinct _),
-    "q40_global_topk" -> (q40GlobalTopK _))
+    "q40_global_topk" -> (q40GlobalTopK _),
+    "q41_asof_join" -> (q41AsofJoin _),
+    "q42_range_join" -> (q42RangeJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -758,7 +794,21 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    "q41_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        | round(p.value, 4) AS last_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q42_range_join" ->
+      """SELECT CAST(od AS VARCHAR) AS order_date, count(*) AS n_shipped
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od FROM orders) d
+        |JOIN lineitem ON CAST(l_shipdate AS DATE) >= od
+        |             AND CAST(l_shipdate AS DATE) < od + INTERVAL 2 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively — as-of join and
+  * point-in-interval (range) join. Built by composition of built-in
+  * operators (SURVEY.md §4.3 ladder rung (a)): both reduce to ONE shuffle
+  * on the join key / bucket, which is the property that matters at 100 TB —
+  * never a per-row range probe or an O(|L|·|R|) nested loop.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join (pandas merge_asof / DuckDB `ASOF JOIN`
+    * semantics): for every left row, attach `valueCols` from the LATEST
+    * right row with `right.timeCol <= left.timeCol`, matching on `keys`.
+    *
+    * Union–sort–forward-fill composition: tag sides, union by name, one
+    * window per key ordered by (time, right-before-left at equal time,
+    * tieCol), ffill the right value columns, keep left rows. One shuffle
+    * on `keys`; state per group is one row of carried values — the same
+    * trick a streaming as-of would use with mapGroupsWithState.
+    *
+    * `tieCol` breaks ordering ties deterministically when multiple right
+    * rows share a timestamp (the last one in tie order wins, like
+    * merge_asof on a stably-sorted frame).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   timeCol: String, valueCols: Seq[String],
+                   tieCol: Option[String] = None): DataFrame = {
+    val l = left.withColumn("__side", lit(0))
+    // right contributes only keys + time + values (+ its tie column)
+    val rTie = tieCol.filter(right.columns.contains)
+      .map(c => col(c).as("__tie")).toSeq
+    val r = right.select(
+        (keys :+ timeCol).map(col) ++ valueCols.map(c => col(c).as(s"__r_$c")) ++ rTie: _*)
+      .withColumn("__side", lit(1))
+    val unified = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal time (side desc), so the
+    // <= bound is inclusive; __tie only orders ties AMONG right rows
+    val order: Seq[Column] =
+      Seq(col(timeCol).asc, col("__side").desc) ++
+        rTie.map(_ => col("__tie").asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unified) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val renames = valueCols.map(c => s"__r_$c" -> s"asof_$c").toMap
+    filled.filter(col("__side") === 0)
+      .drop("__side", "__tie")
+      .withColumnsRenamed(renames)
+  }
+
+  /** Point-in-interval (range) join: rows of `points` whose `pointCol`
+    * (long) falls in [startCol, endCol) of `intervals`. Bucketing turns
+    * the inequality join into an equi-join: each interval explodes to the
+    * buckets it covers, each point maps to exactly one bucket, the
+    * equi-join on bucket prunes candidates to O(selectivity), and the
+    * precise range predicate filters the remainder.
+    *
+    * `bucketSize` trades explode fan-out (long intervals → many buckets)
+    * against candidate precision; pick ≈ the median interval length.
+    * Without this, Spark plans an inequality join as
+    * BroadcastNestedLoopJoin — O(|L|·|R|) — which is the non-scalable
+    * thing this operator exists to avoid.
+    */
+  def pointInIntervalJoin(points: DataFrame, pointCol: String,
+                          intervals: DataFrame, startCol: String, endCol: String,
+                          bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketSize).cast("long"),
+        floor((col(endCol) - 1) / bucketSize).cast("long"))))
+    val pt = points.withColumn("__bucket", floor(col(pointCol) / bucketSize).cast("long"))
+    pt.join(iv, "__bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+
+  test("asofBackward: latest right row at-or-before each left time, per key") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+      .toDF("k", "t", "v")
+    val quotes = Seq((1L, 5L, 100.0), (1L, 18L, 200.0), (1L, 20L, 250.0), (2L, 99L, 300.0))
+      .toDF("k", "t", "ref")
+    val got = TemporalJoins.asofBackward(trades, quotes, Seq("k"), "t", Seq("ref"))
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSeq
+    assert(got == Seq(
+      (1L, 10L, Some(100.0)),   // quote@5
+      (1L, 20L, Some(250.0)),   // quote at EXACT same time qualifies (<=)
+      (2L, 15L, None)))         // no prior quote for key 2
+  }
+
+  test("asofBackward tie-break: last right row in tie order wins") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 1L, "first"), (1L, 10L, 2L, "second")).toDF("k", "t", "seq", "v")
+    val got = TemporalJoins.asofBackward(l, r, Seq("k"), "t", Seq("v"), tieCol = Some("seq"))
+      .collect()(0).getAs[String]("asof_v")
+    assert(got == "second")
+  }
+
+  test("pointInIntervalJoin equals naive inequality join") {
+    import spark.implicits._
+    val points = (0L until 200L by 3L).map(Tuple1(_)).toDF("p")
+    val intervals = Seq((0L, 10L, "a"), (5L, 50L, "b"), (100L, 101L, "c"), (150L, 220L, "d"))
+      .toDF("s", "e", "tag")
+    val fast = TemporalJoins.pointInIntervalJoin(points, "p", intervals, "s", "e", 16L)
+      .select("p", "tag")
+    val naive = points.join(intervals, col("p") >= col("s") && col("p") < col("e"))
+      .select("p", "tag")
+    assert(rowsOf(fast) == rowsOf(naive))
+    assert(fast.count() > 0)
+  }
+
+  test("pointInIntervalJoin: empty and exact-boundary semantics [start, end)") {
+    import spark.implicits._
+    val points = Seq(10L, 20L).map(Tuple1(_)).toDF("p")
+    val intervals = Seq((10L, 20L, "x")).toDF("s", "e", "tag")
+    val got = TemporalJoins.pointInIntervalJoin(points, "p", intervals, "s", "e", 4L)
+      .select("p").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L)) // 10 in, 20 out (half-open)
+  }
+}
