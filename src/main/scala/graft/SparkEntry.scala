@@ -264,7 +264,7 @@ object SparkEntry {
     */
   private def q24MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    Dedup.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.95)
+    Dedup.minhashDupPairsClassed(t(s, dir, "documents"), "doc_id", "text", "lang", 0.95)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }

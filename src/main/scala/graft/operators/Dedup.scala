@@ -106,10 +106,14 @@ object Dedup {
                           blockCol: String, threshold: Double): DataFrame = {
     val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"))
+    // deliberate materialization point: the class table feeds three plan
+    // branches (within-pairs + both sides of the class join); without
+    // persist each branch re-runs the scan + groupBy
     val classes = toks
       .groupBy(col("blk"), col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("blk"), col("toks")))
+      .persist()
 
     // within-class doc pairs: jaccard 1.0
     val within = classes
@@ -203,6 +207,66 @@ object Dedup {
           size(array_union(col("ta"), col("tb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash LSH over token-set equivalence classes: identical token sets
+    * have identical signatures by construction, so banding, candidate
+    * distinct, and exact verification all run on class representatives
+    * (bounded by distinct-content count); within-class doc pairs are
+    * jaccard 1.0 and emitted directly. Output-identical to
+    * [[minhashDupPairs]] — same LSH guarantees, strictly less work on
+    * duplicate-heavy corpora.
+    */
+  def minhashDupPairsClassed(df: DataFrame, idCol: String, textCol: String,
+                             blockCol: String, threshold: Double,
+                             numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // persist: this class table feeds five plan branches (within-pairs,
+    // both band-join sides, and two verification joins)
+    val classes = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"))
+      .groupBy(col("blk"), col("toks"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cls", xxhash64(col("blk"), col("toks")))
+      .persist()
+
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+      .select("id_a", "id_b", "jaccard")
+
+    // signatures over the already-hashed token longs: one more mix per
+    // (slot, token) instead of re-hashing strings
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("toks"), h => xxhash64(h, i))))
+    val banded = classes
+      .withColumn("band", explode(lshBands(sig, bands, r)))
+      .select(col("cls"), col("blk"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.cls") < col("b.cls"))
+      .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"))
+      .dropDuplicates("cls_a", "cls_b")
+    val clsInfo = classes.select(col("cls"), col("toks"), col("ids"))
+    val cross = candidates
+      .join(clsInfo.withColumnsRenamed(Map("cls" -> "cls_a", "toks" -> "ta", "ids" -> "ids_a")), "cls_a")
+      .join(clsInfo.withColumnsRenamed(Map("cls" -> "cls_b", "toks" -> "tb", "ids" -> "ids_b")), "cls_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+
+    within.unionByName(cross)
   }
 
   // ------------------------------------------------------------------

@@ -72,6 +72,13 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(exact.select("id_a", "id_b")) == rowsOf(lsh.select("id_a", "id_b")))
   }
 
+  test("minhashDupPairsClassed == minhashDupPairs on real documents") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.minhashDupPairs(real, "doc_id", "text", "lang", 0.9)
+    val b = Dedup.minhashDupPairsClassed(real, "doc_id", "text", "lang", 0.9)
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
   test("simhash: identical texts → identical hash; near texts → small hamming") {
     import spark.implicits._
     val sh = docs.select(col("doc_id"), Dedup.simhash64(Dedup.tokenSet(col("text"))).as("sh"))
