@@ -62,6 +62,29 @@ object Tables {
   def writeErrors(df: DataFrame, basePath: String): Unit =
     write(df, s"$basePath/_errors", SaveMode.Append)
 
+  /** Hive-style partitioned parquet write — the 100 TB layout primitive:
+    * queries filtering on `partitionCols` prune whole directories at plan
+    * time (PartitionFilters in the scan, zero I/O for pruned values).
+    * Choose low-cardinality, frequently-filtered columns; high-cardinality
+    * partition columns create a small-file explosion instead.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table — co-locates join/agg keys so
+    * repeated joins on `bucketCols` skip the shuffle entirely (both sides
+    * bucketed the same way ⇒ SortMergeJoin with no Exchange). Bucketing
+    * requires the table catalog (saveAsTable), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S9/J5/C8: idempotent resume — rows of `all` whose `keyCol` has not been
     * seen in `done`. Left-anti join instead of the reference's driver-side
     * set-diff (athlete_scrape.py:244-246) so it stays distributed.

@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TablesSpec extends SparkSpec {
+
+  test("writePartitioned: filters on partition columns prune directories") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+    val path = java.nio.file.Files.createTempDirectory("part_orders").toString
+    Tables.writePartitioned(orders, path, Seq("order_year"))
+
+    // layout: one directory per year
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("order_year=")) && dirs.length >= 5)
+
+    val pruned = spark.read.parquet(path).filter(col("order_year") === 1995)
+    pruned.collect() // force final AQE plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"expected partition pruning in scan:\n$plan")
+    // correctness: same rows as filtering the unpartitioned source
+    assert(pruned.count() ==
+      orders.filter(col("order_year") === 1995).count())
+  }
+
+  test("writeBucketed: bucketed self-join plans without a shuffle exchange") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+    Tables.writeBucketed(cust, "cust_bucketed", Seq("c_custkey"), 4)
+    val t = spark.table("cust_bucketed")
+    val joined = t.as("a").join(t.as("b"), "c_custkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides share bucketing on the join key: SMJ with no Exchange
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == cust.count())
+  }
+
+  test("remaining: left-anti resume semantics") {
+    import spark.implicits._
+    val all = Seq(1, 2, 3, 4, 5).toDF("id")
+    val done = Seq(2, 4).toDF("id")
+    val got = Tables.remaining(all, done, "id").collect().map(_.getInt(0)).toSet
+    assert(got == Set(1, 3, 5))
+  }
+}
