@@ -55,6 +55,51 @@ class EventStreamsSpec extends SparkSpec {
       rowsOf(batch.select(col("user_id"), col("nEvents"))))
   }
 
+  test("watermark drops late data in append mode (the state-bounding contract)") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    import java.nio.file.{Files, Paths}
+    val ns = (h: Int, m: Int) =>
+      java.time.LocalDateTime.of(2024, 1, 1, h, m).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    def mkFile(rows: Seq[(Long, Long)], stage: String, dir: String, n: Int): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t) =>
+          Row(id, t, 1L, "click", 1.0, null) }, 1),
+        EventStreams.eventSchema)
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$stage")
+      val part = new java.io.File(s"$dir/$stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/f$n.parquet"))
+    }
+    val streamDir = Files.createTempDirectory("late_stream").toString
+    // batch 1: two rows in window 10:00 + one at 12:00 (drives the
+    // watermark to 11:50, past the 10:00 window's end)
+    mkFile(Seq((1L, ns(10, 5)), (2L, ns(10, 15)), (3L, ns(12, 0))), "b1", streamDir, 1)
+
+    val src = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.eventSchema).parquet(streamDir))
+    val q = EventStreams.tumblingCounts(src).writeStream
+      .format("memory").queryName("late_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    q.processAllAvailable() // batch 1 done; watermark now 11:50
+    // batch 2: a LATE row for the already-closed 10:00 window + a fresh one
+    mkFile(Seq((4L, ns(10, 30)), (5L, ns(14, 0))), "b2", streamDir, 2)
+    q.processAllAvailable()
+    q.stop()
+    val w10 = spark.table("late_test")
+      .filter(col("window_start") === lit("2024-01-01 10:00:00").cast("timestamp"))
+      .collect()
+    assert(w10.length == 1, s"10:00 window must be emitted once, got ${w10.length}")
+    assert(w10(0).getAs[Long]("n_events") == 2L,
+      "late event must be DROPPED by the watermark (batch semantics would count 3)")
+    // same pipeline in batch counts the late row — the semantic difference
+    val batch = EventStreams.tumblingCounts(
+      EventStreams.withEventTime(spark.read.schema(EventStreams.eventSchema).parquet(streamDir)))
+      .filter(col("window_start") === lit("2024-01-01 10:00:00").cast("timestamp"))
+      .collect()
+    assert(batch(0).getAs[Long]("n_events") == 3L)
+  }
+
   test("sliding windows: every event lands in window_length/slide windows") {
     val batch = EventStreams.slidingCounts(batchEvents)
     val total = batch.agg(sum("n_events")).collect()(0).getLong(0)
