@@ -481,6 +481,21 @@ object SparkEntry {
       .orderBy(col("order_date"))
   }
 
+  /** IVF coarse quantization: every vector assigned to its nearest of 8
+    * centroid vectors (broadcast nested loop over a bounded centroid set),
+    * cell occupancy as output.
+    */
+  private def q43IvfAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfAssign(emb, "vec_id", "embedding", centroids, "cid", "cvec")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -524,7 +539,8 @@ object SparkEntry {
     "q39_count_distinct" -> (q39CountDistinct _),
     "q40_global_topk" -> (q40GlobalTopK _),
     "q41_asof_join" -> (q41AsofJoin _),
-    "q42_range_join" -> (q42RangeJoin _))
+    "q42_range_join" -> (q42RangeJoin _),
+    "q43_ivf_assign" -> (q43IvfAssign _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -807,6 +823,17 @@ object SparkEntry {
         |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od FROM orders) d
         |JOIN lineitem ON CAST(l_shipdate AS DATE) >= od
         |             AND CAST(l_shipdate AS DATE) < od + INTERVAL 2 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q43_ivf_assign" ->
+      """SELECT cid AS cell, count(*) AS n_vectors FROM (
+        | SELECT e.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC,
+        |             c.cid ASC) AS rn
+        | FROM embeddings e,
+        |      (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8) c) t
+        |WHERE rn = 1
         |GROUP BY 1
         |ORDER BY 1""".stripMargin)
 

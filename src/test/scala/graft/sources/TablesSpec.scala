@@ -28,6 +28,14 @@ class TablesSpec extends SparkSpec {
   test("writeBucketed: bucketed self-join plans without a shuffle exchange") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory survives — clear the orphaned location too
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "cust_bucketed")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     Tables.writeBucketed(cust, "cust_bucketed", Seq("c_custkey"), 4)
     val t = spark.table("cust_bucketed")
     val joined = t.as("a").join(t.as("b"), "c_custkey")
