@@ -321,14 +321,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Stopword-profile language scoring + argmax language ID. */
+  /** Stopword-profile language scoring + argmax language ID (bulk path:
+    * explode + one hash aggregate; see TextFunctions.langScoreTable).
+    */
   private def q30LangId(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.langHits(col("text"), "en").as("en_hits"),
-      TextFunctions.langHits(col("text"), "de").as("de_hits"),
-      TextFunctions.langId(col("text")).as("pred_lang"))
+    TextFunctions.langScoreTable(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("en_hits"), col("de_hits"), col("pred_lang"))
       .orderBy(col("doc_id"))
   }
 

@@ -92,6 +92,31 @@ object TextFunctions {
     when(maxHits === 0, lit("und")).otherwise(winner)
   }
 
+  /** Corpus-scale language scoring: explode tokens once, one codegen'd
+    * hash aggregate computing every profile's hit count, argmax with the
+    * same tie-break as [[langId]]. The per-row HOF variants above
+    * re-evaluate the token split per profile (~12× per row measured at
+    * bench) — this is the path for bulk scoring.
+    * Output: (id, <lang>_hits per profile, pred_lang).
+    */
+  def langScoreTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val hits = langProfiles.map { case (lang, words) =>
+      sum(when(col("__tok").isInCollection(words), 1).otherwise(0)).as(s"${lang}_hits")
+    }
+    val scored = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("id"))
+      .agg(hits.head, hits.tail: _*)
+    val hitCols = langProfiles.map { case (lang, _) => col(s"${lang}_hits") }
+    val maxHits = greatest(hitCols: _*)
+    // first profile (lexicographic order) reaching the max wins
+    val pred = langProfiles.map(_._1).foldRight(lit("und")) { (lang, rest) =>
+      when(col(s"${lang}_hits") === maxHits, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", when(maxHits === 0, lit("und")).otherwise(pred))
+  }
+
   // ------------------------------------------------------------------
   // Fingerprinting
   // ------------------------------------------------------------------

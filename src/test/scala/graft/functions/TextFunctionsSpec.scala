@@ -41,6 +41,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String]("la table", langId) == "es")
   }
 
+  test("langScoreTable (bulk path) agrees with per-row langId") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is not in the house"),
+      (2L, "der Hund ist nicht mit der Katze"),
+      (3L, "el perro no es un gato"),
+      (4L, "le chien est dans la maison"),
+      (5L, "xyzzy plugh"),
+      (6L, "la table")).toDF("id", "text")
+    val bulk = TextFunctions.langScoreTable(docs, "id", "text")
+      .select("id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perRow = docs.select(col("id"), langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bulk == perRow)
+    assert(bulk(6L) == "es") // tie-break lexicographic
+  }
+
   test("contentFingerprint: whitespace-insensitive, case-insensitive") {
     val a = one[String]("Hello  World", contentFingerprint)
     val b = one[String]("hello world", contentFingerprint)
