@@ -287,11 +287,14 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Brute-force cosine top-5 neighbours for a bounded query batch. */
+  /** Brute-force cosine top-5 neighbours for a bounded query batch —
+    * per-partition-heap scale path (window variant kept in the library;
+    * spec asserts equality).
+    */
   private def q27AnnTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+    Similarity.bruteForceTopKAtScale(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbour_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
       .orderBy(col("query_id"), col("neighbour_id"))
   }

@@ -85,6 +85,58 @@ object Similarity {
       .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
   }
 
+  /** Exact top-k at corpus scale: per-partition bounded heaps instead of
+    * scoring-then-windowing. [[bruteForceTopK]] shuffles |C|·|Q| scored
+    * rows into a window — fine at test scale, fatal at 100 TB; this keeps
+    * k candidates per (query, partition) in a heap (`mapPartitions` is
+    * justified here: genuinely per-partition imperative state), so only
+    * k·|Q|·numPartitions rows reach the final exact re-rank. Same output
+    * contract and ordering semantics as [[bruteForceTopK]].
+    */
+  def bruteForceTopKAtScale(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qb = spark.sparkContext.broadcast(qRows)
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        // per-query min-heap of (sim, neighbourId); worst element on top.
+        // eviction ordering mirrors the output ordering (sim desc, id asc)
+        val heapOrd = Ordering.by[(Double, Long), (Double, Long)] {
+          case (sim, id) => (-sim, id)
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapOrd))
+        it.foreach { case (cid, cvec) =>
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qvec) = qs(i)
+            if (qid != cid) {
+              val sim = dotF(qvec, cvec) / (normF(qvec) * normF(cvec))
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((sim, cid))
+              else if (heapOrd.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (sim, cid) => (qs(i)._1, cid, sim) }
+        }
+      }
+      .toDF("query_id", "neighbour_id", "cosine_sim")
+    // final exact re-rank over the tiny candidate union
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)
+    partial.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-duplicate
     * detection). All-pairs within the frame — use only on a bounded set or
     * pre-blocked input; the LSH path below is the scale route.

@@ -41,6 +41,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("bruteForceTopKAtScale == window variant on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(7) // multiple partitions so the heap-merge path is real
+    val queries = emb.filter(col("vec_id") < 10)
+    val a = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.bruteForceTopKAtScale(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("lshTopK recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
