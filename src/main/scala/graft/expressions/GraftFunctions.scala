@@ -22,6 +22,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_intersect_size takes exactly 2 arguments")
+        SortedIntersectSize(children.head, children(1))
       }))
 
   /** Idempotent runtime registration into the session's function registry. */

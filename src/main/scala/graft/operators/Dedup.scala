@@ -128,11 +128,15 @@ object Dedup {
     // Broadcast the build side: the block column may have very few distinct
     // values (e.g. 5 languages), so a shuffle join would cap parallelism at
     // |blocks| tasks; the broadcast join keeps the probe side map-parallel.
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val crossCls = classes.as("a").join(broadcast(classes.as("b")),
         col("a.blk") === col("b.blk") && col("a.cls") < col("b.cls"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))))
+      // toks are sorted+distinct by construction → native O(n+m) merge
+      // intersect (codegen) instead of array_intersect's per-pair hash set
+      .withColumn("__inter",
+        call_function("sorted_intersect_size", col("a.toks"), col("b.toks")))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("a.toks")) + size(col("b.toks")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
     val cross = crossCls
@@ -254,12 +258,13 @@ object Dedup {
       .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"))
       .dropDuplicates("cls_a", "cls_b")
     val clsInfo = classes.select(col("cls"), col("toks"), col("ids"))
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val cross = candidates
       .join(clsInfo.withColumnsRenamed(Map("cls" -> "cls_a", "toks" -> "ta", "ids" -> "ids_a")), "cls_a")
       .join(clsInfo.withColumnsRenamed(Map("cls" -> "cls_b", "toks" -> "tb", "ids" -> "ids_b")), "cls_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))))
+      .withColumn("__inter", call_function("sorted_intersect_size", col("ta"), col("tb")))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))

@@ -35,6 +35,19 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(r - 0.96) < 1e-14)
   }
 
+  test("sorted_intersect_size: merge semantics on sorted long arrays") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L), 2),
+      (Array(1L, 2L), Array(3L, 4L), 0),
+      (Array.empty[Long], Array(1L), 0),
+      (Array(-5L, 0L, 7L), Array(-5L, 0L, 7L), 3)).toDF("a", "b", "want")
+    val got = df.select(call_function("sorted_intersect_size", col("a"), col("b")).as("n"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("null inputs yield null, not a crash") {
     GraftFunctions.register(spark)
     val r = spark.sql(
