@@ -137,6 +137,24 @@ object Similarity {
       .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
   }
 
+  /** The same exact top-k as a first-class PLANNED operator — custom
+    * logical node + planner strategy + physical exec
+    * ([[graft.plans.CosineTopKJoin]]): the corpus is scanned once with
+    * per-partition heaps and never shuffled; `.explain` shows
+    * `CosineTopKExec` directly. Functionally identical to
+    * [[bruteForceTopKAtScale]]; exists to give the optimizer a node it
+    * can see (and to prove out the whole-operator extension path).
+    */
+  def topKPlanned(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftStrategies.install(spark)
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbour_id"), col(vecCol).as("cv"))
+    org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(spark,
+      graft.plans.CosineTopKJoin(q.queryExecution.analyzed, c.queryExecution.analyzed, k))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-duplicate
     * detection). All-pairs within the frame — use only on a bounded set or
     * pre-blocked input; the LSH path below is the scale route.
