@@ -337,24 +337,61 @@ object Dedup {
   /** Scalable SimHash candidate generation: segment-equality blocking
     * (pigeonhole — any pair within `maxDistance` bit flips agrees on at
     * least one of maxDistance+1 segments), then exact Hamming verify.
-    * Recall 100%, unlike a prefix-only block.
+    * Recall 100%, unlike a prefix-only block. Documents are collapsed to
+    * token-set classes first (identical sets ⇒ identical simhash ⇒
+    * hamming 0), so the quadratic candidate stage runs on distinct
+    * content only — same trick as the classed Jaccard/MinHash miners.
     */
   def simhashDupPairsSegmented(df: DataFrame, idCol: String, textCol: String,
                                maxDistance: Int): DataFrame = {
     val nSeg = maxDistance + 1
     val segBits = 64 / nSeg
-    val sh = simhashTable(df, idCol, textCol)
+    // class collapse: group ids by identical token set
+    val classes = df.select(col(idCol).as("id"),
+        array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"))
+      .groupBy(col("toks"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cls", xxhash64(col("toks")))
+      .persist()
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", lit(0))
+      .select("id_a", "id_b", "hamming")
+    // simhash per class: explode the pre-hashed tokens, 64 conditional sums
+    val hashed = classes.select(col("cls"), explode(col("toks")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s_$b")
+    }
+    val shExpr = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val clsSh = hashed.groupBy(col("cls"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("cls"), shExpr.as("sh"))
+    val sh = clsSh
       .withColumn("seg", explode(transform(sequence(lit(0), lit(nSeg - 1)),
         s => struct(s.as("seg_idx"),
           call_function("shiftright", col("sh"), s * segBits)
             .bitwiseAND(if (segBits >= 64) -1L else (1L << segBits) - 1).as("seg_val")))))
-    sh.as("a").join(sh.as("b"),
+    val crossCls = sh.as("a").join(sh.as("b"),
         col("a.seg.seg_idx") === col("b.seg.seg_idx") &&
           col("a.seg.seg_val") === col("b.seg.seg_val") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.cls") < col("b.cls"))
+      .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("cls_a", "cls_b")
       .filter(col("hamming") <= maxDistance)
+    val clsIds = classes.select(col("cls"), col("ids"))
+    val cross = crossCls
+      .join(clsIds.withColumnsRenamed(Map("cls" -> "cls_a", "ids" -> "ids_a")), "cls_a")
+      .join(clsIds.withColumnsRenamed(Map("cls" -> "cls_b", "ids" -> "ids_b")), "cls_b")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 }
