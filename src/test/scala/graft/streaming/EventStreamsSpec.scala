@@ -100,6 +100,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch(0).getAs[Long]("n_events") == 3L)
   }
 
+  test("checkpoint restart: a second query resumes state, no loss or reprocessing") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    import java.nio.file.{Files, Paths}
+    val ns = (h: Int, m: Int) =>
+      java.time.LocalDateTime.of(2024, 1, 2, h, m).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    def mkFile(rows: Seq[(Long, Long)], dir: String, n: Int): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t) =>
+          Row(id, t, 1L, "click", 1.0, null) }, 1),
+        EventStreams.eventSchema)
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stage$n")
+      val part = new java.io.File(s"$dir/stage$n").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/f$n.parquet"))
+    }
+    val streamDir = Files.createTempDirectory("ckpt_stream").toString
+    val ckpt = Files.createTempDirectory("ckpt_loc").toString
+    mkFile(Seq((1L, ns(10, 5)), (2L, ns(10, 15))), streamDir, 1)
+
+    def startQuery(name: String) = {
+      val src = EventStreams.withEventTime(
+        spark.readStream.schema(EventStreams.eventSchema).parquet(streamDir))
+      EventStreams.tumblingCounts(src).writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+    }
+    val q1 = startQuery("ckpt_a")
+    q1.processAllAvailable(); q1.stop()
+    // new data arrives while no query is running
+    mkFile(Seq((3L, ns(10, 25)), (4L, ns(11, 5))), streamDir, 2)
+    val q2 = startQuery("ckpt_b")
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("ckpt_b")
+      .select(col("window_start").cast("string"), col("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // window 10:00 accumulated across the restart: 2 (before) + 1 (after)
+    assert(got("2024-01-02 10:00:00") == 3L,
+      s"state must survive the restart and merge new data: $got")
+    assert(got("2024-01-02 11:00:00") == 1L)
+  }
+
   test("sliding windows: every event lands in window_length/slide windows") {
     val batch = EventStreams.slidingCounts(batchEvents)
     val total = batch.agg(sum("n_events")).collect()(0).getLong(0)
