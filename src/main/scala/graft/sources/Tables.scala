@@ -91,4 +91,26 @@ object Tables {
     */
   def remaining(all: DataFrame, done: DataFrame, keyCol: String): DataFrame =
     all.join(done.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+
+  /** S9 checkpoint discovery: the entry under `dir` with the greatest
+    * trailing integer in its name (reference get_latest_checkpoint,
+    * athlete_scrape.py:61-95 — whose `if latest:` treats checkpoint 0 as
+    * missing, SURVEY §2.13.9; comparing on Option(None < Some(0)) fixes
+    * that here). Hadoop FS listing, so it works on any supported
+    * filesystem, not just local paths.
+    */
+  def latestCheckpoint(spark: SparkSession, dir: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val suffix = "(\\d+)$".r
+    fs.listStatus(path).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        suffix.findFirstIn(p.getName.stripSuffix(".parquet")).map(n => (n.toLong, p.toString))
+      }
+      .sortBy(_._1)
+      .lastOption
+      .map(_._2)
+  }
 }

@@ -47,6 +47,21 @@ class TablesSpec extends SparkSpec {
     assert(joined.count() == cust.count())
   }
 
+  test("latestCheckpoint: greatest numeric suffix wins; checkpoint 0 counts") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpts")
+    assert(Tables.latestCheckpoint(spark, dir.toString).isEmpty)
+    Seq("ckpt_0", "ckpt_2", "ckpt_10", "not_a_checkpoint").foreach { n =>
+      java.nio.file.Files.createDirectory(dir.resolve(n))
+    }
+    val got = Tables.latestCheckpoint(spark, dir.toString)
+    assert(got.exists(_.endsWith("ckpt_10")), s"numeric (not lexicographic) order: $got")
+    // checkpoint 0 alone is still a checkpoint (reference quirk §2.13.9)
+    val dir0 = java.nio.file.Files.createTempDirectory("ckpt0")
+    java.nio.file.Files.createDirectory(dir0.resolve("ckpt_0"))
+    assert(Tables.latestCheckpoint(spark, dir0.toString).exists(_.endsWith("ckpt_0")))
+    assert(Tables.latestCheckpoint(spark, "/nonexistent/path").isEmpty)
+  }
+
   test("remaining: left-anti resume semantics") {
     import spark.implicits._
     val all = Seq(1, 2, 3, 4, 5).toDF("id")
