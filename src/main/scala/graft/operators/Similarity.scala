@@ -201,11 +201,16 @@ object Similarity {
   /** Approximate top-k: random-hyperplane LSH candidate generation
     * (same bucket in ANY of `nTables` tables) + exact cosine re-rank.
     * Tune recall with nTables/nPlanes (more tables → higher recall,
-    * more candidates; more planes → smaller buckets).
+    * more candidates; more planes → smaller buckets): for a neighbour at
+    * angle θ, P[same bucket in one table] = (1 − θ/π)^nPlanes, so recall
+    * ≈ 1 − (1 − p^nPlanes)^nTables. Defaults (16 tables × 6 planes) give
+    * recall ≈ 0.7 for neighbours at cosine ≈ 0.45; scale nPlanes up with
+    * corpus size to keep buckets small (2^nPlanes buckets per table) and
+    * add tables to buy recall back.
     * Output contract matches [[bruteForceTopK]].
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, dim: Int, nTables: Int = 8, nPlanes: Int = 12,
+              k: Int, dim: Int, nTables: Int = 16, nPlanes: Int = 6,
               seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
     val bucketsUdf = allBuckets(planes)

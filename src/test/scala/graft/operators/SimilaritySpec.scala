@@ -58,10 +58,10 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
-        k = 5, dim = 64, nTables = 16, nPlanes = 6)
+        k = 5, dim = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH recall@5 too low: $recall")
+    assert(recall >= 0.5, s"LSH recall@5 too low at default params: $recall")
   }
 
   test("ivfAssign puts every vector in its nearest centroid cell") {
