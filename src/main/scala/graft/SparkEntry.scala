@@ -498,6 +498,18 @@ object SparkEntry {
       .orderBy(col("cell"))
   }
 
+  /** n-gram (bigram-shingle) Jaccard near-dup pairs — sequence-sensitive,
+    * unlike the token-set variant (q23): only genuinely near-identical
+    * word SEQUENCES survive (threshold 0.5; the corpus separates cleanly:
+    * true near-dups ≥ 0.96, everything else ≤ 0.13).
+    */
+  private def q44NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.jaccardPairsClassed(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5, ngram = 2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -542,7 +554,8 @@ object SparkEntry {
     "q40_global_topk" -> (q40GlobalTopK _),
     "q41_asof_join" -> (q41AsofJoin _),
     "q42_range_join" -> (q42RangeJoin _),
-    "q43_ivf_assign" -> (q43IvfAssign _))
+    "q43_ivf_assign" -> (q43IvfAssign _),
+    "q44_ngram_jaccard" -> (q44NgramJaccard _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -837,7 +850,23 @@ object SparkEntry {
         |      (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8) c) t
         |WHERE rn = 1
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+    "q44_ngram_jaccard" ->
+      """WITH g AS (
+        | SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+        | FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks FROM documents) t
+        |), tok AS (SELECT doc_id, lang, unnest(grams) AS g2 FROM g),
+        |sz AS (SELECT doc_id, len(grams) AS n FROM g),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |          FROM tok a JOIN tok b ON a.g2 = b.g2 AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON id_a = sa.doc_id
+        |JOIN sz sb ON id_b = sb.doc_id
+        |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

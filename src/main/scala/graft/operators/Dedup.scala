@@ -23,13 +23,17 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_distinct(split(lower(trim(text)), "\\s+"))
 
-  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]). */
+  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); a document
+    * shorter than n yields NO shingles (not a partial one).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   // ------------------------------------------------------------------
@@ -103,9 +107,13 @@ object Dedup {
     * Output contract identical to [[jaccardPairs]].
     */
   def jaccardPairsClassed(df: DataFrame, idCol: String, textCol: String,
-                          blockCol: String, threshold: Double): DataFrame = {
+                          blockCol: String, threshold: Double,
+                          ngram: Int = 1): DataFrame = {
+    // ngram > 1 mines word-shingle Jaccard (sequence-sensitive) instead of
+    // token-set Jaccard (bag-of-words)
+    val items = if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)
     val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"))
+      array_sort(transform(items, t => xxhash64(t))).as("toks"))
     // deliberate materialization point: the class table feeds three plan
     // branches (within-pairs + both sides of the class join); without
     // persist each branch re-runs the scan + groupBy
