@@ -19,6 +19,25 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization (GPT-2's pattern, Java-regex dialect):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. Counts approximate LLM token
+    * budgets far better than whitespace splitting (punctuation and digits
+    * tokenize separately; CJK text splits per letter-run, not per line).
+    */
+  private val bpePattern =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** All BPE-ish tokens (array). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** BPE-ish token count — whitespace-only residuals excluded so the
+    * count reflects content tokens.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(bpeishTokens(text), t => t.rlike("\\S")))
+
   /** Distinct-token fraction — low values flag boilerplate/spam. */
   def uniqueTokenRatio(text: Column): Column =
     size(array_distinct(tokens(text))).cast("double") / size(tokens(text))

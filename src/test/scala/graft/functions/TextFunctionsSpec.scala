@@ -19,6 +19,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double]("the cat sat", t => stopwordRatio(t, Seq("the", "a"))) == 1.0 / 3.0)
   }
 
+  test("BPE-ish tokenization: contractions, digits, punctuation split separately") {
+    assert(one[Int]("I don't like 42 apples!", bpeishTokenCount) == 7)
+    // I | don | 't | like | 42 | apples | !
+    assert(one[Int]("hello world", bpeishTokenCount) == 2)
+    assert(one[Int]("2024-01-01", bpeishTokenCount) == 5) // 2024 | - | 01 | - | 01
+    // whitespace-only splitting would call this ONE token
+    assert(one[Int]("price:$9.99", bpeishTokenCount) > 1)
+    assert(one[Int]("price:$9.99", tokenCount) == 1)
+  }
+
   test("qualityScore in [0,1]; clean prose beats punctuation soup") {
     val stop = Seq("the", "a", "and", "of", "to")
     val good = one[Double]("the quick brown fox jumps over the lazy dog and runs to the hills", t => qualityScore(t, stop))
