@@ -95,6 +95,81 @@ object EventStreams {
       .toDF()
   }
 
+  /** A closed session emitted by [[customSessions]]. */
+  case class ClosedSession(userId: Long, sessionStartUs: Long,
+                           sessionEndUs: Long, nEvents: Long)
+
+  /** In-flight session state ([[customSessions]]); public — encoder
+    * codegen must construct it from generated classes in other packages.
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState with EVENT-TIME
+    * timeouts — the state-machine escape hatch for semantics
+    * `session_window` can't express; here: a session also force-closes
+    * when it exceeds `maxDurationMinutes` (bot-filtering style), not just
+    * on inactivity. Closed sessions stream out as soon as they are
+    * decidable; the open tail per user sits in state bounded by the
+    * watermark, emitted when the event-time timeout fires.
+    */
+  def customSessions(events: DataFrame, gapMinutes: Int,
+                     maxDurationMinutes: Int): org.apache.spark.sql.Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val maxUs = maxDurationMinutes * 60L * 1000000L
+
+    def split(times: Seq[Long], carry: Option[OpenSession]): (Seq[OpenSession], Option[OpenSession]) = {
+      var closed = Vector.empty[OpenSession]
+      var open = carry
+      times.sorted.foreach { t =>
+        open match {
+          case Some(s) if t - s.lastUs < gapUs && t - s.startUs < maxUs =>
+            open = Some(s.copy(lastUs = t, n = s.n + 1))
+          case Some(s) =>
+            closed :+= s
+            open = Some(OpenSession(t, t, 1))
+          case None =>
+            open = Some(OpenSession(t, t, 1))
+        }
+      }
+      (closed, open)
+    }
+
+    def toUs(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+    events
+      .withWatermark("event_time", "10 minutes")
+      // the watermarked COLUMN itself must reach the stateful operator —
+      // any projection/map that drops it breaks event-time timeouts
+      .select(col("user_id"), col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's horizon: emit and clear
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startUs, s.lastUs, s.n))
+          } else {
+            val (closed, open) = split(rows.map(r => toUs(r._2)).toSeq, state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // close on inactivity gap OR the remaining duration budget
+                val horizon = math.min(s.lastUs + gapUs, s.startUs + maxUs)
+                state.setTimeoutTimestamp(horizon / 1000L) // ms
+              case None => state.remove()
+            }
+            closed.iterator.map(s => ClosedSession(uid, s.startUs, s.lastUs, s.n))
+          }
+      }
+  }
+
   /** Run a streaming frame to completion against a bounded file source and
     * return the final result from the in-memory sink (test/demo helper —
     * production uses a real sink with checkpointing).

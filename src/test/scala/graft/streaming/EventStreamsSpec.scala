@@ -143,6 +143,57 @@ class EventStreamsSpec extends SparkSpec {
     assert(got("2024-01-02 11:00:00") == 1L)
   }
 
+  test("customSessions: gap splits, duration cap splits, timeout emits the tail") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    import java.nio.file.{Files, Paths}
+    val ns = (h: Int, m: Int) =>
+      java.time.LocalDateTime.of(2024, 1, 3, h, m).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val us = (h: Int, m: Int) => ns(h, m) / 1000L
+    def mkFile(rows: Seq[(Long, Long, Long)], dir: String, n: Int): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, u) =>
+          Row(id, t, u, "click", 1.0, null) }, 1),
+        EventStreams.eventSchema)
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stage$n")
+      val part = new java.io.File(s"$dir/stage$n").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/f$n.parquet"))
+    }
+    val streamDir = Files.createTempDirectory("sess_stream").toString
+    // user 1: a burst 10:00-10:20 every 10m (one session under gap 30m),
+    // then 12:00 (gap split). user 2: events every 20m from 10:00 to 12:00
+    // — no 30m gap, but the 60m duration CAP must split it.
+    mkFile(Seq(
+      (1L, ns(10, 0), 1L), (2L, ns(10, 10), 1L), (3L, ns(10, 20), 1L),
+      (4L, ns(12, 0), 1L),
+      (5L, ns(10, 0), 2L), (6L, ns(10, 20), 2L), (7L, ns(10, 40), 2L),
+      (8L, ns(11, 0), 2L), (9L, ns(11, 20), 2L), (10L, ns(11, 40), 2L),
+      (11L, ns(12, 0), 2L)), streamDir, 1)
+
+    def src = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.eventSchema).parquet(streamDir))
+    val q = EventStreams.customSessions(src, gapMinutes = 30, maxDurationMinutes = 60)
+      .toDF().writeStream.format("memory").queryName("custom_sessions")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    q.processAllAvailable()
+    // push the watermark far past every horizon so open tails time out
+    mkFile(Seq((99L, ns(20, 0), 9L)), streamDir, 2)
+    q.processAllAvailable()
+    mkFile(Seq((100L, ns(21, 0), 9L)), streamDir, 3)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("custom_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // user 1: [10:00-10:20]×3 then [12:00]×1
+    assert(got.contains((1L, us(10, 0), 3L)), s"user 1 burst session: $got")
+    assert(got.contains((1L, us(12, 0), 1L)), s"user 1 gap-split session: $got")
+    // user 2: duration cap at 60m splits despite no 30m inactivity:
+    // [10:00..10:40]×3 (11:00 is exactly start+60m → force split), then [11:00..]
+    assert(got.contains((2L, us(10, 0), 3L)), s"user 2 capped session: $got")
+    assert(got.exists(s => s._1 == 2L && s._2 == us(11, 0)), s"user 2 second session: $got")
+  }
+
   test("sliding windows: every event lands in window_length/slide windows") {
     val batch = EventStreams.slidingCounts(batchEvents)
     val total = batch.agg(sum("n_events")).collect()(0).getLong(0)
