@@ -170,6 +170,26 @@ object EventStreams {
       }
   }
 
+  /** Idempotent foreachBatch parquet sink: each micro-batch lands in its
+    * own `batch_<id>` directory, committed by writing a marker AFTER the
+    * data; a redelivered batch id (failure between sink write and
+    * checkpoint commit — the at-least-once window) is skipped, giving
+    * end-to-end exactly-once for this sink. Returns the writer function
+    * for `df.writeStream.foreachBatch(...)`.
+    */
+  def exactlyOnceParquetSink(basePath: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/batch_$batchId")
+      val marker = new org.apache.hadoop.fs.Path(s"$basePath/batch_$batchId/_COMMITTED")
+      val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker)) {
+        // redelivery after a partial failure: the batch is already durable
+      } else {
+        batch.write.mode("overwrite").parquet(dir.toString)
+        fs.create(marker, true).close()
+      }
+  }
+
   /** Run a streaming frame to completion against a bounded file source and
     * return the final result from the in-memory sink (test/demo helper —
     * production uses a real sink with checkpointing).

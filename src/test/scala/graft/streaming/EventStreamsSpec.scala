@@ -194,6 +194,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.exists(s => s._1 == 2L && s._2 == us(11, 0)), s"user 2 second session: $got")
   }
 
+  test("exactlyOnceParquetSink: redelivered batch id does not duplicate output") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("eo_sink").toString
+    val sink = EventStreams.exactlyOnceParquetSink(out)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink(batch, 7L)
+    sink(batch.union(batch), 7L) // redelivery with different content: must be a no-op
+    val readBack = spark.read.parquet(s"$out/batch_7")
+    assert(readBack.count() == 2, "first committed write wins; redelivery skipped")
+    sink(batch, 8L) // a new batch id writes normally
+    assert(spark.read.parquet(s"$out/batch_8").count() == 2)
+    // end-to-end: stream the events file through the sink
+    val dir = java.nio.file.Files.createTempDirectory("eo_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out2 = java.nio.file.Files.createTempDirectory("eo_out").toString
+    val q = EventStreams.readEventStream(spark, dir.toString)
+      .writeStream.foreachBatch(EventStreams.exactlyOnceParquetSink(out2))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("eo_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val total = spark.read.parquet(s"$out2/batch_*").count()
+    val source = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(total == source, s"all events exactly once: got $total of $source")
+  }
+
   test("sliding windows: every event lands in window_length/slide windows") {
     val batch = EventStreams.slidingCounts(batchEvents)
     val total = batch.agg(sum("n_events")).collect()(0).getLong(0)
