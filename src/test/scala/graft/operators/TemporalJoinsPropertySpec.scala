@@ -31,6 +31,29 @@ object TemporalJoinsPropertySpec extends Properties("asof") {
     }.toMap
   }
 
+  private val intervalGen = Gen.listOf(for {
+    s <- Gen.choose(0L, 80L)
+    len <- Gen.choose(1L, 25L)
+    tag <- Gen.alphaLowerStr.map(_.take(4))
+  } yield (s, s + len, tag))
+
+  property("pointInIntervalJoin == naive inequality join for any bucket size") =
+    Prop.forAllNoShrink(
+      Gen.listOf(Gen.choose(0L, 120L)), intervalGen, Gen.choose(1L, 40L)) {
+      (points, intervals, bucket) =>
+        points.isEmpty || intervals.isEmpty || {
+          import spark.implicits._
+          val p = points.toDF("p")
+          val iv = intervals.toDF("s", "e", "tag")
+          val fast = TemporalJoins.pointInIntervalJoin(p, "p", iv, "s", "e", bucket)
+            .select("p", "s", "tag").collect().map(_.toSeq).toList.sortBy(_.toString)
+          val naive = p.join(iv, org.apache.spark.sql.functions.col("p") >= org.apache.spark.sql.functions.col("s") &&
+              org.apache.spark.sql.functions.col("p") < org.apache.spark.sql.functions.col("e"))
+            .select("p", "s", "tag").collect().map(_.toSeq).toList.sortBy(_.toString)
+          fast == naive
+        }
+    }
+
   property("asofBackward == in-memory reference on random data") =
     Prop.forAllNoShrink(leftGen, rightGen) { (l, r) =>
       l.isEmpty || {
