@@ -54,6 +54,25 @@ object Validation {
       .drop("__failed")
   }
 
+  /** The reference's wide failure-case report (get_error_df,
+    * data_quality_and_validation.py:258-275): per failed check, the most
+    * frequently failing column and the list of offending values of
+    * `valueCol`, pivoted wide — one row per check, one column per
+    * examined source column (E2).
+    */
+  def failureCasesWide(df: DataFrame, rules: Seq[ValidationRule],
+                       valueCols: Seq[String]): DataFrame = {
+    val cases = failureCasesOnePass(df, rules)
+    val long = valueCols.map { c =>
+      cases.select(col("failed_check"), lit(c).as("column"),
+        col(c).cast("string").as("failure_case"))
+    }.reduce(_.unionByName(_))
+    long.groupBy(col("failed_check"))
+      .pivot("column", valueCols)
+      .agg(sort_array(collect_list(col("failure_case"))))
+      .orderBy(col("failed_check"))
+  }
+
   /** Pandera `strict=True` column-set check: schema columns must equal the
     * expected set exactly. Returns the offending names (empty = pass).
     */

@@ -49,6 +49,18 @@ object Tables {
   def multiScan(spark: SparkSession, glob: String): DataFrame =
     spark.read.parquet(glob)
 
+  /** JSON-lines scan with a pinned schema (inference would cost a full
+    * extra pass; same rule as CSV).
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Raw text scan: one row per line (`value: string`) — the ingest shape
+    * for unstructured corpora before the text operators run.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** S6/S7: parquet sink with bounded output file count. `files <= 0` keeps
     * the natural partitioning (the right default at 100 TB — coalesce(1)
     * serializes the write through one task).

@@ -79,6 +79,14 @@ class CleanFunctionsSpec extends SparkSpec {
     assert(evalOne("Athlete — runner • jumper", cleanRoles) == "Athlete  runner,jumper")
   }
 
+  test("competition half extraction attaches year to full halves (F12)") {
+    import org.apache.spark.sql.functions.lit
+    assert(evalOne("6 April - 13 April", c => competitionHalf(c, lit(1900), 0)) == "6 April 1900")
+    assert(evalOne("6 April - 13 April", c => competitionHalf(c, lit(1900), 1)) == "13 April 1900")
+    // en-dash input normalizes first
+    assert(evalOne("6 April – 13 April", c => competitionHalf(c, lit(1900), 1)) == "13 April 1900")
+  }
+
   test("BMI expression (M1)") {
     assert(evalOne("x", _ => bmi(lit(75.0), lit(180.0))) == 75.0 / math.pow(1.8, 2))
   }

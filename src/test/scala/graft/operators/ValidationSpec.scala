@@ -46,6 +46,15 @@ class ValidationSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("failureCasesWide: one row per check, offending values pivoted (E2)") {
+    val wide = Validation.failureCasesWide(fixture, rules, Seq("id", "h", "w"))
+    val rows = wide.collect().map(r => r.getString(0) ->
+      (r.getSeq[String](1), r.getSeq[String](2), r.getSeq[String](3))).toMap
+    assert(rows.keySet == Set("h_range", "w_range"))
+    assert(rows("w_range")._1 == Seq("2") && rows("w_range")._3 == Seq("300.0"))
+    assert(rows("h_range")._2 == Seq("-1.0"))
+  }
+
   test("strictColumnCheck reports missing and extra") {
     val (missing, extra) = Validation.strictColumnCheck(fixture, Seq("id", "h", "bmi"))
     assert(missing == Seq("bmi") && extra == Seq("w"))

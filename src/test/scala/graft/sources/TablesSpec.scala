@@ -62,6 +62,23 @@ class TablesSpec extends SparkSpec {
     assert(Tables.latestCheckpoint(spark, "/nonexistent/path").isEmpty)
   }
 
+  test("jsonLines and textLines scans with pinned schemas") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("src_fmt")
+    val jsonPath = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(jsonPath,
+      """{"id": 1, "text": "hello world"}
+        |{"id": 2, "text": "zweite zeile"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("text", StringType)))
+    val js = Tables.jsonLines(spark, jsonPath.toString, schema)
+    assert(js.count() == 2 && js.columns.toSeq == Seq("id", "text"))
+    val txtPath = dir.resolve("corpus.txt")
+    java.nio.file.Files.writeString(txtPath, "line one\nline two\nline three\n")
+    val txt = Tables.textLines(spark, txtPath.toString)
+    assert(txt.count() == 3 && txt.columns.toSeq == Seq("value"))
+  }
+
   test("remaining: left-anti resume semantics") {
     import spark.implicits._
     val all = Seq(1, 2, 3, 4, 5).toDF("id")
