@@ -505,6 +505,11 @@ object SparkEntry {
     */
   private def q44NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
+    // brute-force classed beats LSH here: the codegen'd merge-intersect
+    // verifies a class pair faster than interpreted-HOF minhash signatures
+    // amortize (measured 5.5s vs 7.7s at sf0.1); at real corpus scale,
+    // where |classes|² dwarfs signature cost, switch to
+    // minhashDupPairsClassed(..., ngram = 2)
     Dedup.jaccardPairsClassed(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5, ngram = 2)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

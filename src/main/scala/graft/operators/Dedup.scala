@@ -231,13 +231,15 @@ object Dedup {
     */
   def minhashDupPairsClassed(df: DataFrame, idCol: String, textCol: String,
                              blockCol: String, threshold: Double,
-                             numHashes: Int = 32, bands: Int = 16): DataFrame = {
+                             numHashes: Int = 32, bands: Int = 16,
+                             ngram: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    val items = if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)
     // persist: this class table feeds five plan branches (within-pairs,
     // both band-join sides, and two verification joins)
     val classes = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"))
+        array_sort(transform(items, t => xxhash64(t))).as("toks"))
       .groupBy(col("blk"), col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("blk"), col("toks")))
