@@ -15,11 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Math in double precision, sequential left-to-right accumulation —
   * bit-compatible with the UDF kernel and oracle-comparable to 1e-15.
-  * Null arrays → null (BinaryExpression null-safe contract); null
-  * ELEMENTS are not expected (embedding vectors are dense) and read as 0.
+  * Null arrays → null (BinaryExpression null-safe contract); MISMATCHED
+  * dimensions → null (same contract as the UDF kernel — a silent
+  * truncated dot product is a wrong answer, and throwing would kill a
+  * 100 TB job on one bad row). Null ELEMENTS are not expected (embedding
+  * vectors are dense) and read as 0.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // nullable regardless of children: mismatched dimensions produce null
+  override def nullable: Boolean = true
 
   // manual type check (ExpectsInputTypes needs private[sql] AbstractDataType)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -37,28 +43,46 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // every local via ctx.freshName: two instances of this expression can
+  // inline into ONE whole-stage-codegen function (e.g. a projection and a
+  // filter both referencing cosine_similarity); fixed names collide there
+  // ("Redefinition of local variable") and Janino rejects the whole stage
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 

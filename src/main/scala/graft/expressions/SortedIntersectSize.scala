@@ -45,18 +45,27 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     n
   }
 
+  // every local via ctx.freshName — two instances inlined into one
+  // whole-stage-codegen function must not redeclare the same Java locals
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
       s"""
-         |int i = 0, j = 0, n = 0;
-         |int nx = $a.numElements(), ny = $b.numElements();
-         |while (i < nx && j < ny) {
-         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
-         |  if (xi == yj) { n++; i++; j++; }
-         |  else if (xi < yj) i++;
-         |  else j++;
+         |int $i = 0, $j = 0, $n = 0;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $n++; $i++; $j++; }
+         |  else if ($xi < $yj) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = n;
+         |${ev.value} = $n;
        """.stripMargin
     })
 

@@ -34,8 +34,12 @@ object Similarity {
   }
   private def normF(a: Array[Float]): Double = math.sqrt(dotF(a, a))
 
+  // mismatched dimensions → null, same contract as the native Expression
+  // (a truncated dot product is a silently wrong answer; throwing would
+  // kill a 100 TB job on one bad row)
   private val cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    dotF(a, b) / (normF(a) * normF(b))
+    if (a.length != b.length) None
+    else Some(dotF(a, b) / (normF(a) * normF(b)))
   }
 
   /** Cosine similarity of two float-array columns, computed in double
@@ -115,7 +119,9 @@ object Similarity {
           var i = 0
           while (i < qs.length) {
             val (qid, qvec) = qs(i)
-            if (qid != cid) {
+            // dim-mismatched corpus rows are skipped — the lift of the
+            // null-on-mismatch contract into a top-k ranking
+            if (qid != cid && qvec.length == cvec.length) {
               val sim = dotF(qvec, cvec) / (normF(qvec) * normF(cvec))
               val h = heaps(i)
               if (h.size < k) h.enqueue((sim, cid))

@@ -56,6 +56,68 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("mismatched dimensions yield null in every path (Expression and UDF)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      call_function("cosine_similarity", col("a"), col("b")).as("native"),
+      graft.operators.Similarity.cosine(col("a"), col("b")).as("udf")).collect()(0)
+    assert(r.isNullAt(0), "native expression must null on dim mismatch")
+    assert(r.isNullAt(1), "UDF kernel must null on dim mismatch")
+  }
+
+  test("TWO instances inline into one codegen function without local collisions") {
+    // regression: doGenCode used fixed Java locals (i, n, dot, ...) — two
+    // instances of the expression in one whole-stage-codegen function made
+    // Janino fail ("Redefinition of local variable") and Spark silently
+    // fell back to interpreted eval. fallback=false makes that failure a
+    // test failure instead of a silent perf cliff.
+    GraftFunctions.register(spark)
+    withCodegenFallbackDisabled {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      // projection + pushed-down filter both referencing the expression,
+      // plus a second independent instance in the same projection: 3
+      // inlined copies in one generated function
+      val df = emb.as("a").join(emb.as("b"), col("a.vec_id") === col("b.vec_id"))
+        .select(
+          call_function("cosine_similarity", col("a.embedding"), col("b.embedding")).as("c1"),
+          call_function("cosine_similarity", col("b.embedding"), col("a.embedding")).as("c2"))
+        .filter(col("c1") > 0.5 && col("c2") > 0.5)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+
+      val df2 = emb.as("a").join(emb.as("b"), col("a.vec_id") === col("b.vec_id"))
+        .select(
+          call_function("sorted_intersect_size",
+            sort_array(array_distinct(transform(col("a.embedding"), x => x.cast("long")))),
+            sort_array(array_distinct(transform(col("b.embedding"), x => x.cast("long"))))).as("s1"),
+          call_function("sorted_intersect_size",
+            sort_array(array_distinct(transform(col("b.embedding"), x => x.cast("long")))),
+            sort_array(array_distinct(transform(col("a.embedding"), x => x.cast("long"))))).as("s2"))
+        .filter(col("s1") === col("s2"))
+      assert(df2.count() > 0)
+    }
+  }
+
+  // two fallback layers hide codegen failures: whole-stage compile
+  // (spark.sql.codegen.fallback) AND per-expression-tree compile via
+  // CodeGeneratorWithInterpretedFallback (spark.sql.codegen.factoryMode,
+  // default FALLBACK). The local-variable collision surfaced through the
+  // SECOND — so both must be strict for a compile error to fail the test.
+  private def withCodegenFallbackDisabled[T](body: => T): T = {
+    val conf = spark.conf
+    val prev = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen compiles the expression (no interpreter fallback)") {
     GraftFunctions.register(spark)
     // a parquet scan source so ConvertToLocalRelation can't pre-evaluate
