@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query against
+  * SPARK_GRAFT_SF_DIR with a noop sink and reports per-query wall time.
+  *
+  * Output contract: ONE JSON line on stdout AND the same JSON written to
+  * a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the CWD) —
+  * stdout alone proved fragile: log4j stack traces interleave with the
+  * metrics line and the driver's parser sees garbage.
+  *
+  * Failure contract: a query that throws is recorded in an "errors" map
+  * with its exception class, and its time is NOT added to the total — a
+  * failing query must never masquerade as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,18 +30,30 @@ object Bench {
     // codegen compiler, and parquet reader paths
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Spark prune the projections being measured)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+        // cache release is part of the measured query cost: an operator
+        // that persists an intermediate pays for cleaning it up
+        finally Caches.unpersistAll()
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val ok = runs.collect { case (name, sec, None) => name -> sec }
+    val errors = runs.collect { case (name, _, Some(e)) => name -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
+    // a bench with failing queries is a failed bench run
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

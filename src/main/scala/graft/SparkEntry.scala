@@ -451,13 +451,17 @@ object SparkEntry {
 
   /** As-of join (backward): each event gets the latest prior purchase
     * value of the same user — union-sort-ffill composition, one shuffle
-    * (DuckDB native ASOF JOIN is the oracle).
+    * (DuckDB native ASOF JOIN is the oracle). Ties (two purchases at the
+    * same (user_id, ts)) break deterministically on max event_id; the
+    * oracle mirrors that with an arg_max dedupe before its ASOF JOIN,
+    * since DuckDB's ASOF itself leaves the tie pick undefined.
     */
   private def q41AsofJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TemporalJoins
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"))
     TemporalJoins.asofBackward(ev, purchases, Seq("user_id"), "ts",
         Seq("purchase_value"), tieCol = Some("event_id"))
       .select(col("event_id"), col("user_id"),
@@ -484,8 +488,8 @@ object SparkEntry {
   }
 
   /** IVF coarse quantization: every vector assigned to its nearest of 8
-    * centroid vectors (broadcast nested loop over a bounded centroid set),
-    * cell occupancy as output.
+    * centroid vectors (map-side argmax over the collected centroid array —
+    * no shuffle, no row amplification), cell occupancy as output.
     */
   private def q43IvfAssign(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
@@ -835,7 +839,10 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id,
         | round(p.value, 4) AS last_purchase_value
         |FROM events e
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts) p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
     "q42_range_join" ->

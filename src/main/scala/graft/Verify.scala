@@ -22,6 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator-internal persisted intermediates (class tables)
+      // so 44 queries in one session don't accumulate cached blocks
+      finally Caches.unpersistAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

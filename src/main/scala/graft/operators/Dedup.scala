@@ -122,6 +122,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("blk"), col("toks")))
       .persist()
+    graft.Caches.track(classes)
 
     // within-class doc pairs: jaccard 1.0
     val within = classes
@@ -133,11 +134,16 @@ object Dedup {
 
     // cross-class pairs: all-pairs within block over class reps (bounded by
     // distinct-content count, not corpus size), jaccard on long arrays.
-    // Broadcast the build side: the block column may have very few distinct
-    // values (e.g. 5 languages), so a shuffle join would cap parallelism at
-    // |blocks| tasks; the broadcast join keeps the probe side map-parallel.
+    // Join strategy is left to AQE's runtime size statistics: a small class
+    // table (dup-heavy corpus — the intended regime) gets a broadcast hash
+    // join and full map-side parallelism; a large one (mostly-unique corpus)
+    // gets a shuffle join whose |blocks|-key skew AQE splits, instead of an
+    // unconditional broadcast of the whole class table — which at 100 TB
+    // would be the whole corpus in every executor. (For mostly-unique
+    // corpora prefer [[minhashDupPairsClassed]] outright: all-pairs over
+    // class reps is quadratic regardless of join strategy.)
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val crossCls = classes.as("a").join(broadcast(classes.as("b")),
+    val crossCls = classes.as("a").join(classes.as("b"),
         col("a.blk") === col("b.blk") && col("a.cls") < col("b.cls"))
       // toks are sorted+distinct by construction → native O(n+m) merge
       // intersect (codegen) instead of array_intersect's per-pair hash set
@@ -244,6 +250,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("blk"), col("toks")))
       .persist()
+    graft.Caches.track(classes)
 
     val within = classes.filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -363,6 +370,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("toks")))
       .persist()
+    graft.Caches.track(classes)
     val within = classes.filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

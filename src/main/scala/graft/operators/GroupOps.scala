@@ -89,7 +89,7 @@ object GroupOps {
   def denseId(df: DataFrame, orderCols: Seq[Column], out: String, start: Long = 1L): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
-    sorted.persist()
+    graft.Caches.track(sorted.persist())
     val counts = sorted.rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect()

@@ -243,20 +243,42 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest of
-    * `centroids` (a small broadcast table id → vec), so downstream searches
-    * probe only matching cells. The centroid table would come from a
-    * sampled k-means at scale; any bounded centroid set works here.
-    * Output: input + `cell` column.
+    * `centroids` (a small table id → vec; ids cast to long), so downstream
+    * searches probe only matching cells. The centroid table would come
+    * from a sampled k-means at scale; any bounded centroid set works here.
+    *
+    * Per-row argmax over the collected centroid array — pure map-side,
+    * ZERO shuffle and zero row amplification (the earlier join+window
+    * formulation expanded the corpus |centroids|× and shuffled the
+    * expansion into a window — a non-starter at 100 TB). The collect is
+    * bounded by contract: a centroid set is k ≤ thousands of rows; the
+    * array ships once per executor in the UDF closure. Ties break on the
+    * lowest centroid id; dim-mismatched centroids are skipped and a row no
+    * centroid matches gets a null cell (the cosine null contract, lifted).
+    * Output: input + `cell` column (long).
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
                 centroidId: String, centroidVec: String): DataFrame = {
-    val c = broadcast(centroids.select(col(centroidId).as("__cid"), col(centroidVec).as("__cv")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("__cid").asc)
-    df.join(c) // broadcast nested loop: |df| × |centroids|, map-side only
-      .withColumn("__sim", cosineNative(df)(col(vecCol), col("__cv")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__cv", "__sim", "__rn")
-      .withColumnRenamed("__cid", "cell")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(centroidId).cast("long"), col(centroidVec))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cNorms: Array[Double] = cents.map { case (_, cv) => normF(cv) }
+    val assign = udf { (v: Array[Float]) =>
+      var bestId = 0L; var bestSim = Double.NegativeInfinity; var found = false
+      var i = 0
+      while (i < cents.length) {
+        val cv = cents(i)._2
+        if (cv.length == v.length) {
+          val sim = dotF(v, cv) / (normF(v) * cNorms(i))
+          // strict > with cid-ascending iteration = lowest id wins ties
+          if (!found || sim > bestSim) { found = true; bestSim = sim; bestId = cents(i)._1 }
+        }
+        i += 1
+      }
+      if (found) Some(bestId) else None
+    }
+    df.withColumn("cell", assign(col(vecCol)))
   }
 }

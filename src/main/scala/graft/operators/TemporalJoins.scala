@@ -29,10 +29,14 @@ object TemporalJoins {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    timeCol: String, valueCols: Seq[String],
                    tieCol: Option[String] = None): DataFrame = {
+    // a requested tie-break column that right doesn't carry is a caller
+    // bug — silently dropping it would make results nondeterministic
+    // exactly when the tie-break matters (multiple right rows per ts)
+    tieCol.foreach(c => require(right.columns.contains(c),
+      s"tieCol '$c' not in right columns ${right.columns.mkString("[", ",", "]")}"))
     val l = left.withColumn("__side", lit(0))
     // right contributes only keys + time + values (+ its tie column)
-    val rTie = tieCol.filter(right.columns.contains)
-      .map(c => col(c).as("__tie")).toSeq
+    val rTie = tieCol.map(c => col(c).as("__tie")).toSeq
     val r = right.select(
         (keys :+ timeCol).map(col) ++ valueCols.map(c => col(c).as(s"__r_$c")) ++ rTie: _*)
       .withColumn("__side", lit(1))

@@ -97,4 +97,20 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", "one", 3).select("id_a", "id_b")
     assert(rowsOf(seg) == rowsOf(full))
   }
+
+  test("operator-internal caches are released by Caches.unpersistAll") {
+    // the classed miners persist a class table per invocation; a session
+    // running the whole dedup family must be able to drop them all once
+    // each result is materialized (Bench/Verify call this per query)
+    graft.Caches.unpersistAll() // clean slate from earlier tests
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    Dedup.jaccardPairsClassed(docs, "doc_id", "text", "lang", 0.5).count()
+    Dedup.minhashDupPairsClassed(docs, "doc_id", "text", "lang", 0.5).count()
+    Dedup.simhashDupPairsSegmented(docs, "doc_id", "text", 3).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "class tables should be cached while results are live")
+    graft.Caches.unpersistAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "every operator-internal persist must be tracked and released")
+  }
 }

@@ -73,4 +73,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L) == 10L && got(1L) == 10L && got(2L) == 20L)
     assert(got(4L) == 10L) // tie at 45° breaks to lower centroid id
   }
+
+  test("ivfAssign is map-side: no Exchange, no Window in the plan") {
+    import spark.implicits._
+    val centroids = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids, "cid", "cvec")
+    assigned.collect() // materialize so AQE settles the final plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window:\n$plan")
+  }
 }

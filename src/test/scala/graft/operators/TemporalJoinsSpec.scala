@@ -29,6 +29,18 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == "second")
   }
 
+  test("asofBackward rejects a tieCol the right frame doesn't carry") {
+    // regression: a missing tie column used to be silently dropped,
+    // making results nondeterministic exactly when the tie-break matters
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, "v")).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(l, r, Seq("k"), "t", Seq("v"), tieCol = Some("seq"))
+    }
+    assert(e.getMessage.contains("seq"))
+  }
+
   test("pointInIntervalJoin equals naive inequality join") {
     import spark.implicits._
     val points = (0L until 200L by 3L).map(Tuple1(_)).toDF("p")
