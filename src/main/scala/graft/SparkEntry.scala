@@ -279,10 +279,16 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ 0.35 over the full corpus. */
+  /** Embedding near-dup pairs: cosine ≥ 0.35 over the full corpus, via
+    * the exact IVF-blocked path (triangle-inequality cell-pair pruning +
+    * keyed shuffle join — recall 1.0 guaranteed, no nested-loop
+    * cartesian; the all-pairs form stays in the library for bounded
+    * pre-blocked sets).
+    */
   private def q26CosinePairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    Similarity.cosinePairsAbove(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)
+    Similarity.cosinePairsAboveBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.35, numCentroids = 16)
       .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }

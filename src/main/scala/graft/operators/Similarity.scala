@@ -163,7 +163,8 @@ object Similarity {
 
   /** All pairs with cosine ≥ threshold (embedding near-duplicate
     * detection). All-pairs within the frame — use only on a bounded set or
-    * pre-blocked input; the LSH path below is the scale route.
+    * pre-blocked input; [[cosinePairsAboveBlocked]] is the scale route
+    * (identical output, guaranteed).
     * Output: (id_a, id_b, cosine_sim), id_a < id_b.
     */
   def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
@@ -173,6 +174,98 @@ object Similarity {
       .withColumn("cosine_sim", cosineNative(df)(col("a.v"), col("b.v")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine_sim"))
+  }
+
+  /** EXACT cosine-threshold pair mining with IVF blocking — same output
+    * as [[cosinePairsAbove]] (recall 1.0, guaranteed), different plan
+    * shape: a shuffle equi-join on pruned cell pairs instead of an
+    * all-pairs nested loop.
+    *
+    * How the guarantee works: every vector is assigned to its nearest of
+    * `numCentroids` sampled centroids (map-side argmax, as [[ivfAssign]]);
+    * each cell keeps its angular radius r = max angle(member, centroid).
+    * Angular distance is a metric on the sphere, so for x in cell c1 and
+    * y in cell c2, θ(x,y) ≥ θ(c1,c2) − r1 − r2 — a cell PAIR whose lower
+    * bound exceeds acos(threshold) cannot contain a qualifying pair and
+    * is pruned before any row-level work. Surviving cell pairs (a driver-
+    * side |C|² loop over the bounded centroid set) drive a broadcast-
+    * mapped fan-out + shuffle equi-join; exact cosine filters the rest.
+    *
+    * Pruning power tracks how clustered the data is and how high the
+    * threshold is; in the worst case (uniform directions, low threshold)
+    * nothing prunes and the work degrades to distributed all-pairs — the
+    * information-theoretic floor for an exact answer — but it degrades as
+    * a keyed shuffle join across the cluster, never a driver-melting
+    * broadcast nested loop. Rows with no dim-compatible centroid get a
+    * null cell and are dropped (the cosine null-on-mismatch contract).
+    */
+  def cosinePairsAboveBlocked(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double,
+                              numCentroids: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(threshold > -1.0 && threshold <= 1.0, s"threshold must be in (-1,1], got $threshold")
+    // deterministic bounded centroid sample: the lowest ids (a k-means
+    // refinement would tighten radii but doesn't change correctness)
+    val cents: Array[(Long, Array[Float])] = df
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cv"))
+      .orderBy("__cid").limit(numCentroids)
+      .as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val cNorms = cents.map(c => normF(c._2))
+    val assignUdf = udf { (v: Array[Float]) =>
+      var bestId = 0L; var bestSim = Double.NegativeInfinity; var found = false
+      var i = 0
+      while (i < cents.length) {
+        val cv = cents(i)._2
+        if (cv.length == v.length) {
+          val sim = dotF(v, cv) / (normF(v) * cNorms(i))
+          if (!found || sim > bestSim) { found = true; bestSim = sim; bestId = cents(i)._1 }
+        }
+        i += 1
+      }
+      if (found) Some((bestId, math.acos(math.max(-1.0, math.min(1.0, bestSim)))))
+      else None
+    }
+    val assigned = graft.Caches.track(df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__a", assignUdf(col("v")))
+      .filter(col("__a").isNotNull)
+      .select(col("id"), col("v"),
+        col("__a._1").as("cell"), col("__a._2").as("angle"))
+      .persist())
+    // per-cell angular radius: |C|-row aggregate
+    val radii: Map[Long, Double] = assigned.groupBy("cell").agg(max("angle").as("r"))
+      .as[(Long, Double)].collect().toMap
+    val thetaThr = math.acos(threshold)
+    def angleBetween(a: Int, b: Int): Double = {
+      val sim = dotF(cents(a)._2, cents(b)._2) / (cNorms(a) * cNorms(b))
+      math.acos(math.max(-1.0, math.min(1.0, sim)))
+    }
+    // surviving (cell_a ≤ cell_b) pairs — driver-side loop over ≤ |C|²
+    val cellPairs = for {
+      i <- cents.indices if radii.contains(cents(i)._1)
+      j <- i until cents.length if radii.contains(cents(j)._1)
+      ra = radii(cents(i)._1); rb = radii(cents(j)._1)
+      if i == j || angleBetween(i, j) - ra - rb <= thetaThr
+    } yield (cents(i)._1, cents(j)._1)
+    val pairsDf = broadcast(cellPairs.toDF("cell_a", "cell_b"))
+    // fan each vector out to the surviving pairs where it plays the a-side
+    // (broadcast-mapped, no shuffle), then ONE keyed shuffle join brings
+    // the b-side cells in; a vector appears once per cell, so each
+    // unordered vector pair surfaces exactly once
+    val aSide = assigned.join(pairsDf, col("cell") === col("cell_a"))
+      .select(col("id").as("id_l"), col("v").as("va"),
+        col("cell_a"), col("cell_b"))
+    val bSide = assigned
+      .select(col("id").as("id_r"), col("v").as("vb"), col("cell").as("__bc"))
+    aSide.join(bSide, col("cell_b") === col("__bc"))
+      .filter(col("cell_a") =!= col("cell_b") || col("id_l") < col("id_r"))
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("cosine_sim", cosineNative(df)(col("va"), col("vb")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("cosine_sim"))
   }
 
   /** Deterministic random hyperplanes: `nTables` tables × `nPlanes` planes

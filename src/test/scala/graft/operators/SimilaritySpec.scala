@@ -74,6 +74,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L) == 10L) // tie at 45° breaks to lower centroid id
   }
 
+  test("cosinePairsAboveBlocked == cosinePairsAbove on real embeddings (exact recall)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (threshold <- Seq(0.35, 0.9)) {
+      val full = Similarity.cosinePairsAbove(emb, "vec_id", "embedding", threshold)
+        .select("id_a", "id_b")
+      val blocked = Similarity.cosinePairsAboveBlocked(emb, "vec_id", "embedding",
+          threshold, numCentroids = 8)
+        .select("id_a", "id_b")
+      assert(rowsOf(blocked) == rowsOf(full), s"threshold $threshold")
+      graft.Caches.unpersistAll()
+    }
+  }
+
+  test("cosinePairsAboveBlocked is exact on tightly clustered data") {
+    import spark.implicits._
+    // two tight antipodal-ish clusters: cross-cluster cell pairs prune,
+    // result must still equal brute force exactly
+    val rows = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.02f * i, 0.0f)
+                 else Array(-1.0f, 0.0f, 0.02f * i)
+      (i, base)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Similarity.cosinePairsAbove(df, "vec_id", "embedding", 0.8)
+    val blocked = Similarity.cosinePairsAboveBlocked(df, "vec_id", "embedding", 0.8,
+      numCentroids = 4)
+    assert(rowsOf(blocked.select("id_a", "id_b")) == rowsOf(full.select("id_a", "id_b")))
+    assert(full.count() > 0)
+    graft.Caches.unpersistAll()
+  }
+
   test("ivfAssign is map-side: no Exchange, no Window in the plan") {
     import spark.implicits._
     val centroids = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 1.0f, 0.0f)))
