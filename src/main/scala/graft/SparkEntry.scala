@@ -305,14 +305,20 @@ object SparkEntry {
       .orderBy(col("query_id"), col("neighbour_id"))
   }
 
-  /** LSH-bucketed approximate top-k (the scale path). Rows-only: recall is
-    * probabilistic; the ScalaTest suite checks recall ≥ 0.8 vs q27.
+  /** LSH-bucketed approximate top-k (the scale path), oracle-checked
+    * against the EXACT top-k: at 64 tables × 4 planes the per-neighbour
+    * miss probability is (1 − 0.582⁴)⁶⁴ ≈ 4e-4 even for the worst
+    * neighbour in this corpus (cosine 0.255), and the hyperplanes are
+    * seeded — so the LSH result deterministically equals the exact
+    * result here, and the DuckDB exact-top-k SQL is a true end-to-end
+    * recall gate (any recall regression breaks the hash match). The
+    * ScalaTest suite separately checks recall at looser default params.
     */
   private def q28AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
-        k = 5, dim = 64)
+        k = 5, dim = 64, nTables = 64, nPlanes = 4)
       .select(col("query_id"), col("neighbour_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
       .orderBy(col("query_id"), col("neighbour_id"))
   }
@@ -396,7 +402,11 @@ object SparkEntry {
   }
 
   /** Multimodal plumbing: synthetic media → partition-wise decode stub →
-    * feature extraction. Rows-only (payloads are engine-synthesized).
+    * feature extraction. Oracle-checked: the synth payload is pure
+    * arithmetic in media_id, so DuckDB reproduces every output column —
+    * metadata AND the stub feature (an exact sum of signed bytes; each
+    * value is k/256, which has no half-way cases at 4 decimals, so the
+    * rounding agrees bit-for-bit).
     */
   private def q36Multimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
@@ -405,7 +415,7 @@ object SparkEntry {
       .select(col("mediaId").as("media_id"), col("modality"),
         col("decodedWidth").as("w"), col("decodedHeight").as("h"),
         col("nFramesSampled").as("frames_sampled"),
-        round(element_at(col("feature"), 1), 4).as("f0"))
+        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
       .orderBy(col("media_id"))
   }
 
@@ -756,6 +766,20 @@ object SparkEntry {
         | WHERE q.vec_id < 20) t
         |WHERE rn <= 5
         |ORDER BY query_id, neighbour_id""".stripMargin,
+    // q28's oracle is the EXACT top-k: the seeded 64x4 LSH params make the
+    // approximate result deterministically identical on this corpus, so
+    // the hash match doubles as a recall gate (see q28AnnLsh doc)
+    "q28_ann_lsh" ->
+      """SELECT query_id, neighbour_id, round(c, 6) AS cosine_sim FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS c,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rn
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 20) t
+        |WHERE rn <= 5
+        |ORDER BY query_id, neighbour_id""".stripMargin,
     "q29_text_stats" ->
       """SELECT doc_id,
         | len(toks) AS n_tokens,
@@ -814,6 +838,25 @@ object SparkEntry {
         |       FROM events) g) s
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // q36's media table is synthesized from pure arithmetic on media_id
+    // (Multimodal.synthesize + the stub decode), so the oracle rebuilds
+    // every column from range(300): body byte j of media i is the SIGNED
+    // cast of (i*31 + j*7) % 251, and feature[0] averages bytes
+    // j = 16m over a 256-byte body → exact integer sum / 256.0
+    "q36_multimodal" ->
+      """SELECT media_id, modality, w, h, frames_sampled,
+        | round(s / 256.0, 4) AS f0 FROM (
+        | SELECT r.i AS media_id,
+        |  CASE r.i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(64 + (r.i % 8) * 32 AS INT) AS w,
+        |  CAST(64 + (r.i % 5) * 32 AS INT) AS h,
+        |  CAST(CASE WHEN r.i % 3 = 2 THEN (8 + r.i % 4) // 2 ELSE 1 END AS INT) AS frames_sampled,
+        |  sum(CASE WHEN (r.i * 31 + m.j * 112) % 251 > 127
+        |           THEN (r.i * 31 + m.j * 112) % 251 - 256
+        |           ELSE (r.i * 31 + m.j * 112) % 251 END) AS s
+        | FROM range(300) r(i) CROSS JOIN range(16) m(j)
+        | GROUP BY 1, 2, 3, 4, 5) t
+        |ORDER BY media_id""".stripMargin,
     "q37_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         | round(sum(c_acctbal), 2) AS total_balance
