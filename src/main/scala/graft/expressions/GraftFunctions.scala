@@ -28,6 +28,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "sorted_intersect_size takes exactly 2 arguments")
         SortedIntersectSize(children.head, children(1))
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_signature takes exactly 2 arguments")
+        MinHashSignature(children.head, children(1))
       }))
 
   /** Idempotent runtime registration into the session's function registry. */

@@ -169,6 +169,10 @@ object Dedup {
   /** k-permutation MinHash signature of an item-set column, computed per
     * row with built-in higher-order functions (fully distributed, no
     * shuffle): signature[i] = min over items of xxhash64(item, i).
+    * Interpreted per (slot, item) — the pair miners use the native
+    * [[graft.expressions.MinHashSignature]] kernel on pre-hashed longs
+    * instead; this declarative form is kept as the readable reference
+    * (DedupSpec asserts the native kernel is bit-identical to it).
     */
   def minhashSignature(items: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
@@ -198,9 +202,14 @@ object Dedup {
     // Banding rows stay NARROW (id, blk, band) — carrying the token arrays
     // through a bands×-amplified self-join + distinct was the dominant cost
     // at bench; token sets are joined back only for the deduped candidates.
+    // Tokens are hashed to longs once, then the native signature kernel
+    // runs (statistically equivalent to slot-hashing the strings directly;
+    // candidates differ but the exact-Jaccard verify fixes the output).
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val withBand = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
-      minhashSignature(tokenSet(col(textCol)), numHashes).as("sig"))
+      call_function("minhash_signature",
+        transform(tokenSet(col(textCol)), t => xxhash64(t)), lit(numHashes)).as("sig"))
       .withColumn("band", explode(lshBands(col("sig"), bands, r)))
       .select(col("id"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
@@ -259,10 +268,13 @@ object Dedup {
       .withColumn("jaccard", lit(1.0))
       .select("id_a", "id_b", "jaccard")
 
-    // signatures over the already-hashed token longs: one more mix per
-    // (slot, token) instead of re-hashing strings
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("toks"), h => xxhash64(h, i))))
+    // signatures over the already-hashed token longs via the native
+    // codegen'd kernel (bit-identical to the HOF formulation
+    // transform(sequence(0,k-1), i => array_min(transform(toks, h =>
+    // xxhash64(h, i)))) — see MinHashSignature); the interpreted HOF was
+    // the dominant cost of this miner at bench
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val sig = call_function("minhash_signature", col("toks"), lit(numHashes))
     val banded = classes
       .withColumn("band", explode(lshBands(sig, bands, r)))
       .select(col("cls"), col("blk"),

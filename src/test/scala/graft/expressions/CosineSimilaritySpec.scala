@@ -56,6 +56,28 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("minhash_signature is bit-identical to the declarative HOF formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val k = 32
+    val rows = Seq(
+      Array(7L, -3L, 99L, Long.MaxValue, 0L),
+      Array(1L),
+      Array.empty[Long])
+    val df = rows.toDF("toks")
+    val hof = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(col("toks"), h => xxhash64(h, i))))
+    val got = df.select(
+      call_function("minhash_signature", col("toks"), lit(k)).as("native"),
+      hof.as("hof")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        "native kernel must reproduce the xxhash64 chain exactly")
+    }
+    // empty token set → k nulls (array_min of empty is null)
+    assert(got(2).getSeq[Any](0) == Seq.fill(k)(null))
+  }
+
   test("mismatched dimensions yield null in every path (Expression and UDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._
