@@ -537,6 +537,37 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Deterministic hash-split (train/val/test): membership is a pure
+    * function of md5(doc_id) — same split on any cluster at any
+    * parallelism, auditable by any engine with md5 (the oracle recomputes
+    * it in DuckDB). Output: per-(split, lang) counts.
+    */
+  private def q45HashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.split(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+
+  /** PII scrub over documents with deterministic synthetic PII appended
+    * (the corpus itself is clean, so the scrub would be a no-op; the
+    * injection makes redaction itself the thing under test). Output:
+    * md5 of the scrubbed text + the audit count of emails seen — the
+    * DuckDB oracle re-runs the identical RE2-compatible patterns.
+    */
+  private def q46PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PiiScrub
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id"), lit("@example.com or call +1 (555) 010-"),
+        lpad(col("doc_id") % 10000, 4, "0"),
+        lit(" from 192.168."), col("doc_id") % 256, lit(".17 today.")).as("text"))
+    injected.select(col("doc_id"),
+        md5(PiiScrub.scrub(col("text"))).as("scrubbed_md5"),
+        PiiScrub.piiCount(col("text"), PiiScrub.EmailPattern).as("n_emails"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -582,7 +613,9 @@ object SparkEntry {
     "q41_asof_join" -> (q41AsofJoin _),
     "q42_range_join" -> (q42RangeJoin _),
     "q43_ivf_assign" -> (q43IvfAssign _),
-    "q44_ngram_jaccard" -> (q44NgramJaccard _))
+    "q44_ngram_jaccard" -> (q44NgramJaccard _),
+    "q45_hash_split" -> (q45HashSplit _),
+    "q46_pii_scrub" -> (q46PiiScrub _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -929,7 +962,45 @@ object SparkEntry {
         |JOIN sz sa ON id_a = sa.doc_id
         |JOIN sz sb ON id_b = sb.doc_id
         |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q45: the split is a pure function of md5(doc_id) — the oracle
+    // recomputes bucket and label from scratch (bounds for 0.8/0.1/0.1
+    // over 10000 buckets: [0,8000) [8000,9000) [9000,10000))
+    "q45_hash_split" ->
+      """SELECT split, lang, count(*) AS n_docs FROM (
+        | SELECT lang,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM (SELECT lang,
+        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |       FROM documents) t) s
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+    // q46: identical synthetic-PII injection and the identical
+    // RE2-compatible patterns, replayed in DuckDB (regexp_replace with
+    // the 'g' flag = Spark's replace-all); scrub order matters and is
+    // mirrored: emails -> ipv4 -> ipv6 -> cards -> phones
+    "q46_pii_scrub" ->
+      """SELECT doc_id, md5(
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}\b', '<IP>', 'g'),
+        |   '\b[0-9](?:[0-9 -]{11,17})[0-9]\b', '<CARD>', 'g'),
+        |  '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5,
+        | len(string_split_regex(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails
+        |FROM (
+        | SELECT doc_id,
+        |  text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or call +1 (555) 010-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.17 today.' AS injected
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

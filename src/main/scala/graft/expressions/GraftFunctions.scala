@@ -34,6 +34,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "minhash_signature takes exactly 2 arguments")
         MinHashSignature(children.head, children(1))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(children.head)
       }))
 
   /** Idempotent runtime registration into the session's function registry. */

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction for LLM training corpora — the scrub stage every
+  * large-scale text pipeline runs between dedup and tokenization. No
+  * reference implementation (SURVEY.md §7.4 category); patterns follow
+  * the common public recipes (email / phone / IPv4 / IPv6 / credit-card-
+  * like digit runs), deliberately written in the RE2-compatible subset
+  * of Java regex (no backreferences, no lookaround) so the same pattern
+  * runs identically under Spark's codegen'd `regexp_replace`, RE2-based
+  * engines, and the DuckDB oracle.
+  *
+  * Everything here is a pure map-side expression — no UDF, no shuffle;
+  * `regexp_replace` stays inside whole-stage codegen.
+  *
+  * These are pattern scrubs, not NER: they catch formatted identifiers,
+  * not names or addresses. Recall/precision tradeoffs are the caller's —
+  * patterns are exposed individually and composable.
+  */
+object PiiScrub {
+
+  /** RFC-shaped emails (the pragmatic pattern, not full RFC 5321). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-ish phone numbers: optional +CC, then 7+ digits with
+    * common separators; anchored on digits at both ends so prose numbers
+    * ("in 1996") don't match.
+    */
+  val PhonePattern = "\\+?[0-9][0-9()\\s.-]{6,}[0-9]"
+
+  /** Dotted-quad IPv4 (also matches technically-invalid octets > 255 —
+    * preferable for a scrub: over-redact, never leak).
+    */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Colon-separated IPv6, full or `::`-compressed (a compressed run has
+    * an EMPTY group between colons, hence {0,4}). Also eats hh:mm:ss
+    * timestamps — deliberate: over-redact, never leak.
+    */
+  val Ipv6Pattern = "\\b(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}\\b"
+
+  /** 13–19 digit runs with optional space/dash separators (card-shaped). */
+  val CardPattern = "\\b[0-9](?:[0-9 -]{11,17})[0-9]\\b"
+
+  def redactEmails(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text, EmailPattern, token)
+
+  def redactPhones(text: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(text, PhonePattern, token)
+
+  def redactIps(text: Column, token: String = "<IP>"): Column =
+    regexp_replace(regexp_replace(text, Ipv4Pattern, token), Ipv6Pattern, token)
+
+  def redactCards(text: Column, token: String = "<CARD>"): Column =
+    regexp_replace(text, CardPattern, token)
+
+  /** The full scrub, in an order that matters: emails before phones (a
+    * local-part can contain digits), IPs before phones (dotted quads are
+    * digit runs), cards before phones (cards are longer digit runs and
+    * would otherwise be half-eaten by the phone pattern).
+    */
+  def scrub(text: Column): Column =
+    redactPhones(redactCards(redactIps(redactEmails(text))))
+
+  /** Count of matches for auditing (how much PII a corpus slice carries)
+    * without materializing the scrubbed text: size of the split-by-pattern
+    * array minus one — map-side, codegen'd.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(split(text, pattern)) - 1
+}

@@ -307,27 +307,20 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** Scalable SimHash computation: explode tokens, hash each ONCE, then 64
-    * codegen'd conditional sums in one hash aggregate (map-side combine).
-    * The per-row expression variant [[simhash64]] recomputes the token hash
-    * per bit in interpreted HOFs — two orders of magnitude slower; this is
-    * the path every pair-mining entry point uses.
+  /** Scalable SimHash computation: hash each token once, then the native
+    * codegen'd [[graft.expressions.SimHash64]] kernel folds all 64 bit
+    * sums in ONE map-side pass per row — no explode, no shuffle, no row
+    * amplification. (The previous explode + 64-conditional-sums hash
+    * aggregate computed the same value but shuffled one row per (doc,
+    * token); the per-row [[simhash64]] HOF variant is interpreted and two
+    * orders of magnitude slower — both kept as cross-checked references.)
     * Output: (id, sh).
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("token"))
-      .select(col("id"), xxhash64(col("token")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s_$b")
-    }
-    val sh = (0 until 64).map { b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    hashed.groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), sh.as("sh"))
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      call_function("simhash64",
+        transform(tokenSet(col(textCol)), t => xxhash64(t))).as("sh"))
   }
 
   /** 64-bit SimHash of a token array: bit b of the hash is 1 iff the sum
@@ -389,18 +382,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", lit(0))
       .select("id_a", "id_b", "hamming")
-    // simhash per class: explode the pre-hashed tokens, 64 conditional sums
-    val hashed = classes.select(col("cls"), explode(col("toks")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s_$b")
-    }
-    val shExpr = (0 until 64).map { b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    val clsSh = hashed.groupBy(col("cls"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("cls"), shExpr.as("sh"))
+    // simhash per class: native one-pass kernel over the pre-hashed
+    // tokens — map-side, replacing an explode + 64-sum hash aggregate
+    // (one shuffled row per (class, token)) with zero shuffle
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val clsSh = classes.select(col("cls"),
+      call_function("simhash64", col("toks")).as("sh"))
     val sh = clsSh
       .withColumn("seg", explode(transform(sequence(lit(0), lit(nSeg - 1)),
         s => struct(s.as("seg_idx"),

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling and dataset splitting for
+  * training-data pipelines. No reference implementation (SURVEY.md §7.4
+  * category — LLM-pipeline operator); semantics from standard practice:
+  * split membership must be a PURE FUNCTION of a stable row key, never of
+  * RNG state, partitioning, or row order — so the same document lands in
+  * the same split on every run, on any cluster, at any parallelism, and
+  * train/test contamination can be audited after the fact.
+  *
+  * The key is bucketed by md5 (not xxhash64) so the assignment is
+  * portable across engines — any system with md5 can recompute the split
+  * (the DuckDB oracle does exactly that). md5's cost is irrelevant here:
+  * one hash per row, map-side, no shuffle anywhere in this file.
+  */
+object Sampling {
+
+  val NumBuckets = 10000
+
+  /** Stable bucket in [0, NumBuckets) for a key column: the first 8 hex
+    * chars of md5(key as string), mod buckets. Map-side expression.
+    */
+  def hashBucket(key: Column, buckets: Int = NumBuckets): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic fraction-`p` sample: keeps rows whose bucket falls in
+    * the first p·NumBuckets buckets. Resolution 1/NumBuckets.
+    */
+  def hashSample(df: DataFrame, keyCol: String, p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, s"fraction must be in [0,1], got $p")
+    df.filter(hashBucket(col(keyCol)) < math.round(p * NumBuckets))
+  }
+
+  /** Split assignment column: named splits with weights (normalized to 1)
+    * mapped to contiguous bucket ranges in the given order. Every row gets
+    * exactly one label — ranges partition [0, NumBuckets).
+    */
+  def splitLabel(key: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _)
+      .map(f => math.round(f * NumBuckets))
+    val b = hashBucket(key)
+    weights.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), i)) =>
+        when(b >= bounds(i) && b < bounds(i + 1), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** df + a `split` column (train/val/test style). Pure map-side. */
+  def split(df: DataFrame, keyCol: String, weights: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(col(keyCol), weights))
+
+  /** Stratified deterministic sample: fraction `p` within every value of
+    * `strataCol`, by hashing (stratum, key) together so per-stratum
+    * selections are independent. Still a pure map-side filter.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, s"fraction must be in [0,1], got $p")
+    val b = hashBucket(concat_ws("|", col(strataCol).cast("string"),
+      col(keyCol).cast("string")))
+    df.filter(b < math.round(p * NumBuckets))
+  }
+}

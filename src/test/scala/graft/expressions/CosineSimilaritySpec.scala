@@ -78,6 +78,19 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(got(2).getSeq[Any](0) == Seq.fill(k)(null))
   }
 
+  test("simhash64 native kernel matches the interpreted HOF bit-for-bit") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox", "lorem ipsum dolor sit amet",
+      "a", "x y z w v u t s").toDF("text")
+    val toks = graft.operators.Dedup.tokenSet(col("text"))
+    val got = df.select(
+      call_function("simhash64", transform(toks, t => xxhash64(t))).as("native"),
+      graft.operators.Dedup.simhash64(toks).as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(got(0).getLong(0) == got(1).getLong(0), "identical text, identical hash")
+  }
+
   test("mismatched dimensions yield null in every path (Expression and UDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PiiScrubSpec extends SparkSpec {
+
+  private def scrubOne(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(PiiScrub.scrub(col("t"))).collect()(0).getString(0)
+  }
+
+  test("emails, phones, IPs, cards are redacted; prose survives") {
+    val got = scrubOne(
+      "Mail jane.doe+x@sub.example.org or call +44 (0)20 7946-0958. " +
+        "Server 10.0.42.17 and fe80::1ff:fe23:4567:890a; card 4111 1111 1111 1111. " +
+        "Born in 1996, 3.14 is pi.")
+    assert(got.contains("<EMAIL>") && !got.contains("example.org"))
+    assert(got.contains("<PHONE>") && !got.contains("7946"))
+    assert(got.contains("<IP>") && !got.contains("10.0.42.17") && !got.contains("fe80"))
+    assert(got.contains("<CARD>") && !got.contains("4111"))
+    // short digit runs in prose are untouched
+    assert(got.contains("1996") && got.contains("3.14"))
+  }
+
+  test("scrub order: cards and IPs are not half-eaten by the phone pattern") {
+    val got = scrubOne("pay 4111-1111-1111-1111 via 192.168.0.1 now")
+    assert(got == "pay <CARD> via <IP> now", got)
+  }
+
+  test("piiCount counts matches without materializing scrubbed text") {
+    import spark.implicits._
+    val n = Seq("a@b.co then c@d.org then plain text")
+      .toDF("t")
+      .select(PiiScrub.piiCount(col("t"), PiiScrub.EmailPattern)).collect()(0).getInt(0)
+    assert(n == 2)
+  }
+
+  test("scrub is pure map-side (no Exchange, stays in codegen)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(md5(PiiScrub.scrub(col("text"))).as("m"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.matches("(?s).*\\*\\(\\d+\\).*"), "should be whole-stage codegen'd")
+  }
+}

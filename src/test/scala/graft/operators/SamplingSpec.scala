@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("split is a pure function of the key: exhaustive, disjoint, repeatable") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.split(docs, "doc_id", weights)
+    val b = Sampling.split(docs.orderBy(rand(7)).repartition(7), "doc_id", weights)
+    // every row labeled
+    assert(a.filter(col("split").isNull).count() == 0)
+    // row order and partitioning must not change any assignment
+    val byId = a.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    b.select("doc_id", "split").collect().foreach { r =>
+      assert(byId(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)} moved splits")
+    }
+    // proportions near the weights (resolution 1/10000, binomial noise)
+    val n = docs.count().toDouble
+    val frac = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.04, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.04, frac.toString)
+  }
+
+  test("hashSample: deterministic subset, nested fractions compose") {
+    val s10 = Sampling.hashSample(docs, "doc_id", 0.1).select("doc_id")
+    val s30 = Sampling.hashSample(docs, "doc_id", 0.3).select("doc_id")
+    val ids10 = s10.collect().map(_.getLong(0)).toSet
+    val ids30 = s30.collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids30), "smaller fraction must nest inside larger")
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == docs.count())
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
+  }
+
+  test("stratifiedSample keeps roughly p of every stratum") {
+    val p = 0.3
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang", p)
+      .groupBy("lang").count()
+      .join(docs.groupBy("lang").count().withColumnRenamed("count", "total"), "lang")
+      .collect()
+    got.foreach { r =>
+      val frac = r.getLong(1).toDouble / r.getLong(2)
+      assert(math.abs(frac - p) < 0.15, s"lang ${r.getString(0)}: $frac")
+    }
+  }
+
+  test("splitLabel is map-side: no Exchange before the aggregate") {
+    val labeled = Sampling.split(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+    labeled.collect()
+    val plan = labeled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"labeling must not shuffle:\n$plan")
+  }
+}
