@@ -568,6 +568,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Salted skew join: lineitem ⨝ orders with the fact side salted and
+    * the dim side replicated 8× — the explicit mitigation for hot keys
+    * that broadcast and AQE's skew split can't reach. Salting must not
+    * change the result, and the oracle (a plain SQL join) proves it.
+    */
+  private def q47SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewJoins
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    SkewJoins.saltedJoin(li, ord, Seq("k"), salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Stream-stream interval join, batch form (the unified-engine
+    * contract: the identical expression runs micro-batched in
+    * EventStreamsSpec; the oracle replays it as a plain SQL interval
+    * join). Each purchase is attributed to the same user's views in the
+    * preceding 30 minutes.
+    */
+  private def q48IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val ev = EventStreams.withEventTime(t(s, dir, "events"))
+    EventStreams.purchaseAttribution(ev, "30 minutes")
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        round(col("value"), 4).as("purchase_value"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -615,7 +648,9 @@ object SparkEntry {
     "q43_ivf_assign" -> (q43IvfAssign _),
     "q44_ngram_jaccard" -> (q44NgramJaccard _),
     "q45_hash_split" -> (q45HashSplit _),
-    "q46_pii_scrub" -> (q46PiiScrub _))
+    "q46_pii_scrub" -> (q46PiiScrub _),
+    "q47_salted_join" -> (q47SaltedJoin _),
+    "q48_interval_join" -> (q48IntervalJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1000,7 +1035,27 @@ object SparkEntry {
         |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |       || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.17 today.' AS injected
         | FROM documents) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q47: salting is invisible in the result — the oracle is the PLAIN join
+    "q47_salted_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q48: stream-stream interval join, replayed as a SQL interval join
+    // (ts is µs-aligned TIMESTAMP_NS on the DuckDB side, timestamp_micros
+    // on the Spark side — boundaries compare exactly)
+    "q48_interval_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        | p.user_id, round(p.value, 4) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts <= p.ts
+        | AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -70,6 +70,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start_ns"))
       .select(col("user_id"), col("session_start_ns"), col("n_events"))
 
+  /** Stream-stream interval join (purchase attribution): each purchase
+    * joins the SAME user's view events from the preceding `lookback`.
+    * In streaming this plans as a symmetric hash join keyed on user_id;
+    * the time-range condition plus both watermarks is what lets Spark
+    * EVICT join state — without the bound, both sides buffer forever on
+    * a 100 TB/day stream. As a batch frame the same expression is a
+    * plain equi-join on user_id + a range filter (never a cartesian:
+    * user_id is the equality key), which is what the DuckDB oracle
+    * replays (q48). Output: one row per (purchase, view-in-window) pair.
+    */
+  def purchaseAttribution(events: DataFrame, lookback: String = "30 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_time").as("view_time"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_time", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("purchase_time"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_time", "1 hour")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("view_time") <= col("purchase_time") &&
+          col("view_time") >= col("purchase_time") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("value"))
+  }
+
   /** Custom per-key state: running count + max value per user via
     * mapGroupsWithState — the escape hatch for state machines the built-in
     * windows can't express. ProcessingTimeTimeout keeps state bounded.

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression gate for the scale-critical queries: the
+  * properties that make these plans survive a 100× scale-up are asserted
+  * here, so a refactor that silently reintroduces a cartesian, drops a
+  * pushdown, or un-broadcasts a dim join fails CI — not a bench review
+  * three rounds later. Runs on sf0.001; plan SHAPE does not depend on SF
+  * (only AQE's broadcast thresholds do, which is why the broadcast
+  * assertions check the operator, not sizes).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Materialize (AQE settles the final plan on execution), then return
+    * the formatted executed plan.
+    */
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val s = df.queryExecution.explainString(FormattedMode)
+    Caches.unpersistAll()
+    s
+  }
+
+  test("q02 filter+project: predicates and pruning reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("IsNotNull"),
+      s"expected pushed predicates in scan:\n$p")
+    // projection pruning: the scan must not read all 16 lineitem columns
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(readSchema.exists(_.split(",").length <= 6),
+      s"scan should read only the projected/filtered columns:\n$readSchema")
+  }
+
+  test("q03 star join: dims broadcast, fact side never shuffles for the join") {
+    val p = planOf("q03_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q40 global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q40_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q42 range join: bucketed equi-join, no nested-loop cartesian") {
+    val p = planOf("q42_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q26 blocked cosine pairs: no nested-loop cartesian either") {
+    val p = planOf("q26_cosine_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q19 dense id: no single-partition window") {
+    val p = planOf("q19_dense_id")
+    assert(!p.contains("Window"), s"denseId must not fall back to a global window:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q45 hash split and q46 pii scrub: one shuffle each (their aggregate/sort only)") {
+    // labeling and scrubbing are map-side; the only exchanges allowed are
+    // the declared aggregation/ordering of the query output itself.
+    // (simple-string plan: each node appears once, unlike FormattedMode)
+    for (name <- Seq("q45_hash_split", "q46_pii_scrub")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      Caches.unpersistAll()
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$name should not add shuffles beyond its agg/sort:\n$p")
+    }
+  }
+
+  test("q01 aggregate: partial then final hash aggregation (map-side combine)") {
+    val p = planOf("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"), p)
+  }
+}

@@ -41,6 +41,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(rowsOf(streamed) == rowsOf(batch))
   }
 
+  test("streamed stream-stream interval join == batch interval join") {
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.purchaseAttribution(EventStreams.readEventStream(spark, dir)),
+      "interval_join_test", OutputMode.Append())
+    val batch = EventStreams.purchaseAttribution(batchEvents)
+    assert(rowsOf(streamed) == rowsOf(batch))
+    assert(streamed.count() > 0, "attribution must produce pairs on testdata")
+  }
+
   test("stateful per-user aggregation (mapGroupsWithState) in update mode") {
     val streamed = EventStreams.runToMemory(spark,
       EventStreams.statefulUserAgg(EventStreams.readEventStream(spark, dir)),
