@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a machine-read JSON line: inherit the forked
+// process's stdio so sbt does NOT prefix every line with "[info] " (the
+// prefix corrupted the driver's JSON tail-parse two rounds running),
+// and drop the trailing "[success] Total time" banner so the metrics
+// line is the LAST thing on stdout.
+run / connectInput := true
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,12 +34,12 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Spark prune the projections being measured)
-      val err =
+      // cache release is part of the measured query cost: an operator
+      // that persists an intermediate pays for cleaning it up
+      val err = Caches.withScope {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-        // cache release is part of the measured query cost: an operator
-        // that persists an intermediate pays for cleaning it up
-        finally Caches.unpersistAll()
+      }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val ok = runs.collect { case (name, sec, None) => name -> sec }
@@ -51,8 +51,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    // stop BEFORE printing: Spark's shutdown logs (stderr) can't land
+    // after the metrics line, so the JSON is the last line on stdout
     spark.stop()
+    println(json)
+    System.out.flush()
     // a bench with failing queries is a failed bench run
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -11,25 +11,64 @@ import org.apache.spark.sql.DataFrame
   * long-lived session running the dedup family accumulates cached class
   * tables until memory-pressure eviction.
   *
-  * Contract: operators register every internal `persist()` via [[track]];
-  * callers invoke [[unpersistAll]] after materializing the result (Bench
-  * and Verify do, once per query). Idempotent and cheap when empty.
+  * Scoping: a process-global registry alone is wrong for concurrent
+  * queries (Spark supports concurrent actions on one session) — query A's
+  * cleanup would unpersist query B's still-live class tables mid-query, a
+  * silent recomputation cliff. [[track]] therefore registers into the
+  * CALLING THREAD's active [[withScope]] scope when one is open, falling
+  * back to the global registry otherwise. Plans are constructed on the
+  * caller's thread, so thread-locality is exactly invocation-locality:
+  *
+  *   - Concurrent drivers: wrap each query in `Caches.withScope {
+  *     build-and-materialize }` — caches release when the scope closes,
+  *     and scopes on different threads never touch each other.
+  *   - Sequential drivers (Bench, Verify): either works; both use
+  *     [[withScope]].
+  *   - Bare callers: tracked globally; call [[unpersistAll]] whenever no
+  *     query is in flight.
   */
 object Caches {
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Register an operator-internal persisted DataFrame; returns it. */
-  def track(df: DataFrame): DataFrame = { tracked.add(df); df }
-
-  /** Unpersist every tracked intermediate (non-blocking) and clear the
-    * registry. Safe to call at any point after the consuming query's
-    * action completes.
-    */
-  def unpersistAll(): Unit = {
-    var df = tracked.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = tracked.poll()
+  /** One invocation's tracked caches; closed exactly once. */
+  final class Scope private[Caches] () {
+    private[Caches] val dfs = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    def close(): Unit = {
+      var df = dfs.poll()
+      while (df != null) {
+        df.unpersist(blocking = false)
+        df = dfs.poll()
+      }
     }
   }
+
+  private val global = new Scope()
+  private val current = new ThreadLocal[Scope]() // null => no open scope
+
+  /** Register an operator-internal persisted DataFrame; returns it. */
+  def track(df: DataFrame): DataFrame = {
+    val scope = Option(current.get()).getOrElse(global)
+    scope.dfs.add(df)
+    df
+  }
+
+  /** Run `body` (plan construction AND materialization) under a fresh
+    * scope; every cache tracked by this thread inside `body` is
+    * unpersisted on exit (also on failure). Nests: the previous scope is
+    * restored afterwards.
+    */
+  def withScope[A](body: => A): A = {
+    val outer = current.get()
+    val scope = new Scope()
+    current.set(scope)
+    try body
+    finally {
+      current.set(outer)
+      scope.close()
+    }
+  }
+
+  /** Unpersist every GLOBALLY tracked intermediate (non-blocking) and
+    * clear the registry. Safe whenever no un-scoped query is in flight.
+    */
+  def unpersistAll(): Unit = global.close()
 }

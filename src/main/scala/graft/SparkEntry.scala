@@ -824,6 +824,7 @@ object SparkEntry {
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |  AND NOT isnan(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_ann_topk" ->
       """SELECT query_id, neighbour_id, round(c, 6) AS cosine_sim FROM (
@@ -1008,25 +1009,33 @@ object SparkEntry {
         |       WHEN b < 9000 THEN 'val'
         |       ELSE 'test' END AS split
         | FROM (SELECT lang,
-        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |        CAST(('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__graft_null_key__')), 1, 8)) AS BIGINT) % 10000 AS b
         |       FROM documents) t) s
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
     // q46: identical synthetic-PII injection and the identical
     // RE2-compatible patterns, replayed in DuckDB (regexp_replace with
     // the 'g' flag = Spark's replace-all); scrub order matters and is
-    // mirrored: emails -> ipv4 -> ipv6 -> cards -> phones
+    // mirrored: emails -> ipv4 -> ipv6 -> cards -> date-shield ->
+    // phones -> unshield (chr(1) = the \u0001 sentinel; backreference
+    // syntax is \1 in DuckDB vs $1 in Java, same semantics — a
+    // non-participating group substitutes empty on both engines)
     "q46_pii_scrub" ->
       """SELECT doc_id, md5(
         | regexp_replace(
         |  regexp_replace(
         |   regexp_replace(
         |    regexp_replace(
-        |     regexp_replace(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |    '\b(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}\b', '<IP>', 'g'),
-        |   '\b[0-9](?:[0-9 -]{11,17})[0-9]\b', '<CARD>', 'g'),
-        |  '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5,
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}\b', '<IP>', 'g'),
+        |     '\b[0-9](?:[0-9 -]{11,17})[0-9]\b', '<CARD>', 'g'),
+        |    '([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4})',
+        |    '\1' || chr(1) || '\2' || chr(1) || '\3\4' || chr(1) || '\5' || chr(1) || '\6', 'g'),
+        |   '\+?[0-9](?:[()\s.-]{0,2}[0-9]){6,}', '<PHONE>', 'g'),
+        |  chr(1), '', 'g')) AS scrubbed_md5,
         | len(string_split_regex(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails
         |FROM (
         | SELECT doc_id,

@@ -24,11 +24,25 @@ object PiiScrub {
   /** RFC-shaped emails (the pragmatic pattern, not full RFC 5321). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** International-ish phone numbers: optional +CC, then 7+ digits with
-    * common separators; anchored on digits at both ends so prose numbers
-    * ("in 1996") don't match.
+  /** International-ish phone numbers: optional +CC, then ≥7 digits
+    * total, each separated by AT MOST two of the common separator chars
+    * (covers "+1 (555) 010-0042", "555.010.0042", "0170 1234567").
+    * Requiring ≥7 actual digits (not 8 chars of digit-soup, as a naive
+    * `[0-9()\s.-]{6,}` run does) and capping separator runs at two keeps
+    * year ranges ("2010 - 2019"), version strings and other sparse digit
+    * runs out. Bare ISO dates still fit the digit/separator shape — the
+    * [[scrub]] pipeline shields `dddd-dd-dd` / `dd-dd-dddd` dates before
+    * this pattern runs (see [[shieldDates]]).
     */
-  val PhonePattern = "\\+?[0-9][0-9()\\s.-]{6,}[0-9]"
+  val PhonePattern = "\\+?[0-9](?:[()\\s.-]{0,2}[0-9]){6,}"
+
+  /** Calendar-date shapes the phone pattern would otherwise eat:
+    * `dddd[-/.]dd[-/.]dd` (ISO) and `dd[-/.]dd[-/.]dddd` (EU/US). Six
+    * capture groups, ≤ 9 so `\1`-style backreferences work in every
+    * RE2-compatible replacement syntax (DuckDB included).
+    */
+  val DatePattern =
+    "([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4})"
 
   /** Dotted-quad IPv4 (also matches technically-invalid octets > 255 —
     * preferable for a scrub: over-redact, never leak).
@@ -50,6 +64,19 @@ object PiiScrub {
   def redactPhones(text: Column, token: String = "<PHONE>"): Column =
     regexp_replace(text, PhonePattern, token)
 
+  /** Date shield: inserts a `\u0001` sentinel after each date component
+    * so the phone pattern (whose separator class excludes `\u0001`)
+    * cannot span a calendar date; [[unshieldDates]] strips the sentinel
+    * afterwards. Non-participating groups substitute as empty in both
+    * java.util.regex and RE2/DuckDB, so one replacement string covers
+    * both alternatives.
+    */
+  def shieldDates(text: Column): Column =
+    regexp_replace(text, DatePattern, "$1\u0001$2\u0001$3$4\u0001$5\u0001$6")
+
+  def unshieldDates(text: Column): Column =
+    regexp_replace(text, "\u0001", "")
+
   def redactIps(text: Column, token: String = "<IP>"): Column =
     regexp_replace(regexp_replace(text, Ipv4Pattern, token), Ipv6Pattern, token)
 
@@ -59,10 +86,12 @@ object PiiScrub {
   /** The full scrub, in an order that matters: emails before phones (a
     * local-part can contain digits), IPs before phones (dotted quads are
     * digit runs), cards before phones (cards are longer digit runs and
-    * would otherwise be half-eaten by the phone pattern).
+    * would otherwise be half-eaten by the phone pattern), and calendar
+    * dates shielded across the phone pass (dates are training signal,
+    * not PII — eating every ISO date is a silent precision loss).
     */
   def scrub(text: Column): Column =
-    redactPhones(redactCards(redactIps(redactEmails(text))))
+    unshieldDates(redactPhones(shieldDates(redactCards(redactIps(redactEmails(text))))))
 
   /** Count of matches for auditing (how much PII a corpus slice carries)
     * without materializing the scrubbed text: size of the split-by-pattern

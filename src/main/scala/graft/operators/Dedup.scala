@@ -318,9 +318,18 @@ object Dedup {
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
+    // zero-token docs are EXCLUDED, matching the original explode+agg
+    // formulation (no tokens -> no group -> no row). Without the filter
+    // the per-row kernel emits sh=0 for every empty/whitespace-only doc,
+    // and they all band together as spurious hamming-0 "duplicates".
+    // (split("") yields [""], so strip empty tokens before sizing — a
+    // trimmed non-empty doc never produces one, whitespace-only docs do.)
     df.select(col(idCol).as("id"),
-      call_function("simhash64",
-        transform(tokenSet(col(textCol)), t => xxhash64(t))).as("sh"))
+        array_remove(tokenSet(col(textCol)), "").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"),
+        call_function("simhash64",
+          transform(col("__toks"), t => xxhash64(t))).as("sh"))
   }
 
   /** 64-bit SimHash of a token array: bit b of the hash is 1 iff the sum
@@ -368,9 +377,13 @@ object Dedup {
                                maxDistance: Int): DataFrame = {
     val nSeg = maxDistance + 1
     val segBits = 64 / nSeg
-    // class collapse: group ids by identical token set
+    // class collapse: group ids by identical token set. Zero-token docs
+    // (empty/whitespace text) are excluded — same contract as
+    // [[simhashTable]]: they'd otherwise form one giant hamming-0 class.
     val classes = df.select(col(idCol).as("id"),
-        array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"))
+        array_sort(transform(array_remove(tokenSet(col(textCol)), ""),
+          t => xxhash64(t))).as("toks"))
+      .filter(size(col("toks")) > 0)
       .groupBy(col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("toks")))

@@ -20,11 +20,23 @@ object Sampling {
 
   val NumBuckets = 10000
 
+  /** Stand-in hashed for NULL keys. Without it, md5(null) = null and a
+    * null-keyed row silently vanishes from hashSample / gets a null
+    * split label — silent data loss in a training pipeline, and a
+    * divergence from any oracle whose CASE ladder has an ELSE arm. With
+    * it, null keys land deterministically in one bucket (portable: any
+    * engine recomputes `md5(coalesce(cast(key as string), marker))`).
+    * Distinct from the empty string so `null` and `""` keys don't
+    * collide.
+    */
+  val NullKeyMarker = "__graft_null_key__"
+
   /** Stable bucket in [0, NumBuckets) for a key column: the first 8 hex
-    * chars of md5(key as string), mod buckets. Map-side expression.
+    * chars of md5(key as string), mod buckets; null keys hash the
+    * [[NullKeyMarker]]. Map-side expression.
     */
   def hashBucket(key: Column, buckets: Int = NumBuckets): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+    conv(substring(md5(coalesce(key.cast("string"), lit(NullKeyMarker))), 1, 8), 16, 10)
       .cast("long") % buckets
 
   /** Deterministic fraction-`p` sample: keeps rows whose bucket falls in
@@ -62,8 +74,11 @@ object Sampling {
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
                        p: Double): DataFrame = {
     require(p >= 0 && p <= 1, s"fraction must be in [0,1], got $p")
-    val b = hashBucket(concat_ws("|", col(strataCol).cast("string"),
-      col(keyCol).cast("string")))
+    // explicit coalesce per part: concat_ws SKIPS nulls, which would
+    // conflate (stratum=null, key=x) with (stratum absent, key=x)
+    val b = hashBucket(concat_ws("|",
+      coalesce(col(strataCol).cast("string"), lit(NullKeyMarker)),
+      coalesce(col(keyCol).cast("string"), lit(NullKeyMarker))))
     df.filter(b < math.round(p * NumBuckets))
   }
 }

@@ -172,7 +172,13 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine_sim", cosineNative(df)(col("a.v"), col("b.v")))
-      .filter(col("cosine_sim") >= threshold)
+      // explicit NaN kill: a zero-norm vector has UNDEFINED cosine, and
+      // Spark's ordering treats NaN as greater than every number — so
+      // without this, `NaN >= threshold` is TRUE and every pair touching
+      // a degenerate vector leaks into the result. Contract (mirrored by
+      // the blocked variant, which drops zero-norm rows at assignment):
+      // degenerate vectors participate in NO pair.
+      .filter(col("cosine_sim") >= threshold && !isnan(col("cosine_sim")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine_sim"))
   }
 
@@ -213,19 +219,32 @@ object Similarity {
       .as[(Long, Array[Float])]
       .collect().sortBy(_._1)
     val cNorms = cents.map(c => normF(c._2))
+    // Degenerate-vector guard: a zero-norm embedding has undefined cosine
+    // (NaN on the exact path, where `cosine_sim >= threshold` drops it),
+    // so it is dropped at assignment here too — and, critically, it must
+    // never poison a cell's radius: max(angle) over a NaN makes the
+    // radius NaN, every pruning comparison involving that cell goes
+    // false, and VALID pairs get silently pruned. Zero-norm centroids are
+    // likewise skipped (their similarity is NaN against every vector).
     val assignUdf = udf { (v: Array[Float]) =>
-      var bestId = 0L; var bestSim = Double.NegativeInfinity; var found = false
-      var i = 0
-      while (i < cents.length) {
-        val cv = cents(i)._2
-        if (cv.length == v.length) {
-          val sim = dotF(v, cv) / (normF(v) * cNorms(i))
-          if (!found || sim > bestSim) { found = true; bestSim = sim; bestId = cents(i)._1 }
+      val nv = normF(v)
+      if (nv == 0.0) None
+      else {
+        var bestId = 0L; var bestSim = Double.NegativeInfinity; var found = false
+        var i = 0
+        while (i < cents.length) {
+          val cv = cents(i)._2
+          if (cv.length == v.length && cNorms(i) > 0.0) {
+            val sim = dotF(v, cv) / (nv * cNorms(i))
+            if (!sim.isNaN && (!found || sim > bestSim)) {
+              found = true; bestSim = sim; bestId = cents(i)._1
+            }
+          }
+          i += 1
         }
-        i += 1
+        if (found) Some((bestId, math.acos(math.max(-1.0, math.min(1.0, bestSim)))))
+        else None
       }
-      if (found) Some((bestId, math.acos(math.max(-1.0, math.min(1.0, bestSim)))))
-      else None
     }
     val assigned = graft.Caches.track(df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -234,9 +253,13 @@ object Similarity {
       .select(col("id"), col("v"),
         col("__a._1").as("cell"), col("__a._2").as("angle"))
       .persist())
-    // per-cell angular radius: |C|-row aggregate
+    // per-cell angular radius: |C|-row aggregate. A non-finite radius
+    // (belt-and-braces — assignment already filters NaN sources) is
+    // coerced to π: "never prune this cell", which costs recall nothing.
     val radii: Map[Long, Double] = assigned.groupBy("cell").agg(max("angle").as("r"))
-      .as[(Long, Double)].collect().toMap
+      .as[(Long, Double)].collect()
+      .map { case (c, r) => c -> (if (java.lang.Double.isFinite(r)) r else math.Pi) }
+      .toMap
     val thetaThr = math.acos(threshold)
     def angleBetween(a: Int, b: Int): Double = {
       val sim = dotF(cents(a)._2, cents(b)._2) / (cNorms(a) * cNorms(b))

@@ -28,6 +28,22 @@ class PiiScrubSpec extends SparkSpec {
     assert(got == "pay <CARD> via <IP> now", got)
   }
 
+  test("calendar dates, year ranges and versions survive; dense phones don't") {
+    val got = scrubOne(
+      "Released 2026-08-12 (build 12/31/2024), supported 2010 - 2019, " +
+        "v1.2.3 only. Call 555.010.0042 or +1 (555) 010-0042 instead.")
+    // dates are training signal, not PII — the shield keeps them intact
+    assert(got.contains("2026-08-12"), got)
+    assert(got.contains("12/31/2024"), got)
+    // sparse digit runs: separator runs > 2 break the phone shape
+    assert(got.contains("2010 - 2019"), got)
+    assert(got.contains("v1.2.3"), got)
+    // real phone formats (>= 7 digits, dense separators) still redact
+    assert(got.contains("<PHONE>") && !got.contains("0042"), got)
+    // the shield sentinel never leaks into output
+    assert(!got.contains("\u0001"), "sentinel leaked")
+  }
+
   test("piiCount counts matches without materializing scrubbed text") {
     import spark.implicits._
     val n = Seq("a@b.co then c@d.org then plain text")

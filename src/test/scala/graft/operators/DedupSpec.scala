@@ -89,6 +89,21 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer in hamming space than unrelated doc")
   }
 
+  test("simhashTable excludes zero-token docs (no spurious hamming-0 band)") {
+    import spark.implicits._
+    // contract from the original explode+agg formulation: no tokens ->
+    // no group -> no row. The per-row kernel would otherwise emit sh=0
+    // for every empty/whitespace doc and band them as hamming-0 "dups".
+    val df = Seq((1L, "real text here"), (2L, ""), (3L, "   "),
+      (4L, "other words")).toDF("doc_id", "text")
+    val ids = Dedup.simhashTable(df, "doc_id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L), ids.toString)
+    val pairs = Dedup.simhashDupPairsSegmented(df, "doc_id", "text", 3)
+    assert(!pairs.collect().exists(r => Set(r.getLong(0), r.getLong(1)).exists(Set(2L, 3L))),
+      "empty docs must not pair")
+  }
+
   test("simhashDupPairsSegmented matches blocked all-pairs within distance") {
     val seg = Dedup.simhashDupPairsSegmented(docs, "doc_id", "text", 3)
       .select("id_a", "id_b")

@@ -49,6 +49,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("null keys get a deterministic label and survive sampling") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("b"), Some("")).toDF("k")
+    val labeled = Sampling.split(df, "k", Seq("train" -> 0.5, "test" -> 0.5))
+    // no null label, no silent drop
+    assert(labeled.filter(col("split").isNull).count() == 0)
+    assert(Sampling.hashSample(df, "k", 1.0).count() == 4)
+    // null and empty-string keys hash differently (distinct marker)
+    val bNull = Sampling.hashBucket(lit(null).cast("string"))
+    val bEmpty = Sampling.hashBucket(lit(""))
+    val r = spark.range(1).select(bNull.as("n"), bEmpty.as("e")).collect()(0)
+    assert(!r.isNullAt(0) && r.getLong(0) != r.getLong(1))
+    // stratified: null stratum is its own stratum, rows not lost at p=1
+    val strat = Seq((Some("x"), 1L), (None, 2L), (None, 3L)).toDF("s", "k")
+    assert(Sampling.stratifiedSample(strat, "k", "s", 1.0).count() == 3)
+  }
+
   test("splitLabel is map-side: no Exchange before the aggregate") {
     val labeled = Sampling.split(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
     labeled.collect()

@@ -105,6 +105,32 @@ class SimilaritySpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("cosinePairsAboveBlocked: zero-norm vectors never poison cell radii") {
+    import spark.implicits._
+    // centroids are the two lowest ids: 0=(1,0,0), 1=(0,1,0). Vectors 2
+    // and 3 land in DIFFERENT cells and form a qualifying cross-cell
+    // pair (cos=0.96). Vector 4 is zero-norm: its cosine is NaN against
+    // everything — if it reaches assignment it lands in cell 0 with a
+    // NaN angle, cell 0's radius goes NaN, the (c0,c1) pruning test goes
+    // false, and the VALID (2,3) pair silently disappears. The exact
+    // path drops zero-norm rows via NaN >= threshold, so equivalence
+    // requires dropping them at assignment too.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val full = Similarity.cosinePairsAbove(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b")
+    val blocked = Similarity.cosinePairsAboveBlocked(df, "vec_id", "embedding", 0.9,
+        numCentroids = 2)
+      .select("id_a", "id_b")
+    assert(rowsOf(full).nonEmpty, "the cross-cell (2,3) pair must exist")
+    assert(rowsOf(blocked) == rowsOf(full))
+    graft.Caches.unpersistAll()
+  }
+
   test("ivfAssign is map-side: no Exchange, no Window in the plan") {
     import spark.implicits._
     val centroids = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 1.0f, 0.0f)))
