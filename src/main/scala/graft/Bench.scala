@@ -30,7 +30,12 @@ object Bench {
     // codegen compiler, and parquet reader paths
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q44_ngram_jaccard,q24_minhash_lsh
+    // restricts the run (comma-separated; substring match); unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val runs = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Spark prune the projections being measured)

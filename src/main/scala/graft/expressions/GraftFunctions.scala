@@ -40,6 +40,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash64 takes exactly 1 argument")
         SimHash64(children.head)
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hashes takes exactly 2 arguments")
+        ShingleHashes(children.head, children(1))
+      }),
+    (FunctionIdentifier("text_array_stats"),
+      new ExpressionInfo(classOf[TextArrayStats].getName, "text_array_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "text_array_stats takes exactly 2 arguments")
+        TextArrayStats(children.head, children(1))
       }))
 
   /** Idempotent runtime registration into the session's function registry. */

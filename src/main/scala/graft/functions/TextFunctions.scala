@@ -59,6 +59,17 @@ object TextFunctions {
     size(filter(t, w => w.isInCollection(stopwords))).cast("double") / size(t)
   }
 
+  /** ALL token statistics in one native pass — `struct<n_tokens,
+    * n_unique, sum_token_len, n_stopwords>` via the JIT'd
+    * [[graft.expressions.TextArrayStats]] kernel. The per-stat columns
+    * above each re-run `split` AND evaluate their lambda interpreted
+    * per element; for corpus-wide profiling use this (split once, one
+    * array scan). Value-compatible with the declarative forms. Requires
+    * [[graft.expressions.GraftFunctions.register]] on the session.
+    */
+  def tokenStatsNative(text: Column, stopwords: Seq[String]): Column =
+    call_function("text_array_stats", tokens(text), typedlit(stopwords))
+
   /** Composite quality score in [0,1], Gopher-flavoured: rewards normal
     * token lengths, lexical diversity and some stopword mass; penalizes
     * punctuation soup. Weights are engine policy, not reference semantics.

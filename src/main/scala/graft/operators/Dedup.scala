@@ -36,6 +36,25 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Sorted distinct `xxhash64` values of the word n-grams of a text
+    * column via the fused native [[graft.expressions.ShingleHashes]]
+    * kernel — one JIT'd pass, no intermediate shingle strings. Set-equal
+    * to `array_sort(transform(<items>, xxhash64))` over [[tokenSet]]
+    * (n=1) / [[shingles]] (n>1), which evaluated its lambdas interpreted
+    * per element and dominated the miners' cost at bench. Null text:
+    * null for n=1 (as tokenSet), empty for n>1 (as shingles).
+    * `removeEmpty` drops the "" token a whitespace-only doc produces
+    * (the [[simhashTable]] contract).
+    */
+  def hashedShingleSet(df: DataFrame, text: Column, n: Int,
+                       removeEmpty: Boolean = false): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val raw0 = split(lower(trim(text)), "\\s+")
+    val raw = if (removeEmpty) array_remove(raw0, "") else raw0
+    val k = call_function("shingle_hashes", raw, lit(math.max(1, n)))
+    if (n <= 1) k else coalesce(k, typedlit(Array.empty[Long]))
+  }
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -110,10 +129,9 @@ object Dedup {
                           blockCol: String, threshold: Double,
                           ngram: Int = 1): DataFrame = {
     // ngram > 1 mines word-shingle Jaccard (sequence-sensitive) instead of
-    // token-set Jaccard (bag-of-words)
-    val items = if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)
+    // token-set Jaccard (bag-of-words); hashing is the fused native kernel
     val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_sort(transform(items, t => xxhash64(t))).as("toks"))
+      hashedShingleSet(df, col(textCol), ngram).as("toks"))
     // deliberate materialization point: the class table feeds three plan
     // branches (within-pairs + both sides of the class join); without
     // persist each branch re-runs the scan + groupBy
@@ -209,7 +227,7 @@ object Dedup {
     val withBand = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
       call_function("minhash_signature",
-        transform(tokenSet(col(textCol)), t => xxhash64(t)), lit(numHashes)).as("sig"))
+        hashedShingleSet(df, col(textCol), 1), lit(numHashes)).as("sig"))
       .withColumn("band", explode(lshBands(col("sig"), bands, r)))
       .select(col("id"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
@@ -225,7 +243,7 @@ object Dedup {
     // and the candidate-side shuffle shrinks ~2×. xxhash64 collisions
     // within one pair's union are ~1e-16 — numerically exact.
     val toks = df.select(col(idCol).as("id"),
-      transform(tokenSet(col(textCol)), t => xxhash64(t)).as("toks"))
+      hashedShingleSet(df, col(textCol), 1).as("toks"))
     candidates
       .join(toks.withColumnsRenamed(Map("id" -> "id_a", "toks" -> "ta")), "id_a")
       .join(toks.withColumnsRenamed(Map("id" -> "id_b", "toks" -> "tb")), "id_b")
@@ -250,11 +268,10 @@ object Dedup {
                              ngram: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val items = if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)
     // persist: this class table feeds five plan branches (within-pairs,
     // both band-join sides, and two verification joins)
     val classes = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        array_sort(transform(items, t => xxhash64(t))).as("toks"))
+        hashedShingleSet(df, col(textCol), ngram).as("toks"))
       .groupBy(col("blk"), col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("blk"), col("toks")))
@@ -322,14 +339,13 @@ object Dedup {
     // formulation (no tokens -> no group -> no row). Without the filter
     // the per-row kernel emits sh=0 for every empty/whitespace-only doc,
     // and they all band together as spurious hamming-0 "duplicates".
-    // (split("") yields [""], so strip empty tokens before sizing — a
-    // trimmed non-empty doc never produces one, whitespace-only docs do.)
+    // (removeEmpty strips the "" token a whitespace-only doc yields, so
+    // those docs size to 0 and drop; simhash is order-insensitive, so
+    // the kernel's sorted hashes change nothing.)
     df.select(col(idCol).as("id"),
-        array_remove(tokenSet(col(textCol)), "").as("__toks"))
+        hashedShingleSet(df, col(textCol), 1, removeEmpty = true).as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .select(col("id"),
-        call_function("simhash64",
-          transform(col("__toks"), t => xxhash64(t))).as("sh"))
+      .select(col("id"), call_function("simhash64", col("__toks")).as("sh"))
   }
 
   /** 64-bit SimHash of a token array: bit b of the hash is 1 iff the sum
@@ -381,8 +397,7 @@ object Dedup {
     // (empty/whitespace text) are excluded — same contract as
     // [[simhashTable]]: they'd otherwise form one giant hamming-0 class.
     val classes = df.select(col(idCol).as("id"),
-        array_sort(transform(array_remove(tokenSet(col(textCol)), ""),
-          t => xxhash64(t))).as("toks"))
+        hashedShingleSet(df, col(textCol), 1, removeEmpty = true).as("toks"))
       .filter(size(col("toks")) > 0)
       .groupBy(col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))

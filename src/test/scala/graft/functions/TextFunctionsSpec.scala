@@ -19,6 +19,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double]("the cat sat", t => stopwordRatio(t, Seq("the", "a"))) == 1.0 / 3.0)
   }
 
+  test("tokenStatsNative kernel == declarative stats on real documents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val stop = Seq("the", "a", "and", "of", "to")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      // plus edge shapes the fixture may lack
+      .unionByName(Seq((900001L, ""), (900002L, "  the THE the  "),
+        (900003L, "ünïcode tokens ünïcode")).toDF("doc_id", "text"))
+    import TextFunctions._
+    val got = docs.select(col("doc_id"), tokenStatsNative(col("text"), stop).as("st"))
+      .select(col("doc_id"), col("st.n_tokens"),
+        (col("st.n_unique").cast("double") / col("st.n_tokens")).as("uniq"),
+        (col("st.sum_token_len").cast("double") / col("st.n_tokens")).as("avg_len"),
+        (col("st.n_stopwords").cast("double") / col("st.n_tokens")).as("stop_ratio"))
+    val want = docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+      uniqueTokenRatio(col("text")).as("uniq"),
+      avgTokenLength(col("text")).as("avg_len"),
+      stopwordRatio(col("text"), stop).as("stop_ratio"))
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
   test("BPE-ish tokenization: contractions, digits, punctuation split separately") {
     assert(one[Int]("I don't like 42 apples!", bpeishTokenCount) == 7)
     // I | don | 't | like | 42 | apples | !

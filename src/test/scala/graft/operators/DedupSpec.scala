@@ -89,6 +89,22 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer in hamming space than unrelated doc")
   }
 
+  test("hashedShingleSet kernel == declarative hash pipeline (n = 1, 2, 3)") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, ""), (900002L, "  one  "), (900003L, "a b"),
+        (900004L, "tok tok tok")).toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 3)) {
+      val items = if (n <= 1) Dedup.tokenSet(col("text")) else Dedup.shingles(col("text"), n)
+      val want = df.select(col("doc_id"),
+        array_sort(transform(items, t => xxhash64(t))).as("h"))
+      val got = df.select(col("doc_id"),
+        Dedup.hashedShingleSet(df, col("text"), n).as("h"))
+      assert(rowsOf(got) == rowsOf(want), s"n=$n")
+    }
+  }
+
   test("simhashTable excludes zero-token docs (no spurious hamming-0 band)") {
     import spark.implicits._
     // contract from the original explode+agg formulation: no tokens ->
