@@ -317,7 +317,10 @@ object SparkEntry {
   private def q28AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+    // the at-scale form: single corpus pass + per-partition heaps;
+    // output-identical to lshTopK (same planes, same candidates —
+    // SimilaritySpec asserts row equality), no nTables× row blowup
+    Similarity.lshTopKAtScale(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
         k = 5, dim = 64, nTables = 64, nPlanes = 4)
       .select(col("query_id"), col("neighbour_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
       .orderBy(col("query_id"), col("neighbour_id"))

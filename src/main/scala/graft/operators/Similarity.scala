@@ -358,6 +358,85 @@ object Similarity {
       .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
   }
 
+  /** [[lshTopK]] at corpus scale: identical candidate semantics (same
+    * bucket in ANY of `nTables` tables, same planes for the same seed —
+    * so the OUTPUT is identical row-for-row), radically different plan.
+    * [[lshTopK]] explodes the corpus nTables× with full vector payloads
+    * through a shuffle join + dropDuplicates + window; at 100 TB that is
+    * nTables copies of the corpus through the wire for a bounded query
+    * batch. Here the query batch (bounded by contract, like
+    * [[bruteForceTopKAtScale]]) broadcasts with PRECOMPUTED per-table
+    * buckets; the corpus is scanned ONCE, each row's buckets are computed
+    * in-loop (nTables·nPlanes·dim JIT'd multiply-adds), matched against
+    * every query bitwise, and survivors go straight into per-(query,
+    * partition) k-heaps — only k·|Q|·numPartitions rows ever leave the
+    * scan, and nothing is ever row-amplified.
+    */
+  def lshTopKAtScale(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, dim: Int, nTables: Int = 16,
+                     nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    def bucketsOf(v: Array[Float]): Array[Int] = planes.map { table =>
+      var bucket = 0
+      var p = 0
+      while (p < table.length) {
+        val plane = table(p)
+        var s = 0.0; var i = 0
+        while (i < plane.length) { s += v(i) * plane(i); i += 1 }
+        if (s > 0) bucket |= 1 << p
+        p += 1
+      }
+      bucket
+    }
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .filter(_._2.length == dim)
+      .map { case (qid, qv) => (qid, qv, bucketsOf(qv), normF(qv)) }
+    val qb = spark.sparkContext.broadcast(qRows)
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val heapOrd = Ordering.by[(Double, Long), (Double, Long)] {
+          case (sim, id) => (-sim, id)
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapOrd))
+        it.foreach { case (cid, cvec) =>
+          if (cvec.length == dim) {
+            val cb = bucketsOf(cvec)
+            val cn = normF(cvec)
+            var i = 0
+            while (i < qs.length) {
+              val (qid, qvec, qbk, qn) = qs(i)
+              if (qid != cid) {
+                var t = 0; var hit = false
+                while (t < cb.length && !hit) { hit = cb(t) == qbk(t); t += 1 }
+                if (hit) {
+                  val sim = dotF(qvec, cvec) / (qn * cn)
+                  val h = heaps(i)
+                  if (h.size < k) h.enqueue((sim, cid))
+                  else if (heapOrd.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (sim, cid) => (qs(i)._1, cid, sim) }
+        }
+      }
+      .toDF("query_id", "neighbour_id", "cosine_sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)
+    partial.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (a small table id → vec; ids cast to long), so downstream
     * searches probe only matching cells. The centroid table would come

@@ -64,6 +64,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall@5 too low at default params: $recall")
   }
 
+  test("lshTopKAtScale == lshTopK row-for-row (same planes, same candidates)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    for ((nt, np) <- Seq((16, 6), (64, 4))) {
+      val joined = Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, dim = 64, nTables = nt, nPlanes = np)
+      val scanned = Similarity.lshTopKAtScale(queries, emb,
+        "vec_id", "embedding", k = 5, dim = 64, nTables = nt, nPlanes = np)
+      // compare on ids; sims are computed by different kernels (expression
+      // vs closure) but from identical float inputs — compare rounded
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        rowsOf(df.select(col("query_id"), col("neighbour_id"),
+          round(col("cosine_sim"), 9)))
+      assert(keyed(scanned) == keyed(joined), s"tables=$nt planes=$np")
+    }
+  }
+
   test("ivfAssign puts every vector in its nearest centroid cell") {
     import spark.implicits._
     val centroids = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 1.0f, 0.0f)))
