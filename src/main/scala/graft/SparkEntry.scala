@@ -612,6 +612,97 @@ object SparkEntry {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  /** Connected-components closure over near-dup pairs → dedup clusters
+    * with canonical keep-ids: the step that turns PAIR mining into an
+    * actually deduplicated corpus (near-dup is not transitive; dedup
+    * policy closes it). Label propagation — one keyed aggregation per
+    * round, no driver-side graph; the DuckDB oracle recomputes the
+    * closure with a recursive CTE over the same brute-force pair set.
+    */
+  private def q49DedupComponents(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupClustersClassed(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 0.8)
+      .select(col("keep_id"), col("cluster_size"),
+        element_at(col("member_ids"), -1).as("max_member"))
+      .orderBy(col("keep_id"))
+
+  /** Overlapping token-window chunking (size 32, stride 16) — context-
+    * window preparation for embedding/RAG pipelines. Pure map-side
+    * generator; chunk text is md5'd in the output so the compare stays
+    * narrow (DuckDB md5 = Spark md5 on identical strings).
+    */
+  private def q50ChunkDocuments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunkTokens(
+        t(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id", "text", 32, 16)
+      .select(col("doc_id"), col("chunk_id"),
+        md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Bloom-prefiltered fact⨝dim join: the fact side is cut down by a
+    * broadcast bloom over the filtered dim keys BEFORE the join shuffle;
+    * false positives die in the exact join, so the oracle is the PLAIN
+    * join — byte-identical results prove the prefilter is sound.
+    */
+  private def q51BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    graft.operators.PrefilterJoin.bloomJoin(fact, dim, "l_orderkey", "o_orderkey",
+        expectedItems = 200000L)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("yr"))
+  }
+
+  /** Sketch-based approximate count-distinct with an accuracy contract:
+    * the output CLAIMS |approx − exact| ≤ 3% per group at rsd = 1%
+    * (3 standard errors; HLL++ is deterministic for fixed input, so the
+    * claim is stable round to round), and the oracle — which recomputes
+    * the exact counts and expects approx_ok = true — fails the round if
+    * the sketch ever strays. Exact distinct shuffles every key; the
+    * sketch is the 100 TB path (constant memory per group, mergeable
+    * partials).
+    */
+  private def q52ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // exact and sketch in SEPARATE aggregations, joined on the (tiny)
+    // group keys: combining countDistinct with a low-rsd HLL in one agg
+    // makes the distinct-rewrite Expand drag the sketch's ~2^17-register
+    // fixed-width buffer through a sort-based aggregate per expanded row
+    // (measured 24.7 s vs 1.4 s split at sf0.1)
+    val li = t(s, dir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("__approx"))
+    exact.join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.03)
+          .as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** CDC latest-wins merge with tombstones: the events table split into
+    * a base snapshot (even ids) and a changelog (odd ids), folded back
+    * with [[graft.operators.Merge.applyChangelog]] — a user whose LATEST
+    * event is an error is tombstoned out. One shuffle; deterministic
+    * tie-break mirrored in the oracle's window.
+    */
+  private def q53CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val merged = graft.operators.Merge.applyChangelog(
+      ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1),
+      keys = Seq("user_id"), versionCol = "ts", tieBreak = "event_id",
+      opCol = "event_type", deleteOp = "error")
+    merged.select(col("user_id"),
+        expr("ts div 1000").as("last_ts_us"),
+        round(col("value"), 4).as("last_value"),
+        col("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -661,7 +752,12 @@ object SparkEntry {
     "q45_hash_split" -> (q45HashSplit _),
     "q46_pii_scrub" -> (q46PiiScrub _),
     "q47_salted_join" -> (q47SaltedJoin _),
-    "q48_interval_join" -> (q48IntervalJoin _))
+    "q48_interval_join" -> (q48IntervalJoin _),
+    "q49_dedup_components" -> (q49DedupComponents _),
+    "q50_chunk_documents" -> (q50ChunkDocuments _),
+    "q51_bloom_join" -> (q51BloomJoin _),
+    "q52_approx_distinct" -> (q52ApproxDistinct _),
+    "q53_cdc_merge" -> (q53CdcMerge _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1075,21 +1171,78 @@ object SparkEntry {
         |  ON p.user_id = v.user_id
         | AND v.ts <= p.ts
         | AND v.ts >= p.ts - INTERVAL 30 MINUTE
-        |ORDER BY purchase_id, view_id""".stripMargin)
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    // q49: the same brute-force pair set at 0.8, closed into connected
+    // components with a recursive CTE (min reachable id per node = the
+    // canonical keep id the engine's label propagation converges to)
+    "q49_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsSql("0.8")}),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT component AS keep_id, count(*) AS cluster_size, max(id) AS max_member
+         |FROM comp GROUP BY component ORDER BY keep_id""".stripMargin,
+    "q50_chunk_documents" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks
+        | FROM documents WHERE doc_id < 2000),
+        |st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS s FROM d)
+        |SELECT doc_id, s // 16 AS chunk_id,
+        | md5(array_to_string(toks[(s+1):(s+32)], ' ')) AS chunk_md5,
+        | CAST(len(toks[(s+1):(s+32)]) AS BIGINT) AS n_tokens
+        |FROM st
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // q51: the oracle is the PLAIN join — bloom false positives must be
+    // invisible in the result
+    "q51_bloom_join" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q52: the oracle recomputes the exact counts and expects the 5%
+    // accuracy claim to hold (approx_ok literally true per group)
+    "q52_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q53_cdc_merge" ->
+      """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+        | round(value, 4) AS last_value, event_type AS last_type
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
     */
+  /** Brute-force token-set Jaccard pairs within lang blocks at a given
+    * threshold — the shared subquery behind the q23/q24 oracle and the
+    * q49 connected-components oracle.
+    */
+  private def jaccardPairsSql(threshold: String): String =
+    s"""SELECT id_a, id_b, shared * 1.0 / (na + nb - shared) AS jaccard
+       |FROM (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       | FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token FROM documents) a
+       | JOIN (SELECT doc_id, lang, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token FROM documents) b
+       |   ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2) p
+       |JOIN (SELECT doc_id, len(list_distinct(string_split(lower(trim(text)), ' '))) AS na FROM documents) sa ON p.id_a = sa.doc_id
+       |JOIN (SELECT doc_id, len(list_distinct(string_split(lower(trim(text)), ' '))) AS nb FROM documents) sb ON p.id_b = sb.doc_id
+       |WHERE shared * 1.0 / (na + nb - shared) >= $threshold""".stripMargin
+
   private val jaccardOracle: String =
-    """SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
-      |FROM (
-      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      | FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token FROM documents) a
-      | JOIN (SELECT doc_id, lang, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token FROM documents) b
-      |   ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
-      | GROUP BY 1, 2) p
-      |JOIN (SELECT doc_id, len(list_distinct(string_split(lower(trim(text)), ' '))) AS na FROM documents) sa ON p.id_a = sa.doc_id
-      |JOIN (SELECT doc_id, len(list_distinct(string_split(lower(trim(text)), ' '))) AS nb FROM documents) sb ON p.id_b = sb.doc_id
-      |WHERE shared * 1.0 / (na + nb - shared) >= 0.95
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+       |FROM (${jaccardPairsSql("0.95")}) pairs
+       |ORDER BY id_a, id_b""".stripMargin
 }

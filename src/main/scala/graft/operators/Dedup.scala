@@ -125,9 +125,15 @@ object Dedup {
     * with a within-block class self-join on hashed-long token arrays.
     * Output contract identical to [[jaccardPairs]].
     */
-  def jaccardPairsClassed(df: DataFrame, idCol: String, textCol: String,
-                          blockCol: String, threshold: Double,
-                          ngram: Int = 1): DataFrame = {
+  /** Shared core of the classed Jaccard family: the persisted
+    * token-set-equivalence class table and the verified CLASS-level
+    * qualifying pairs (no doc expansion). Returns (classes, classPairs)
+    * where classes = (blk, toks, ids, cls) and classPairs =
+    * (cls_a, cls_b, ids_a, ids_b, jaccard).
+    */
+  private def classedJaccardCore(df: DataFrame, idCol: String, textCol: String,
+                                 blockCol: String, threshold: Double,
+                                 ngram: Int): (DataFrame, DataFrame) = {
     // ngram > 1 mines word-shingle Jaccard (sequence-sensitive) instead of
     // token-set Jaccard (bag-of-words); hashing is the fused native kernel
     val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -142,14 +148,6 @@ object Dedup {
       .persist()
     graft.Caches.track(classes)
 
-    // within-class doc pairs: jaccard 1.0
-    val within = classes
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", lit(1.0))
-
     // cross-class pairs: all-pairs within block over class reps (bounded by
     // distinct-content count, not corpus size), jaccard on long arrays.
     // Join strategy is left to AQE's runtime size statistics: a small class
@@ -161,7 +159,7 @@ object Dedup {
     // corpora prefer [[minhashDupPairsClassed]] outright: all-pairs over
     // class reps is quadratic regardless of join strategy.)
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val crossCls = classes.as("a").join(classes.as("b"),
+    val classPairs = classes.as("a").join(classes.as("b"),
         col("a.blk") === col("b.blk") && col("a.cls") < col("b.cls"))
       // toks are sorted+distinct by construction → native O(n+m) merge
       // intersect (codegen) instead of array_intersect's per-pair hash set
@@ -170,14 +168,61 @@ object Dedup {
       .withColumn("jaccard", col("__inter").cast("double") /
         (size(col("a.toks")) + size(col("b.toks")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
-    val cross = crossCls
+      .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"),
+        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
+    (classes, classPairs)
+  }
+
+  def jaccardPairsClassed(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, threshold: Double,
+                          ngram: Int = 1): DataFrame = {
+    val (classes, classPairs) = classedJaccardCore(df, idCol, textCol, blockCol, threshold, ngram)
+
+    // within-class doc pairs: jaccard 1.0
+    val within = classes
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+
+    val cross = classPairs
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
 
     within.select("id_a", "id_b", "jaccard").unionByName(cross)
+  }
+
+  /** Near-dup clusters end-to-end, entirely on the CLASS graph: mine
+    * qualifying class pairs, close them into connected components
+    * ([[Components.connectedComponents]]), and only THEN expand to
+    * documents. Output contract matches
+    * `Components.dedupClusters(jaccardPairsClassed(...))` exactly
+    * (DedupSpec asserts it) — but never materializes doc-level pairs,
+    * which are quadratic in cluster size: at sf0.1 the doc-pair route
+    * builds 759k pairs from 5k docs before collapsing them back into a
+    * few hundred clusters; this route closes a ~|distinct-content| node
+    * graph instead. Only clusters with ≥ 2 documents are emitted (a
+    * singleton class with no qualifying neighbour is not a duplicate of
+    * anything).
+    */
+  def dedupClustersClassed(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String, threshold: Double,
+                           ngram: Int = 1): DataFrame = {
+    val (classes, classPairs) = classedJaccardCore(df, idCol, textCol, blockCol, threshold, ngram)
+    val comp = Components.connectedComponents(
+      classPairs.select(col("cls_a"), col("cls_b")), "cls_a", "cls_b",
+      allIds = classes.select(col("cls")), idCol = "cls")
+    classes.join(comp, classes("cls") === comp("id"))
+      .select(col("component"), explode(col("ids")).as("doc_id"))
+      .groupBy(col("component"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        sort_array(collect_list(col("doc_id"))).as("member_ids"),
+        count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+      .select(col("keep_id"), col("member_ids"), col("cluster_size"))
   }
 
   // ------------------------------------------------------------------

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpec {
+
+  test("chunks cover every token; overlap equals size - stride") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = Chunking.chunkTokens(df, "doc_id", "text", 32, 16)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    // starts at 0,16,...,96 -> 7 chunks; each carries min(32, 100-start)
+    assert(rows.length == 7)
+    assert(rows.zipWithIndex.forall { case ((_, _, n), i) =>
+      n == math.min(32, 100 - i * 16)
+    })
+    // consecutive chunks overlap by 16 tokens
+    val c0 = rows(0)._2.split(" ")
+    val c1 = rows(1)._2.split(" ")
+    assert(c0.drop(16).toSeq == c1.take(16).toSeq)
+    // concatenating the non-overlapped prefixes reconstructs the doc
+    val rebuilt = rows.init.flatMap(_._2.split(" ").take(16)) ++ rows.last._2.split(" ")
+    assert(rebuilt.mkString(" ") == text)
+  }
+
+  test("short and empty docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val rows = Chunking.chunkTokens(df, "doc_id", "text", 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 0L, "a b c"), (2L, 0L, "solo")))
+  }
+
+  test("chunking is map-side: no Exchange in the plan") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val chunked = Chunking.chunkTokens(df, "doc_id", "text", 4, 2)
+    chunked.collect()
+    assert(!chunked.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}

@@ -105,6 +105,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupClustersClassed == components over doc-level pairs") {
+    val pairs = Dedup.jaccardPairsClassed(docs, "doc_id", "text", "lang", 0.5)
+    val viaDocs = Components.dedupClusters(pairs, "id_a", "id_b")
+    val viaClasses = Dedup.dedupClustersClassed(docs, "doc_id", "text", "lang", 0.5)
+    assert(rowsOf(viaClasses) == rowsOf(viaDocs))
+    assert(viaClasses.count() > 0)
+    // and on real documents
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rp = Dedup.jaccardPairsClassed(real, "doc_id", "text", "lang", 0.8)
+    assert(rowsOf(Dedup.dedupClustersClassed(real, "doc_id", "text", "lang", 0.8))
+      == rowsOf(Components.dedupClusters(rp, "id_a", "id_b")))
+    graft.Caches.unpersistAll()
+  }
+
   test("simhashTable excludes zero-token docs (no spurious hamming-0 band)") {
     import spark.implicits._
     // contract from the original explode+agg formulation: no tokens ->
