@@ -78,6 +78,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q51 bloom join: the fact-side prefilter sits BELOW the join") {
+    val df = SparkEntry.queries("q51_bloom_join")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    // the bloom UDF filter must apply on the scan side, before any
+    // exchange/join — if it floats above the join it filters nothing
+    val filterIdx = p.indexOf("Filter")
+    val joinIdx = math.max(p.indexOf("HashJoin"), p.indexOf("SortMergeJoin"))
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"prefilter should appear under the join in the plan tree:\n$p")
+  }
+
+  test("q53 cdc merge: exactly one key shuffle for the window, hash-partitioned") {
+    val df = SparkEntry.queries("q53_cdc_merge")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    // union is free; the merge itself is one hashpartitioning exchange
+    // (+ the query's own output sort)
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"merge should shuffle once on the key:\n$p")
+    assert(!p.contains("SinglePartition") || p.contains("rangepartitioning"), p)
+  }
+
   test("q01 aggregate: partial then final hash aggregation (map-side combine)") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
