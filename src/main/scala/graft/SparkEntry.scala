@@ -703,6 +703,20 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Z-order (Morton) clustering key: the data-layout primitive behind
+    * two-column data skipping. The engine computes the interleave with a
+    * pure codegen'd bit expression; the oracle recomputes it from SQL
+    * GENERATED BY THE SAME LOOP ([[graft.operators.Layout.zValue2Sql]]),
+    * so engine and oracle agree bit-for-bit on every row.
+    */
+  private def q54Zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 3000)
+      .select((col("l_orderkey") % 4096).cast("long").as("x"),
+        (col("l_partkey") % 4096).cast("long").as("y"))
+      .withColumn("z", graft.operators.Layout.zValue2(col("x"), col("y"), 12))
+      .orderBy(col("z"), col("x"), col("y"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -757,7 +771,8 @@ object SparkEntry {
     "q50_chunk_documents" -> (q50ChunkDocuments _),
     "q51_bloom_join" -> (q51BloomJoin _),
     "q52_approx_distinct" -> (q52ApproxDistinct _),
-    "q53_cdc_merge" -> (q53CdcMerge _))
+    "q53_cdc_merge" -> (q53CdcMerge _),
+    "q54_zorder" -> (q54Zorder _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1220,7 +1235,14 @@ object SparkEntry {
         |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    // q54: the oracle's interleave expression is GENERATED from the same
+    // loop as the engine's Column expression — one formula, two engines
+    "q54_zorder" ->
+      s"""SELECT x, y, ${graft.operators.Layout.zValue2Sql("x", "y", 12)} AS z
+         |FROM (SELECT l_orderkey % 4096 AS x, l_partkey % 4096 AS y
+         |      FROM lineitem WHERE l_orderkey < 3000) t
+         |ORDER BY z, x, y""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -15,28 +15,27 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    import graft.operators.{Components, Dedup}
-    time("warm")(docs.select("doc_id","text","lang").write.format("noop").mode("overwrite").save())
-    // rebuild the core pieces inline to count them
+    import graft.operators.Dedup
+    time("q24 cold")(graft.Caches.withScope { noop(graft.SparkEntry.queries("q24_minhash_lsh")(spark, dir)) })
+    time("q24 warm")(graft.Caches.withScope { noop(graft.SparkEntry.queries("q24_minhash_lsh")(spark, dir)) })
+    // pieces
     val toks = docs.select(col("doc_id").as("id"), col("lang").as("blk"),
       Dedup.hashedShingleSet(docs, col("text"), 1).as("toks"))
     val classes = toks.groupBy(col("blk"), col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cls", xxhash64(col("blk"), col("toks"))).persist()
-    println("[scratch] classes: " + time("classes")(classes.count()))
-    val cp = classes.as("a").join(classes.as("b"),
-        col("a.blk") === col("b.blk") && col("a.cls") < col("b.cls"))
-      .withColumn("__inter", call_function("sorted_intersect_size", col("a.toks"), col("b.toks")))
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (size(col("a.toks")) + size(col("b.toks")) - col("__inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b")).persist()
-    println("[scratch] class pairs: " + time("mine class pairs")(cp.count()))
-    val comp = time("components")(graft.Caches.withScope {
-      val c = Components.connectedComponents(cp, "cls_a", "cls_b",
-        allIds = classes.select(col("cls")), idCol = "cls").persist()
-      println("[scratch] labeled nodes: " + c.count()); c })
+    time("classes")(classes.count())
+    val sig = call_function("minhash_signature", col("toks"), lit(32))
+    val banded = classes.withColumn("band", explode(Dedup.lshBands(sig, 16, 2)))
+      .select(col("cls"), col("blk"), col("band.band_idx").as("bi"), col("band.band_hash").as("bh"))
+    time("banded")(noop(banded))
+    val cand = banded.as("a").join(banded.as("b"),
+      col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
+      col("a.blk") === col("b.blk") && col("a.cls") < col("b.cls"))
+      .select(col("a.cls").as("ca"), col("b.cls").as("cb")).dropDuplicates("ca","cb").persist()
+    println("[scratch] candidates: " + time("candidates")(cand.count()))
     spark.stop()
   }
 }

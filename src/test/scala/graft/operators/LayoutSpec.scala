@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  private def z(x: Long, y: Long, bits: Int = 16): Long = {
+    import spark.implicits._
+    Seq((x, y)).toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), bits)).collect()(0).getLong(0)
+  }
+
+  test("zValue2: exact interleave on known cases") {
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 1L)          // x bit 0 -> position 0
+    assert(z(0, 1) == 2L)          // y bit 0 -> position 1
+    assert(z(3, 0) == 5L)          // 0b11 -> 0b0101
+    assert(z(0, 3) == 10L)         // 0b11 -> 0b1010
+    assert(z(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+    // masking: out-of-range wraps instead of corrupting the interleave
+    assert(z(0x10001, 0, 16) == 1L)
+  }
+
+  test("zValue2 round-trips: de-interleaving recovers (x, y)") {
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val x = rng.nextInt(1 << 16).toLong
+      val y = rng.nextInt(1 << 16).toLong
+      val zv = z(x, y)
+      var (rx, ry) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        rx |= ((zv >> (2 * i)) & 1L) << i
+        ry |= ((zv >> (2 * i + 1)) & 1L) << i
+      }
+      assert(rx == x && ry == y, s"($x,$y) -> $zv -> ($rx,$ry)")
+    }
+  }
+
+  test("zorderBy clusters BOTH dimensions: per-partition envelopes are tiles") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val pts = (1 to 20000).map(_ => (rng.nextInt(1 << 12).toLong, rng.nextInt(1 << 12).toLong))
+    val df = pts.toDF("x", "y")
+    val parts = Layout.zorderBy(df, "x", "y", bits = 12, numPartitions = 16)
+      .mapPartitions { it =>
+        val rows = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (rows.isEmpty) Iterator.empty
+        else Iterator.single((rows.map(_._1).min, rows.map(_._1).max,
+          rows.map(_._2).min, rows.map(_._2).max, rows.size))
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt))
+      .collect()
+    // a plain sort on x gives every partition a FULL-range y envelope
+    // (~4096); Z-order must bound the AVERAGE envelope on both axes well
+    // below that — the data-skipping win this layout exists for
+    val full = (1 << 12).toDouble
+    val avgX = parts.map(p => (p._2 - p._1).toDouble).sum / parts.length
+    val avgY = parts.map(p => (p._4 - p._3).toDouble).sum / parts.length
+    assert(avgX < full * 0.8 && avgY < full * 0.8,
+      s"z-order should tile both axes: avgX=$avgX avgY=$avgY of $full")
+    assert(avgX + avgY < full * 1.2,
+      s"combined envelope should beat single-axis sort: $avgX + $avgY")
+  }
+
+  test("engine and generated-SQL formulas agree (the q54 oracle contract)") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i * 7 % 300, i * 13 % 300)).toDF("x", "y")
+    df.createOrReplaceTempView("pts")
+    val viaSql = spark.sql(
+      s"SELECT x, y, ${Layout.zValue2Sql("x", "y", 12)} AS z FROM pts")
+    val viaCol = df.select(col("x"), col("y"),
+      Layout.zValue2(col("x"), col("y"), 12).as("z"))
+    assert(rowsOf(viaSql) == rowsOf(viaCol))
+  }
+}
