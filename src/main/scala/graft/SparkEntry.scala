@@ -717,6 +717,48 @@ object SparkEntry {
       .withColumn("z", graft.operators.Layout.zValue2(col("x"), col("y"), 12))
       .orderBy(col("z"), col("x"), col("y"))
 
+  /** Unicode NFC canonicalization — decomposed sequences (e + combining
+    * acute) and precomposed characters (é) must dedup/fingerprint as the
+    * SAME text. Deterministic decomposed-unicode injection makes the
+    * normalization itself the thing under test; DuckDB's nfc_normalize
+    * implements the identical Unicode algorithm, so the md5s must match.
+    * n_composed counts compositions (char-length delta).
+    */
+  private def q55NormalizeNfc(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" cafe\u0301 u\u0308ni A\u030A end")).as("injected"))
+    injected.select(col("doc_id"),
+        md5(call_function("normalize_nfc", col("injected"))).as("norm_md5"),
+        (length(col("injected")) - length(call_function("normalize_nfc", col("injected"))))
+          .cast("long").as("n_composed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sketch-based quantiles with an accuracy contract, same gate shape
+    * as q52: the output CLAIMS the approx p50/p95 are within 1% relative
+    * of the exact interpolated percentiles per group, and the oracle
+    * recomputes the exact values (quantile_cont — the same definition as
+    * Spark's `percentile`) and expects both claims true. The sketch
+    * (mergeable KLL-style, bounded memory) is the 100 TB path; exact
+    * percentile shuffles every value.
+    */
+  private def q56ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("__a50"),
+        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("__a95"))
+      .select(col("l_returnflag"),
+        round(col("p50_exact"), 2).as("p50_exact"),
+        round(col("p95_exact"), 2).as("p95_exact"),
+        (abs(col("__a50") - col("p50_exact")) / col("p50_exact") <= 0.01).as("p50_ok"),
+        (abs(col("__a95") - col("p95_exact")) / col("p95_exact") <= 0.01).as("p95_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -772,7 +814,9 @@ object SparkEntry {
     "q51_bloom_join" -> (q51BloomJoin _),
     "q52_approx_distinct" -> (q52ApproxDistinct _),
     "q53_cdc_merge" -> (q53CdcMerge _),
-    "q54_zorder" -> (q54Zorder _))
+    "q54_zorder" -> (q54Zorder _),
+    "q55_normalize_nfc" -> (q55NormalizeNfc _),
+    "q56_approx_quantiles" -> (q56ApproxQuantiles _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1242,7 +1286,25 @@ object SparkEntry {
       s"""SELECT x, y, ${graft.operators.Layout.zValue2Sql("x", "y", 12)} AS z
          |FROM (SELECT l_orderkey % 4096 AS x, l_partkey % 4096 AS y
          |      FROM lineitem WHERE l_orderkey < 3000) t
-         |ORDER BY z, x, y""".stripMargin)
+         |ORDER BY z, x, y""".stripMargin,
+    // q55: chr(769/776/778) = the combining marks injected engine-side;
+    // nfc_normalize implements the same Unicode NFC algorithm as the
+    // JDK Normalizer the engine wraps
+    "q55_normalize_nfc" ->
+      """SELECT doc_id, md5(nfc_normalize(injected)) AS norm_md5,
+        | CAST(length(injected) - length(nfc_normalize(injected)) AS BIGINT) AS n_composed
+        |FROM (SELECT doc_id,
+        |        text || ' cafe' || chr(769) || ' u' || chr(776) || 'ni A' || chr(778) || ' end' AS injected
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // q56: quantile_cont = Spark's interpolated `percentile`; the oracle
+    // recomputes the exact values and expects both accuracy claims true
+    "q56_approx_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        | round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+        | TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

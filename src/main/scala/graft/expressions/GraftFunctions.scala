@@ -47,6 +47,12 @@ object GraftFunctions {
         require(children.length == 2, "shingle_hashes takes exactly 2 arguments")
         ShingleHashes(children.head, children(1))
       }),
+    (FunctionIdentifier("normalize_nfc"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "normalize_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "normalize_nfc takes exactly 1 argument")
+        NormalizeNfc(children.head)
+      }),
     (FunctionIdentifier("text_array_stats"),
       new ExpressionInfo(classOf[TextArrayStats].getName, "text_array_stats"),
       (children: Seq[Expression]) => {

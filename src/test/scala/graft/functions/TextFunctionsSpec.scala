@@ -42,6 +42,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rowsOf(got) == rowsOf(want))
   }
 
+  test("normalize_nfc: composes decomposed sequences; idempotent; null-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq(
+      ("café", "café"),          // e + combining acute -> é
+      ("Ångström", "Ångström"),
+      ("plain ascii", "plain ascii"),
+      ("é already composed", "é already composed"))
+      .toDF("raw", "want")
+    val got = df.select(call_function("normalize_nfc", col("raw")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // idempotent
+    val twice = df.select(call_function("normalize_nfc",
+      call_function("normalize_nfc", col("raw"))).as("g"), col("want")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("raw")
+      .select(call_function("normalize_nfc", col("raw"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("BPE-ish tokenization: contractions, digits, punctuation split separately") {
     assert(one[Int]("I don't like 42 apples!", bpeishTokenCount) == 7)
     // I | don | 't | like | 42 | apples | !
