@@ -759,6 +759,64 @@ object SparkEntry {
         (abs(col("__a95") - col("p95_exact")) / col("p95_exact") <= 0.01).as("p95_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** BM25 relevance over the documents corpus for a fixed term bag — the
+    * ranking primitive for query-targeted corpus extraction. The heavy
+    * side (per-doc tf) is pruned to query terms before any shuffle;
+    * document frequency and corpus stats are broadcast (see
+    * [[graft.operators.Scoring]] for the 100 TB shape). The oracle
+    * recomputes the identical formula in SQL — idf, length norm and all.
+    */
+  private def q57Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scoring.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream", "window"))
+      .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"))
+
+  /** Symmetric int8 embedding quantization report — the 4× compression
+    * pass before a vector corpus enters an ANN index. Pure map-side array
+    * expressions (no UDF, no shuffle); the codes are pinned by (sum, L1)
+    * and the dequantization error bound is part of the output contract.
+    */
+  private def q58QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.quantizeReport(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        col("q_sum"), col("q_l1"), round(col("max_err"), 6).as("max_err"))
+      .orderBy(col("vec_id"))
+
+  /** Concat-then-split context-window packing (budget 512) over the
+    * documents corpus in doc_id order — the LLM pretraining batcher. The
+    * global token prefix sum uses the two-phase scan, NOT a single-
+    * partition window ([[graft.operators.Packing]]); the oracle computes
+    * the same offsets with a windowed SUM (fine at oracle scale).
+    */
+  private def q59PackConcat(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packConcat(t(s, dir, "documents"), "doc_id", "text", 512)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"), col("bin"),
+        col("bins_spanned"))
+      .orderBy(col("doc_id"))
+
+  /** Train/test contamination audit: near-dup pairs (MinHash-LSH classed
+    * miner — the 100 TB path, recall-verified by q24) that STRADDLE the
+    * deterministic hash split of q45 — the leakage check every training
+    * pipeline needs before shipping an eval set. The oracle recomputes
+    * the brute-force Jaccard pair set and the split labels independently.
+    */
+  private def q60Contamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Sampling}
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashDupPairsClassed(docs, "doc_id", "text", "lang", 0.95)
+    val splits = docs.select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    pairs
+      .join(splits.withColumnsRenamed(Map("doc_id" -> "id_a", "split" -> "split_a")), "id_a")
+      .join(splits.withColumnsRenamed(Map("doc_id" -> "id_b", "split" -> "split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -816,7 +874,11 @@ object SparkEntry {
     "q53_cdc_merge" -> (q53CdcMerge _),
     "q54_zorder" -> (q54Zorder _),
     "q55_normalize_nfc" -> (q55NormalizeNfc _),
-    "q56_approx_quantiles" -> (q56ApproxQuantiles _))
+    "q56_approx_quantiles" -> (q56ApproxQuantiles _),
+    "q57_bm25" -> (q57Bm25 _),
+    "q58_quantize_int8" -> (q58QuantizeInt8 _),
+    "q59_pack_concat" -> (q59PackConcat _),
+    "q60_contamination" -> (q60Contamination _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1304,7 +1366,73 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
         | round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
         | TRUE AS p50_ok, TRUE AS p95_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q57: the full BM25 formula restated independently — Lucene-style
+    // idf ln(1+(N-n+0.5)/(n+0.5)), k1=1.2, b=0.75 length norm
+    "q57_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+        |  WHERE token IN ('vector', 'stream', 'window')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS nt FROM tf GROUP BY token)
+        |SELECT tf.doc_id, count(*) AS n_matched,
+        | round(sum(ln(1 + (stats.n_docs - dfreq.nt + 0.5) / (dfreq.nt + 0.5))
+        |   * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))), 6) AS score
+        |FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+        |CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY tf.doc_id""".stripMargin,
+    // q58: per-element recompute via unnest — scale, int8 codes
+    // (round half away from zero in both engines), error bound
+    "q58_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM v GROUP BY vec_id),
+        |q AS (SELECT v.vec_id, s.scale, x,
+        |        CASE WHEN s.scale = 0 THEN 0
+        |             ELSE CAST(round(x / s.scale) AS INTEGER) END AS qi
+        |      FROM v JOIN s USING (vec_id))
+        |SELECT vec_id, round(any_value(scale), 6) AS scale,
+        | CAST(sum(qi) AS BIGINT) AS q_sum,
+        | CAST(sum(abs(qi)) AS BIGINT) AS q_l1,
+        | round(max(abs(qi * scale - x)), 6) AS max_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q59: the oracle uses the windowed-SUM form of the same prefix sum
+    // (single-partition is fine at oracle scale; the engine's two-phase
+    // scan must agree row for row)
+    "q59_pack_concat" ->
+      """SELECT doc_id, n_tokens, start_off,
+        | CAST(start_off // 512 AS BIGINT) AS bin,
+        | CAST(CASE WHEN n_tokens = 0 THEN 1
+        |      ELSE (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 END AS BIGINT) AS bins_spanned
+        |FROM (
+        | SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        | FROM (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents) t) o
+        |ORDER BY doc_id""".stripMargin,
+    // q60: brute-force Jaccard pairs × independently recomputed split
+    // labels; only straddling pairs survive
+    "q60_contamination" ->
+      s"""WITH splits AS (
+         | SELECT doc_id,
+         |  CASE WHEN b < 8000 THEN 'train'
+         |       WHEN b < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+         |       FROM documents) t)
+         |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+         | round(p.jaccard, 6) AS jaccard
+         |FROM (${jaccardPairsSql("0.95")}) p
+         |JOIN splits sa ON p.id_a = sa.doc_id
+         |JOIN splits sb ON p.id_b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |ORDER BY p.id_a, p.id_b""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
