@@ -58,6 +58,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "text_array_stats takes exactly 2 arguments")
         TextArrayStats(children.head, children(1))
+      }),
+    (FunctionIdentifier("quantize_int8_stats"),
+      new ExpressionInfo(classOf[QuantizeInt8Stats].getName, "quantize_int8_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "quantize_int8_stats takes exactly 1 argument")
+        QuantizeInt8Stats(children.head)
       }))
 
   /** Idempotent runtime registration into the session's function registry. */

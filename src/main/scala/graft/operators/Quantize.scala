@@ -45,15 +45,35 @@ object Quantize {
   /** Quantization report: (id, scale, q_sum, q_l1, max_err) — the codes
     * reduced to portable scalars (sum + L1 norm pin every element's value
     * tightly enough for an engine-vs-oracle hash compare without shipping
-    * the int array through a string format).
+    * the int array through a string format). Runs on the fused native
+    * kernel ([[graft.expressions.QuantizeInt8Stats]]): one JIT'd scan
+    * instead of 4 interpreted higher-order lambdas that each re-evaluate
+    * the embedded `array_max` scale per element. QuantizeSpec pins
+    * kernel ≡ declarative on random vectors.
     */
   def quantizeReport(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol)
-    val q = quantizeInt8(v)
-    df.select(col(idCol),
-      absmaxScale(v).as("scale"),
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), call_function("quantize_int8_stats", col(vecCol)).as("__q"))
+      .select(col(idCol), col("__q.scale").as("scale"), col("__q.q_sum").as("q_sum"),
+        col("__q.q_l1").as("q_l1"), col("__q.max_err").as("max_err"))
+  }
+
+  /** The declarative form of [[quantizeReport]] — higher-order Column
+    * expressions only, kept as the kernel's executable specification
+    * (and the portable fallback for a session that can't register
+    * functions). The scale is staged as a projected column so it is
+    * computed once per row, not once per element inside each lambda.
+    */
+  def quantizeReportDeclarative(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val staged = df.select(col(idCol), asDouble(col(vecCol)).as("__v"),
+      absmaxScale(col(vecCol)).as("scale"))
+    val s = col("scale")
+    val q = transform(col("__v"), x =>
+      when(s === 0.0, lit(0)).otherwise(round(x / s)).cast("int"))
+    staged.select(col(idCol), s,
       aggregate(q, lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
       aggregate(q, lit(0L), (acc, x) => acc + abs(x.cast("long"))).as("q_l1"),
-      maxAbsError(v).as("max_err"))
+      coalesce(array_max(zip_with(q, col("__v"),
+        (qi, x) => abs(qi.cast("double") * s - x))), lit(0.0)).as("max_err"))
   }
 }

@@ -48,6 +48,40 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("native kernel ≡ declarative HOF form on random, zero, and tie vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (1L to 40L).map(i => (i, Seq.fill(24)(rnd.nextFloat() * 4 - 2))) ++
+      Seq((100L, Seq(0.0f, 0.0f)),              // zero vector
+          (101L, Seq(1.27f, -0.635f, 0.635f)),  // exact .5 ties both signs
+          (102L, Seq.empty[Float]))             // empty
+    val df = vecs.toDF("vec_id", "embedding")
+    val kernel = Quantize.quantizeReport(df, "vec_id", "embedding")
+    val decl = Quantize.quantizeReportDeclarative(df, "vec_id", "embedding")
+    assert(rowsOf(kernel) == rowsOf(decl))
+  }
+
+  test("two kernel instances in one projection compile under codegen") {
+    import spark.implicits._
+    val conf = spark.conf
+    val prev = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((1L, Seq(0.5f, -0.25f), Seq(1.0f, 2.0f)))
+        .toDF("vec_id", "a", "b")
+      graft.expressions.GraftFunctions.register(spark)
+      val out = df.select(
+        call_function("quantize_int8_stats", col("a")).as("qa"),
+        call_function("quantize_int8_stats", col("b")).as("qb"))
+      assert(out.collect().length == 1)
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("quantizeReport is map-side: no Exchange in the plan") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
