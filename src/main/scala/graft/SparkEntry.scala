@@ -817,6 +817,63 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Hot-key-only salted join: a sampling pre-pass finds keys above a
+    * row-count threshold and salts ONLY those — replication cost scales
+    * with the number of hot keys, not the whole dim side (q47 is the
+    * salt-everything form). The oracle is the plain join: salting must
+    * never change the result.
+    */
+  private def q61HotkeySalt(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_extendedprice"), col("l_discount"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"), col("s_name"))
+    graft.operators.SkewJoins.hotKeySaltedJoin(li, sup, Seq("k"),
+        salt = 4, hotThreshold = 300, sampleFraction = 0.2)
+      .groupBy(col("s_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
+  /** Per-source document cap (≤ 40 docs per source, deterministic
+    * md5-order selection) — the corpus rebalancing step that stops one
+    * domain from dominating a training mix. Fixed-size counterpart of
+    * q45's fixed-fraction split; same portable-hash contract, so the
+    * oracle reselects the identical rows.
+    */
+  private def q62SourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 40)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+
+  /** Incremental aggregate maintenance: orders history is aggregated to
+    * partial form (sum/cnt/min/max), a later delta batch is folded in by
+    * the monoid merge, and avg is derived at read time — O(delta)
+    * instead of O(history) per refresh. The oracle recomputes the same
+    * aggregate from the FULL table in one pass: the merged result must
+    * be indistinguishable from a cold recompute.
+    */
+  private def q63IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Incremental
+    val ord = t(s, dir, "orders")
+    val cut = to_date(lit("1997-01-01"))
+    val snapshot = Incremental.partialAgg(
+      ord.filter(col("o_orderdate") < cut), Seq("o_orderpriority"), Seq("o_totalprice"))
+    val delta = Incremental.partialAgg(
+      ord.filter(col("o_orderdate") >= cut), Seq("o_orderpriority"), Seq("o_totalprice"))
+    val merged = Incremental.withAvg(
+      Incremental.mergeAdditive(snapshot, delta, Seq("o_orderpriority"), Seq("o_totalprice")),
+      Seq("o_totalprice"))
+    merged.select(col("o_orderpriority"), col("n_rows"),
+        round(col("o_totalprice_sum"), 2).as("price_sum"),
+        col("o_totalprice_cnt").as("price_cnt"),
+        round(col("o_totalprice_min"), 2).as("price_min"),
+        round(col("o_totalprice_max"), 2).as("price_max"),
+        round(col("o_totalprice_avg"), 4).as("price_avg"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -878,7 +935,10 @@ object SparkEntry {
     "q57_bm25" -> (q57Bm25 _),
     "q58_quantize_int8" -> (q58QuantizeInt8 _),
     "q59_pack_concat" -> (q59PackConcat _),
-    "q60_contamination" -> (q60Contamination _))
+    "q60_contamination" -> (q60Contamination _),
+    "q61_hotkey_salt" -> (q61HotkeySalt _),
+    "q62_source_cap" -> (q62SourceCap _),
+    "q63_incremental_agg" -> (q63IncrementalAgg _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1432,7 +1492,35 @@ object SparkEntry {
          |JOIN splits sa ON p.id_a = sa.doc_id
          |JOIN splits sb ON p.id_b = sb.doc_id
          |WHERE sa.split <> sb.split
-         |ORDER BY p.id_a, p.id_b""".stripMargin)
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    // q61: the oracle is the PLAIN join — hot-key salting must be
+    // result-invariant (same contract as q47)
+    "q61_hotkey_salt" ->
+      """SELECT s_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // q62: reselect the identical capped rows — row_number over the
+    // portable md5 order, same 40-cap
+    "q62_source_cap" ->
+      """SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 40
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // q63: cold full-table recompute — the incrementally-merged
+    // aggregate must be indistinguishable from it
+    "q63_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS price_sum,
+        | count(o_totalprice) AS price_cnt,
+        | round(min(o_totalprice), 2) AS price_min,
+        | round(max(o_totalprice), 2) AS price_max,
+        | round(sum(o_totalprice) / count(o_totalprice), 4) AS price_avg
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

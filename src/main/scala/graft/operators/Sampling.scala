@@ -81,4 +81,27 @@ object Sampling {
       coalesce(col(keyCol).cast("string"), lit(NullKeyMarker))))
     df.filter(b < math.round(p * NumBuckets))
   }
+
+  /** Per-group cap: keep at most `n` rows per value of `groupCol`, chosen
+    * deterministically by md5(key) order (ties broken by the key) — the
+    * corpus-curation primitive behind "at most N documents per domain/
+    * source" rebalancing. A fixed-SIZE per-stratum sample, where
+    * [[stratifiedSample]] is the fixed-FRACTION one; both are pure
+    * functions of the data, independent of partitioning and run order.
+    *
+    * One hash shuffle on `groupCol` + a per-group window sort. At 100 TB
+    * the sort cost is bounded per group, and a skewed group is one
+    * partition's problem — for pathological groups (billions of rows vs
+    * n in the hundreds) pre-thin with `hashSample(n·fudge/|group|)`
+    * first; the final window keeps the result exact regardless.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(coalesce(col(keyCol).cast("string"), lit(NullKeyMarker)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -34,4 +34,56 @@ object SkewJoins {
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** [[saltedJoin]] that salts ONLY detected hot keys: a pre-pass samples
+    * the left (large) side and any key whose estimated row count exceeds
+    * `hotThreshold` is salted; the rest join plain (salt 0, replication
+    * 1). This keeps the replication cost proportional to the number of
+    * HOT keys instead of S× the whole right side — at 100 TB the
+    * difference between "feasible mitigation" and "S× the shuffle".
+    *
+    * The hot-key set is collected to the driver and broadcast — bounded
+    * by construction (keys above a count threshold are few; `maxHotKeys`
+    * turns a mis-set threshold into an error instead of a driver OOM).
+    * Sampling misses a hot key with probability ≤ exp(−fraction·rows_k)
+    * (Chernoff): a key at 10× the threshold with fraction 0.01 and
+    * threshold 10k is missed with p < 1e-400 — and a miss only costs the
+    * skew, never correctness (unsalted keys take the plain path). The
+    * salt changes WHERE rows meet, never WHICH rows meet: output equals
+    * the plain join exactly (spec + q61 oracle assert this).
+    */
+  def hotKeySaltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       salt: Int, hotThreshold: Long,
+                       sampleFraction: Double = 0.01, seed: Long = 42L,
+                       maxHotKeys: Int = 100000): DataFrame = {
+    require(salt > 1, s"salt must be > 1 (got $salt); use a plain join otherwise")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    val keyCols = keys.map(col)
+    val sampleThreshold = math.max(1L, math.round(hotThreshold * sampleFraction))
+    // the tag is computed by the SAME expression in detection and
+    // tagging, so value rendering can never diverge between the two; the
+    // \u0001 separator keeps multi-col keys unambiguous. (A tag collision
+    // could only mis-classify a key's hotness, which affects cost, never
+    // the join result.)
+    val keyTag = concat_ws("\u0001", keyCols.map(c => c.cast("string")): _*)
+    val hot = left.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(keyTag.as("__tag")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= sampleThreshold)
+      .select(col("__tag"))
+      .limit(maxHotKeys + 1)
+      .collect()
+    require(hot.length <= maxHotKeys,
+      s"more than $maxHotKeys hot keys detected — raise hotThreshold or maxHotKeys")
+    val hotSet = hot.map(_.getString(0)).toSet
+    // native membership test (In/InSet — codegen'd, ships with the plan;
+    // no UDF, no manual broadcast); empty set → nothing salted
+    def isHot = if (hotSet.isEmpty) lit(false) else keyTag.isInCollection(hotSet)
+    val l = left.withColumn("__salt",
+      when(isHot, (rand(seed) * salt).cast("int")).otherwise(lit(0)))
+    val r = right.withColumn("__salt", explode(
+      when(isHot, sequence(lit(0), lit(salt - 1)))
+        .otherwise(array(lit(0)))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -197,6 +197,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on `keys` with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only until
+    * the watermark passes it, so state is O(keys-per-watermark-window),
+    * not O(all keys ever) — the only shape that survives an unbounded
+    * 100 TB/day stream (plain streaming `dropDuplicates` never evicts).
+    * Contract: duplicates arriving within the watermark delay of the
+    * first occurrence are dropped; a duplicate arriving later than the
+    * delay MAY reappear — the deliberate trade for bounded state
+    * (matching at-least-once upstream delivery, where redeliveries are
+    * prompt). First-occurrence-wins; batch dedup (Dedup.exactDedup) is
+    * the exact companion for bounded backfills.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Idempotent foreachBatch parquet sink: each micro-batch lands in its
     * own `batch_<id>` directory, committed by writing a marker AFTER the
     * data; a redelivered batch id (failure between sink write and

@@ -72,4 +72,20 @@ class SamplingSpec extends SparkSpec {
     val plan = labeled.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"labeling must not shuffle:\n$plan")
   }
+
+  test("capPerGroup keeps at most n per group, deterministically, order-independently") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (s"g${i % 3}", i)).toDF("grp", "k")
+    val capped = Sampling.capPerGroup(df, "grp", "k", 10)
+    val sizes = capped.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ == 10))
+    // a group under the cap is untouched
+    val small = Sampling.capPerGroup(df.filter(col("k") <= 5), "grp", "k", 10)
+    assert(small.count() == 5)
+    // determinism: same selection regardless of input partitioning/order
+    val again = Sampling.capPerGroup(
+      df.repartition(7).sortWithinPartitions(desc("k")), "grp", "k", 10)
+    assert(rowsOf(capped) == rowsOf(again))
+  }
 }

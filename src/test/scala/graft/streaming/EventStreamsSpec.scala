@@ -237,4 +237,39 @@ class EventStreamsSpec extends SparkSpec {
     val total = batch.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == batchEvents.count() * 4) // 1h window / 15m slide
   }
+
+  test("dedupWithinWatermark drops duplicate keys across micro-batches") {
+    import spark.implicits._
+    // two files = two micro-batches (maxFilesPerTrigger=1); the batch-2
+    // duplicate of user 1 must be dropped by state retained from batch 1
+    val base = 1700000000L * 1000000000L // epoch ns
+    def evRow(id: Long, user: Long, offsetSec: Long) =
+      (id, base + offsetSec * 1000000000L, user, "view", 1.0, """{}""")
+    val srcDir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("dedup_batch").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+    }
+    writeBatch("b1.parquet", Seq(evRow(1L, 1L, 0), evRow(2L, 2L, 60)))
+    writeBatch("b2.parquet", Seq(evRow(3L, 1L, 120), evRow(4L, 3L, 180)))
+    // order the file source by name: set mod times explicitly
+    java.nio.file.Files.setLastModifiedTime(srcDir.resolve("b1.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000))
+    java.nio.file.Files.setLastModifiedTime(srcDir.resolve("b2.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(2000000))
+    val stream = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    val deduped = EventStreams.runToMemory(spark,
+      EventStreams.dedupWithinWatermark(stream, Seq("user_id"), "10 minutes")
+        .select("event_id", "user_id"),
+      "dedup_test", OutputMode.Append())
+    val got = deduped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // event 3 (user 1 again, 2 min later — inside the 10 min delay) is dropped
+    assert(got == Set((1L, 1L), (2L, 2L), (4L, 3L)), s"got $got")
+  }
 }
