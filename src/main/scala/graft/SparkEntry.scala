@@ -874,6 +874,30 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Gopher-style repetition profile over the documents corpus: top- and
+    * duplicate-bigram mass per document — the quality heuristic that
+    * catches boilerplate and degenerate text that per-token stats (q29)
+    * can't see. Exact long/long fractions, so the oracle divides the
+    * same integers.
+    */
+  private def q64Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.repetitionStats(t(s, dir, "documents"), "doc_id", "text", 2)
+      .select(col("doc_id"), col("n_grams"),
+        round(col("top_frac"), 6).as("top_frac"),
+        round(col("dup_frac"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+
+  /** C4-style corpus-wide span dedup: every 8-token span that occurs
+    * anywhere else in the corpus keeps only its global first occurrence;
+    * documents are rebuilt from surviving spans. Output pins the rebuilt
+    * text by md5; the oracle replays the identical selection in SQL.
+    */
+  private def q65SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.spanDedup(t(s, dir, "documents"), "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -938,7 +962,9 @@ object SparkEntry {
     "q60_contamination" -> (q60Contamination _),
     "q61_hotkey_salt" -> (q61HotkeySalt _),
     "q62_source_cap" -> (q62SourceCap _),
-    "q63_incremental_agg" -> (q63IncrementalAgg _))
+    "q63_incremental_agg" -> (q63IncrementalAgg _),
+    "q64_repetition" -> (q64Repetition _),
+    "q65_span_dedup" -> (q65SpanDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1520,7 +1546,36 @@ object SparkEntry {
         | round(min(o_totalprice), 2) AS price_min,
         | round(max(o_totalprice), 2) AS price_max,
         | round(sum(o_totalprice) / count(o_totalprice), 4) AS price_avg
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q64: bigrams rebuilt positionally (1-based list indexing); docs
+    // with < 2 tokens produce no bigram and no row, same as the engine
+    "q64_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+        |      FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM b GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        | round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 6) AS top_frac,
+        | round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 6) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q65: identical span selection — non-overlapping 8-token slices,
+    // global first occurrence by packed (doc, chunk) key, rebuild in
+    // chunk order
+    "q65_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_id,
+        |       array_to_string(toks[(i * 8 + 1):(i * 8 + 8)], ' ') AS chunk
+        |      FROM t, unnest(range(0, (len(toks) + 7) // 8)) AS u(i)),
+        |f AS (SELECT md5(chunk) AS h, min(doc_id * 1048576 + chunk_id) AS k_first
+        |      FROM c GROUP BY md5(chunk)),
+        |k AS (SELECT c.doc_id, c.chunk_id, c.chunk,
+        |       (c.doc_id * 1048576 + c.chunk_id = f.k_first) AS keep
+        |      FROM c JOIN f ON md5(c.chunk) = f.h)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        | md5(coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_id), '')) AS text_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -173,4 +173,37 @@ object TextFunctions {
       i => array_min(slice(grams, i + 1, lit(w))))
     array_sort(array_distinct(windows))
   }
+
+  /** Gopher-style repetition profile (Rae et al. '21 §A1.1 quality
+    * heuristics): per document, the fraction of n-gram mass held by the
+    * single most frequent n-gram (`top_frac`) and the fraction that is
+    * repeat occurrences (`dup_frac` = 1 − distinct/total) — high values
+    * flag boilerplate, keyword stuffing, and degenerate generations that
+    * per-token stats (q29) can't see. Documents with fewer than n tokens
+    * produce no row (no n-gram exists — the oracle agrees).
+    *
+    * Shape: one generator explode + two hash aggregations keyed by
+    * (doc, gram) then (doc) — the (doc, gram) exchange reuses for both.
+    * Fractions are exact long/long divisions — engine-portable, no
+    * float-association risk.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n, transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        max(col("__cnt")).as("__top"),
+        count(lit(1)).as("__distinct"))
+      .select(col(idCol), col("n_grams"),
+        (col("__top").cast("double") / col("n_grams")).as("top_frac"),
+        (lit(1.0) - col("__distinct").cast("double") / col("n_grams")).as("dup_frac"))
+  }
 }

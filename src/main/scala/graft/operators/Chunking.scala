@@ -40,4 +40,43 @@ object Chunking {
         array_join(col("col"), " ").as("chunk_text"),
         size(col("col")).cast("long").as("n_tokens"))
   }
+
+  /** C4-style corpus-wide span dedup (Raffel et al. '20 §2.2 — "three-
+    * sentence span" dedup, token-span form): every document is cut into
+    * non-overlapping `span`-token chunks; a chunk whose text occurs
+    * anywhere else in the CORPUS keeps only its first occurrence (global
+    * (id, chunk_id) order) and every later copy is dropped; each
+    * document is then reassembled from its surviving chunks. The
+    * sub-document counterpart of whole-doc dedup ([[Dedup.exactDedup]]):
+    * boilerplate shared across otherwise-distinct pages dies here.
+    *
+    * Output: (id, n_kept, n_dropped, text) — the rebuilt document (docs
+    * losing every chunk still appear, with empty text).
+    *
+    * Scale shape: the first-occurrence table is keyed by md5 — 32-byte
+    * keys + one long, never the corpus text; small-duplication corpora
+    * get it broadcast by AQE (the plan at test scale), heavy ones join
+    * it by hash on the same key its aggregate just shuffled on (exchange
+    * reusable). Reassembly is one groupBy(id) whose collect_list is
+    * bounded by the document's own chunk count. The packed first-
+    * occurrence key is id·2^20 + chunk_id: callers must keep ids
+    * non-negative and docs under 2^20 chunks (~8M tokens at span 8).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    val chunks = chunkTokens(df, idCol, textCol, span, span)
+      .withColumn("__h", md5(col("chunk_text")))
+      .withColumn("__k", col(idCol) * 1048576L + col("chunk_id"))
+    val first = chunks.groupBy(col("__h")).agg(min(col("__k")).as("__k_first"))
+    chunks.join(first, "__h")
+      .withColumn("__keep", col("__k") === col("__k_first"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__keep").cast("long")).as("n_kept"),
+        sum((!col("__keep")).cast("long")).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_id").as("cid"), col("chunk_text").as("txt"))))),
+          s => s.getField("txt")), " ").as("text"))
+  }
 }

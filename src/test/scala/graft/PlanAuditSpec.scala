@@ -109,4 +109,60 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial+final HashAggregate:\n$p")
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("q57 bm25: doc-frequency and corpus stats join by broadcast, never shuffle the tf side twice") {
+    val p = planOf("q57_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"dfreq/stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"stats cross join must be broadcast, not cartesian:\n$p")
+  }
+
+  test("q58 quantization: map-side kernel — no Exchange before the sort") {
+    val df = SparkEntry.queries("q58_quantize_int8")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    // the only exchange allowed is the final orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"), s"quantization must not hash-shuffle:\n$p")
+  }
+
+  test("q59 packing: the two-phase scan costs one range shuffle, no single-partition window") {
+    val df = SparkEntry.queries("q59_pack_concat")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    assert(!p.contains("Window"), s"global prefix sum must not use a window:\n$p")
+    assert(!p.contains("SinglePartition"), s"no single-partition exchange:\n$p")
+  }
+
+  test("q62 per-source cap: one hash shuffle for the group window") {
+    val df = SparkEntry.queries("q62_source_cap")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    // window + aggregate share the same source-hash partitioning: the
+    // exchange must appear once, reused downstream
+    val hashExchanges = "hashpartitioning\\(source".r.findAllIn(p).length
+    assert(hashExchanges <= 1, s"cap window and count should reuse one source shuffle:\n$p")
+  }
+
+  test("q63 incremental merge: hash aggregates only — no join, no sort-agg, no window") {
+    val p = planOf("q63_incremental_agg")
+    assert(!p.contains("SortMergeJoin") && !p.contains("SortAggregate") && !p.contains("Window"),
+      s"partial-form merge must stay in hash aggregation:\n$p")
+  }
+
+  test("q65 span dedup: hash-keyed joins only, chunk text never in the first-occurrence shuffle") {
+    val df = SparkEntry.queries("q65_span_dedup")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span-dedup join must be equi:\n$p")
+    // first-occurrence aggregate carries (md5, packed-long) only — the
+    // chunk text must not appear in its aggregate expressions
+    val firstAgg = p.linesIterator.filter(_.contains("min(__k")).mkString("\n")
+    assert(firstAgg.nonEmpty && !firstAgg.contains("chunk_text"),
+      s"first-occurrence agg should not carry chunk text:\n$p")
+  }
 }

@@ -135,4 +135,26 @@ class TextFunctionsSpec extends SparkSpec {
     val overlap = a.toSet.intersect(shifted.toSet).size.toDouble / a.size
     assert(overlap > 0.5, s"winnowing should be robust to prefix shift, overlap=$overlap")
   }
+
+  test("repetitionStats: hand-computed bigram fractions; short docs emit no row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams: [a b, b a, a b, b a, a b] → top 3/5, distinct 2
+      (2L, "x y z"),         // bigrams: [x y, y z] → top 1/2, dup 0
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextFunctions.repetitionStats(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))               // doc 3 has no bigram
+    assert(got(1L) == ((5L, 3.0 / 5, 1.0 - 2.0 / 5)))
+    assert(got(2L) == ((2L, 0.5, 0.0)))
+  }
+
+  test("repetitionStats at n=1 equals 1 - uniq_ratio from the token stats") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat and the hat and the bat")).toDF("doc_id", "text")
+    val r = TextFunctions.repetitionStats(df, "doc_id", "text", 1).collect()(0)
+    // 8 tokens, 5 distinct ("the"×3, "and"×2) → dup_frac 3/8, top_frac 3/8
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == ((8L, 3.0 / 8, 3.0 / 8)))
+  }
 }

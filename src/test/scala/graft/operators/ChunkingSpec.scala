@@ -41,4 +41,35 @@ class ChunkingSpec extends SparkSpec {
     chunked.collect()
     assert(!chunked.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("spanDedup keeps the global first occurrence of a shared span only") {
+    import spark.implicits._
+    // span=2: doc 1 = [a b][c d]; doc 2 = [a b][x y]; doc 3 = [c d][c d]
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d c d")).toDF("doc_id", "text")
+    val got = Chunking.spanDedup(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, "a b c d")))      // doc 1 owns both first occurrences
+    assert(got(2L) == ((1L, 1L, "x y")))          // its "a b" is a later copy → dropped
+    assert(got(3L) == ((0L, 2L, "")))             // both spans are copies of doc 1's "c d"
+  }
+
+  test("spanDedup also collapses duplicate spans WITHIN one document") {
+    import spark.implicits._
+    val df = Seq((5L, "p q p q p q")).toDF("doc_id", "text")
+    val r = Chunking.spanDedup(df, "doc_id", "text", 2).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((1L, 2L, "p q")))
+  }
+
+  test("spanDedup of an all-unique corpus is the identity (modulo tail chunking)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, (1 to 17).map(j => s"w${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = Chunking.spanDedup(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    docs.foreach { case (id, text) => assert(got(id) == text) }
+  }
 }
