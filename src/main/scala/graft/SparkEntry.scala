@@ -898,6 +898,52 @@ object SparkEntry {
         md5(col("text")).as("text_md5"))
       .orderBy(col("doc_id"))
 
+  /** One Lloyd k-means update step over the embeddings (cosine
+    * assignment to the q43 seed centroids, then per-cell per-dimension
+    * mean) — the training loop behind the IVF index q43/q28 consume.
+    * The per-dim aggregation explodes (vector, dim) but partial hash
+    * aggregation collapses each partition to k·d rows before the
+    * shuffle — the 100 TB shape for centroid updates. The oracle
+    * recomputes assignment AND means positionally in SQL.
+    */
+  private def q66KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids, "cid", "cvec")
+    val dims = assigned.select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+    val stats = dims.groupBy(col("cell"))
+      .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+        round(sum(col("m")), 6).as("centroid_sum"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(stats, "cell")
+      .orderBy(col("cell"))
+  }
+
+  /** Exact quantile binning (ntile-4 by price) WITHOUT the single-
+    * partition window `ntile` plans: the global rank comes from the
+    * two-phase scan ([[graft.operators.GroupOps.denseId]]) and the
+    * standard ntile group arithmetic is applied in closed form — same
+    * output as `ntile(4) OVER (ORDER BY ...)`, which is exactly what the
+    * oracle runs (fine at oracle scale, driver-melting at 100 TB).
+    */
+  private def q67QuantileBuckets(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GroupOps
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    GroupOps.ntileBuckets(li,
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 4, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("l_extendedprice")), 2).as("price_min"),
+        round(max(col("l_extendedprice")), 2).as("price_max"),
+        round(sum(col("l_extendedprice")), 2).as("price_sum"))
+      .orderBy(col("bucket"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -964,7 +1010,9 @@ object SparkEntry {
     "q62_source_cap" -> (q62SourceCap _),
     "q63_incremental_agg" -> (q63IncrementalAgg _),
     "q64_repetition" -> (q64Repetition _),
-    "q65_span_dedup" -> (q65SpanDedup _))
+    "q65_span_dedup" -> (q65SpanDedup _),
+    "q66_kmeans_step" -> (q66KmeansStep _),
+    "q67_quantile_buckets" -> (q67QuantileBuckets _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1575,7 +1623,43 @@ object SparkEntry {
         | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         | md5(coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_id), '')) AS text_md5
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q66: same cosine argmax assignment as q43, then positional means
+    // per cell — one Lloyd update restated independently
+    "q66_kmeans_step" ->
+      """WITH a AS (
+        | SELECT vec_id, embedding, cid AS cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC,
+        |              c.cid ASC) AS rn
+        |  FROM embeddings e,
+        |       (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8) c) t
+        | WHERE rn = 1),
+        |d AS (
+        | SELECT cell, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        | FROM a, unnest(range(1, len(embedding) + 1)) AS u(i)
+        | GROUP BY cell, i),
+        |s AS (
+        | SELECT cell, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+        |        round(sum(m), 6) AS centroid_sum
+        | FROM d GROUP BY cell)
+        |SELECT a2.cell, count(*) AS n_members, s.centroid_norm, s.centroid_sum
+        |FROM a a2 JOIN s ON a2.cell = s.cell
+        |GROUP BY a2.cell, s.centroid_norm, s.centroid_sum
+        |ORDER BY a2.cell""".stripMargin,
+    // q67: the oracle runs the ntile window the engine deliberately
+    // avoids — closed-form arithmetic over a two-phase rank must equal it
+    "q67_quantile_buckets" ->
+      """SELECT bucket, count(*) AS n_rows,
+        | round(min(l_extendedprice), 2) AS price_min,
+        | round(max(l_extendedprice), 2) AS price_max,
+        | round(sum(l_extendedprice), 2) AS price_sum
+        |FROM (
+        | SELECT l_extendedprice,
+        |  CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+        | FROM lineitem) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

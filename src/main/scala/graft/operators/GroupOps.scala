@@ -110,6 +110,27 @@ object GroupOps {
   def rowNumberId(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame =
     df.withColumn(out, row_number().over(Window.orderBy(orderCols: _*)).cast(LongType))
 
+  /** Exact global quantile binning: `out` = the bucket `ntile(k) OVER
+    * (ORDER BY orderCols)` would assign, WITHOUT the single-partition
+    * window that ntile plans (the W1 hazard again, at every-row scale).
+    * Rank comes from the two-phase scan ([[denseId]]); the SQL-standard
+    * ntile split — first (n mod k) groups hold ceil(n/k) rows, the rest
+    * floor(n/k) — is then closed-form integer arithmetic on (rank, n).
+    * `orderCols` must be a total order for a deterministic result.
+    */
+  def ntileBuckets(df: DataFrame, orderCols: Seq[Column], k: Int, out: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ranked = denseId(df, orderCols, "__rank")
+    val withN = ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+    val bucket = {
+      val r = expr(s"__n % $k"); val bigSz = expr(s"(__n div $k) + 1")
+      when(col("__rank") <= r * bigSz,
+          expr(s"(__rank - 1) div ((__n div $k) + 1) + 1"))
+        .otherwise(r + expr(s"(__rank - (__n % $k) * ((__n div $k) + 1) - 1) div (__n div $k)") + 1)
+    }
+    withN.withColumn(out, bucket.cast(LongType)).drop("__rank", "__n")
+  }
+
   /** A9 duplicate detection: groups of `keys` occurring more than once,
     * with their multiplicity (reference df.duplicated,
     * data_quality_and_validation.py:24-28). Map-side partial count then

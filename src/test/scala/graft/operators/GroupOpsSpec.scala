@@ -94,4 +94,28 @@ class GroupOpsSpec extends SparkSpec {
     val got = GroupOps.duplicateKeys(df, Seq("k1", "k2")).collect()
     assert(got.length == 1 && got(0).getLong(2) == 3L)
   }
+
+  test("ntileBuckets matches the ntile window for every (n, k) incl. ragged splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 4, 7, 10, 103); k <- Seq(1, 3, 4, 8)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 37) % n)).toDF("id", "v")
+      val got = GroupOps.ntileBuckets(df, Seq(col("v"), col("id")), k, "b")
+        .select("id", "b")
+      val want = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "b")
+      assert(rowsOf(got) == rowsOf(want), s"n=$n k=$k")
+      graft.Caches.unpersistAll()
+    }
+  }
+
+  test("ntileBuckets avoids the single-partition window") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, i % 7)).toDF("id", "v")
+    val binned = GroupOps.ntileBuckets(df, Seq(col("v"), col("id")), 4, "b")
+    binned.collect()
+    assert(!binned.queryExecution.executedPlan.toString.contains("Window"))
+    graft.Caches.unpersistAll()
+  }
 }
