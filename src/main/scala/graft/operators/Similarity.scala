@@ -452,6 +452,49 @@ object Similarity {
     * centroid matches gets a null cell (the cosine null contract, lifted).
     * Output: input + `cell` column (long).
     */
+  /** Spherical k-means fit (Lloyd's algorithm, cosine assignment): the
+    * training loop that produces the centroid table [[ivfAssign]] and the
+    * IVF/ANN searches consume. Deterministic throughout — seed centroids
+    * are the `k` lowest-id vectors, ties in assignment break on lowest
+    * centroid id, iteration count is fixed (no data-dependent stopping,
+    * so reruns and the spec see identical output).
+    *
+    * Per iteration: one map-side assignment pass (zero shuffle — the
+    * centroid array ships in the closure, [[ivfAssign]]) + one
+    * explode/partial-agg reduction to k·d rows + one bounded k·d collect
+    * to rebuild the centroid table. Cells that lose every member keep
+    * their previous centroid (the standard empty-cell rule). O(iters)
+    * passes over the corpus, nothing driver-sized but the centroids.
+    * Returns (cid long, cvec array<float>).
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents: Map[Long, Array[Float]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().toMap
+    var it = 0
+    while (it < iters) {
+      val centDf = cents.toSeq.toDF("cid", "cvec")
+      val means = ivfAssign(df, idCol, vecCol, centDf, "cid", "cvec")
+        .filter(col("cell").isNotNull) // dim-mismatch rows can't vote
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell"),
+          transform(col("dims"), d => d.getField("m").cast("float")).as("cvec"))
+        .as[(Long, Array[Float])].collect().toMap
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+      it += 1
+    }
+    cents.toSeq.sortBy(_._1).toDF("cid", "cvec")
+  }
+
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
                 centroidId: String, centroidVec: String): DataFrame = {
     val spark = df.sparkSession

@@ -61,6 +61,19 @@ object Tables {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** ORC scan/sink — the second columnar format large estates actually
+    * hold (Hive-era lakes); same vectorized reader + predicate pushdown
+    * machinery as parquet, so every operator runs on it unchanged.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+               files: Int = 0): Unit = {
+    val out = if (files > 0) df.coalesce(files) else df
+    out.write.mode(mode).orc(path)
+  }
+
   /** S6/S7: parquet sink with bounded output file count. `files <= 0` keeps
     * the natural partitioning (the right default at 100 TB — coalesce(1)
     * serializes the write through one task).

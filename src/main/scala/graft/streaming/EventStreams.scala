@@ -197,6 +197,16 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against a
+    * bounded static dimension (broadcast — stateless, no watermark
+    * needed; the static side is re-broadcast per batch if its underlying
+    * source changes). The streaming face of the q03-style star join:
+    * same plan shape, unbounded fact side.
+    */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Streaming exact dedup on `keys` with bounded state:
     * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only until
     * the watermark passes it, so state is O(keys-per-watermark-window),

@@ -158,4 +158,41 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
     assert(!plan.contains("Window"), s"assignment must not window:\n$plan")
   }
+
+  test("kmeansFit separates well-separated blobs and is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val protos = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 1.0f))
+    // ids 0,1,2 are one clean member of each blob (the deterministic seeds);
+    // the rest are jittered members round-robin across blobs
+    val rows = protos.zipWithIndex.map { case (p, i) => (i.toLong, p) } ++
+      (3L to 62L).map(i => (i, jitter(protos((i % 3).toInt))))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.count() == 3)
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", cents, "cid", "cvec")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member of a blob must share its proto's cell; blobs must differ
+    val cellOf = (0 to 2).map(i => i -> assigned(i.toLong)).toMap
+    assert(cellOf.values.toSet.size == 3, s"blobs must map to distinct cells: $cellOf")
+    assigned.foreach { case (id, cell) =>
+      assert(cell == cellOf((id % 3).toInt), s"vec $id in wrong cell")
+    }
+    // determinism under a different physical layout
+    val cents2 = Similarity.kmeansFit(
+      df.repartition(7).sortWithinPartitions(desc("vec_id")),
+      "vec_id", "embedding", k = 3, iters = 4)
+    val a = cents.select("cid", "cvec").as[(Long, Array[Float])].collect()
+      .toMap.view.mapValues(_.toSeq).toMap
+    val b = cents2.select("cid", "cvec").as[(Long, Array[Float])].collect()
+      .toMap.view.mapValues(_.toSeq).toMap
+    // element-wise near-equality: double-sum association may differ by ulps
+    assert(a.keySet == b.keySet)
+    a.foreach { case (cid, v) =>
+      v.zip(b(cid)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f) }
+    }
+  }
 }

@@ -86,4 +86,18 @@ class TablesSpec extends SparkSpec {
     val got = Tables.remaining(all, done, "id").collect().map(_.getInt(0)).toSet
     assert(got == Set(1, 3, 5))
   }
+
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("orc_rt").toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"v$i", i * 1.5)).toDF("id", "name", "score")
+    Tables.writeOrc(df, path)
+    val back = Tables.orc(spark, path)
+    assert(rowsOf(back) == rowsOf(df))
+    val filtered = back.filter(col("id") > 90L).select("id")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)")
+      || plan.contains("GreaterThan(id,90)"), s"filter must reach the ORC scan:\n$plan")
+  }
 }

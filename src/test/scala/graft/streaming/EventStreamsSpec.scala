@@ -238,6 +238,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(total == batchEvents.count() * 4) // 1h window / 15m slide
   }
 
+  test("stream-static enrichment join == batch join; dim side broadcasts") {
+    import spark.implicits._
+    val dim = (0L to 9L).map(u => (u, s"tier_${u % 3}")).toDF("user_id", "tier")
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.enrichWithStatic(
+          EventStreams.readEventStream(spark, dir), dim, Seq("user_id"))
+        .select("event_id", "user_id", "tier"),
+      "enrich_test", OutputMode.Append())
+    val batch = EventStreams.enrichWithStatic(batchEvents, dim, Seq("user_id"))
+      .select("event_id", "user_id", "tier")
+    assert(rowsOf(streamed) == rowsOf(batch))
+    assert(batch.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("dedupWithinWatermark drops duplicate keys across micro-batches") {
     import spark.implicits._
     // two files = two micro-batches (maxFilesPerTrigger=1); the batch-2
