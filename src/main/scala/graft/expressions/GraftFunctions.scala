@@ -64,6 +64,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "quantize_int8_stats takes exactly 1 argument")
         QuantizeInt8Stats(children.head)
+      }),
+    (FunctionIdentifier("ngram_repetition"),
+      new ExpressionInfo(classOf[NgramRepetition].getName, "ngram_repetition"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "ngram_repetition takes exactly 2 arguments")
+        NgramRepetition(children.head, children(1))
       }))
 
   /** Idempotent runtime registration into the session's function registry. */

@@ -157,4 +157,26 @@ class TextFunctionsSpec extends SparkSpec {
     // 8 tokens, 5 distinct ("the"×3, "and"×2) → dup_frac 3/8, top_frac 3/8
     assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == ((8L, 3.0 / 8, 3.0 / 8)))
   }
+
+  test("repetition kernel ≡ declarative form on random texts, n = 1..3") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    for (n <- 1 to 3) {
+      val kernel = TextFunctions.repetitionStats(df, "doc_id", "text", n)
+      val decl = TextFunctions.repetitionStatsDeclarative(df, "doc_id", "text", n)
+      assert(rowsOf(kernel) == rowsOf(decl), s"n=$n")
+    }
+  }
+
+  test("repetitionStats is map-side: no Exchange in the plan") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val rep = TextFunctions.repetitionStats(df, "doc_id", "text", 2)
+    rep.collect()
+    assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
