@@ -944,6 +944,15 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** The full corpus-curation funnel (language → quality → dedup →
+    * split) run end-to-end with per-stage survivor counts — the proof
+    * that the individually-oracled curation operators COMPOSE. The
+    * oracle rebuilds the entire funnel independently in SQL.
+    */
+  private def q68CurationFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusCuration.funnel(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("stage"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1012,7 +1021,8 @@ object SparkEntry {
     "q64_repetition" -> (q64Repetition _),
     "q65_span_dedup" -> (q65SpanDedup _),
     "q66_kmeans_step" -> (q66KmeansStep _),
-    "q67_quantile_buckets" -> (q67QuantileBuckets _))
+    "q67_quantile_buckets" -> (q67QuantileBuckets _),
+    "q68_curation_funnel" -> (q68CurationFunnel _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1659,7 +1669,50 @@ object SparkEntry {
         | SELECT l_extendedprice,
         |  CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bucket
         | FROM lineitem) t
-        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q68: the whole funnel rebuilt independently — langid argmax
+    // (q30's ladder), token-stats gates, normalized-md5 min-id dedup,
+    // then the q45 split ladder; stage counts unioned in pipeline order
+    "q68_curation_funnel" ->
+      """WITH toks AS (
+        | SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        |lang AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) = 0 THEN 'und'
+        |       WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+        |       WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+        |       WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+        |       WHEN fr_hits >= zh_hits THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        | FROM (SELECT doc_id, text,
+        |   len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','mit','von'))) AS de_hits,
+        |   len(list_filter(t, x -> x IN ('the','a','and','is','not','of','to','in','it','that'))) AS en_hits,
+        |   len(list_filter(t, x -> x IN ('el','la','los','las','y','es','no','un','una','de'))) AS es_hits,
+        |   len(list_filter(t, x -> x IN ('le','la','les','et','est','pas','un','une','dans','que'))) AS fr_hits,
+        |   len(list_filter(t, x -> x IN ('的','是','不','了','在','我','有','和','就','人'))) AS zh_hits
+        |  FROM toks) h),
+        |l AS (SELECT doc_id, text FROM lang WHERE pred_lang = 'en'),
+        |q AS (
+        | SELECT l.doc_id, l.text FROM l JOIN toks USING (doc_id)
+        | WHERE len(t) >= 30 AND len(list_distinct(t)) * 1.0 / len(t) >= 0.35),
+        |d AS (
+        | SELECT doc_id, text FROM q
+        | WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM q
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))),
+        |s AS (
+        | SELECT CASE WHEN b < 8000 THEN 'train'
+        |             WHEN b < 9000 THEN 'val'
+        |             ELSE 'test' END AS split
+        | FROM (SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |       FROM d) t)
+        |SELECT stage, n_docs FROM (
+        | SELECT '1_input' AS stage, count(*) AS n_docs FROM documents
+        | UNION ALL SELECT '2_lang_en', count(*) FROM l
+        | UNION ALL SELECT '3_quality', count(*) FROM q
+        | UNION ALL SELECT '5_' || split, count(*) FROM s GROUP BY split
+        | UNION ALL SELECT '4_dedup', count(*) FROM d)
+        |ORDER BY stage""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the standard funnel every
+  * pretraining dataset goes through, composed from this library's
+  * operators in their scale-path forms —
+  *
+  *   1. language filter  ([[graft.functions.TextFunctions.langScoreTable]],
+  *      one explode + one hash agg for every profile at once)
+  *   2. quality filter   ([[graft.functions.TextFunctions.tokenStatsNative]],
+  *      fused kernel, map-side)
+  *   3. exact dedup      (whitespace-normalized md5 fingerprint, min-id
+  *      canonical — [[graft.functions.TextFunctions.contentFingerprint]])
+  *   4. deterministic split ([[graft.operators.Sampling.splitLabel]],
+  *      pure function of the id — auditable, engine-portable)
+  *
+  * Each step is individually oracled elsewhere (q30/q29/q22/q45); the
+  * funnel is the proof they COMPOSE: q68's oracle recomputes the whole
+  * funnel independently in SQL and the stage counts must match.
+  *
+  * [[curate]] returns the surviving rows with their split label;
+  * [[funnel]] returns the audit table (stage, n_docs) — stage names are
+  * ordinal-prefixed so lexicographic order is pipeline order.
+  */
+object CorpusCuration {
+
+  val MinTokens = 30
+  val MinUniqRatio = 0.35
+
+  // the kernel wants a stopword list for its 4th statistic; the quality
+  // gate only reads n_tokens/n_unique, so the list's content is inert here
+  private val Stop = Seq("the", "a", "and", "of", "to")
+
+  /** Survivors of the full funnel: (id, text, split). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             lang: String = "en"): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val inLangIds = TextFunctions.langScoreTable(df.select(col(idCol), col(textCol)),
+        idCol, textCol)
+      .filter(col("pred_lang") === lang)
+      .select(col("id").as(idCol))
+    val inLang = df.select(col(idCol), col(textCol))
+      .join(inLangIds, Seq(idCol), "left_semi")
+    val stats = col("__st")
+    val quality = inLang
+      .withColumn("__st", TextFunctions.tokenStatsNative(col(textCol), Stop))
+      .filter(stats.getField("n_tokens") >= MinTokens &&
+        stats.getField("n_unique").cast("double") / stats.getField("n_tokens") >= MinUniqRatio)
+      .drop("__st")
+    dedupAndSplit(quality, idCol, textCol)
+  }
+
+  /** Stages 3→4: min-id exact dedup on the normalized fingerprint, then
+    * the deterministic split label.
+    */
+  private def dedupAndSplit(quality: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    val fp = TextFunctions.contentFingerprint(col(textCol))
+    val keepIds = quality.select(col(idCol), fp.as("__fp"))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    quality.join(keepIds, Seq(idCol), "left_semi")
+      .withColumn("split", Sampling.splitLabel(col(idCol),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+  }
+
+  /** Audit funnel: one row per stage with its surviving doc count, plus
+    * one row per final split. Stage intermediates are counted once each
+    * (persisted within the call's cache scope).
+    */
+  def funnel(df: DataFrame, idCol: String, textCol: String,
+             lang: String = "en"): DataFrame = {
+    import graft.functions.TextFunctions
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val inLangIds = TextFunctions.langScoreTable(df.select(col(idCol), col(textCol)),
+        idCol, textCol)
+      .filter(col("pred_lang") === lang)
+      .select(col("id").as(idCol))
+    val inLang = df.select(col(idCol), col(textCol))
+      .join(inLangIds, Seq(idCol), "left_semi")
+    graft.Caches.track(inLang.persist())
+    val stats = col("__st")
+    val quality = inLang
+      .withColumn("__st", TextFunctions.tokenStatsNative(col(textCol), Stop))
+      .filter(stats.getField("n_tokens") >= MinTokens &&
+        stats.getField("n_unique").cast("double") / stats.getField("n_tokens") >= MinUniqRatio)
+      .drop("__st")
+    graft.Caches.track(quality.persist())
+    val curated = dedupAndSplit(quality, idCol, textCol)
+    graft.Caches.track(curated.persist())
+    val stages = Seq(
+      "1_input" -> df.count(),
+      s"2_lang_$lang" -> inLang.count(),
+      "3_quality" -> quality.count(),
+      "4_dedup" -> curated.count())
+    val splits = curated.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(concat(lit("5_"), col("split")).as("stage"), col("n_docs"))
+    stages.toDF("stage", "n_docs").unionByName(splits)
+  }
+}
