@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * Lucene-style non-negative idf: ln(1 + (N - n_t + 0.5) / (n_t + 0.5)).
   *
   * Scale shape (the 100 TB contract):
-  *  - one explode over the corpus, immediately filtered to the query
-  *    terms — the shuffled tf table is |matching docs| × |query terms|,
-  *    NOT corpus-sized;
+  *  - one explode over the corpus with the doc length RIDING ALONG on
+  *    each token row, immediately filtered to the query terms — the
+  *    shuffled tf table is |matching docs| × |query terms| rows and no
+  *    corpus-keyed join exists anywhere (an earlier formulation joined
+  *    tf against a corpus-wide doc-length table — a corpus-sized
+  *    shuffle for two longs a map-side column already knew);
   *  - document-frequency and corpus stats (N, avgdl) are tiny aggregates
   *    (≤ |query terms| rows / 1 row) joined back by explicit broadcast —
-  *    no corpus-sized build side anywhere;
-  *  - the only corpus-keyed shuffle is tf ⨝ doc-length on the id, and
-  *    both sides are already pruned to matching docs via a semi join.
+  *    no corpus-sized build side anywhere.
   *
   * Tokenization matches [[graft.functions.TextFunctions]]' convention
   * (lower + trim + whitespace split) so scores line up with the text
@@ -36,18 +37,19 @@ object Scoring {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val docs = df.select(col(idCol), toks.as("__toks"))
 
-    // (id, dl): every document's token count — needed for avgdl even for
-    // docs that match no term
-    val docLen = docs.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
-    // 1-row corpus stats; broadcast into the score projection
-    val stats = docLen.agg(count(lit(1)).as("__n_docs"), avg(col("__dl")).as("__avgdl"))
+    // 1-row corpus stats (N, avgdl — over ALL docs, matching or not);
+    // broadcast into the score projection
+    val stats = docs
+      .select(size(col("__toks")).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__n_docs"), avg(col("__dl")).as("__avgdl"))
 
-    // (id, term, tf) for query terms only — the explode's output is cut
-    // down BEFORE any shuffle
+    // (id, dl, term, tf) for query terms only — dl rides along on the
+    // token rows, and the explode's output is cut down BEFORE any shuffle
     val tf = docs
-      .select(col(idCol), explode(col("__toks")).as("__term"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("__term"))
       .filter(col("__term").isin(terms: _*))
-      .groupBy(col(idCol), col("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
 
     // (term, n_t): in how many docs each query term appears — ≤ |terms| rows
@@ -59,7 +61,6 @@ object Scoring {
       (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
 
     tf.join(broadcast(dfreq), "__term")
-      .join(docLen, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__contrib", idf * tfNorm)
       .groupBy(col(idCol))

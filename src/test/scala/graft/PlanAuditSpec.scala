@@ -110,11 +110,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
   }
 
-  test("q57 bm25: doc-frequency and corpus stats join by broadcast, never shuffle the tf side twice") {
+  test("q57 bm25: only broadcast joins — no corpus-keyed shuffle join anywhere") {
     val p = planOf("q57_bm25")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"dfreq/stats must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"stats cross join must be broadcast, not cartesian:\n$p")
+    // dl rides along on the token rows; the old corpus-wide doc-length
+    // join must never come back
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join belongs in bm25:\n$p")
   }
 
   test("q58 quantization: map-side kernel — no Exchange before the sort") {
