@@ -953,6 +953,27 @@ object SparkEntry {
     graft.pipeline.CorpusCuration.funnel(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("stage"))
 
+  /** Set operations (INTERSECT / EXCEPT — §2.12 negative coverage made
+    * positive): customers active in both 1996 and 1997 vs active in 1996
+    * only. Both plan as joins over distinct sets (left-semi / left-anti),
+    * not row comparisons — the shuffle is on the already-distinct keys.
+    */
+  private def q69SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def activeIn(year: Int) = ord
+      .filter(col("o_orderdate") >= to_date(lit(s"$year-01-01")) &&
+        col("o_orderdate") < to_date(lit(s"${year + 1}-01-01")))
+      .select(col("o_custkey"))
+    val both = activeIn(1996).intersect(activeIn(1997))
+      .withColumn("set_op", lit("both_years"))
+    val onlyFirst = activeIn(1996).except(activeIn(1997))
+      .withColumn("set_op", lit("only_1996"))
+    both.unionByName(onlyFirst)
+      .groupBy(col("set_op"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("set_op"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1022,7 +1043,8 @@ object SparkEntry {
     "q65_span_dedup" -> (q65SpanDedup _),
     "q66_kmeans_step" -> (q66KmeansStep _),
     "q67_quantile_buckets" -> (q67QuantileBuckets _),
-    "q68_curation_funnel" -> (q68CurationFunnel _))
+    "q68_curation_funnel" -> (q68CurationFunnel _),
+    "q69_set_ops" -> (q69SetOps _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1712,7 +1734,18 @@ object SparkEntry {
         | UNION ALL SELECT '3_quality', count(*) FROM q
         | UNION ALL SELECT '5_' || split, count(*) FROM s GROUP BY split
         | UNION ALL SELECT '4_dedup', count(*) FROM d)
-        |ORDER BY stage""".stripMargin)
+        |ORDER BY stage""".stripMargin,
+    // q69: INTERSECT/EXCEPT restated natively
+    "q69_set_ops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'),
+         |y97 AS (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01')
+         |SELECT set_op, count(*) AS n_customers FROM (
+         | SELECT 'both_years' AS set_op, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97) a
+         | UNION ALL
+         | SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97) b) t
+         |GROUP BY set_op ORDER BY set_op""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
