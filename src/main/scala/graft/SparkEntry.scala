@@ -1554,19 +1554,30 @@ object SparkEntry {
         |GROUP BY tf.doc_id
         |ORDER BY tf.doc_id""".stripMargin,
     // q58: per-element recompute via unnest — scale, int8 codes
-    // (round half away from zero in both engines), error bound
+    // (round half away from zero in both engines), error bound. The
+    // final left join keeps rows whose embedding is EMPTY (unnest emits
+    // nothing; the kernel reports all-zeros) or NULL (kernel reports
+    // nulls) so the row sets can never diverge from the engine
     "q58_quantize_int8" ->
       """WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings),
         |s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM v GROUP BY vec_id),
         |q AS (SELECT v.vec_id, s.scale, x,
         |        CASE WHEN s.scale = 0 THEN 0
         |             ELSE CAST(round(x / s.scale) AS INTEGER) END AS qi
-        |      FROM v JOIN s USING (vec_id))
-        |SELECT vec_id, round(any_value(scale), 6) AS scale,
-        | CAST(sum(qi) AS BIGINT) AS q_sum,
-        | CAST(sum(abs(qi)) AS BIGINT) AS q_l1,
-        | round(max(abs(qi * scale - x)), 6) AS max_err
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |      FROM v JOIN s USING (vec_id)),
+        |agg AS (
+        | SELECT vec_id, round(any_value(scale), 6) AS scale,
+        |  CAST(sum(qi) AS BIGINT) AS q_sum,
+        |  CAST(sum(abs(qi)) AS BIGINT) AS q_l1,
+        |  round(max(abs(qi * scale - x)), 6) AS max_err
+        | FROM q GROUP BY vec_id)
+        |SELECT e.vec_id,
+        | CASE WHEN e.embedding IS NULL THEN NULL ELSE coalesce(agg.scale, 0.0) END AS scale,
+        | CASE WHEN e.embedding IS NULL THEN NULL ELSE coalesce(agg.q_sum, 0) END AS q_sum,
+        | CASE WHEN e.embedding IS NULL THEN NULL ELSE coalesce(agg.q_l1, 0) END AS q_l1,
+        | CASE WHEN e.embedding IS NULL THEN NULL ELSE coalesce(agg.max_err, 0.0) END AS max_err
+        |FROM embeddings e LEFT JOIN agg USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
     // q59: the oracle uses the windowed-SUM form of the same prefix sum
     // (single-partition is fine at oracle scale; the engine's two-phase
     // scan must agree row for row)

@@ -59,14 +59,22 @@ object Chunking {
     * it by hash on the same key its aggregate just shuffled on (exchange
     * reusable). Reassembly is one groupBy(id) whose collect_list is
     * bounded by the document's own chunk count. The packed first-
-    * occurrence key is id·2^20 + chunk_id: callers must keep ids
-    * non-negative and docs under 2^20 chunks (~8M tokens at span 8).
+    * occurrence key is id·2^20 + chunk_id; its contract (ids
+    * non-negative, docs under 2^20 chunks ≈ 8M tokens at span 8) is
+    * enforced row-wise — a violating row raises rather than silently
+    * reordering first occurrences.
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
     require(span > 0, s"span must be positive, got $span")
+    // the packed-key contract is ENFORCED, not assumed: violating rows
+    // would silently corrupt the first-occurrence order, so they raise
+    val packedKey = when(col(idCol) < 0 || col("chunk_id") >= 1048576L,
+        raise_error(concat(lit("spanDedup: id must be >= 0 and chunks per doc < 2^20, got id="),
+          col(idCol).cast("string"), lit(" chunk="), col("chunk_id").cast("string"))))
+      .otherwise(col(idCol) * 1048576L + col("chunk_id"))
     val chunks = chunkTokens(df, idCol, textCol, span, span)
       .withColumn("__h", md5(col("chunk_text")))
-      .withColumn("__k", col(idCol) * 1048576L + col("chunk_id"))
+      .withColumn("__k", packedKey)
     val first = chunks.groupBy(col("__h")).agg(min(col("__k")).as("__k_first"))
     chunks.join(first, "__h")
       .withColumn("__keep", col("__k") === col("__k_first"))

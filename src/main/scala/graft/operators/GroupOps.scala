@@ -86,22 +86,36 @@ object GroupOps {
     * then assigned partition-locally. `orderCols` must be a total order
     * (include a unique key) or ids among ties are unspecified.
     */
-  def denseId(df: DataFrame, orderCols: Seq[Column], out: String, start: Long = 1L): DataFrame = {
+  def denseId(df: DataFrame, orderCols: Seq[Column], out: String, start: Long = 1L): DataFrame =
+    exclusivePrefixSum(df, orderCols, lit(1L), out, start)
+
+  /** The two-phase scan itself, generalized: `out` = the exclusive
+    * prefix sum of `weight` over the global `orderCols` order (weight 1
+    * = [[denseId]]; weight = a token count = [[Packing.packConcat]]'s
+    * offsets). One range shuffle + a partitions-count-sized driver
+    * offset array + a partition-local running sum — never a
+    * single-partition window.
+    */
+  private[operators] def exclusivePrefixSum(df: DataFrame, orderCols: Seq[Column],
+                                            weight: Column, out: String,
+                                            start: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val sorted = df.withColumn("__w", weight.cast(LongType))
+      .repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
     graft.Caches.track(sorted.persist())
+    val wIdx = sorted.schema.fieldIndex("__w")
     val counts = sorted.rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.map(_.getLong(wIdx)).sum)) }
       .collect()
       .sortBy(_._1)
       .map(_._2)
     val offsets = counts.scanLeft(start)(_ + _)
-    val withId = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var id = offsets(i)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ id); id += 1; out }
+    val withOff = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var off = offsets(i)
+      it.map { r => val o = Row.fromSeq(r.toSeq :+ off); off += r.getLong(wIdx); o }
     }
-    val res = spark.createDataFrame(withId, sorted.schema.add(out, LongType, nullable = false))
-    res
+    spark.createDataFrame(withOff, sorted.schema.add(out, LongType, nullable = false))
+      .drop("__w")
   }
 
   /** W1 small-dimension variant: plain `row_number` over a global order —

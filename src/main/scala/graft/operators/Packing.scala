@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Context-window packing for LLM training: documents' token streams are
   * laid end-to-end and cut into fixed-size bins ("concat-then-split", the
@@ -13,11 +12,10 @@ import org.apache.spark.sql.types.LongType
   * The computation is a GLOBAL exact prefix sum of token counts in id
   * order — the naive form is `sum over (Window.orderBy(id))`, a single-
   * partition window that melts the driver at 100 TB (same hazard as W1,
-  * SURVEY §2.5). Here it is the scale-safe two-phase scan (same pattern
-  * as [[GroupOps.denseId]]): range-repartition on the order key, local
-  * per-partition sums, a partitions-count-sized offset array on the
-  * driver, then a partition-local running sum — one range shuffle plus
-  * one tiny count job, fully parallel.
+  * SURVEY §2.5). It runs on [[GroupOps.exclusivePrefixSum]] — the same
+  * two-phase scan [[GroupOps.denseId]] uses (weight = the token count
+  * instead of 1), one shared implementation of the scale-critical
+  * machinery.
   */
 object Packing {
 
@@ -28,27 +26,10 @@ object Packing {
     */
   def packConcat(df: DataFrame, idCol: String, textCol: String, budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val spark = df.sparkSession
     val counted = df.select(col(idCol),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-    val sorted = counted.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
-    graft.Caches.track(sorted.persist())
-    val partSums = sorted.rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        Iterator((i, it.map(_.getLong(1)).sum))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val withOff = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var off = offsets(i)
-      it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ off)
-        off += r.getLong(1)
-        out
-      }
-    }
-    binned(spark.createDataFrame(withOff,
-      sorted.schema.add("start_off", LongType, nullable = false)), budget)
+    binned(GroupOps.exclusivePrefixSum(counted, Seq(col(idCol)),
+      col("n_tokens"), "start_off"), budget)
   }
 
   /** Exact long bin arithmetic (`div`, not double `/` — offsets past 2^53

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *    (≤ |query terms| rows / 1 row) joined back by explicit broadcast —
   *    no corpus-sized build side anywhere.
   *
-  * Tokenization matches [[graft.functions.TextFunctions]]' convention
-  * (lower + trim + whitespace split) so scores line up with the text
-  * stats the pipeline already computes.
+  * Tokenization IS [[graft.functions.TextFunctions.tokens]] (lower +
+  * trim + whitespace split) — the one canonical tokenizer, so scores
+  * line up with the text stats the pipeline already computes by
+  * construction.
   */
 object Scoring {
 
@@ -34,8 +35,8 @@ object Scoring {
   def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val docs = df.select(col(idCol), toks.as("__toks"))
+    val docs = df.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
 
     // 1-row corpus stats (N, avgdl — over ALL docs, matching or not);
     // broadcast into the score projection
@@ -75,8 +76,8 @@ object Scoring {
     * is reused between the df agg and the join.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val docs = df.select(col(idCol), toks.as("__toks"))
+    val docs = df.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
     val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     val terms = docs
       .select(col(idCol), explode(col("__toks")).as("term"))

@@ -57,25 +57,8 @@ object SkewJoins {
                        sampleFraction: Double = 0.01, seed: Long = 42L,
                        maxHotKeys: Int = 100000): DataFrame = {
     require(salt > 1, s"salt must be > 1 (got $salt); use a plain join otherwise")
-    require(sampleFraction > 0 && sampleFraction <= 1,
-      s"sampleFraction must be in (0,1], got $sampleFraction")
-    val keyCols = keys.map(col)
-    val sampleThreshold = math.max(1L, math.round(hotThreshold * sampleFraction))
-    // the tag is computed by the SAME expression in detection and
-    // tagging, so value rendering can never diverge between the two; the
-    // \u0001 separator keeps multi-col keys unambiguous. (A tag collision
-    // could only mis-classify a key's hotness, which affects cost, never
-    // the join result.)
-    val keyTag = concat_ws("\u0001", keyCols.map(c => c.cast("string")): _*)
-    val hot = left.sample(withReplacement = false, sampleFraction, seed)
-      .groupBy(keyTag.as("__tag")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= sampleThreshold)
-      .select(col("__tag"))
-      .limit(maxHotKeys + 1)
-      .collect()
-    require(hot.length <= maxHotKeys,
-      s"more than $maxHotKeys hot keys detected — raise hotThreshold or maxHotKeys")
-    val hotSet = hot.map(_.getString(0)).toSet
+    val hotSet = detectHotTags(left, keys, hotThreshold, sampleFraction, seed, maxHotKeys)
+    val keyTag = tagOf(keys)
     // native membership test (In/InSet — codegen'd, ships with the plan;
     // no UDF, no manual broadcast); empty set → nothing salted
     def isHot = if (hotSet.isEmpty) lit(false) else keyTag.isInCollection(hotSet)
@@ -85,5 +68,35 @@ object SkewJoins {
       when(isHot, sequence(lit(0), lit(salt - 1)))
         .otherwise(array(lit(0)))))
     l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
+  /** The tag is computed by the SAME expression in detection and
+    * tagging, so value rendering can never diverge between the two; the
+    * \u0001 separator keeps multi-col keys unambiguous. (A tag collision
+    * could only mis-classify a key's hotness, which affects cost, never
+    * the join result.)
+    */
+  private def tagOf(keys: Seq[String]) =
+    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+
+  /** The sampling pre-pass on its own (package-visible so the spec can
+    * assert detection directly): tags of keys whose estimated row count
+    * exceeds `hotThreshold`.
+    */
+  private[operators] def detectHotTags(left: DataFrame, keys: Seq[String],
+                                       hotThreshold: Long, sampleFraction: Double,
+                                       seed: Long, maxHotKeys: Int): Set[String] = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    val sampleThreshold = math.max(1L, math.round(hotThreshold * sampleFraction))
+    val hot = left.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(tagOf(keys).as("__tag")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= sampleThreshold)
+      .select(col("__tag"))
+      .limit(maxHotKeys + 1)
+      .collect()
+    require(hot.length <= maxHotKeys,
+      s"more than $maxHotKeys hot keys detected — raise hotThreshold or maxHotKeys")
+    hot.map(_.getString(0)).toSet
   }
 }

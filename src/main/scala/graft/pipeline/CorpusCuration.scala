@@ -20,9 +20,8 @@ import org.apache.spark.sql.functions._
   * funnel is the proof they COMPOSE: q68's oracle recomputes the whole
   * funnel independently in SQL and the stage counts must match.
   *
-  * [[curate]] returns the surviving rows with their split label;
-  * [[funnel]] returns the audit table (stage, n_docs) — stage names are
-  * ordinal-prefixed so lexicographic order is pipeline order.
+  * Every public entry builds through ONE private stage constructor, so
+  * curate / funnel / the CLI can never disagree about what a stage is.
   */
 object CorpusCuration {
 
@@ -33,11 +32,12 @@ object CorpusCuration {
   // gate only reads n_tokens/n_unique, so the list's content is inert here
   private val Stop = Seq("the", "a", "and", "of", "to")
 
-  /** Survivors of the full funnel: (id, text, split). */
-  def curate(df: DataFrame, idCol: String, textCol: String,
-             lang: String = "en"): DataFrame = {
+  /** Stages 1–2 (shared single source of truth): language-filtered and
+    * quality-filtered frames, unpersisted.
+    */
+  private def stages(df: DataFrame, idCol: String, textCol: String,
+                     lang: String): (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions
-    import graft.operators.Sampling
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val inLangIds = TextFunctions.langScoreTable(df.select(col(idCol), col(textCol)),
         idCol, textCol)
@@ -51,10 +51,10 @@ object CorpusCuration {
       .filter(stats.getField("n_tokens") >= MinTokens &&
         stats.getField("n_unique").cast("double") / stats.getField("n_tokens") >= MinUniqRatio)
       .drop("__st")
-    dedupAndSplit(quality, idCol, textCol)
+    (inLang, quality)
   }
 
-  /** Stages 3→4: min-id exact dedup on the normalized fingerprint, then
+  /** Stages 3–4: min-id exact dedup on the normalized fingerprint, then
     * the deterministic split label.
     */
   private def dedupAndSplit(quality: DataFrame, idCol: String,
@@ -70,33 +70,25 @@ object CorpusCuration {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
   }
 
-  /** Audit funnel: one row per stage with its surviving doc count, plus
-    * one row per final split. Stage intermediates are counted once each
-    * (persisted within the call's cache scope).
+  /** Survivors of the full funnel: (id, text, split). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             lang: String = "en"): DataFrame =
+    dedupAndSplit(stages(df, idCol, textCol, lang)._2, idCol, textCol)
+
+  /** Audit funnel plus the curated corpus, computed ONCE: intermediates
+    * are persisted (within the caller's cache scope) and shared between
+    * the counts and the returned survivors.
     */
-  def funnel(df: DataFrame, idCol: String, textCol: String,
-             lang: String = "en"): DataFrame = {
-    import graft.functions.TextFunctions
+  def funnelWithCorpus(df: DataFrame, idCol: String, textCol: String,
+                       lang: String = "en"): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.expressions.GraftFunctions.register(spark)
-    val inLangIds = TextFunctions.langScoreTable(df.select(col(idCol), col(textCol)),
-        idCol, textCol)
-      .filter(col("pred_lang") === lang)
-      .select(col("id").as(idCol))
-    val inLang = df.select(col(idCol), col(textCol))
-      .join(inLangIds, Seq(idCol), "left_semi")
+    val (inLang, quality) = stages(df, idCol, textCol, lang)
     graft.Caches.track(inLang.persist())
-    val stats = col("__st")
-    val quality = inLang
-      .withColumn("__st", TextFunctions.tokenStatsNative(col(textCol), Stop))
-      .filter(stats.getField("n_tokens") >= MinTokens &&
-        stats.getField("n_unique").cast("double") / stats.getField("n_tokens") >= MinUniqRatio)
-      .drop("__st")
     graft.Caches.track(quality.persist())
     val curated = dedupAndSplit(quality, idCol, textCol)
     graft.Caches.track(curated.persist())
-    val stages = Seq(
+    val stageCounts = Seq(
       "1_input" -> df.count(),
       s"2_lang_$lang" -> inLang.count(),
       "3_quality" -> quality.count(),
@@ -104,6 +96,13 @@ object CorpusCuration {
     val splits = curated.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .select(concat(lit("5_"), col("split")).as("stage"), col("n_docs"))
-    stages.toDF("stage", "n_docs").unionByName(splits)
+    (stageCounts.toDF("stage", "n_docs").unionByName(splits), curated)
   }
+
+  /** Audit funnel only: one row per stage with its surviving doc count,
+    * plus one row per final split.
+    */
+  def funnel(df: DataFrame, idCol: String, textCol: String,
+             lang: String = "en"): DataFrame =
+    funnelWithCorpus(df, idCol, textCol, lang)._1
 }

@@ -18,13 +18,13 @@ object CorpusCurationMain {
       appName = "graft-curation")
     try graft.Caches.withScope {
       val docs = spark.read.parquet(in)
-      val curated = CorpusCuration.curate(docs, "doc_id", "text", lang)
-      graft.Caches.track(curated.persist())
+      // one pipeline run feeds BOTH outputs — the audit counts and the
+      // corpus share the persisted stage frames
+      val (funnel, curated) = CorpusCuration.funnelWithCorpus(docs, "doc_id", "text", lang)
       // split-partitioned layout: train/val/test land in their own
       // directories, readable independently (partition pruning)
       curated.write.mode("overwrite").partitionBy("split").parquet(s"$out/corpus")
-      CorpusCuration.funnel(docs, "doc_id", "text", lang)
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/funnel")
+      funnel.coalesce(1).write.mode("overwrite").parquet(s"$out/funnel")
       spark.read.parquet(s"$out/funnel").orderBy("stage").show(20, truncate = false)
     } finally spark.stop()
   }

@@ -34,7 +34,7 @@ class SkewJoinsSpec extends SparkSpec {
     }
   }
 
-  test("hotKeySaltedJoin == plain join; only the hot key is replicated") {
+  test("hotKeySaltedJoin == plain join; detection finds exactly the hot key") {
     import spark.implicits._
     // key 1 is hot (900 rows), tail keys have 1 row each
     val left = ((1 to 900).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"t$i")))
@@ -45,13 +45,17 @@ class SkewJoinsSpec extends SparkSpec {
     val salted = SkewJoins.hotKeySaltedJoin(left, right, Seq("k"),
       salt = 8, hotThreshold = 100, sampleFraction = 1.0)
     assert(rowsOf(salted.select("k", "lv", "rv")) == rowsOf(plain))
-    // replication check: rebuild the tagged right side the operator builds —
-    // hot key 1 must fan out 8×, cold keys once
-    val hotOnly = SkewJoins.hotKeySaltedJoin(
-      left, right, Seq("k"), salt = 8, hotThreshold = 100, sampleFraction = 1.0)
-    val perKey = hotOnly.groupBy("k").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(perKey(1L) == 900L) // result cardinality unchanged
+    // the detection pre-pass itself: exactly key 1, nothing else —
+    // a regression that salts nothing (or everything) fails HERE even
+    // though the join result would still be correct
+    val hot = SkewJoins.detectHotTags(left, Seq("k"),
+      hotThreshold = 100, sampleFraction = 1.0, seed = 42L, maxHotKeys = 1000)
+    assert(hot == Set("1"), s"only the 900-row key is hot: $hot")
+    // and the hot key's left rows actually spread over the salt space
+    val salts = left.filter(col("k") === 1L)
+      .withColumn("__salt", (rand(42L) * 8).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts >= 6, s"900 rows should hit most of 8 salts, got $salts")
   }
 
   test("hotKeySaltedJoin with nothing hot degenerates to the plain join result") {
