@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, regexp_replace}
 import org.apache.spark.sql.types.StructType
 
 /** Readers/writers for the lakehouse layout (SURVEY.md §2.1, S1–S9).
@@ -72,6 +72,41 @@ object Tables {
                files: Int = 0): Unit = {
     val out = if (files > 0) df.coalesce(files) else df
     out.write.mode(mode).orc(path)
+  }
+
+  /** Parquet sink + dataset manifest: after the write, a `_manifest`
+    * subdirectory (underscore prefix — invisible to parquet readers,
+    * like `_SUCCESS`) records one row per data file: (file, n_rows,
+    * bytes). The shard-accounting step a training pipeline needs to
+    * hand a dataset to a loader — reproducible sampling weights, resume
+    * bookkeeping, size budgeting — without re-listing the data.
+    *
+    * Row counts come from one `input_file_name()` aggregation over the
+    * written files (a single narrow scan; at extreme scale swap in a
+    * parquet-footer walk — the footer already holds the row count);
+    * byte sizes come from the filesystem listing.
+    */
+  def writeWithManifest(df: DataFrame, path: String,
+                        mode: SaveMode = SaveMode.Overwrite, files: Int = 0): DataFrame = {
+    write(df, path, mode, files)
+    val spark = df.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(fsPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toUri.getPath, st.getLen))
+    import spark.implicits._
+    val sizeDf = sizes.toDF("file", "bytes")
+    val countDf = spark.read.parquet(path)
+      .groupBy(input_file_name().as("__uri"))
+      .agg(count(lit(1)).as("n_rows"))
+      // input_file_name is a URI (file://...); join on the path part
+      .withColumn("file", regexp_replace(col("__uri"), "^[a-z]+:(//)?", ""))
+      .select(col("file"), col("n_rows"))
+    val manifest = sizeDf.join(countDf, Seq("file"), "left")
+      .select(col("file"), coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("bytes"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
+    manifest
   }
 
   /** S6/S7: parquet sink with bounded output file count. `files <= 0` keeps

@@ -87,6 +87,22 @@ class TablesSpec extends SparkSpec {
     assert(got == Set(1, 3, 5))
   }
 
+  test("writeWithManifest: per-file rows sum to the dataset; manifest is reader-invisible") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("manifest").toString + "/t"
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "v").repartition(4)
+    val manifest = Tables.writeWithManifest(df, path)
+    val rows = manifest.collect()
+    assert(rows.map(_.getLong(1)).sum == 500L, "row counts must sum to the dataset")
+    assert(rows.forall(_.getLong(2) > 0L), "every file has bytes")
+    assert(rows.length == 4)
+    // _manifest must not leak into a normal read of the data directory
+    assert(spark.read.parquet(path).count() == 500L)
+    // and the manifest itself round-trips
+    val back = spark.read.parquet(s"$path/_manifest")
+    assert(rowsOf(back) == rowsOf(manifest))
+  }
+
   test("orc round-trip preserves rows and pushes filters to the scan") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("orc_rt").toString + "/t"
