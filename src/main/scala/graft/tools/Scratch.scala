@@ -13,18 +13,24 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.expressions.GraftFunctions.register(spark)
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    import graft.operators.Quantize
-    time("kernel cold")(noop(Quantize.quantizeReport(emb, "vec_id", "embedding")))
-    time("kernel warm")(noop(Quantize.quantizeReport(emb, "vec_id", "embedding")))
-    time("declarative cold")(noop(Quantize.quantizeReportDeclarative(emb, "vec_id", "embedding")))
-    time("declarative warm")(noop(Quantize.quantizeReportDeclarative(emb, "vec_id", "embedding")))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def current() = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a50"),
+      expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("a95"))
+    def fused() = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"),
+      expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)").as("a"))
+    time("current cold")(noop(current()))
+    time("current warm")(noop(current()))
+    time("fused cold")(noop(fused()))
+    time("fused warm")(noop(fused()))
     spark.stop()
   }
 }
