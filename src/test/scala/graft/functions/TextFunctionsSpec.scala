@@ -179,4 +179,26 @@ class TextFunctionsSpec extends SparkSpec {
     rep.collect()
     assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("two repetition-kernel instances in one projection compile under strict codegen") {
+    import spark.implicits._
+    val conf = spark.conf
+    val prev = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      graft.expressions.GraftFunctions.register(spark)
+      val df = Seq((1L, "a b a b", "x x x")).toDF("id", "t1", "t2")
+      val out = df.select(
+        call_function("ngram_repetition", split(col("t1"), " "), lit(2)).as("r1"),
+        call_function("ngram_repetition", split(col("t2"), " "), lit(1)).as("r2"))
+      val row = out.collect()(0)
+      assert(row.getStruct(0).getLong(0) == 3L) // 3 bigrams in t1
+      assert(row.getStruct(1).getLong(1) == 3L) // top count 3 in t2
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
