@@ -980,6 +980,23 @@ object SparkEntry {
       .orderBy(col("set_op"))
   }
 
+  /** Quality-weighted deterministic downsampling: every document
+    * survives with probability n_chars / max(n_chars) — longer (proxy:
+    * higher-value) docs are kept preferentially, and the decision is a
+    * pure hash function of the id so the oracle recomputes membership
+    * row by row. Map-side except the 1-row max broadcast.
+    */
+  private def q70WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("n_chars")).as("__mx"))
+    graft.operators.Sampling.weightedSample(
+        docs.crossJoin(broadcast(mx)), "doc_id",
+        col("n_chars").cast("double") / col("__mx"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1050,7 +1067,8 @@ object SparkEntry {
     "q66_kmeans_step" -> (q66KmeansStep _),
     "q67_quantile_buckets" -> (q67QuantileBuckets _),
     "q68_curation_funnel" -> (q68CurationFunnel _),
-    "q69_set_ops" -> (q69SetOps _))
+    "q69_set_ops" -> (q69SetOps _),
+    "q70_weighted_sample" -> (q70WeightedSample _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1762,7 +1780,18 @@ object SparkEntry {
          | SELECT 'both_years' AS set_op, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97) a
          | UNION ALL
          | SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97) b) t
-         |GROUP BY set_op ORDER BY set_op""".stripMargin)
+         |GROUP BY set_op ORDER BY set_op""".stripMargin,
+    // q70: membership recomputed row by row — same md5 bucket, same
+    // weight normalization, same rounding
+    "q70_weighted_sample" ->
+      """SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (
+        | SELECT lang, doc_id,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b,
+        |  CAST(n_chars AS DOUBLE) / (SELECT max(n_chars) FROM documents) AS p
+        | FROM documents) t
+        |WHERE b < round(p * 10000)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -82,6 +82,20 @@ object Sampling {
     df.filter(b < math.round(p * NumBuckets))
   }
 
+  /** Deterministic WEIGHTED sample: keep a row with probability equal to
+    * its `weight` column (clamped to [0,1]) — quality-weighted corpus
+    * downsampling, where a high-quality document is more likely to
+    * survive than boilerplate. Same determinism contract as the other
+    * samplers: membership is a pure function of (key, weight), so reruns
+    * and different partitionings keep exactly the same rows, and any
+    * engine with md5 can recompute the decision (the q70 oracle does).
+    * Pure map-side filter; resolution 1/NumBuckets.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    val p = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(hashBucket(col(keyCol)) < round(p * NumBuckets))
+  }
+
   /** Per-group cap: keep at most `n` rows per value of `groupCol`, chosen
     * deterministically by md5(key) order (ties broken by the key) — the
     * corpus-curation primitive behind "at most N documents per domain/

@@ -73,6 +73,22 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"labeling must not shuffle:\n$plan")
   }
 
+  test("weightedSample: weight 1 keeps all, 0 keeps none, rate tracks the weight") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (i, "x")).toDF("k", "v")
+    assert(Sampling.weightedSample(df, "k", lit(1.0)).count() == 4000)
+    assert(Sampling.weightedSample(df, "k", lit(0.0)).count() == 0)
+    val kept = Sampling.weightedSample(df, "k", lit(0.3)).count()
+    assert(math.abs(kept / 4000.0 - 0.3) < 0.05, s"rate ${kept / 4000.0}")
+    // out-of-range weights clamp instead of misbehaving
+    assert(Sampling.weightedSample(df, "k", lit(7.0)).count() == 4000)
+    assert(Sampling.weightedSample(df, "k", lit(-2.0)).count() == 0)
+    // deterministic under re-partitioning
+    val a = Sampling.weightedSample(df, "k", lit(0.5)).select("k")
+    val b = Sampling.weightedSample(df.repartition(13), "k", lit(0.5)).select("k")
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
   test("capPerGroup keeps at most n per group, deterministically, order-independently") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (s"g${i % 3}", i)).toDF("grp", "k")
