@@ -68,9 +68,10 @@ object Chunking {
     require(span > 0, s"span must be positive, got $span")
     // the packed-key contract is ENFORCED, not assumed: violating rows
     // would silently corrupt the first-occurrence order, so they raise
-    val packedKey = when(col(idCol) < 0 || col("chunk_id") >= 1048576L,
-        raise_error(concat(lit("spanDedup: id must be >= 0 and chunks per doc < 2^20, got id="),
-          col(idCol).cast("string"), lit(" chunk="), col("chunk_id").cast("string"))))
+    val packedKey = when(col(idCol).isNull || col(idCol) < 0 || col("chunk_id") >= 1048576L,
+        raise_error(concat(lit("spanDedup: id must be a non-null >= 0 and chunks per doc < 2^20, got id="),
+          coalesce(col(idCol).cast("string"), lit("null")),
+          lit(" chunk="), col("chunk_id").cast("string"))))
       .otherwise(col(idCol) * 1048576L + col("chunk_id"))
     val chunks = chunkTokens(df, idCol, textCol, span, span)
       .withColumn("__h", md5(col("chunk_text")))

@@ -100,10 +100,13 @@ object GroupOps {
                                             weight: Column, out: String,
                                             start: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.withColumn("__w", weight.cast(LongType))
+    // pick a weight-column name the input does NOT already use —
+    // withColumn on a caller's column would overwrite-then-drop it
+    val w = Iterator.from(0).map(i => s"__w$i").find(!df.columns.contains(_)).get
+    val sorted = df.withColumn(w, weight.cast(LongType))
       .repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
     graft.Caches.track(sorted.persist())
-    val wIdx = sorted.schema.fieldIndex("__w")
+    val wIdx = sorted.schema.fieldIndex(w)
     val counts = sorted.rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.map(_.getLong(wIdx)).sum)) }
       .collect()
@@ -115,7 +118,7 @@ object GroupOps {
       it.map { r => val o = Row.fromSeq(r.toSeq :+ off); off += r.getLong(wIdx); o }
     }
     spark.createDataFrame(withOff, sorted.schema.add(out, LongType, nullable = false))
-      .drop("__w")
+      .drop(w)
   }
 
   /** W1 small-dimension variant: plain `row_number` over a global order —

@@ -81,30 +81,31 @@ object Tables {
     * hand a dataset to a loader — reproducible sampling weights, resume
     * bookkeeping, size budgeting — without re-listing the data.
     *
-    * Row counts come from one `input_file_name()` aggregation over the
-    * written files (a single narrow scan; at extreme scale swap in a
-    * parquet-footer walk — the footer already holds the row count);
-    * byte sizes come from the filesystem listing.
+    * Metadata-only: byte sizes come from the filesystem listing and row
+    * counts from each file's parquet FOOTER (the footer records the
+    * exact count) — no second pass over the data just written, and no
+    * URI-string joining that breaks off the local filesystem. The
+    * driver-side footer loop is bounded by the file count (manifest-
+    * sized by definition); parallelize it over a file Dataset if a
+    * single sink ever holds millions of files.
     */
   def writeWithManifest(df: DataFrame, path: String,
                         mode: SaveMode = SaveMode.Overwrite, files: Int = 0): DataFrame = {
     write(df, path, mode, files)
     val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sizes = fs.listStatus(fsPath).toSeq
+    val fs = fsPath.getFileSystem(conf)
+    val entries = fs.listStatus(fsPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => (st.getPath.toUri.getPath, st.getLen))
+      .map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        val nRows = try reader.getRecordCount finally reader.close()
+        (st.getPath.getName, nRows, st.getLen)
+      }
     import spark.implicits._
-    val sizeDf = sizes.toDF("file", "bytes")
-    val countDf = spark.read.parquet(path)
-      .groupBy(input_file_name().as("__uri"))
-      .agg(count(lit(1)).as("n_rows"))
-      // input_file_name is a URI (file://...); join on the path part
-      .withColumn("file", regexp_replace(col("__uri"), "^[a-z]+:(//)?", ""))
-      .select(col("file"), col("n_rows"))
-    val manifest = sizeDf.join(countDf, Seq("file"), "left")
-      .select(col("file"), coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("bytes"))
+    val manifest = entries.toDF("file", "n_rows", "bytes")
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
     manifest
   }

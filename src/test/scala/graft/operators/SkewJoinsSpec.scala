@@ -51,11 +51,9 @@ class SkewJoinsSpec extends SparkSpec {
     val hot = SkewJoins.detectHotTags(left, Seq("k"),
       hotThreshold = 100, sampleFraction = 1.0, seed = 42L, maxHotKeys = 1000)
     assert(hot == Set("1"), s"only the 900-row key is hot: $hot")
-    // and the hot key's left rows actually spread over the salt space
-    val salts = left.filter(col("k") === 1L)
-      .withColumn("__salt", (rand(42L) * 8).cast("int"))
-      .select("__salt").distinct().count()
-    assert(salts >= 6, s"900 rows should hit most of 8 salts, got $salts")
+    // salt-space spread of the left side is covered by the standalone
+    // rand-spread test above; result-invariance plus exact detection
+    // pins the operator's observable contract
   }
 
   test("hotKeySaltedJoin with nothing hot degenerates to the plain join result") {
