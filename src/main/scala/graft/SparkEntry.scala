@@ -997,6 +997,25 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** URL canonicalization: two deterministically mangled spellings of
+    * the same page per document (case-shuffled host, tracking params,
+    * fragment, trailing slash) must normalize to the SAME canonical URL
+    * — the prerequisite for page-level dedup keyed on URLs. The oracle
+    * re-runs the identical normalization chain in SQL and checks both
+    * the canonical md5 and the a==b collapse per row.
+    */
+  private def q71UrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.normalizeUrl
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("HTTPS://Example.COM/docs/"), col("doc_id"),
+        lit("/?utm_source=feed&ref=rss#top")).as("__a"),
+      concat(lit("https://example.com/docs/"), col("doc_id")).as("__b"))
+    raw.select(col("doc_id"),
+        md5(normalizeUrl(col("__a"))).as("norm_md5"),
+        (normalizeUrl(col("__a")) === normalizeUrl(col("__b"))).as("canonical_match"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1068,7 +1087,8 @@ object SparkEntry {
     "q67_quantile_buckets" -> (q67QuantileBuckets _),
     "q68_curation_funnel" -> (q68CurationFunnel _),
     "q69_set_ops" -> (q69SetOps _),
-    "q70_weighted_sample" -> (q70WeightedSample _))
+    "q70_weighted_sample" -> (q70WeightedSample _),
+    "q71_url_normalize" -> (q71UrlNormalize _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1791,7 +1811,33 @@ object SparkEntry {
         |  CAST(n_chars AS DOUBLE) / (SELECT max(n_chars) FROM documents) AS p
         | FROM documents) t
         |WHERE b < round(p * 10000)
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q71: the same normalization chain, step by step, on both raw
+    // spellings (DuckDB regexp_replace needs the 'g' flag and \1
+    // backreferences where Spark replaces all and uses $1)
+    "q71_url_normalize" ->
+      """WITH raw AS (
+        | SELECT doc_id,
+        |  'HTTPS://Example.COM/docs/' || doc_id || '/?utm_source=feed&ref=rss#top' AS a,
+        |  'https://example.com/docs/' || doc_id AS b
+        | FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  lower(regexp_extract(a, '^([a-zA-Z]+://[^/?#]*)', 1)) || regexp_extract(a, '^[a-zA-Z]+://[^/?#]*(.*)$', 1) AS a,
+        |  lower(regexp_extract(b, '^([a-zA-Z]+://[^/?#]*)', 1)) || regexp_extract(b, '^[a-zA-Z]+://[^/?#]*(.*)$', 1) AS b
+        | FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(a, '#.*$', '', 'g') AS a,
+        |                      regexp_replace(b, '#.*$', '', 'g') AS b FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(a, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g') AS a,
+        |  regexp_replace(b, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g') AS b FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(a, '[?&]+$', '', 'g'), '\?&', '?', 'g') AS a,
+        |  regexp_replace(regexp_replace(b, '[?&]+$', '', 'g'), '\?&', '?', 'g') AS b FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  regexp_replace(a, '(://[^/?#]+/.+?)/$', '\1', 'g') AS a,
+        |  regexp_replace(b, '(://[^/?#]+/.+?)/$', '\1', 'g') AS b FROM s4)
+        |SELECT doc_id, md5(a) AS norm_md5, a = b AS canonical_match
+        |FROM s5 ORDER BY doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -202,6 +202,29 @@ object TextFunctions {
         (lit(1.0) - col("__r.distinct_cnt").cast("double") / col("__r.n_grams")).as("dup_frac"))
   }
 
+  /** URL canonicalization for page-level dedup: lowercase scheme+host,
+    * strip the fragment, strip tracking query params (utm_*, fbclid,
+    * gclid, ref), drop an empty leftover '?', and remove a trailing
+    * slash on non-root paths — the normalization that makes
+    * 'HTTPS://Example.com/a/?utm_source=x' and 'https://example.com/a'
+    * the SAME page before fingerprint dedup. Pure regexp chain
+    * (codegen'd, map-side); engine-portable (the q71 oracle re-runs the
+    * identical RE2-compatible patterns).
+    */
+  def normalizeUrl(url: Column): Column = {
+    // lowercase scheme://host (group 1), keep the rest as-is
+    val hostLower = concat(
+      lower(regexp_extract(url, "^([a-zA-Z]+://[^/?#]*)", 1)),
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]*(.*)$", 1))
+    val noFragment = regexp_replace(hostLower, "#.*$", "")
+    // tracking params anywhere in the query string, then tidy separators
+    val noTracking = regexp_replace(noFragment,
+      "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noTracking, "[?&]+$", ""), "\\?&", "?")
+    // trailing slash on a non-root path
+    regexp_replace(tidy, "(://[^/?#]+/.+?)/$", "$1")
+  }
+
   /** Declarative (explode + aggregate) form of [[repetitionStats]] —
     * the kernel's executable specification; `TextFunctionsSpec` pins
     * kernel ≡ declarative.

@@ -180,6 +180,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("normalizeUrl: canonical collapse and the cases it must NOT touch") {
+    import spark.implicits._
+    val cases = Seq(
+      // same page, mangled → canonical
+      ("HTTPS://Example.COM/a/b/?utm_source=x&ref=y#frag", "https://example.com/a/b"),
+      ("https://example.com/a/b", "https://example.com/a/b"),
+      // non-tracking params survive, tracking in the middle is excised
+      ("https://example.com/p?id=7&utm_campaign=z&x=1", "https://example.com/p?id=7&x=1"),
+      // root slash is NOT stripped; path case is preserved
+      ("http://Example.com/", "http://example.com/"),
+      ("https://example.com/CaseSensitive/Path", "https://example.com/CaseSensitive/Path"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("two repetition-kernel instances in one projection compile under strict codegen") {
     import spark.implicits._
     val conf = spark.conf
