@@ -156,6 +156,18 @@ class PlanAuditSpec extends SparkSpec {
       s"partial-form merge must stay in hash aggregation:\n$p")
   }
 
+  test("q70/q71 curation scalars: map-side except the final sort (and q70's 1-row max broadcast)") {
+    Seq("q70_weighted_sample", "q71_url_normalize").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      Caches.unpersistAll()
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name must not shuffle-join:\n$p")
+      assert(!p.contains("Window"), s"$name must not window:\n$p")
+    }
+  }
+
   test("q65 span dedup: hash-keyed joins only, chunk text never in the first-occurrence shuffle") {
     val df = SparkEntry.queries("q65_span_dedup")(spark, dir)
     df.write.format("noop").mode("overwrite").save()

@@ -197,6 +197,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("normalizeUrl is idempotent over randomized mangled URLs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val schemes = Seq("http://", "HTTPS://", "https://")
+    val hosts = Seq("Example.com", "www.EXAMPLE.org", "a.b.co")
+    val paths = Seq("", "/", "/p", "/p/q/", "/P/Q")
+    val queries = Seq("", "?id=1", "?utm_source=x", "?id=1&utm_medium=m&x=2", "?ref=r&gclid=g")
+    val frags = Seq("", "#top", "#a/b")
+    val urls = (1 to 200).map { _ =>
+      schemes(rnd.nextInt(3)) + hosts(rnd.nextInt(3)) + paths(rnd.nextInt(5)) +
+        queries(rnd.nextInt(5)) + frags(rnd.nextInt(3))
+    }
+    val rows = urls.toDF("u")
+      .select(TextFunctions.normalizeUrl(col("u")).as("n1"))
+      .select(col("n1"), TextFunctions.normalizeUrl(col("n1")).as("n2"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
   test("two repetition-kernel instances in one projection compile under strict codegen") {
     import spark.implicits._
     val conf = spark.conf
