@@ -49,11 +49,15 @@ object Bench {
     }
     val ok = runs.collect { case (name, sec, None) => name -> sec }
     val errors = runs.collect { case (name, _, Some(e)) => name -> e }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision: the driver captures only the tail of stdout,
+    // and at 71 queries full-double formatting pushed the line past the
+    // capture window (round 3's "parsed": null)
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stop BEFORE printing: Spark's shutdown logs (stderr) can't land

@@ -1470,8 +1470,8 @@ object SparkEntry {
         |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |      '\b(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}\b', '<IP>', 'g'),
         |     '\b[0-9](?:[0-9 -]{11,17})[0-9]\b', '<CARD>', 'g'),
-        |    '([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4})',
-        |    '\1' || chr(1) || '\2' || chr(1) || '\3\4' || chr(1) || '\5' || chr(1) || '\6', 'g'),
+        |    '(^|[^0-9./-])(?:([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4}))([^0-9]|$)',
+        |    '\1\2' || chr(1) || '\3' || chr(1) || '\4\5' || chr(1) || '\6' || chr(1) || '\7\8', 'g'),
         |   '\+?[0-9](?:[()\s.-]{0,2}[0-9]){6,}', '<PHONE>', 'g'),
         |  chr(1), '', 'g')) AS scrubbed_md5,
         | len(string_split_regex(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails
@@ -1828,11 +1828,11 @@ object SparkEntry {
         |s2 AS (SELECT doc_id, regexp_replace(a, '#.*$', '', 'g') AS a,
         |                      regexp_replace(b, '#.*$', '', 'g') AS b FROM s1),
         |s3 AS (SELECT doc_id,
-        |  regexp_replace(a, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g') AS a,
-        |  regexp_replace(b, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g') AS b FROM s2),
+        |  regexp_replace(a, '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g') AS a,
+        |  regexp_replace(b, '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g') AS b FROM s2),
         |s4 AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(a, '[?&]+$', '', 'g'), '\?&', '?', 'g') AS a,
-        |  regexp_replace(regexp_replace(b, '[?&]+$', '', 'g'), '\?&', '?', 'g') AS b FROM s3),
+        |  regexp_replace(regexp_replace(regexp_replace(a, '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS a,
+        |  regexp_replace(regexp_replace(regexp_replace(b, '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS b FROM s3),
         |s5 AS (SELECT doc_id,
         |  regexp_replace(a, '(://[^/?#]+/.+?)/$', '\1', 'g') AS a,
         |  regexp_replace(b, '(://[^/?#]+/.+?)/$', '\1', 'g') AS b FROM s4)

@@ -37,12 +37,19 @@ object PiiScrub {
   val PhonePattern = "\\+?[0-9](?:[()\\s.-]{0,2}[0-9]){6,}"
 
   /** Calendar-date shapes the phone pattern would otherwise eat:
-    * `dddd[-/.]dd[-/.]dd` (ISO) and `dd[-/.]dd[-/.]dddd` (EU/US). Six
+    * `dddd[-/.]dd[-/.]dd` (ISO) and `dd[-/.]dd[-/.]dddd` (EU/US), and
+    * ONLY when not embedded in a longer digit/separator run — an
+    * unanchored `dd[-/.]dd[-/.]dddd` matches the '23-45-6789' tail of an
+    * SSN-shaped '123-45-6789', shielding it out of the phone redaction
+    * (an under-redaction). RE2 has no lookaround, so the boundaries are
+    * consuming capture groups re-emitted by the replacement: group 1
+    * (start-of-string or a non-digit/non-separator char), groups 2–4 the
+    * ISO parts, 5–7 the EU parts, group 8 (non-digit or end). Eight
     * capture groups, ≤ 9 so `\1`-style backreferences work in every
     * RE2-compatible replacement syntax (DuckDB included).
     */
   val DatePattern =
-    "([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4})"
+    "(^|[^0-9./-])(?:([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4}))([^0-9]|$)"
 
   /** Dotted-quad IPv4 (also matches technically-invalid octets > 255 —
     * preferable for a scrub: over-redact, never leak).
@@ -72,7 +79,7 @@ object PiiScrub {
     * both alternatives.
     */
   def shieldDates(text: Column): Column =
-    regexp_replace(text, DatePattern, "$1\u0001$2\u0001$3$4\u0001$5\u0001$6")
+    regexp_replace(text, DatePattern, "$1$2\u0001$3\u0001$4$5\u0001$6\u0001$7$8")
 
   def unshieldDates(text: Column): Column =
     regexp_replace(text, "\u0001", "")

@@ -217,10 +217,14 @@ object TextFunctions {
       lower(regexp_extract(url, "^([a-zA-Z]+://[^/?#]*)", 1)),
       regexp_extract(url, "^[a-zA-Z]+://[^/?#]*(.*)$", 1))
     val noFragment = regexp_replace(hostLower, "#.*$", "")
-    // tracking params anywhere in the query string, then tidy separators
+    // tracking params must start at a [?&] boundary — an unanchored match
+    // eats the tail of longer names ('?href=1' -> '?h'), merging distinct
+    // pages. The kept boundary char may leave '&&' / '?&' / trailing
+    // separators; three tidy passes normalize them.
     val noTracking = regexp_replace(noFragment,
-      "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "")
-    val tidy = regexp_replace(regexp_replace(noTracking, "[?&]+$", ""), "\\?&", "?")
+      "([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "$1")
+    val tidy = regexp_replace(regexp_replace(regexp_replace(noTracking,
+      "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
     // trailing slash on a non-root path
     regexp_replace(tidy, "(://[^/?#]+/.+?)/$", "$1")
   }

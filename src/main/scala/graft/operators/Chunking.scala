@@ -68,8 +68,12 @@ object Chunking {
     require(span > 0, s"span must be positive, got $span")
     // the packed-key contract is ENFORCED, not assumed: violating rows
     // would silently corrupt the first-occurrence order, so they raise
-    val packedKey = when(col(idCol).isNull || col(idCol) < 0 || col("chunk_id") >= 1048576L,
-        raise_error(concat(lit("spanDedup: id must be a non-null >= 0 and chunks per doc < 2^20, got id="),
+    // upper id bound: id*2^20 + chunk_id must not overflow Long — past
+    // Long.MaxValue >> 20 the multiplication wraps silently, corrupting
+    // the min()-based first-occurrence order instead of raising
+    val packedKey = when(col(idCol).isNull || col(idCol) < 0 ||
+          col(idCol) > (Long.MaxValue >> 20) || col("chunk_id") >= 1048576L,
+        raise_error(concat(lit("spanDedup: id must be a non-null in [0, 2^43] and chunks per doc < 2^20, got id="),
           coalesce(col(idCol).cast("string"), lit("null")),
           lit(" chunk="), col("chunk_id").cast("string"))))
       .otherwise(col(idCol) * 1048576L + col("chunk_id"))

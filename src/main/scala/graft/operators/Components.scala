@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * policy treats it as if it were (keep ONE doc per similarity cluster),
   * so pairs must first be closed into components. No reference
   * implementation (SURVEY.md §7.4 LLM-pipeline category); algorithm is
-  * the standard large-graph label propagation (a.k.a. "hash-to-min"):
-  * every node repeatedly adopts the smallest component id among itself
-  * and its neighbours, until a fixpoint.
+  * the standard large-graph label propagation (a.k.a. "hash-to-min")
+  * plus pointer jumping: every node adopts the smallest component id
+  * among itself and its neighbours, AND then its candidate label's own
+  * current label (labels are node ids, so a label lookup is a self-join)
+  * — path lengths double per round, until a fixpoint.
   *
-  * Scale shape: each iteration is ONE aggregation over the (narrow)
-  * edge list joined to current labels — no driver-side graph, no
-  * union-find in memory; rounds needed = O(log n) for realistic dup
-  * clusters (which are shallow: most components are pairs/triples).
+  * Scale shape: each iteration is one aggregation over the (narrow)
+  * edge list joined to current labels plus one label self-join — no
+  * driver-side graph, no union-find in memory; rounds needed =
+  * O(log diameter) (neighbour-only propagation would be O(diameter) —
+  * a >20-hop duplicate chain would exit non-converged). A non-converged
+  * exit throws rather than returning mixed components.
   * The edge list is symmetrized once up front; iteration stops when an
   * iteration changes no label (checked with one count per round — the
   * driver-side loop is bounded by `maxIterations`, not data size).
@@ -79,12 +83,22 @@ object Components {
           Map("id" -> "dst", "component" -> "nbr")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr")).as("nbr_min"))
-      // eager localCheckpoint: computes the round AND truncates lineage
-      val next = labels.join(viaEdges, Seq("id"), "left")
+      val cand = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
+            .as("cand"),
           col("component").as("prev"))
+      // pointer jump: a label is itself a node id, so each node also
+      // adopts its candidate label's OWN current label — path lengths
+      // double per round, turning O(diameter) neighbour-only propagation
+      // into O(log diameter) (labels only ever decrease, so the jump is
+      // always sound)
+      // eager localCheckpoint: computes the round AND truncates lineage
+      val next = cand.join(labels.withColumnsRenamed(
+          Map("id" -> "cand", "component" -> "cand_lbl")), Seq("cand"), "left")
+        .select(col("id"),
+          least(col("cand"), coalesce(col("cand_lbl"), col("cand"))).as("component"),
+          col("prev"))
         .localCheckpoint(true)
       changed = next.filter(col("component") =!= col("prev")).count()
       curCk.unpersist(blocking = false)
@@ -93,6 +107,15 @@ object Components {
       round += 1
     }
     edges.unpersist(blocking = false)
+    // non-convergence is a correctness failure, not a degraded answer:
+    // labels would still mix components. Fail loudly — with pointer
+    // jumping, hitting this needs a component diameter over ~2^maxIterations
+    if (changed > 0) {
+      curCk.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds " +
+          s"($changed labels still changing); raise maxIterations")
+    }
     graft.Caches.track(curCk)
     labels
   }

@@ -103,7 +103,9 @@ object GroupOps {
     // pick a weight-column name the input does NOT already use —
     // withColumn on a caller's column would overwrite-then-drop it
     val w = Iterator.from(0).map(i => s"__w$i").find(!df.columns.contains(_)).get
-    val sorted = df.withColumn(w, weight.cast(LongType))
+    // null weights (e.g. token count of a null text) count as 0 — the
+    // partition scan reads the long primitively and would NPE otherwise
+    val sorted = df.withColumn(w, coalesce(weight.cast(LongType), lit(0L)))
       .repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
     graft.Caches.track(sorted.persist())
     val wIdx = sorted.schema.fieldIndex(w)

@@ -44,6 +44,23 @@ class PiiScrubSpec extends SparkSpec {
     assert(!got.contains("\u0001"), "sentinel leaked")
   }
 
+  test("SSN-shaped digit runs are redacted, not date-shielded") {
+    // '123-45-6789' embeds a dd-dd-dddd tail ('23-45-6789'); an unanchored
+    // date shield would sentinel-split it out of the phone redaction
+    val got = scrubOne("SSN 123-45-6789 filed 12/31/2024, ref 9-12-34-5678.")
+    assert(!got.contains("6789") && !got.contains("123-45"), got)
+    assert(got.contains("12/31/2024"), got) // real date still preserved
+    assert(!got.contains("5678"), got)      // date-tail inside longer run: redacted
+    assert(!got.contains("\u0001"), "sentinel leaked")
+  }
+
+  test("dates adjacent to digit runs do not unshield them") {
+    // a date directly glued to more digits/separators is NOT a date — the
+    // whole run is phone/card-shaped and must redact
+    val got = scrubOne("call 2024-12-310042 or 01-02-20345678 now")
+    assert(!got.contains("310042") && !got.contains("20345678"), got)
+  }
+
   test("piiCount counts matches without materializing scrubbed text") {
     import spark.implicits._
     val n = Seq("a@b.co then c@d.org then plain text")

@@ -190,7 +190,16 @@ class TextFunctionsSpec extends SparkSpec {
       ("https://example.com/p?id=7&utm_campaign=z&x=1", "https://example.com/p?id=7&x=1"),
       // root slash is NOT stripped; path case is preserved
       ("http://Example.com/", "http://example.com/"),
-      ("https://example.com/CaseSensitive/Path", "https://example.com/CaseSensitive/Path"))
+      ("https://example.com/CaseSensitive/Path", "https://example.com/CaseSensitive/Path"),
+      // params whose names merely END in a tracking name survive intact:
+      // 'href' is not 'ref', 'xutm_source' is not 'utm_source'
+      ("https://example.com/p?href=A&b=2", "https://example.com/p?href=A&b=2"),
+      ("https://example.com/p?pref=dark", "https://example.com/p?pref=dark"),
+      ("https://example.com/p?xref=2&ref=y", "https://example.com/p?xref=2"),
+      // consecutive tracking params all stripped, separators tidied
+      ("https://example.com/p?utm_a=1&utm_b=2", "https://example.com/p"),
+      ("https://example.com/p?a=1&utm_x=2&utm_y=3&b=4", "https://example.com/p?a=1&b=4"),
+      ("https://example.com/p?ref=r&id=1", "https://example.com/p?id=1"))
     val got = cases.map(_._1).toDF("u")
       .select(TextFunctions.normalizeUrl(col("u")).as("n"))
       .collect().map(_.getString(0)).toSeq
@@ -203,7 +212,8 @@ class TextFunctionsSpec extends SparkSpec {
     val schemes = Seq("http://", "HTTPS://", "https://")
     val hosts = Seq("Example.com", "www.EXAMPLE.org", "a.b.co")
     val paths = Seq("", "/", "/p", "/p/q/", "/P/Q")
-    val queries = Seq("", "?id=1", "?utm_source=x", "?id=1&utm_medium=m&x=2", "?ref=r&gclid=g")
+    val queries = Seq("", "?id=1", "?utm_source=x", "?id=1&utm_medium=m&x=2",
+      "?ref=r&gclid=g", "?href=A&utm_x=1&pref=dark", "?utm_a=1&utm_b=2&xref=3")
     val frags = Seq("", "#top", "#a/b")
     val urls = (1 to 200).map { _ =>
       schemes(rnd.nextInt(3)) + hosts(rnd.nextInt(3)) + paths(rnd.nextInt(5)) +

@@ -64,6 +64,17 @@ class ChunkingSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((1L, 2L, "p q")))
   }
 
+  test("spanDedup raises on an id that would overflow the packed key") {
+    import spark.implicits._
+    // id > Long.MaxValue >> 20: id*2^20 would wrap negative and silently
+    // corrupt min()-based first-occurrence order — must raise instead
+    val df = Seq(((Long.MaxValue >> 20) + 1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Chunking.spanDedup(df, "doc_id", "text", 2).collect()
+    }
+    assert(e.getMessage.contains("spanDedup"), e.getMessage)
+  }
+
   test("spanDedup of an all-unique corpus is the identity (modulo tail chunking)") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, (1 to 17).map(j => s"w${i}_$j").mkString(" ")))

@@ -30,6 +30,29 @@ class ComponentsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("pointer jumping: a 300-hop path converges within log-bounded rounds") {
+    import spark.implicits._
+    // neighbour-only propagation needs ~300 rounds here; pointer jumping
+    // needs ~log2(300) ≈ 9 — 12 rounds is tight enough to prove the jump
+    val pairs = (0L until 300L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(pairs, "id_a", "id_b",
+        maxIterations = 12, driverSideLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 301 && got.forall(_._2 == 0L))
+    graft.Caches.unpersistAll()
+  }
+
+  test("non-convergence throws instead of returning mixed components") {
+    import spark.implicits._
+    val pairs = (0L until 300L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(pairs, "id_a", "id_b",
+        maxIterations = 3, driverSideLimit = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    graft.Caches.unpersistAll()
+  }
+
   test("driver-side union-find == distributed propagation") {
     import spark.implicits._
     // pseudo-random graph with chains, cliques and singletons

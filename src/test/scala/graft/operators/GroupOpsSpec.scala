@@ -60,6 +60,18 @@ class GroupOpsSpec extends SparkSpec {
     assert(rows.head == (1L, 1L) && rows.last == (1000L, 1000L))
   }
 
+  test("exclusivePrefixSum treats null weights as 0 (null text → null token count)") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a b")), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("id", "t")
+    // size(split(null, ...)) is null — must scan as weight 0, not NPE
+    val got = GroupOps.exclusivePrefixSum(df, Seq(col("id")),
+        size(split(col("t"), " ")).cast("long"), "off")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 2L), got)
+    graft.Caches.unpersistAll()
+  }
+
   test("nullProfile: one row per column with null fraction (A7)") {
     import spark.implicits._
     val df = Seq((Some(1), "x"), (None, "y"), (None, null.asInstanceOf[String]), (Some(2), "z"))
