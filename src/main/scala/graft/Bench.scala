@@ -30,6 +30,15 @@ object Bench {
     // codegen compiler, and parquet reader paths
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // warm the OS page cache + parquet footers for THIS sf's tables: the
+    // first query touching the largest file otherwise pays the whole
+    // cold-IO cost (round 3 recorded q22 at 21 s vs 1.8 s steady-state
+    // under a loaded machine) — we benchmark the operators, not the disk
+    new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
+      .foreach { f =>
+        try spark.read.parquet(f.getPath).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q44_ngram_jaccard,q24_minhash_lsh
     // restricts the run (comma-separated; substring match); unset = all
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)

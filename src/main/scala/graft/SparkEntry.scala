@@ -270,12 +270,17 @@ object SparkEntry {
   }
 
   /** SimHash near-dup pairs (segmented candidate generation, exact Hamming
-    * verify). Rows-only check: the 64-bit signature itself is not
-    * reproducible in ANSI SQL.
+    * verify), on the engine-portable md5 token hash so the ORACLE can
+    * rebuild the identical 64-bit signature (two 32-bit md5-prefix halves
+    * — every intermediate fits a non-negative BIGINT in ANSI SQL) and
+    * brute-force all pairs; segment blocking at maxDistance=3 has exact
+    * recall (pigeonhole over 4 segments), so the sets must match
+    * exactly. The xxhash64 kernel path stays the library scale default.
     */
   private def q25Simhash(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    Dedup.simhashDupPairsSegmented(t(s, dir, "documents"), "doc_id", "text", 3)
+    Dedup.simhashDupPairsSegmented(t(s, dir, "documents"), "doc_id", "text", 3,
+        portableHash = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1257,6 +1262,35 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "q23_jaccard_pairs" -> jaccardOracle,
     "q24_minhash_lsh" -> jaccardOracle,
+    // q25: rebuild the md5-based 64-bit SimHash signature bit by bit
+    // (two 32-bit halves — BIGINT-safe) and brute-force ALL pairs; the
+    // engine's segment blocking has exact recall at maxDistance=3, so
+    // the pair sets must match exactly, not approximately
+    "q25_simhash" ->
+      """WITH th AS (
+        | SELECT doc_id,
+        |  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hi,
+        |  CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS lo
+        | FROM (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+        |       FROM documents) u
+        | WHERE tok <> ''),
+        |sums AS (
+        | SELECT doc_id, j,
+        |  sum(CASE WHEN ((CASE WHEN j < 32 THEN (lo >> j) ELSE (hi >> (j - 32)) END) & 1) = 1
+        |           THEN 1 ELSE -1 END) AS s
+        | FROM th, generate_series(0, 63) g(j)
+        | GROUP BY 1, 2),
+        |sig AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig_lo,
+        |  CAST(sum(CASE WHEN s > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS sig_hi
+        | FROM sums GROUP BY 1)
+        |SELECT id_a, id_b, hamming FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS INTEGER) AS hamming
+        | FROM sig a JOIN sig b ON a.doc_id < b.doc_id) p
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q26_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim

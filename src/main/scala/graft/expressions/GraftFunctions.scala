@@ -47,6 +47,12 @@ object GraftFunctions {
         require(children.length == 2, "shingle_hashes takes exactly 2 arguments")
         ShingleHashes(children.head, children(1))
       }),
+    (FunctionIdentifier("md5_hashes64"),
+      new ExpressionInfo(classOf[Md5Hashes64].getName, "md5_hashes64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "md5_hashes64 takes exactly 1 argument")
+        Md5Hashes64(children.head)
+      }),
     (FunctionIdentifier("normalize_nfc"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "normalize_nfc"),
       (children: Seq[Expression]) => {

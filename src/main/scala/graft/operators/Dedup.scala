@@ -55,6 +55,31 @@ object Dedup {
     if (n <= 1) k else coalesce(k, typedlit(Array.empty[Long]))
   }
 
+  /** Engine-portable 64-bit token-set hash: the sorted distinct first-8-
+    * byte md5 prefixes of the whitespace tokens, via the fused native
+    * [[graft.expressions.Md5Hashes64]] kernel (one JIT'd pass per row).
+    * xxhash64 ([[hashedShingleSet]]) is faster but exists only in Spark;
+    * md5 exists everywhere, which is what makes a SimHash signature
+    * oracle-checkable (the q25 oracle rebuilds it from SQL `md5()` as two
+    * 32-bit halves so every intermediate fits a non-negative BIGINT).
+    * [[md5TokenHashesDeclarative]] is the kernel's executable spec.
+    */
+  def md5TokenHashes(df: DataFrame, text: Column): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    call_function("md5_hashes64",
+      array_remove(split(lower(trim(text)), "\\s+"), ""))
+  }
+
+  /** Declarative form of [[md5TokenHashes]] — two conv'd 32-bit hex
+    * halves per token, interpreted HOF lambdas (measured 2.6× slower at
+    * sf0.1); `DedupSpec` pins kernel ≡ declarative.
+    */
+  def md5TokenHashesDeclarative(text: Column): Column =
+    array_sort(array_distinct(transform(
+      array_remove(split(lower(trim(text)), "\\s+"), ""),
+      t => shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long")))))
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -378,7 +403,8 @@ object Dedup {
     * orders of magnitude slower — both kept as cross-checked references.)
     * Output: (id, sh).
     */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+                   portableHash: Boolean = false): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     // zero-token docs are EXCLUDED, matching the original explode+agg
     // formulation (no tokens -> no group -> no row). Without the filter
@@ -387,8 +413,12 @@ object Dedup {
     // (removeEmpty strips the "" token a whitespace-only doc yields, so
     // those docs size to 0 and drop; simhash is order-insensitive, so
     // the kernel's sorted hashes change nothing.)
-    df.select(col(idCol).as("id"),
-        hashedShingleSet(df, col(textCol), 1, removeEmpty = true).as("__toks"))
+    // portableHash picks md5-based token hashes ([[md5TokenHashes]]) so
+    // the signature is reproducible outside Spark; the bit-fold kernel
+    // is hash-agnostic (it folds whatever longs it is given)
+    val tokHashes = if (portableHash) md5TokenHashes(df, col(textCol))
+                    else hashedShingleSet(df, col(textCol), 1, removeEmpty = true)
+    df.select(col(idCol).as("id"), tokHashes.as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("id"), call_function("simhash64", col("__toks")).as("sh"))
   }
@@ -416,8 +446,9 @@ object Dedup {
     * fallback. Output: (id_a, id_b, hamming).
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      blockCol: String, maxDistance: Int): DataFrame = {
-    val sh = simhashTable(df, idCol, textCol)
+                      blockCol: String, maxDistance: Int,
+                      portableHash: Boolean = false): DataFrame = {
+    val sh = simhashTable(df, idCol, textCol, portableHash)
       .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
     sh.as("a").join(sh.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
@@ -435,14 +466,16 @@ object Dedup {
     * content only — same trick as the classed Jaccard/MinHash miners.
     */
   def simhashDupPairsSegmented(df: DataFrame, idCol: String, textCol: String,
-                               maxDistance: Int): DataFrame = {
+                               maxDistance: Int,
+                               portableHash: Boolean = false): DataFrame = {
     val nSeg = maxDistance + 1
     val segBits = 64 / nSeg
     // class collapse: group ids by identical token set. Zero-token docs
     // (empty/whitespace text) are excluded — same contract as
     // [[simhashTable]]: they'd otherwise form one giant hamming-0 class.
-    val classes = df.select(col(idCol).as("id"),
-        hashedShingleSet(df, col(textCol), 1, removeEmpty = true).as("toks"))
+    val tokHashes = if (portableHash) md5TokenHashes(df, col(textCol))
+                    else hashedShingleSet(df, col(textCol), 1, removeEmpty = true)
+    val classes = df.select(col(idCol).as("id"), tokHashes.as("toks"))
       .filter(size(col("toks")) > 0)
       .groupBy(col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))

@@ -143,6 +143,37 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(seg) == rowsOf(full))
   }
 
+  test("portable md5 simhash: segmented == all-pairs; signature is md5-derived") {
+    import spark.implicits._
+    // the q25 path: md5-based token hashes so an external engine can
+    // rebuild the signature (the xxhash64 kernel path is the scale default)
+    val seg = Dedup.simhashDupPairsSegmented(docs, "doc_id", "text", 3,
+      portableHash = true).select("id_a", "id_b")
+    val full = Dedup.simhashDupPairs(docs.withColumn("one", lit(1)),
+      "doc_id", "text", "one", 3, portableHash = true).select("id_a", "id_b")
+    assert(rowsOf(seg) == rowsOf(full))
+    // spot-check the token hash itself: first 16 md5 hex chars as a long
+    val df1 = Seq("tok").toDF("t")
+    val h = df1.select(explode(Dedup.md5TokenHashes(df1, col("t"))).as("h"))
+      .collect()(0).getLong(0)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("tok".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    assert(h == java.lang.Long.parseUnsignedLong(hex, 16), s"$h vs $hex")
+  }
+
+  test("md5_hashes64 kernel == declarative conv(md5) pipeline") {
+    import spark.implicits._
+    val texts = Seq("a b c", "dup dup dup", "Ünïcødé tøkens hére", "",
+      "  spaced   out  ", "xyz").toDF("text")
+    val both = texts.select(
+      Dedup.md5TokenHashes(texts, col("text")).as("k"),
+      Dedup.md5TokenHashesDeclarative(col("text")).as("d"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel ${r.getSeq[Long](0)} != declarative ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("operator-internal caches are released by Caches.unpersistAll") {
     // the classed miners persist a class table per invocation; a session
     // running the whole dedup family must be able to drop them all once
