@@ -1021,6 +1021,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary induction: the global token table (collection frequency
+    * + document frequency), top-100 by tf — tokenizer-vocab / stop-word
+    * discovery over the corpus. One explode + one partial-aggregated
+    * hash agg; the top-k is a TakeOrderedAndProject, never a global
+    * sort. Deterministic tie-break on the token itself.
+    */
+  private def q72VocabTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scoring.vocabTable(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(desc("tf"), asc("token"))
+      .limit(100)
+
+  /** TF-IDF feature weights over the whole vocabulary, projected to a
+    * bounded doc slice for the compare (the OPERATOR runs corpus-wide —
+    * N and df come from all documents; the filter only trims the
+    * output). Oracle restates the full formula in SQL.
+    */
+  private def q73TfIdf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scoring.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+      .filter(col("doc_id") < 20 && col("term") =!= "")
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf_idf"), 6).as("tf_idf"))
+      .orderBy(col("doc_id"), col("term"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1093,7 +1116,9 @@ object SparkEntry {
     "q68_curation_funnel" -> (q68CurationFunnel _),
     "q69_set_ops" -> (q69SetOps _),
     "q70_weighted_sample" -> (q70WeightedSample _),
-    "q71_url_normalize" -> (q71UrlNormalize _))
+    "q71_url_normalize" -> (q71UrlNormalize _),
+    "q72_vocab_topk" -> (q72VocabTopk _),
+    "q73_tfidf" -> (q73TfIdf _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1871,7 +1896,32 @@ object SparkEntry {
         |  regexp_replace(a, '(://[^/?#]+/.+?)/$', '\1', 'g') AS a,
         |  regexp_replace(b, '(://[^/?#]+/.+?)/$', '\1', 'g') AS b FROM s4)
         |SELECT doc_id, md5(a) AS norm_md5, a = b AS canonical_match
-        |FROM s5 ORDER BY doc_id""".stripMargin)
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+    // q72: same tokenizer (lower+trim+split), empty tokens excluded;
+    // deterministic top-100 boundary via the (tf DESC, token ASC) tie-break
+    "q72_vocab_topk" ->
+      """SELECT token, tf, df FROM (
+        | SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        | FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |       FROM documents) u
+        | WHERE token <> ''
+        | GROUP BY token) v
+        |ORDER BY tf DESC, token
+        |LIMIT 100""".stripMargin,
+    // q73: full-corpus N and df (the WHERE trims output only), ln-smoothed
+    // idf = ln(N / n_t), identical double evaluation order on both engines
+    "q73_tfidf" ->
+      """WITH t AS (
+        | SELECT doc_id, term, count(*) AS tf
+        | FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        |       FROM documents) u
+        | GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS nt FROM t GROUP BY term),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT doc_id, term, tf, round(tf * ln(CAST(nd AS DOUBLE) / nt), 6) AS tf_idf
+        |FROM t JOIN d USING (term), n
+        |WHERE doc_id < 20 AND term <> ''
+        |ORDER BY doc_id, term""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -68,6 +68,30 @@ object Scoring {
       .agg(count(lit(1)).as("n_matched"), sum(col("__contrib")).as("score"))
   }
 
+  /** Corpus vocabulary induction: one row per distinct token with its
+    * collection frequency (`tf`, total occurrences) and document
+    * frequency (`df`, docs containing it) — the input to tokenizer
+    * vocabulary construction, stop-word discovery, and idf tables.
+    * Empty tokens (empty/whitespace-only docs) are excluded.
+    *
+    * Scale shape: one explode + one hash aggregate keyed on token —
+    * partial (map-side) aggregation shrinks the shuffle to vocabulary
+    * size, not corpus size. Exact `count(DISTINCT id)` plans a two-phase
+    * Expand aggregate; at 100 TB pass `exactDf = false` for the
+    * single-pass HLL sketch (±rsd, default 5%) when df feeds a
+    * threshold, not an oracle.
+    */
+  def vocabTable(df: DataFrame, idCol: String, textCol: String,
+                 exactDf: Boolean = true): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        (if (exactDf) countDistinct(col("__id"))
+         else approx_count_distinct(col("__id"))).as("df"))
+  }
+
   /** Per-(doc, term) TF-IDF weights over the WHOLE vocabulary — the
     * feature-extraction form (ln-smoothed idf = ln(N / n_t)). Unlike
     * [[bm25]] the df table here is vocabulary-sized, so it is joined by

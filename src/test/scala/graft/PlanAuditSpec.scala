@@ -168,6 +168,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q72 vocab top-k: TakeOrderedAndProject, partial agg before the token shuffle") {
+    val df = SparkEntry.queries("q72_vocab_topk")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    // top-100 must be a bounded-heap TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should TakeOrdered:\n$p")
+    assert(!p.contains("Window"), s"no window needed for global top-k:\n$p")
+    // the token aggregate must combine map-side (partial_count before the
+    // exchange), so the shuffle carries vocabulary, not corpus
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"vocab agg should partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("q73 tf-idf: term-keyed exchange reused between the df agg and the join") {
+    val df = SparkEntry.queries("q73_tfidf")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    assert(!p.contains("CartesianProduct"), s"stats join must broadcast:\n$p")
+    // (id, term) agg then term agg then term join: the term-hash exchange
+    // feeding the df aggregate is the same distribution the join needs —
+    // Spark must reuse it rather than shuffle the tf table twice
+    assert(p.contains("ReusedExchange") || "hashpartitioning\\(term".r.findAllIn(p).length <= 2,
+      s"tf table should not re-shuffle on term for the join:\n$p")
+  }
+
   test("q65 span dedup: hash-keyed joins only, chunk text never in the first-occurrence shuffle") {
     val df = SparkEntry.queries("q65_span_dedup")(spark, dir)
     df.write.format("noop").mode("overwrite").save()

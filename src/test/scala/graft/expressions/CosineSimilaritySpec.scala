@@ -133,6 +133,13 @@ class CosineSimilaritySpec extends SparkSpec {
             sort_array(array_distinct(transform(col("a.embedding"), x => x.cast("long"))))).as("s2"))
         .filter(col("s1") === col("s2"))
       assert(df2.count() > 0)
+
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val df3 = docs.select(
+          call_function("md5_hashes64", split(lower(col("text")), "\\s+")).as("h1"),
+          call_function("md5_hashes64", split(upper(col("text")), "\\s+")).as("h2"))
+        .filter(size(col("h1")) === size(col("h2")))
+      assert(df3.count() > 0)
     }
   }
 

@@ -56,6 +56,23 @@ class ScoringSpec extends SparkSpec {
     assert(w(("rare", 1L)) > w(("other", 3L)) - 1e-12)
   }
 
+  test("vocabTable: tf counts occurrences, df counts docs, empties dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cat sat cat"),
+      (2L, "cat dog"),
+      (3L, ""),
+      (4L, "   ")).toDF("doc_id", "text")
+    val got = Scoring.vocabTable(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("cat" -> ((3L, 2L)), "sat" -> ((1L, 1L)), "dog" -> ((1L, 1L))),
+      got.toString)
+    // approx df stays within its advertised error on a small vocab
+    val approx = Scoring.vocabTable(df, "doc_id", "text", exactDf = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx("cat") == 2L && approx("sat") == 1L)
+  }
+
   test("bm25 plan: dfreq and corpus stats are broadcast, tf side is not") {
     import spark.implicits._
     val df = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
