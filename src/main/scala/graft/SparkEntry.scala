@@ -1044,6 +1044,28 @@ object SparkEntry {
         round(col("tf_idf"), 6).as("tf_idf"))
       .orderBy(col("doc_id"), col("term"))
 
+  /** n-gram-level eval decontamination: train-split documents sharing
+    * at least one 8-gram with any test-split document (GPT-3-style
+    * "13-gram" decontamination, scaled to this corpus's doc lengths).
+    * q60 audits DOC-level near-dup leakage; this catches partial
+    * inclusion — an eval example quoted inside a long training doc.
+    * The oracle rebuilds the split and the n-gram overlap from strings
+    * (the engine joins on xxhash64 gram hashes — same doc set modulo
+    * ~1e-16 collisions).
+    */
+  private def q74NgramDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Sampling}
+    val labeled = t(s, dir, "documents").withColumn("split",
+      Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    Dedup.ngramContamination(
+        labeled.filter(col("split") === "train"),
+        labeled.filter(col("split") === "test"),
+        "doc_id", "text", 8)
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1118,7 +1140,8 @@ object SparkEntry {
     "q70_weighted_sample" -> (q70WeightedSample _),
     "q71_url_normalize" -> (q71UrlNormalize _),
     "q72_vocab_topk" -> (q72VocabTopk _),
-    "q73_tfidf" -> (q73TfIdf _))
+    "q73_tfidf" -> (q73TfIdf _),
+    "q74_ngram_decontaminate" -> (q74NgramDecontaminate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1921,7 +1944,27 @@ object SparkEntry {
         |SELECT doc_id, term, tf, round(tf * ln(CAST(nd AS DOUBLE) / nt), 6) AS tf_idf
         |FROM t JOIN d USING (term), n
         |WHERE doc_id < 20 AND term <> ''
-        |ORDER BY doc_id, term""".stripMargin)
+        |ORDER BY doc_id, term""".stripMargin,
+    // q74: split labels replayed exactly as q45's oracle, 8-grams built
+    // as strings (list slice + join) — per-doc DISTINCT matches the
+    // engine's distinct hashed shingle sets
+    "q74_ngram_decontaminate" ->
+      """WITH labeled AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT doc_id, text,
+        |   CAST(('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__graft_null_key__')), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM documents) t),
+        |toks AS (SELECT doc_id, split, string_split(lower(trim(text)), ' ') AS tk FROM labeled),
+        |grams AS (
+        | SELECT DISTINCT doc_id, split, array_to_string(tk[j:j+7], ' ') AS g
+        | FROM (SELECT doc_id, split, tk,
+        |        unnest(generate_series(1, len(tk) - 7)) AS j FROM toks) x)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM (SELECT doc_id, g FROM grams WHERE split = 'train') tr
+        |JOIN (SELECT DISTINCT g FROM grams WHERE split = 'test') te USING (g)
+        |GROUP BY tr.doc_id
+        |ORDER BY tr.doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

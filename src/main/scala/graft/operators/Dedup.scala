@@ -391,6 +391,43 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Eval-set decontamination
+  // ------------------------------------------------------------------
+
+  /** n-gram-level train↔eval decontamination (the "13-gram overlap"
+    * practice): training documents sharing at least one word n-gram
+    * with ANY eval document, with the count of distinct shared n-grams.
+    * Doc-level near-dup (q60's audit) misses partial inclusion — an
+    * eval question quoted inside a long training document; n-gram
+    * overlap is the standard remedy.
+    *
+    * Scale shape: an eval set is small by construction, so its distinct
+    * n-gram hashes are broadcast into the join against the exploded
+    * training n-grams — the training corpus shuffles once on the
+    * aggregate key (its own doc id), never on the join. Pass
+    * `broadcastEval = false` if the eval side outgrows the broadcast
+    * budget (shuffle-hash join on the gram hash instead). Equality is
+    * on xxhash64 n-gram hashes — the miners' standard ~1e-16-per-pair
+    * collision equivalence.
+    * Output: (id, n_shared), contaminated training docs only.
+    */
+  def ngramContamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         broadcastEval: Boolean = true): DataFrame = {
+    val tGrams = train.select(col(idCol).as("id"),
+      explode(hashedShingleSet(train, col(textCol), n)).as("__g"))
+    val eGrams0 = evalSet
+      .select(explode(hashedShingleSet(evalSet, col(textCol), n)).as("__g"))
+      .distinct()
+    val eGrams = if (broadcastEval) broadcast(eGrams0) else eGrams0
+    // per-doc grams are already distinct (hashedShingleSet contract), so
+    // the count IS the distinct shared-gram count
+    tGrams.join(eGrams, "__g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

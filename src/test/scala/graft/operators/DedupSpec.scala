@@ -161,6 +161,27 @@ class DedupSpec extends SparkSpec {
     assert(h == java.lang.Long.parseUnsignedLong(hex, 16), s"$h vs $hex")
   }
 
+  test("ngramContamination flags partial inclusion doc-level dedup misses") {
+    import spark.implicits._
+    // eval question quoted VERBATIM inside a long training doc: jaccard
+    // between the two docs is low (doc-level audit misses it), but the
+    // 4-gram overlap catches it
+    val evalQ = "what is the capital of france exactly"
+    val train = Seq(
+      (1L, s"lots of unrelated prose then $evalQ and then much more filler text after"),
+      (2L, "completely clean document with no overlap at all"),
+      (3L, "what is the weather like")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalQ)).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, evalSet, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 7-token eval doc has 4 distinct 4-grams, all quoted in doc 1
+    assert(got == Map(1L -> 4L), got.toString)
+    // the broadcast-off path returns the same rows
+    val shuffled = Dedup.ngramContamination(train, evalSet, "doc_id", "text", 4,
+      broadcastEval = false).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == got)
+  }
+
   test("md5_hashes64 kernel == declarative conv(md5) pipeline") {
     import spark.implicits._
     val texts = Seq("a b c", "dup dup dup", "Ünïcødé tøkens hére", "",
