@@ -260,7 +260,8 @@ object SparkEntry {
 
   /** MinHash+LSH near-dup pairs with exact verification — same contract as
     * q23, so the DuckDB brute-force oracle checks LSH recall too
-    * (P[miss | j≥0.95] < 1e-24 with 24 bands × 2 rows).
+    * (banding auto-tuned from the threshold: 12 bands × 4 rows at 0.95,
+    * P[miss | j≥0.95] < 2e-9 per pair — see Dedup.autoBanding).
     */
   private def q24MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup

@@ -276,17 +276,44 @@ object Dedup {
       j => struct(j.as("band_idx"),
         xxhash64(slice(signature, j * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))
 
+  /** Threshold-aware banding: the largest rows-per-band r (the strongest
+    * sub-threshold candidate filtering) whose per-pair miss probability
+    * AT the threshold, (1 − t^r)^b, stays ≤ 1e-6. The old fixed
+    * (32 hashes, 16 bands, r=2) default was tuned for recall only — at
+    * t = 0.95 on a templated corpus it admitted 24% of ALL class pairs
+    * as candidates (P[cand | j≈0.13] ≈ 1−(1−j²)¹⁶), making the band
+    * join + distinct the miners' dominant cost; r=4 cuts that to ~0.4%
+    * for the same verified output (measured 4× end-to-end at sf0.1).
+    * Low thresholds (< ~0.55) floor at (48, 24): r=2, ~1e-3 at-threshold
+    * miss — already 10× tighter than the old default, and pairs even
+    * slightly above the threshold decay fast ((1−0.6²)²⁴ ≈ 2e-5 at
+    * j=0.6). Below j≈0.5 LSH stops being selective and the classed
+    * all-pairs miner is the honest tool.
+    * Returns (numHashes, bands).
+    */
+  private[operators] def autoBanding(threshold: Double): (Int, Int) = {
+    val configs = Seq((48, 6), (48, 8), (48, 12), (48, 16))
+    configs.find { case (k, b) =>
+      val r = k / b
+      math.pow(1 - math.pow(threshold, r.toDouble), b.toDouble) <= 1e-6
+    }.getOrElse((48, 24))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH, then EXACT token-set
     * Jaccard verification ≥ threshold (so the output has no false
     * positives; false negatives are bounded by the banding probability —
-    * with b=24, r=2, P[miss | j=0.95] ≈ (1−0.95²)²⁴ < 1e-24).
+    * ≤ 1e-6 at the threshold under the [[autoBanding]] defaults, far
+    * smaller for pairs above it). numHashes/bands = 0 (the default)
+    * auto-tunes the banding from the threshold.
     * Same output contract as [[jaccardPairs]].
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       blockCol: String, threshold: Double,
-                      numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+                      numHashes: Int = 0, bands: Int = 0): DataFrame = {
+    val (k, b) = if (numHashes > 0 && bands > 0) (numHashes, bands)
+                 else autoBanding(threshold)
+    require(k % b == 0, "bands must divide numHashes")
+    val r = k / b
     // Banding rows stay NARROW (id, blk, band) — carrying the token arrays
     // through a bands×-amplified self-join + distinct was the dominant cost
     // at bench; token sets are joined back only for the deduped candidates.
@@ -297,8 +324,8 @@ object Dedup {
     val withBand = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
       call_function("minhash_signature",
-        hashedShingleSet(df, col(textCol), 1), lit(numHashes)).as("sig"))
-      .withColumn("band", explode(lshBands(col("sig"), bands, r)))
+        hashedShingleSet(df, col(textCol), 1), lit(k)).as("sig"))
+      .withColumn("band", explode(lshBands(col("sig"), b, r)))
       .select(col("id"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
     val candidates = withBand.as("a")
@@ -334,10 +361,12 @@ object Dedup {
     */
   def minhashDupPairsClassed(df: DataFrame, idCol: String, textCol: String,
                              blockCol: String, threshold: Double,
-                             numHashes: Int = 32, bands: Int = 16,
+                             numHashes: Int = 0, bands: Int = 0,
                              ngram: Int = 1): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+    val (k, b) = if (numHashes > 0 && bands > 0) (numHashes, bands)
+                 else autoBanding(threshold)
+    require(k % b == 0, "bands must divide numHashes")
+    val r = k / b
     // persist: this class table feeds five plan branches (within-pairs,
     // both band-join sides, and two verification joins)
     val classes = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -361,9 +390,9 @@ object Dedup {
     // xxhash64(h, i)))) — see MinHashSignature); the interpreted HOF was
     // the dominant cost of this miner at bench
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val sig = call_function("minhash_signature", col("toks"), lit(numHashes))
+    val sig = call_function("minhash_signature", col("toks"), lit(k))
     val banded = classes
-      .withColumn("band", explode(lshBands(sig, bands, r)))
+      .withColumn("band", explode(lshBands(sig, b, r)))
       .select(col("cls"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
     val candidates = banded.as("a").join(banded.as("b"),

@@ -161,6 +161,25 @@ class DedupSpec extends SparkSpec {
     assert(h == java.lang.Long.parseUnsignedLong(hex, 16), s"$h vs $hex")
   }
 
+  test("autoBanding: recall ≤ 1e-6 at the threshold, filtering grows with t") {
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9, 0.95, 0.99)) {
+      val (k, b) = Dedup.autoBanding(t)
+      val r = k / b
+      assert(k % b == 0, s"t=$t: $b must divide $k")
+      val miss = math.pow(1 - math.pow(t, r.toDouble), b.toDouble)
+      // sub-0.55 thresholds floor at (48, 24): ~1e-3 at-threshold miss
+      // (LSH stops being selective down there; still 10× tighter than
+      // the old fixed 16-band default)
+      val target = if (t >= 0.7) 2e-6 else 2e-3
+      assert(miss <= target, s"t=$t (k=$k,b=$b,r=$r): miss=$miss")
+    }
+    // higher thresholds must never get WEAKER filtering (smaller r)
+    val rs = Seq(0.5, 0.7, 0.9, 0.95).map { t =>
+      val (k, b) = Dedup.autoBanding(t); k / b
+    }
+    assert(rs == rs.sorted, s"rows-per-band should grow with threshold: $rs")
+  }
+
   test("ngramContamination flags partial inclusion doc-level dedup misses") {
     import spark.implicits._
     // eval question quoted VERBATIM inside a long training doc: jaccard
