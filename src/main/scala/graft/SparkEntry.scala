@@ -1067,6 +1067,141 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram PMI collocation mining: adjacent token pairs scored by
+    * pointwise mutual information (count floor 5), top-100. Bigrams are
+    * generated map-side per token array (no token-table self-join); the
+    * counts aggregate to vocabulary size before any join. Determinism:
+    * (pmi desc, word_a, word_b) full tie-break at the limit boundary.
+    */
+  private def q75PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scoring.pmiCollocations(t(s, dir, "documents"), "text", minCount = 5)
+      .select(col("word_a"), col("word_b"), col("c_ab"), round(col("pmi"), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("word_a"), col("word_b"))
+      .limit(100)
+
+  /** Per-event trailing 1-hour rolling aggregates (count/sum/avg of the
+    * same user's events) — one key-partitioned RANGE window over
+    * event-time seconds, no self-join. Ties (same truncated second) are
+    * frame peers, so the values are deterministic under any physical
+    * row order.
+    */
+  private def q76RollingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Rolling.trailingAgg(
+        graft.sources.Tables.withEventTime(t(s, dir, "events")),
+        "user_id", "event_time", "value", 3600)
+      .select(col("event_id"), col("user_id"), col("roll_count"),
+        round(col("roll_sum"), 4).as("roll_sum"), round(col("roll_avg"), 6).as("roll_avg"))
+      .orderBy(col("event_id"))
+
+  /** SCD2 dimension history from the orders changelog: one validity
+    * interval per ACTUAL priority change per customer (consecutive
+    * same-priority orders collapse), `valid_to` = next version's start,
+    * null while current. One shuffle on the key; both windows share it.
+    */
+  private def q77Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Merge.scd2(t(s, dir, "orders"),
+        keys = Seq("o_custkey"), tsCol = "o_orderdate",
+        tieBreak = "o_orderkey", tracked = Seq("o_orderpriority"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+
+  /** Model-based quality scoring: fixed-weight logistic model over the
+    * one-pass token-stats kernel (log tokens, unique ratio, mean token
+    * length, stopword ratio) — pure map-side inference, zero shuffle.
+    * The oracle recomputes the full feature vector and the sigmoid.
+    */
+  private def q78QualityModel(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.qualityModelTable(t(s, dir, "documents"),
+        "doc_id", "text", stopwords = Seq("the", "a", "and", "of", "to"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document token-distribution Shannon entropy (bits) via the
+    * fused n-gram kernel's Σc·ln c — the information-density quality
+    * signal; map-side, zero shuffle (the declarative two-agg form is
+    * the kernel's executable spec and the oracle's formulation).
+    */
+  private def q79TokenEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.tokenEntropyTable(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_grams"), round(col("entropy_bits"), 6).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+
+  /** Per-group winsorization: prices clipped into the group's exact
+    * [p05, p95] band (SQL-standard interpolated percentiles — same
+    * semantics DuckDB's quantile_cont implements); bounded group table
+    * broadcast back, map-side clip.
+    */
+  private def q80Winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupOps.winsorize(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "price_w")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("price_w"), 2).as("price_w"), col("price_w_clipped"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Distribution shift between two corpus slices: smoothed KL
+    * divergence D(en‖de) over token distributions — the admit-gate
+    * statistic for new data sources. One explode + vocabulary-sized
+    * aggregate; the corpus moves once.
+    */
+  private def q81KlDivergence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scoring.tokenKlDivergence(t(s, dir, "documents"),
+        "lang", "text", pSlice = "en", qSlice = "de")
+      .select(col("p_slice"), col("q_slice"),
+        round(col("kl_divergence"), 6).as("kl_divergence"),
+        col("p_tokens"), col("q_tokens"))
+
+  /** Bivariate statistics per group (corr / covar_samp / stddev_samp /
+    * var_samp) — the built-in one-pass co-moment aggregates, partial
+    * (map-side) combined like any hash agg.
+    */
+  private def q82CorrStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact top-10 frequent tokens via the Misra–Gries heavy-hitters
+    * sketch (two passes: mergeable-sketch candidates, exact re-count of
+    * the survivors) — oracle = the plain exact top-k, which MUST match
+    * because the k-th count clears the N/(capacity+1) survival bar
+    * (capacity 256 ≫ the corpus vocabulary here, so the sketch is
+    * lossless; the operator contract documents the general bound).
+    */
+  private def q83HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    graft.operators.Scoring.heavyHitters(toks, "token", k = 10, capacity = 256)
+  }
+
+  /** Conversion funnel view → click → purchase: users whose greedy
+    * event chain reaches each stage (strictly increasing event time).
+    * One shuffle on the user key + a sorted per-user fold — no k-way
+    * self-join. The oracle chains strict-min subqueries per stage.
+    */
+  private def q84Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversionFunnel(
+        graft.sources.Tables.withEventTime(t(s, dir, "events")),
+        "user_id", "event_time", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  /** Typo-level fuzzy self-join over part names: all pairs within
+    * Levenshtein distance 2, via deletion-neighborhood (SymSpell)
+    * blocking + exact verify — never the all-pairs cross join the
+    * oracle brute-forces.
+    */
+  private def q85EditDistancePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistancePairs(
+        t(s, dir, "part").select(col("p_name")).distinct(),
+        "p_name", "p_name", maxDist = 2)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1142,7 +1277,18 @@ object SparkEntry {
     "q71_url_normalize" -> (q71UrlNormalize _),
     "q72_vocab_topk" -> (q72VocabTopk _),
     "q73_tfidf" -> (q73TfIdf _),
-    "q74_ngram_decontaminate" -> (q74NgramDecontaminate _))
+    "q74_ngram_decontaminate" -> (q74NgramDecontaminate _),
+    "q75_pmi_collocations" -> (q75PmiCollocations _),
+    "q76_rolling_window" -> (q76RollingWindow _),
+    "q77_scd2" -> (q77Scd2 _),
+    "q78_quality_model" -> (q78QualityModel _),
+    "q79_token_entropy" -> (q79TokenEntropy _),
+    "q80_winsorize" -> (q80Winsorize _),
+    "q81_kl_divergence" -> (q81KlDivergence _),
+    "q82_corr_stats" -> (q82CorrStats _),
+    "q83_heavy_hitters" -> (q83HeavyHitters _),
+    "q84_funnel" -> (q84Funnel _),
+    "q85_edit_distance" -> (q85EditDistancePairs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1965,7 +2111,173 @@ object SparkEntry {
         |FROM (SELECT doc_id, g FROM grams WHERE split = 'train') tr
         |JOIN (SELECT DISTINCT g FROM grams WHERE split = 'test') te USING (g)
         |GROUP BY tr.doc_id
-        |ORDER BY tr.doc_id""".stripMargin)
+        |ORDER BY tr.doc_id""".stripMargin,
+    // q75: bigrams rebuilt by list indexing; PMI with explicit double
+    // casts (DuckDB integer division would truncate); same (pmi desc,
+    // words) boundary tie-break
+    "q75_pmi_collocations" ->
+      """WITH toks AS (
+        | SELECT string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |bi AS (
+        | SELECT tk[j] AS word_a, tk[j+1] AS word_b
+        | FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM toks) x
+        | WHERE tk[j] <> '' AND tk[j+1] <> ''),
+        |bc AS (SELECT word_a, word_b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |uc AS (SELECT token, count(*) AS c
+        |       FROM (SELECT unnest(tk) AS token FROM toks) u
+        |       WHERE token <> '' GROUP BY token),
+        |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uc),
+        |nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bc)
+        |SELECT word_a, word_b, c_ab,
+        | round(ln((CAST(c_ab AS DOUBLE) / n_bi) /
+        |          ((CAST(ca.c AS DOUBLE) / n_uni) * (CAST(cb.c AS DOUBLE) / n_uni))), 6) AS pmi
+        |FROM bc
+        |JOIN uc ca ON bc.word_a = ca.token
+        |JOIN uc cb ON bc.word_b = cb.token, nu, nb
+        |ORDER BY pmi DESC, word_a, word_b
+        |LIMIT 100""".stripMargin,
+    // q76: the same value-based frame over truncated epoch seconds
+    // (Spark's unix_timestamp truncates; epoch() keeps microseconds)
+    "q76_rolling_window" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS roll_count,
+        | round(sum(value) OVER w, 4) AS roll_sum,
+        | round(avg(value) OVER w, 6) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // q77: change detection via lag (IS DISTINCT FROM = Spark's null-safe
+    // <=> negated), interval close via lead over the surviving versions
+    "q77_scd2" ->
+      """WITH w AS (
+        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |  lag(o_orderpriority) OVER ck AS prev,
+        |  lag(o_orderdate) OVER ck AS prev_ts
+        | FROM orders
+        | WINDOW ck AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |v AS (
+        | SELECT * FROM w
+        | WHERE prev_ts IS NULL OR prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey, o_orderkey, o_orderpriority,
+        | o_orderdate AS valid_from,
+        | lead(o_orderdate) OVER ck AS valid_to,
+        | lead(o_orderdate) OVER ck IS NULL AS is_current
+        |FROM v
+        |WINDOW ck AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    // q78: full feature vector + sigmoid recomputed (weights restated);
+    // explicit double casts against integer division
+    "q78_quality_model" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) AS uq,
+        |  CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) AS sl,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) AS st
+        | FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents) d
+        | WHERE len(toks) > 0),
+        |z AS (
+        | SELECT doc_id,
+        |  -3.0 + 0.4 * ln(n + 1.0) + 2.0 * (uq / n) + 0.1 * (sl / n) + 4.0 * (st / n) AS z
+        | FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        | 1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+    // q79: entropy from per-(doc, token) counts — H = (ln N − Σc·ln c / N)/ln 2
+    "q79_token_entropy" ->
+      """WITH c AS (
+        | SELECT doc_id, token, count(*) AS c
+        | FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |       FROM documents) u
+        | GROUP BY doc_id, token),
+        |e AS (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclc
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_grams,
+        | round((ln(CAST(n_grams AS DOUBLE)) - sclc / n_grams) / ln(2.0), 6) AS entropy_bits
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // q80: quantile_cont IS the SQL-standard interpolated percentile the
+    // engine computes exactly (q56 pins the semantics equivalence)
+    "q80_winsorize" ->
+      """WITH b AS (
+        | SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.05) AS lo,
+        |  quantile_cont(l_extendedprice, 0.95) AS hi
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        | round(least(greatest(l_extendedprice, lo), hi), 2) AS price_w,
+        | least(greatest(l_extendedprice, lo), hi) <> l_extendedprice AS price_w_clipped
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // q81: smoothed KL over the union vocabulary, alpha = 0.5, identical
+    // smoothing denominator (n + alpha·|V|)
+    "q81_kl_divergence" ->
+      """WITH c AS (
+        | SELECT token,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+        |  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cq
+        | FROM (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |       FROM documents WHERE lang IN ('en', 'de')) u
+        | WHERE token <> ''
+        | GROUP BY token),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS nv,
+        |             CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq FROM c)
+        |SELECT 'en' AS p_slice, 'de' AS q_slice,
+        | round(sum(p * ln(p / q)), 6) AS kl_divergence,
+        | first(np) AS p_tokens, first(nq) AS q_tokens
+        |FROM (
+        | SELECT (cp + 0.5) / (np + 0.5 * nv) AS p,
+        |        (cq + 0.5) / (nq + 0.5 * nv) AS q, np, nq
+        | FROM c, v) t""".stripMargin,
+    // q82: the standard one-pass co-moment aggregates
+    "q82_corr_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+        | round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+        | round(var_samp(l_quantity), 4) AS qty_var
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // q83: the sketch must reproduce the plain exact top-k (capacity ≫
+    // vocabulary ⇒ lossless; see operator contract for the general bound)
+    "q83_heavy_hitters" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |      FROM documents) u
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 10""".stripMargin,
+    // q84: greedy chain = strict-min chaining, stage by stage
+    "q84_funnel" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        | SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        | WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (
+        | SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        | WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT step, step_name, n_users FROM (
+        | SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+        | UNION ALL SELECT 2, 'click', count(*) FROM s2
+        | UNION ALL SELECT 3, 'purchase', count(*) FROM s3) t
+        |ORDER BY step""".stripMargin,
+    // q85: brute-force all-pairs Levenshtein — the blocked join must
+    // find the identical pair set (deletion neighborhoods have exact
+    // recall at the verify threshold)
+    "q85_edit_distance" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -76,6 +76,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "ngram_repetition takes exactly 2 arguments")
         NgramRepetition(children.head, children(1))
+      }),
+    (FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "misra_gries takes exactly 2 arguments")
+        MisraGries(children.head, children(1))
       }))
 
   /** Idempotent runtime registration into the session's function registry. */

@@ -41,7 +41,11 @@ case class NgramRepetition(left: Expression, right: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
     StructField("top_cnt", LongType, nullable = false),
-    StructField("distinct_cnt", LongType, nullable = false)))
+    StructField("distinct_cnt", LongType, nullable = false),
+    // Σ c·ln(c) over the distinct-gram counts: together with n_grams this
+    // yields Shannon entropy (ln N − Σc·ln c / N)/ln 2 without a second
+    // pass — the same hash map serves repetition AND entropy signals
+    StructField("sum_c_ln_c", DoubleType, nullable = false)))
 
   override def prettyName: String = "ngram_repetition"
 
@@ -70,7 +74,10 @@ case class NgramRepetition(left: Expression, right: Expression)
       if (c > top) top = c
       i += 1
     }
-    new GenericInternalRow(Array[Any](total.toLong, top, counts.size().toLong))
+    var sumCLnC = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); sumCLnC += c * math.log(c.toDouble) }
+    new GenericInternalRow(Array[Any](total.toLong, top, counts.size().toLong, sumCLnC))
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

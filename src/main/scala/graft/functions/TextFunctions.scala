@@ -229,6 +229,94 @@ object TextFunctions {
     regexp_replace(tidy, "(://[^/?#]+/.+?)/$", "$1")
   }
 
+  /** Per-document Shannon entropy of the token (or n-gram) distribution,
+    * in bits: `H = log2(N) − Σ c·log2(c) / N` — the information-density
+    * quality signal that catches low-entropy boilerplate ("click here
+    * click here …") AND high-entropy noise (random strings) that the
+    * ratio stats miss; standard alongside the Gopher repetition rules.
+    * Documents with no n-gram produce no row (same contract as
+    * [[repetitionStats]]).
+    *
+    * Same fused kernel as [[repetitionStats]] (the per-doc gram hash map
+    * yields Σc·ln c in the same pass): map-side, ZERO shuffle — per-doc
+    * entropy never needs the corpus-wide exchanges of the naive
+    * explode + two-level aggregate form (kept below as the executable
+    * spec).
+    */
+  def tokenEntropyTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, n: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("ngram_repetition", tokens(col(textCol)), lit(n)).as("__r"))
+      .filter(col("__r.n_grams") > 0)
+      .select(col(idCol), col("__r.n_grams").as("n_grams"),
+        ((log(col("__r.n_grams")) - col("__r.sum_c_ln_c") / col("__r.n_grams"))
+          / math.log(2.0)).as("entropy_bits"))
+  }
+
+  /** Declarative form of [[tokenEntropyTable]] (explode → (doc, gram)
+    * counts → per-doc Σc·ln c) — the kernel's executable specification;
+    * `TextFunctionsSpec` pins kernel ≡ declarative.
+    */
+  def tokenEntropyTableDeclarative(df: org.apache.spark.sql.DataFrame, idCol: String,
+                                   textCol: String, n: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n, transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__sclc"))
+      .select(col(idCol), col("n_grams"),
+        ((log(col("n_grams")) - col("__sclc") / col("n_grams")) / math.log(2.0))
+          .as("entropy_bits"))
+  }
+
+  /** Model-based quality scoring: a fixed-weight logistic model over the
+    * per-document stats (log token count, unique-token ratio, mean token
+    * length, stopword ratio) — the engine-side shape of "apply a trained
+    * quality classifier to every document" (fastText/linear classifiers
+    * in CCNet/LLaMA-style pipelines). Weights arrive as data (broadcast
+    * policy, not code); inference is a pure map-side projection over the
+    * one-pass stats kernel — at 100 TB model scoring adds zero shuffle
+    * to the scan. Output: (id, score∈(0,1), keep = score ≥ threshold).
+    */
+  def qualityModelTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, stopwords: Seq[String],
+                        weights: QualityWeights = QualityWeights.default,
+                        threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val s = call_function("text_array_stats", tokens(col(textCol)), typedlit(stopwords))
+    val nTok = col("__s.n_tokens").cast("double")
+    val z = lit(weights.bias) +
+      lit(weights.wLogTokens) * log(nTok + 1.0) +
+      lit(weights.wUniqueRatio) * (col("__s.n_unique") / nTok) +
+      lit(weights.wAvgTokenLen) * (col("__s.sum_token_len") / nTok) +
+      lit(weights.wStopwordRatio) * (col("__s.n_stopwords") / nTok)
+    df.select(col(idCol), s.as("__s"))
+      .filter(col("__s.n_tokens") > 0)
+      .select(col(idCol), (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
+  /** Logistic quality-model coefficients. The defaults reward stopword
+    * mass and lexical diversity with a mild length prior — engine
+    * policy standing in for trained coefficients, which drop in as data.
+    */
+  case class QualityWeights(bias: Double, wLogTokens: Double, wUniqueRatio: Double,
+                            wAvgTokenLen: Double, wStopwordRatio: Double)
+  object QualityWeights {
+    val default: QualityWeights =
+      QualityWeights(bias = -3.0, wLogTokens = 0.4, wUniqueRatio = 2.0,
+        wAvgTokenLen = 0.1, wStopwordRatio = 4.0)
+  }
+
   /** Declarative (explode + aggregate) form of [[repetitionStats]] —
     * the kernel's executable specification; `TextFunctionsSpec` pins
     * kernel ≡ declarative.

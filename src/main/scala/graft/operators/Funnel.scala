@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence conversion funnel: how many users performed step 1,
+  * then step 2 strictly later, then step 3 strictly later than that…
+  * (signup→activation→purchase product analytics; also the shape of
+  * "document passed stage k of a review pipeline" audits). The matching
+  * is earliest-first greedy, which is optimal for chain containment (an
+  * exchange argument: taking the earliest valid event never forecloses
+  * a later step), so a user counts for stage k iff ANY chain of k
+  * strictly-time-increasing events matches the step prefix.
+  *
+  * Plan shape: filter to the step types (pushed to the scan), ONE hash
+  * shuffle on the user key, per-user sorted fold — no self-join per
+  * step (the naive k-way join shuffles the event table k times and
+  * explodes on users with many events). Per-user state is the sorted
+  * step-event list; bound it upstream with [[Sampling.capPerGroup]] if
+  * a key's event count is unbounded.
+  */
+object Funnel {
+
+  /** One row per funnel stage: (step, step_name, n_users) where
+    * `n_users` counts users whose greedy chain reached step ≥ `step`.
+    */
+  def conversionFunnel(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val stepsArr = array(steps.map(lit): _*)
+    val n = steps.length
+    val perUser = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), col(typeCol).as("tp")).as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    // greedy fold over the time-sorted events: advance to stage s+1 on
+    // the first event of type steps(s) STRICTLY after the stage-s match
+    // (null `last` = no match yet = no time constraint for step 1)
+    val reached = aggregate(
+      col("__es"),
+      struct(lit(0).as("st"), lit(null).cast(events.schema(tsCol).dataType).as("last")),
+      (acc, e) => {
+        val advance = acc.getField("st") < n &&
+          e.getField("tp") === element_at(stepsArr, acc.getField("st") + 1) &&
+          (acc.getField("st") === 0 || e.getField("ts") > acc.getField("last"))
+        when(advance, struct((acc.getField("st") + 1).as("st"), e.getField("ts").as("last")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("st"))
+    perUser.select(col(userCol), reached.as("__max_step"))
+      .filter(col("__max_step") >= 1)
+      .select(explode(sequence(lit(1), col("__max_step"))).as("step"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("step_name", element_at(stepsArr, col("step")))
+      .select(col("step"), col("step_name"), col("n_users"))
+  }
+}

@@ -192,6 +192,38 @@ object GroupOps {
     * right side's shuffle volume (use AQE skew-join first; salt when the
     * skew is extreme or the join is not an AQE-supported shape).
     */
+  /** Per-group winsorization: clips `valueCol` into the group's exact
+    * [pLo, pHi] percentile band (linear-interpolation percentiles, the
+    * SQL-standard `percentile_cont` semantics) — the robust-scaling step
+    * for heavy-tailed quality/weight columns before they feed sampling
+    * probabilities or model features. Appends `<out>` (clipped value)
+    * and `<out>_clipped` (whether the row was moved).
+    *
+    * Scale shape: the percentile aggregate shrinks to |groups| rows and
+    * joins back by explicit broadcast (group cardinality is bounded —
+    * the caller's contract for any per-group statistic); the clip itself
+    * is a map-side projection. Exact percentiles sort each group's
+    * values inside the aggregate; at 100 TB swap `exact = false` for
+    * `percentile_approx` (mergeable sketch, same plan shape) when the
+    * clip bound doesn't need bit-parity.
+    */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String, out: String,
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile band [$pLo, $pHi]")
+    val v = col(valueCol)
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(
+        (if (exact) percentile(v, lit(pLo)) else percentile_approx(v, lit(pLo), lit(10000)))
+          .as("__lo"),
+        (if (exact) percentile(v, lit(pHi)) else percentile_approx(v, lit(pHi), lit(10000)))
+          .as("__hi"))
+    df.join(broadcast(bounds), keys)
+      .withColumn(out, least(greatest(v, col("__lo")), col("__hi")))
+      .withColumn(s"${out}_clipped", col(out) =!= v)
+      .drop("__lo", "__hi")
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")

@@ -92,6 +92,121 @@ object Scoring {
          else approx_count_distinct(col("__id"))).as("df"))
   }
 
+  /** Exact top-k frequent items via the Misra–Gries sketch
+    * ([[graft.expressions.MisraGries]], a mergeable
+    * `TypedImperativeAggregate`): pass 1 sketches with `capacity`
+    * counters per partial buffer (the shuffle carries ≤ capacity
+    * counters per partition, never the item domain); pass 2 re-counts
+    * ONLY the ≤ capacity surviving candidates exactly (broadcast
+    * membership cuts the stream map-side, so the exact shuffle is
+    * candidate-keyed, vocabulary-independent).
+    *
+    * Correctness contract: MG guarantees every item with true count >
+    * N/(capacity+1) survives pass 1, so the exact top-k is provably
+    * complete whenever the k-th exact count clears that bar — size
+    * `capacity` ≫ k (default 16×) for the long-tail margin. This is
+    * the heavy-hitters shape for domains too large to groupBy whole
+    * (URLs, n-grams, user agents at 100 TB).
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int,
+                   capacity: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val cap = if (capacity > 0) capacity else 16 * k
+    require(cap >= k, s"capacity $cap must be >= k=$k")
+    graft.expressions.GraftFunctions.register(items.sparkSession)
+    val candidates = items
+      .agg(call_function("misra_gries", col(itemCol), lit(cap)).as("__sk"))
+      .select(explode(col("__sk")).as("__c"))
+      .select(col("__c.item").as(itemCol))
+    items.join(broadcast(candidates), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(itemCol))
+      .limit(k)
+  }
+
+  /** Corpus-wide bigram PMI collocation mining: scores adjacent token
+    * pairs by pointwise mutual information
+    * `ln( (c_xy / N_bi) / ((c_x / N_uni) · (c_y / N_uni)) )` — the
+    * standard signal for multi-word expressions ("new york", "machine
+    * learning") feeding tokenizer merge rules and phrase-aware dedup.
+    * `minCount` floors the bigram count first (PMI is notoriously noisy
+    * on hapax pairs).
+    *
+    * Scale shape: bigrams are generated MAP-SIDE from each token array
+    * (a zip of the array with its own tail — no self-join of the token
+    * table, which is the classic quadratic mistake here); one explode +
+    * hash aggregate each for bigram and unigram counts (both shrink to
+    * vocabulary size via partial aggregation); the two unigram joins key
+    * on a vocabulary-sized table, so they are plain shuffle joins —
+    * nothing corpus-sized is ever broadcast or re-shuffled.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5): DataFrame = {
+    val toks = df.select(graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    // map-side bigram list: (t[i], t[i+1]) pairs as a struct array
+    val bi = toks.select(explode(
+        zip_with(slice(col("__t"), lit(1), size(col("__t")) - 1),
+                 slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("word_a"), b.as("word_b")))).as("__bi"))
+      .select(col("__bi.word_a"), col("__bi.word_b"))
+      .filter(col("word_a") =!= "" && col("word_b") =!= "")
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = df.select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    // both totals are 1-row aggregates; broadcast into the projection
+    val nUni = uni.agg(sum(col("__c")).as("__n_uni"))
+    val nBi = bi.agg(sum(col("c_ab")).as("__n_bi"))
+    bi.join(uni.withColumnRenamed("token", "word_a").withColumnRenamed("__c", "__ca"), "word_a")
+      .join(uni.withColumnRenamed("token", "word_b").withColumnRenamed("__c", "__cb"), "word_b")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .select(col("word_a"), col("word_b"), col("c_ab"),
+        log((col("c_ab").cast("double") / col("__n_bi")) /
+          ((col("__ca").cast("double") / col("__n_uni")) *
+           (col("__cb").cast("double") / col("__n_uni")))).as("pmi"))
+  }
+
+  /** KL divergence D(P‖Q) between the token distributions of two corpus
+    * slices (e.g. a candidate source vs the trusted training mix) — the
+    * distribution-shift gate for admitting new data sources. Additive
+    * (Laplace) smoothing `alpha` over the UNION vocabulary keeps Q(t)=0
+    * terms finite; returns one row per slice-`p` value with the
+    * divergence and both token totals.
+    *
+    * Scale shape: one explode + one (slice, token) hash aggregate
+    * (partial-agg shrinks to vocabulary size), a full-outer self-pivot
+    * on token (vocabulary-keyed shuffle join), and a scalar aggregate —
+    * the corpus itself moves exactly once.
+    */
+  def tokenKlDivergence(df: DataFrame, sliceCol: String, textCol: String,
+                        pSlice: String, qSlice: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val counts = df
+      .filter(col(sliceCol).isin(pSlice, qSlice))
+      .select(col(sliceCol).as("__s"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(sum(when(col("__s") === pSlice, 1L).otherwise(0L)).as("__cp"),
+           sum(when(col("__s") === qSlice, 1L).otherwise(0L)).as("__cq"))
+    val vocab = counts.agg(count(lit(1)).as("__v"),
+      sum(col("__cp")).as("__np"), sum(col("__cq")).as("__nq"))
+    counts.crossJoin(broadcast(vocab))
+      .select(
+        ((col("__cp") + lit(alpha)) / (col("__np") + lit(alpha) * col("__v"))).as("__p"),
+        ((col("__cq") + lit(alpha)) / (col("__nq") + lit(alpha) * col("__v"))).as("__q"),
+        col("__np"), col("__nq"))
+      .agg(sum(col("__p") * log(col("__p") / col("__q"))).as("kl_divergence"),
+        first(col("__np")).as("p_tokens"), first(col("__nq")).as("q_tokens"))
+      .select(lit(pSlice).as("p_slice"), lit(qSlice).as("q_slice"),
+        col("kl_divergence"), col("p_tokens"), col("q_tokens"))
+  }
+
   /** Per-(doc, term) TF-IDF weights over the WHOLE vocabulary — the
     * feature-extraction form (ln-smoothed idf = ln(N / n_t)). Unlike
     * [[bm25]] the df table here is vocabulary-sized, so it is joined by

@@ -227,6 +227,60 @@ class TextFunctionsSpec extends SparkSpec {
       s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
   }
 
+  test("tokenEntropyTable: hand-computed entropy; kernel ≡ declarative") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),      // H = 0 (single symbol)
+      (2L, "a b c d"),      // H = 2 bits (uniform over 4)
+      (3L, "a a b b c c d d"), // H = 2 bits (uniform over 4, doubled)
+      (4L, "a a a b")       // H = −(3/4)log2(3/4) − (1/4)log2(1/4)
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.tokenEntropyTable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val h4 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) / math.log(2.0)
+    assert(math.abs(got(1L)) < 1e-12)
+    assert(math.abs(got(2L) - 2.0) < 1e-12)
+    assert(math.abs(got(3L) - 2.0) < 1e-12)
+    assert(math.abs(got(4L) - h4) < 1e-12)
+    val dec = TextFunctions.tokenEntropyTableDeclarative(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (k, v) => assert(math.abs(v - dec(k)) < 1e-9, s"doc $k") }
+  }
+
+  test("tokenEntropyTable: bigram entropy distinguishes repeated structure") {
+    import spark.implicits._
+    // same unigram distribution, different bigram structure
+    val df = Seq((1L, "a b a b a b"), (2L, "a a a b b b")).toDF("doc_id", "text")
+    val got = TextFunctions.tokenEntropyTable(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val dec = TextFunctions.tokenEntropyTableDeclarative(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < got(2L)) // alternation = fewer distinct bigrams
+    got.foreach { case (k, v) => assert(math.abs(v - dec(k)) < 1e-9) }
+  }
+
+  test("qualityModelTable: stopword-rich prose outscores keyword soup; empty docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on a mat and looked out of the window to the garden"),
+      (2L, "buy buy buy cheap cheap cheap now now now"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextFunctions.qualityModelTable(df, "doc_id", "text",
+        stopwords = Seq("the", "a", "and", "of", "to"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 > byId(2L)._2)
+    assert(got.forall(r => r._2 > 0.0 && r._2 < 1.0))
+    // empty text: tokens = [""], n_tokens = 1 > 0 — still scored; the
+    // row only drops when the split yields nothing (never with split's
+    // contract), so all 3 score
+    assert(got.length == 3)
+    // score matches the closed form for doc 2 (no stopwords, 3 unique / 9)
+    val z = -3.0 + 0.4 * math.log(10.0) + 2.0 * (3.0 / 9.0) +
+      0.1 * ((3 * 3 + 5 * 3 + 3 * 3) / 9.0) + 4.0 * 0.0
+    assert(math.abs(byId(2L)._2 - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+  }
+
   test("two repetition-kernel instances in one projection compile under strict codegen") {
     import spark.implicits._
     val conf = spark.conf

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+
+  private def ev(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("user", "sec", "tp").withColumn("ts", timestamp_seconds(col("sec")))
+  }
+
+  private def run(rows: Seq[(Long, Long, String)], steps: Seq[String]) =
+    Funnel.conversionFunnel(ev(rows), "user", "ts", "tp", steps)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+
+  test("counts are cumulative-by-stage and order-sensitive") {
+    val got = run(Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"), // full chain
+      (2L, 10L, "view"), (2L, 20L, "click"),                   // stops at 2
+      (3L, 20L, "click"), (3L, 30L, "view"),                   // click BEFORE view: stage 1 only
+      (4L, 10L, "buy")                                         // never starts
+    ), Seq("view", "click", "buy"))
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L)))
+  }
+
+  test("greedy earliest-first matching never forecloses a later step") {
+    // the FIRST click (t=20) is before the only buy (t=25); a non-greedy
+    // matcher that picked the t=40 click would miss the buy — greedy
+    // takes t=20 and converts
+    val got = run(Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 25L, "buy"), (1L, 40L, "click")
+    ), Seq("view", "click", "buy"))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+  }
+
+  test("equal timestamps do not advance a stage (strictly-later semantics)") {
+    val got = run(Seq(
+      (1L, 10L, "view"), (1L, 10L, "click"), // same second: no advance
+      (2L, 10L, "view"), (2L, 11L, "click")
+    ), Seq("view", "click"))
+    assert(got.toSeq == Seq((1, "view", 2L), (2, "click", 1L)))
+  }
+
+  test("repeated step types only advance once per stage") {
+    val got = run(Seq(
+      (1L, 10L, "view"), (1L, 11L, "view"), (1L, 12L, "view")
+    ), Seq("view", "view", "view"))
+    // view@10 -> stage1, view@11 -> stage2, view@12 -> stage3
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+  }
+
+  test("plan: one exchange for the per-user fold, no self-join") {
+    val df = Funnel.conversionFunnel(ev(Seq((1L, 10L, "view"))),
+      "user", "ts", "tp", Seq("view", "click"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"funnel must not join:\n$plan")
+  }
+}

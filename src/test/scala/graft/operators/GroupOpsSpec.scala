@@ -122,6 +122,33 @@ class GroupOpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips to the group's interpolated percentile band") {
+    import spark.implicits._
+    // group g: values 1..11 — p05 = 1.5, p95 = 10.5 (linear interpolation
+    // at rank (n-1)·p); group h untouched band
+    val df = ((1 to 11).map(i => ("g", i.toDouble)) ++ Seq(("h", 5.0), ("h", 5.0)))
+      .toDF("k", "v")
+    val got = GroupOps.winsorize(df, Seq("k"), "v", "w", 0.05, 0.95)
+      .orderBy("k", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    val g = got.filter(_._1 == "g")
+    assert(g.head == (("g", 1.0, 1.5, true)))   // clipped up to p05
+    assert(g.last == (("g", 11.0, 10.5, true))) // clipped down to p95
+    assert(g.count(_._4) == 2)                  // interior rows untouched
+    assert(got.filter(_._1 == "h").forall(r => r._2 == r._3 && !r._4))
+  }
+
+  test("winsorize: approx path stays within the band and keeps all rows") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = GroupOps.winsorize(df, Seq("k"), "v", "w", 0.05, 0.95, exact = false)
+      .collect().map(_.getAs[Double]("w"))
+    assert(got.length == 200)
+    // the sketch clips both tails: extremes are gone, interior survives
+    assert(got.min >= 5.0 && got.max <= 195.0)
+    assert(got.distinct.length >= 150)
+  }
+
   test("ntileBuckets avoids the single-partition window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, i % 7)).toDF("id", "v")

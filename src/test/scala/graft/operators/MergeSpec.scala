@@ -29,6 +29,62 @@ class MergeSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getString(3) == "v2z")
   }
 
+  test("scd2: consecutive identical values collapse; intervals chain; last is current") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 100L, 1L, "gold"),   // opens v1
+      (1L, 200L, 2L, "gold"),   // no-op change — collapsed
+      (1L, 300L, 3L, "silver"), // opens v2, closes v1 at 300
+      (2L, 150L, 4L, "bronze")  // single-version key
+    ).toDF("key", "ts", "seq", "tier")
+    val got = Merge.scd2(log, Seq("key"), "ts", "seq", Seq("tier"))
+      .orderBy("key", "valid_from")
+      .select("key", "tier", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "gold", 100L, Some(300L), false),
+      (1L, "silver", 300L, None, true),
+      (2L, "bronze", 150L, None, true)))
+  }
+
+  test("scd2: null-safe change detection — null==null is no change, null→value is") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 100L, 1L, null.asInstanceOf[String]),
+      (1L, 200L, 2L, null.asInstanceOf[String]), // null → null: collapsed
+      (1L, 300L, 3L, "a")                        // null → a: new version
+    ).toDF("key", "ts", "seq", "tier")
+    val got = Merge.scd2(log, Seq("key"), "ts", "seq", Seq("tier"))
+      .orderBy("valid_from").select("tier", "valid_from").collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(0) && got(0).getLong(1) == 100L)
+    assert(got(1).getString(0) == "a" && got(1).getLong(1) == 300L)
+  }
+
+  test("scd2: same-timestamp ties order by tieBreak; earlier tie becomes zero-length") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 100L, 1L, "a"),
+      (1L, 100L, 2L, "b") // same ts, later seq: wins; 'a' is zero-length
+    ).toDF("key", "ts", "seq", "tier")
+    val got = Merge.scd2(log, Seq("key"), "ts", "seq", Seq("tier"))
+      .orderBy("valid_from", "seq")
+      .select("tier", "valid_from", "valid_to", "is_current").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "a" && got(0).getLong(2) == 100L && !got(0).getBoolean(3))
+    assert(got(1).getString(0) == "b" && got(1).isNullAt(2) && got(1).getBoolean(3))
+  }
+
+  test("scd2 plans a single exchange for both window passes") {
+    import spark.implicits._
+    val log = Seq((1L, 100L, 1L, "a")).toDF("key", "ts", "seq", "tier")
+    val plan = Merge.scd2(log, Seq("key"), "ts", "seq", Seq("tier"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$plan")
+  }
+
   test("applyChangelog: a trailing delete tombstones the key entirely") {
     import spark.implicits._
     val changes = Seq(

@@ -73,6 +73,90 @@ class ScoringSpec extends SparkSpec {
     assert(approx("cat") == 2L && approx("sat") == 1L)
   }
 
+  test("pmiCollocations matches a hand-computed PMI; minCount floors") {
+    import spark.implicits._
+    // bigrams: (a b)×2, (b a)×1, (b c)×1 → N_bi=4; unigrams a×2, b×3, c×1 → N_uni=6
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Scoring.pmiCollocations(df, "text", minCount = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val expAB = math.log((2.0 / 4.0) / ((2.0 / 6.0) * (3.0 / 6.0)))
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(math.abs(got(("a", "b")) - expAB) < 1e-12)
+    // a count floor of 2 keeps only the repeated pair — and the totals
+    // are computed AFTER the floor (they describe the mined table)
+    val floored = Scoring.pmiCollocations(df, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(floored.toSeq == Seq(("a", "b")))
+  }
+
+  test("pmiCollocations: single-token and empty docs contribute no bigram") {
+    import spark.implicits._
+    val df = Seq((1L, "solo"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val got = Scoring.pmiCollocations(df, "text", minCount = 1).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "y")))
+  }
+
+  test("tokenKlDivergence: identical slices diverge 0; KL >= 0 and asymmetric") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p", "a a b"), (2L, "q", "a a b"),      // identical distributions
+      (3L, "r", "a a a a b"), (4L, "s", "a b c d") // very different
+    ).toDF("id", "slice", "text")
+    val same = Scoring.tokenKlDivergence(df, "slice", "text", "p", "q")
+      .collect()(0)
+    assert(math.abs(same.getAs[Double]("kl_divergence")) < 1e-12)
+    assert(same.getAs[Long]("p_tokens") == 3L && same.getAs[Long]("q_tokens") == 3L)
+    val rs = Scoring.tokenKlDivergence(df, "slice", "text", "r", "s")
+      .collect()(0).getAs[Double]("kl_divergence")
+    val sr = Scoring.tokenKlDivergence(df, "slice", "text", "s", "r")
+      .collect()(0).getAs[Double]("kl_divergence")
+    assert(rs > 0 && sr > 0 && math.abs(rs - sr) > 1e-6)
+  }
+
+  test("tokenKlDivergence smoothing: a token absent from q stays finite") {
+    import spark.implicits._
+    val df = Seq((1L, "p", "only here"), (2L, "q", "other words"))
+      .toDF("id", "slice", "text")
+    val kl = Scoring.tokenKlDivergence(df, "slice", "text", "p", "q")
+      .collect()(0).getAs[Double]("kl_divergence")
+    assert(!kl.isNaN && !kl.isInfinite && kl > 0)
+  }
+
+  test("heavyHitters returns the exact top-k when counts clear the MG bar") {
+    import spark.implicits._
+    // zipf-ish: item i appears 2^(10-i) times — every top-5 count far
+    // exceeds N/(capacity+1)
+    val rows = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"item_$i"))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("item")
+    val got = Scoring.heavyHitters(df, "item", k = 5, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == (0 until 5).map(i => s"item_$i" -> (1L << (10 - i))))
+  }
+
+  test("heavyHitters: exact counts, deterministic tie-break, nulls skipped") {
+    import spark.implicits._
+    val df = (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(2)("c") ++
+      Seq[String](null, null)).toDF("item")
+    val got = Scoring.heavyHitters(df, "item", k = 3, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq("a" -> 3L, "b" -> 3L, "c" -> 2L))
+  }
+
+  test("misra_gries sketch survives partial/final merge across many partitions") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    // 40% 'hot' guarantees survival at capacity 4 regardless of the
+    // partitioning of the remaining long tail
+    val rows = Seq.fill(400)("hot") ++ (0 until 600).map(i => s"cold_$i")
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 32).toDF("item")
+    val sketch = df.agg(call_function("misra_gries", col("item"), lit(4)).as("sk"))
+      .select(explode(col("sk")).as("c")).select(col("c.item"))
+      .collect().map(_.getString(0))
+    assert(sketch.contains("hot"), s"MG lost a 40% item: ${sketch.mkString(",")}")
+    assert(sketch.length <= 4)
+  }
+
   test("bm25 plan: dfreq and corpus stats are broadcast, tf side is not") {
     import spark.implicits._
     val df = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
