@@ -212,12 +212,15 @@ object GroupOps {
                 exact: Boolean = true): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile band [$pLo, $pHi]")
     val v = col(valueCol)
+    // both bounds from ONE aggregate buffer (array-percentile form) —
+    // two scalar percentile calls would hold and sort every group's
+    // values twice
+    val ps = array(lit(pLo), lit(pHi))
     val bounds = df.groupBy(keys.map(col): _*)
-      .agg(
-        (if (exact) percentile(v, lit(pLo)) else percentile_approx(v, lit(pLo), lit(10000)))
-          .as("__lo"),
-        (if (exact) percentile(v, lit(pHi)) else percentile_approx(v, lit(pHi), lit(10000)))
-          .as("__hi"))
+      .agg((if (exact) percentile(v, ps) else percentile_approx(v, ps, lit(10000)))
+        .as("__b"))
+      .select((keys.map(col) :+ col("__b").getItem(0).as("__lo") :+
+        col("__b").getItem(1).as("__hi")): _*)
     df.join(broadcast(bounds), keys)
       .withColumn(out, least(greatest(v, col("__lo")), col("__hi")))
       .withColumn(s"${out}_clipped", col(out) =!= v)

@@ -195,6 +195,66 @@ class PlanAuditSpec extends SparkSpec {
       s"tf table should not re-shuffle on term for the join:\n$p")
   }
 
+  test("q75 pmi: bigrams generated map-side — no join below the count aggregates") {
+    val df = SparkEntry.queries("q75_pmi_collocations")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    assert(!p.contains("CartesianProduct"), s"pmi must not cartesian:\n$p")
+    // top-100 bounded heap, not a global sort of the bigram table
+    assert(p.contains("TakeOrderedAndProject"), s"pmi top-k should TakeOrdered:\n$p")
+    // the token table must never self-join: every join input is an
+    // aggregate (vocabulary-sized), not a raw explode
+    assert(!p.contains("Generate explode") || p.indexOf("Generate") > p.indexOf("Join") ||
+      "HashAggregate".r.findAllIn(p).length >= 4,
+      s"bigram/unigram counts must aggregate before any join:\n$p")
+  }
+
+  test("q76 rolling window and q77 scd2: one key shuffle, value-based frames, no join") {
+    for (name <- Seq("q76_rolling_window", "q77_scd2")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      Caches.unpersistAll()
+      assert(!p.contains("Join"), s"$name must not self-join:\n$p")
+      val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 1, s"$name should shuffle once on its key:\n$p")
+    }
+  }
+
+  test("q78 quality model and q79 entropy: map-side kernels — no hash shuffle at all") {
+    for (name <- Seq("q78_quality_model", "q79_token_entropy")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      Caches.unpersistAll()
+      assert(!p.contains("hashpartitioning"),
+        s"$name is a per-row projection; only the output sort may shuffle:\n$p")
+      assert(!p.contains("Window") && !p.contains("Join"), s"$name:\n$p")
+    }
+  }
+
+  test("q83 heavy hitters: sketch candidates broadcast back — no vocabulary-wide shuffle join") {
+    val df = SparkEntry.queries("q83_heavy_hitters")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    assert(p.contains("BroadcastHashJoin"), s"candidate membership must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the re-count pass:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"MG sketch is an object aggregate:\n$p")
+  }
+
+  test("q84 funnel: single user-key shuffle, no k-way self-join") {
+    val df = SparkEntry.queries("q84_funnel")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    assert(!p.contains("Join"), s"funnel must not join per step:\n$p")
+    // the step-type filter must reach the scan
+    assert(p.contains("PushedFilters: [In(event_type") || p.contains("isnotnull"),
+      s"step filter should push down:\n$p")
+  }
+
   test("q65 span dedup: hash-keyed joins only, chunk text never in the first-occurrence shuffle") {
     val df = SparkEntry.queries("q65_span_dedup")(spark, dir)
     df.write.format("noop").mode("overwrite").save()
