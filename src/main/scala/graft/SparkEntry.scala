@@ -1202,6 +1202,76 @@ object SparkEntry {
       .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Unpivot/melt (wide → long): lineitem's numeric measures to
+    * (key, measure, value) rows — the reshape dual of q16's pivot,
+    * via the native `unpivot` (an Expand node: map-side row
+    * generation, zero shuffle beyond the output sort).
+    */
+  private def q86Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure", valueColumnName = "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  /** The analytic rank-window family in one pass: rank / dense_rank /
+    * percent_rank / cume_dist / lag / lead over (customer, order date)
+    * — one key shuffle, every function sharing the same window sort.
+    */
+  private def q87RankFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Calendar feature extraction (§2.8 date surface, widened): the
+    * standard date-dimension columns in one map-side pass. Day-of-week
+    * is normalized to ISO (1=Monday) — the one convention both engines
+    * can express exactly.
+    */
+  private def q88DateFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        // Spark dayofweek: 1=Sunday → ISO 1=Monday
+        ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).as("iso_dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(to_date(lit("1998-12-31")), col("o_orderdate")).as("days_to_eoy"))
+      .orderBy(col("o_orderkey"))
+
+  /** Johnson–Lindenstrauss random projection 64→16 dims with the
+    * deterministic md5-parity sign matrix — map-side fold per row,
+    * zero shuffle; the oracle rebuilds the identical matrix in SQL and
+    * recomputes every dot product through the (dIn·dOut)-exploded
+    * join form this operator exists to avoid.
+    */
+  private def q89RandomProjection(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Projection.randomProject(
+        t(s, dir, "embeddings"), "embedding", dIn = 64, dOut = 16, out = "proj")
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").as("j"), round(col("col"), 6).as("p"))
+      .orderBy(col("vec_id"), col("j"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1288,7 +1358,11 @@ object SparkEntry {
     "q82_corr_stats" -> (q82CorrStats _),
     "q83_heavy_hitters" -> (q83HeavyHitters _),
     "q84_funnel" -> (q84Funnel _),
-    "q85_edit_distance" -> (q85EditDistancePairs _))
+    "q85_edit_distance" -> (q85EditDistancePairs _),
+    "q86_unpivot" -> (q86Unpivot _),
+    "q87_rank_family" -> (q87RankFamily _),
+    "q88_date_features" -> (q88DateFeatures _),
+    "q89_random_projection" -> (q89RandomProjection _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2277,7 +2351,67 @@ object SparkEntry {
         | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY name_a, name_b""".stripMargin)
+        |ORDER BY name_a, name_b""".stripMargin,
+    // q86: melt restated as the portable UNION ALL (same rows, any engine)
+    "q86_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |        CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |        CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount',
+        |        CAST(l_discount AS DOUBLE) FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    // q87: identical window family; DuckDB's rank-family returns BIGINT
+    // (Spark side casts to long to match)
+    "q87_rank_family" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | round(percent_rank() OVER w, 6) AS prnk,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q88: calendar features; ISO day-of-week is the shared convention
+    // (DuckDB isodow == Spark (dayofweek+5)%7+1)
+    "q88_date_features" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        | CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        | CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | last_day(o_orderdate) AS month_end,
+        | CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS days_to_eoy
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // q89: the identical md5-parity sign matrix rebuilt in SQL; dot
+    // products via the exploded join the engine avoids (0.25 = 1/√16
+    // exactly, so the scale is bit-identical)
+    "q89_random_projection" ->
+      """WITH sign AS (
+        | SELECT i, j,
+        |  CASE WHEN CAST(('0x' || substring(md5(i || '_' || j), 1, 1)) AS BIGINT) % 2 = 0
+        |       THEN 0.25 ELSE -0.25 END AS s
+        | FROM (SELECT unnest(generate_series(0, 63)) AS i) a,
+        |      (SELECT unnest(generate_series(0, 15)) AS j) b),
+        |el AS (
+        | SELECT vec_id, k, CAST(embedding[k] AS DOUBLE) AS e
+        | FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS k) ks),
+        |p AS (
+        | SELECT vec_id, j, sum(e * s) AS p
+        | FROM el JOIN sign ON el.k - 1 = sign.i
+        | GROUP BY vec_id, j)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j, round(p, 6) AS p
+        |FROM p ORDER BY vec_id, j""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
