@@ -84,17 +84,28 @@ object GraftFunctions {
         MisraGries(children.head, children(1))
       }))
 
-  /** Idempotent runtime registration into the session's function registry. */
-  def register(spark: SparkSession): Unit = functions.foreach {
-    case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  /** Idempotent runtime registration: the function registry AND the
+    * optimizer rules (`experimental.extraOptimizations` — the imperative
+    * twin of [[GraftExtensions]]'s `injectOptimizerRule`).
+    */
+  def register(spark: SparkSession): Unit = {
+    functions.foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val rule = graft.plans.LevenshteinThresholdRule
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+  }
 }

@@ -32,6 +32,9 @@ object FuzzyJoin {
                         maxDist: Int): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"deletion-neighborhood blocking supports maxDist 1 or 2, got $maxDist")
+    // installs LevenshteinThresholdRule: the `dist <= maxDist` verify
+    // below optimizes to the banded O(len·k) DP with early exit
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val rows = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
 

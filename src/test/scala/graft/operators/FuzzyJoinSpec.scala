@@ -45,6 +45,40 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0L)))
   }
 
+  test("LevenshteinThresholdRule rewrites the verify filter to the banded DP") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq((1L, "kitten"), (2L, "sitten"), (3L, "zzzzzz")).toDF("id", "s")
+    val filtered = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.s"), col("b.s")) <= 1)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the unbounded two-arg levenshtein must be gone from the condition,
+    // replaced by the thresholded form compared against 0
+    assert(optimized.contains("levenshtein(s#") || optimized.contains("levenshtein("),
+      optimized)
+    assert("levenshtein\\(.*Some\\(1\\)\\) >= 0".r.findFirstIn(optimized).isDefined,
+      s"expected banded rewrite in:\n$optimized")
+    // semantics unchanged, including the long-cast comparison form
+    assert(filtered.count() == 1)
+    val viaColumn = df.withColumn("d", levenshtein(lit("kitten"), col("s")))
+      .filter(col("d") <= 1).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaColumn == Set(1L, 2L))
+  }
+
+  test("the rule leaves unbounded and negative-bound comparisons alone") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq((1L, "abc")).toDF("id", "s")
+    // projection with no bound: stays the 2-arg form
+    val proj = df.select(levenshtein(col("s"), lit("abd")).as("d"))
+    assert(!proj.queryExecution.optimizedPlan.toString.matches("(?s).*levenshtein\\([^)]*,\\s*-?\\d+\\)\\s*>=.*"))
+    assert(proj.collect()(0).getInt(0) == 1)
+    // negative bound: constant-folds to empty, never a -1-threshold call
+    assert(df.filter(levenshtein(col("s"), lit("x")) <= -1).count() == 0)
+  }
+
   test("rejects unsupported distances") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
