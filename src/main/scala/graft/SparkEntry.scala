@@ -1272,6 +1272,53 @@ object SparkEntry {
       .select(col("vec_id"), col("pos").as("j"), round(col("col"), 6).as("p"))
       .orderBy(col("vec_id"), col("j"))
 
+  /** IVF cell-probed top-k — the third ANN path next to exact heaps
+    * (q27) and LSH buckets (q28). Codebook = the 16 lowest-id vectors
+    * (deterministic, engine-reproducible); probing ALL 16 cells makes
+    * the approximate path deterministically exact, so the q27-style
+    * exact-top-k oracle doubles as an end-to-end gate on the whole
+    * cell-partition → probe → join → re-rank machinery (q28
+    * precedent). Partial-probe recall (≈0.93 at nProbe=8 here — this
+    * corpus has weak cosine cluster structure) is asserted separately
+    * in SimilaritySpec.
+    */
+  private def q90IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        codebook, "cid", "cvec", k = 5, nProbe = 16)
+      .select(col("query_id"), col("neighbour_id"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+      .orderBy(col("query_id"), col("neighbour_id"))
+  }
+
+  /** ANALYZE-style table profile of orders: one aggregate pass melted
+    * to a row per column (rows / nulls / distinct / min / max,
+    * string-rendered). Oracle recomputes each column's stats
+    * independently.
+    */
+  private def q91TableProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupOps.tableProfile(t(s, dir, "orders"))
+      .orderBy(col("column_name"))
+
+  /** Full outer join (§2.3 completed): per-customer 1996 vs 1997 spend
+    * side by side — customers active in only one year keep a null on
+    * the other side; the USING key coalesces.
+    */
+  private def q92FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def spend(year: Int, out: String) = ord
+      .filter(col("o_orderdate") >= to_date(lit(s"$year-01-01")) &&
+        col("o_orderdate") < to_date(lit(s"${year + 1}-01-01")))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as(out))
+    spend(1996, "spend_96")
+      .join(spend(1997, "spend_97"), Seq("o_custkey"), "full_outer")
+      .orderBy(col("o_custkey"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1362,7 +1409,10 @@ object SparkEntry {
     "q86_unpivot" -> (q86Unpivot _),
     "q87_rank_family" -> (q87RankFamily _),
     "q88_date_features" -> (q88DateFeatures _),
-    "q89_random_projection" -> (q89RandomProjection _))
+    "q89_random_projection" -> (q89RandomProjection _),
+    "q90_ivf_topk" -> (q90IvfTopK _),
+    "q91_table_profile" -> (q91TableProfile _),
+    "q92_full_outer" -> (q92FullOuter _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2411,7 +2461,47 @@ object SparkEntry {
         | FROM el JOIN sign ON el.k - 1 = sign.i
         | GROUP BY vec_id, j)
         |SELECT vec_id, CAST(j AS INTEGER) AS j, round(p, 6) AS p
-        |FROM p ORDER BY vec_id, j""".stripMargin)
+        |FROM p ORDER BY vec_id, j""".stripMargin,
+    // q90: exact top-k — full-probe IVF must reproduce it bit-for-bit
+    // (same oracle shape as q27/q28; see q90IvfTopK doc)
+    "q90_ivf_topk" ->
+      """SELECT query_id, neighbour_id, round(c, 6) AS cosine_sim FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS c,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rn
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 20) t
+        |WHERE rn <= 5
+        |ORDER BY query_id, neighbour_id""".stripMargin,
+    // q91: each column's stats restated independently (count(col) is the
+    // non-null count in both engines; distinct excludes nulls in both)
+    "q91_table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    // q92: the identical FULL JOIN; USING coalesces the key per the
+    // SQL standard in both engines
+    "q92_full_outer" ->
+      """WITH s96 AS (
+        | SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_96 FROM orders
+        | WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        | GROUP BY o_custkey),
+        |s97 AS (
+        | SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_97 FROM orders
+        | WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+        | GROUP BY o_custkey)
+        |SELECT o_custkey, spend_96, spend_97
+        |FROM s96 FULL JOIN s97 USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -192,6 +192,40 @@ object GroupOps {
     * right side's shuffle volume (use AQE skew-join first; salt when the
     * skew is extreme or the join is not an AQE-supported shape).
     */
+  /** One-pass table profile (ANALYZE-style column statistics): per
+    * column the row count, null count, distinct count and min/max
+    * (string-rendered so one long table covers every type) — the
+    * dataset-card / ingest-sanity summary a pipeline prints before
+    * trusting a new drop. ONE aggregate over the table; melted to a row
+    * per column with `stack` (map-side Expand, no shuffle beyond the
+    * aggregate's own).
+    *
+    * Exact `countDistinct` across many columns plans an Expand
+    * (|columns|× row multiplication before partial aggregation — the
+    * q52-documented pathology); at 100 TB pass `exactDistinct = false`
+    * for single-pass HLL sketches (±5%), the right profile tool when
+    * the numbers feed a human, not an oracle.
+    */
+  def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val names = df.columns.toSeq
+    require(names.nonEmpty, "cannot profile a zero-column frame")
+    val aggs = names.flatMap { n => Seq(
+      count(col(n)).as(s"__nn_$n"),
+      (if (exactDistinct) countDistinct(col(n)) else approx_count_distinct(col(n)))
+        .as(s"__nd_$n"),
+      min(col(n)).cast("string").as(s"__mn_$n"),
+      max(col(n)).cast("string").as(s"__mx_$n")) }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = names
+      .map(n => s"'$n', __nn_$n, __nd_$n, __mn_$n, __mx_$n").mkString(", ")
+    one.select(col("__n"), expr(
+        s"stack(${names.length}, $stackArgs) AS " +
+          "(column_name, __non_null, n_distinct, min_value, max_value)"))
+      .select(col("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col("__non_null")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
   /** Per-group winsorization: clips `valueCol` into the group's exact
     * [pLo, pHi] percentile band (linear-interpolation percentiles, the
     * SQL-standard `percentile_cont` semantics) — the robust-scaling step

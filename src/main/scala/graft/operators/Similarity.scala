@@ -495,6 +495,58 @@ object Similarity {
     cents.toSeq.sortBy(_._1).toDF("cid", "cvec")
   }
 
+  /** IVF (inverted-file) approximate top-k search — the cell-probed
+    * scale path that completes the ANN family next to [[lshTopKAtScale]]:
+    * the corpus partitions into centroid cells ONCE (map-side argmax,
+    * [[ivfAssign]]); each query probes only its `nProbe`
+    * nearest cells, so the scored candidate set is ~|corpus|·nProbe/k
+    * cells instead of the whole corpus. One cell-keyed equi-join (the
+    * corpus shuffles once on `cell`; at a persisted index the corpus
+    * side is pre-bucketed by cell and never moves), exact cosine on the
+    * survivors, per-query window top-k over the bounded candidates.
+    *
+    * Recall rises monotonically with `nProbe` (== |centroids| ⇒ exact);
+    * each corpus row lives in exactly one cell, so no candidate dedup is
+    * needed. Ties break like every top-k here: sim desc, neighbour id
+    * asc. Centroids are caller-provided ([[kmeansFit]] or any codebook)
+    * — a bounded table collected to the driver, like every centroid
+    * consumer in this file.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, centroidId: String, centroidVec: String,
+              k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"need k >= 1, nProbe >= 1; got k=$k nProbe=$nProbe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(centroidId).cast("long"), col(centroidVec))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cNorms: Array[Double] = cents.map { case (_, cv) => normF(cv) }
+    // top-nProbe nearest centroids per query, deterministic (sim desc,
+    // cid asc — same convention as the assignment's tie-break)
+    val probeCells = udf { (v: Array[Float]) =>
+      cents.indices
+        .filter(i => cents(i)._2.length == v.length)
+        .map(i => (dotF(v, cents(i)._2) / (normF(v) * cNorms(i)), cents(i)._1))
+        .sortBy { case (sim, cid) => (-sim, cid) }
+        .take(nProbe).map(_._2).toArray
+    }
+    val corpusCells = ivfAssign(corpus, idCol, vecCol, centroids, centroidId, centroidVec)
+      .filter(col("cell").isNotNull)
+      .select(col(idCol).as("neighbour_id"), col(vecCol).as("__cv"), col("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(probeCells(col("__qv"))))
+    val scored = queryCells.join(corpusCells, "cell")
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .withColumn("cosine_sim", cosineNative(corpus)(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbour_id"), col("cosine_sim"))
+  }
+
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
                 centroidId: String, centroidVec: String): DataFrame = {
     val spark = df.sparkSession

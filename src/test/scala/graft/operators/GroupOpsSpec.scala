@@ -149,6 +149,24 @@ class GroupOpsSpec extends SparkSpec {
     assert(got.distinct.length >= 150)
   }
 
+  test("tableProfile: rows/nulls/distinct/min/max per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, None, Some(2.5)),
+      (3L, Some("a"), None)).toDF("id", "s", "v")
+    val got = GroupOps.tableProfile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(got("s") == ((3L, 1L, 1L, "a", "a")))
+    assert(got("v") == ((3L, 1L, 2L, "1.5", "2.5")))
+    // approx path: same shape, sketched distinct within rsd on tiny input
+    val approx = GroupOps.tableProfile(df, exactDistinct = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("id") == 3L && approx("s") == 1L)
+  }
+
   test("ntileBuckets avoids the single-partition window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, i % 7)).toDF("id", "v")

@@ -91,6 +91,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L) == 10L) // tie at 45° breaks to lower centroid id
   }
 
+  test("ivfTopK: full probe == exact top-k; single probe is exact on separated blobs") {
+    import spark.implicits._
+    // full probe on real embeddings reproduces the brute-force result
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val exact = Similarity.bruteForceTopKAtScale(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        codebook, "cid", "cvec", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "full-probe IVF must equal brute force")
+
+    // on cleanly separated blobs, probing ONE cell already gives the
+    // exact answer — the approximation works where clusters are real
+    val rnd = new scala.util.Random(3)
+    val axes = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val blobs = (0 until 60).map { i =>
+      val ax = axes(i % 3)
+      (i.toLong, ax.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val bdf = blobs.toDF("vec_id", "embedding")
+    val cents = axes.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("cid", "cvec")
+    val bq = bdf.filter(col("vec_id") < 6)
+    val bExact = Similarity.bruteForceTopKAtScale(bq, bdf, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneProbe = Similarity.ivfTopK(bq, bdf, "vec_id", "embedding",
+        cents, "cid", "cvec", k = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneProbe == bExact, "single-probe IVF must be exact on separated blobs")
+  }
+
   test("cosinePairsAboveBlocked == cosinePairsAbove on real embeddings (exact recall)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for (threshold <- Seq(0.35, 0.9)) {
