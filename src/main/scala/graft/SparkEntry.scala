@@ -1319,6 +1319,43 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  /** Forward as-of join (merge_asof direction='forward'): every event
+    * attaches the user's NEXT purchase value at-or-after it — the
+    * mirror scan of q41's backward join, same one-shuffle shape. Tie
+    * dedup mirrors too: first event_id per equal timestamp.
+    */
+  private def q93AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TemporalJoins
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"))
+    TemporalJoins.asofForward(ev, purchases, Seq("user_id"), "ts",
+        Seq("purchase_value"), tieCol = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        round(col("asof_purchase_value"), 4).as("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Nearest as-of join (merge_asof direction='nearest'): the closer of
+    * the previous and next purchase by absolute time distance, equal
+    * distance breaking backward — one shuffle, two in-partition scans.
+    * The oracle composes DuckDB's backward and forward ASOF joins with
+    * the identical pick rule.
+    */
+  private def q94AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TemporalJoins
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"))
+    TemporalJoins.asofNearest(ev, purchases, Seq("user_id"), "ts",
+        Seq("purchase_value"), tieCol = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        round(col("asof_purchase_value"), 4).as("nearest_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1412,7 +1449,9 @@ object SparkEntry {
     "q89_random_projection" -> (q89RandomProjection _),
     "q90_ivf_topk" -> (q90IvfTopK _),
     "q91_table_profile" -> (q91TableProfile _),
-    "q92_full_outer" -> (q92FullOuter _))
+    "q92_full_outer" -> (q92FullOuter _),
+    "q93_asof_forward" -> (q93AsofForward _),
+    "q94_asof_nearest" -> (q94AsofNearest _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2501,7 +2540,38 @@ object SparkEntry {
         | GROUP BY o_custkey)
         |SELECT o_custkey, spend_96, spend_97
         |FROM s96 FULL JOIN s97 USING (o_custkey)
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    // q93: DuckDB ASOF with the <= inequality is the forward direction;
+    // tie dedup = arg_min (first event_id wins, mirroring q41's arg_max)
+    "q93_asof_forward" ->
+      """SELECT e.event_id, e.user_id,
+        | round(p.value, 4) AS next_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, arg_min(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts) p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // q94: both directions composed with the same pick rule the engine
+    // documents (equal distance -> backward)
+    "q94_asof_nearest" ->
+      """SELECT e.event_id, e.user_id,
+        | round(CASE WHEN f.ts IS NULL
+        |            OR (b.ts IS NOT NULL AND e.ts - b.ts <= f.ts - e.ts)
+        |       THEN b.value ELSE f.value END, 4) AS nearest_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts) b
+        |  ON e.user_id = b.user_id AND e.ts >= b.ts
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, arg_min(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts) f
+        |  ON e.user_id = f.user_id AND e.ts <= f.ts
+        |ORDER BY e.event_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

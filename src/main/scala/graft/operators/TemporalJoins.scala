@@ -57,6 +57,90 @@ object TemporalJoins {
       .withColumnsRenamed(renames)
   }
 
+  /** Forward as-of join (pandas `merge_asof(direction='forward')`): for
+    * every left row, attach `valueCols` from the EARLIEST right row with
+    * `right.timeCol >= left.timeCol`. The exact mirror of
+    * [[asofBackward]] — time-descending scan, right rows still sorting
+    * before left at equal time (the >= bound is inclusive); among
+    * equal-time right rows the FIRST in `tieCol` order wins (the mirror
+    * of backward's last-wins). Same one-shuffle shape.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  timeCol: String, valueCols: Seq[String],
+                  tieCol: Option[String] = None): DataFrame = {
+    tieCol.foreach(c => require(right.columns.contains(c),
+      s"tieCol '$c' not in right columns ${right.columns.mkString("[", ",", "]")}"))
+    val l = left.withColumn("__side", lit(0))
+    val rTie = tieCol.map(c => col(c).as("__tie")).toSeq
+    val r = right.select(
+        (keys :+ timeCol).map(col) ++ valueCols.map(c => col(c).as(s"__r_$c")) ++ rTie: _*)
+      .withColumn("__side", lit(1))
+    val unified = l.unionByName(r, allowMissingColumns = true)
+    val order: Seq[Column] =
+      Seq(col(timeCol).desc, col("__side").desc) ++
+        rTie.map(_ => col("__tie").desc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unified) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val renames = valueCols.map(c => s"__r_$c" -> s"asof_$c").toMap
+    filled.filter(col("__side") === 0)
+      .drop("__side", "__tie")
+      .withColumnsRenamed(renames)
+  }
+
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): the
+    * closer of the backward and forward matches by absolute time
+    * distance; equal distance breaks BACKWARD (documented engine
+    * policy; distance 0 — an exact-time right row — therefore always
+    * resolves backward, with backward's arg-max tie pick).
+    *
+    * ONE union, ONE key shuffle, ONE sort: the backward candidate is a
+    * running `last(ignoreNulls)` frame and the forward candidate the
+    * mirrored `first(ignoreNulls)` over [current, unbounded following]
+    * — both frames share the same window spec, so Catalyst computes
+    * them in a single Window pass (two chained directional scans would
+    * shuffle twice; the union between them breaks co-partitioning).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  timeCol: String, valueCols: Seq[String],
+                  tieCol: Option[String] = None): DataFrame = {
+    tieCol.foreach(c => require(right.columns.contains(c),
+      s"tieCol '$c' not in right columns ${right.columns.mkString("[", ",", "]")}"))
+    val l = left.withColumn("__side", lit(0))
+    val rTie = tieCol.map(c => col(c).as("__tie")).toSeq
+    val r = right.select(
+        (keys :+ timeCol).map(col) ++
+          valueCols.map(c => col(c).as(s"__r_$c")) ++
+          Seq(col(timeCol).as("__rt")) ++ rTie: _*)
+      .withColumn("__side", lit(1))
+    val unified = l.unionByName(r, allowMissingColumns = true)
+    val order: Seq[Column] =
+      Seq(col(timeCol).asc, col("__side").desc) ++
+        rTie.map(_ => col("__tie").asc_nulls_first)
+    val part = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val wB = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = valueCols.map(c => s"__r_$c") :+ "__rt"
+    val filled = carried.foldLeft(unified) { (df, c) =>
+      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
+        .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF))
+    }
+    val bt = col("__b___rt"); val ft = col("__f___rt")
+    // backward wins when forward is missing or strictly farther
+    val pickBackward = ft.isNull ||
+      (bt.isNotNull && (col(timeCol) - bt) <= (ft - col(timeCol)))
+    val picked = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(pickBackward, col(s"__b___r_$c")).otherwise(col(s"__f___r_$c")))
+    }
+    picked.filter(col("__side") === 0)
+      .drop("__side", "__tie", "__rt")
+      .drop(valueCols.map(c => s"__r_$c"): _*)
+      .drop(carried.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
+  }
+
   /** Point-in-interval (range) join: rows of `points` whose `pointCol`
     * (long) falls in [startCol, endCol) of `intervals`. Bucketing turns
     * the inequality join into an equi-join: each interval explodes to the
