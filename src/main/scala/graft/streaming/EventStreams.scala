@@ -225,6 +225,28 @@ object EventStreams {
       .withWatermark("event_time", delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming heavy hitters: the Misra–Gries sketch
+    * ([[graft.expressions.MisraGries]]) as a windowed streaming
+    * aggregate — per event-time window, the ≤ `capacity` candidate
+    * heavy items among a column's values. The aggregate's partial
+    * buffers merge associatively, which is exactly the property the
+    * streaming state store needs: each micro-batch folds its rows into
+    * the window's stored buffer (update mode emits refreshed sketches
+    * as batches arrive); state per window is ≤ capacity counters — hard
+    * memory bound no matter the item domain, the reason to sketch in a
+    * stream at all. Watermark bounds which windows stay live.
+    */
+  def windowedHeavyHitters(events: DataFrame, itemCol: String,
+                           window_ : String = "1 hour", capacity: Int = 8,
+                           delay: String = "10 minutes"): DataFrame = {
+    graft.expressions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), window_))
+      .agg(call_function("misra_gries", col(itemCol), lit(capacity)).as("heavy"))
+      .select(col("window.start").as("window_start"), col("heavy"))
+  }
+
   /** Idempotent foreachBatch parquet sink: each micro-batch lands in its
     * own `batch_<id>` directory, committed by writing a marker AFTER the
     * data; a redelivered batch id (failure between sink write and

@@ -252,6 +252,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("windowedHeavyHitters: sketch state merges across micro-batches == batch sketch") {
+    import spark.implicits._
+    // two micro-batches hitting the SAME event-time window: the second
+    // batch must fold into the stored MG buffer, not start fresh
+    val base = 1700000000L * 1000000000L
+    def evRow(id: Long, tp: String, offsetSec: Long) =
+      (id, base + offsetSec * 1000000000L, id % 7, tp, 1.0, """{}""")
+    val srcDir = java.nio.file.Files.createTempDirectory("hh_stream")
+    def writeBatch(name: String, mtime: Long,
+                   rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("hh_batch").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(srcDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val b1 = (1L to 6L).map(i => evRow(i, "view", i)) ++ Seq(evRow(7L, "click", 10))
+    val b2 = (8L to 10L).map(i => evRow(i, "view", 60 + i)) ++
+      Seq(evRow(11L, "purchase", 80), evRow(12L, "click", 90))
+    writeBatch("b1.parquet", 1000000, b1)
+    writeBatch("b2.parquet", 2000000, b2)
+    val stream = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.windowedHeavyHitters(stream, "event_type", capacity = 8),
+      "hh_test", OutputMode.Update())
+    // update mode re-emits the window per batch; keep the LAST revision
+    val last = streamed.collect().last.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    // capacity ≥ distinct items ⇒ the sketch holds exact counts
+    assert(last == Seq(("view", 9L), ("click", 2L), ("purchase", 1L)), last.toString)
+    val batch = EventStreams.windowedHeavyHitters(
+      EventStreams.withEventTime(spark.read.parquet(srcDir.toString)), "event_type",
+      capacity = 8)
+    val batchLast = batch.collect()(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(last == batchLast, "stream state-merge must equal the batch sketch")
+  }
+
   test("dedupWithinWatermark drops duplicate keys across micro-batches") {
     import spark.implicits._
     // two files = two micro-batches (maxFilesPerTrigger=1); the batch-2
