@@ -1356,6 +1356,34 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Duplicate-cluster retention: q49's near-dup clusters resolved by a
+    * KEEP-LONGEST policy (arg-max n_chars, low-id tie-break) instead of
+    * the arbitrary min-id — the "which duplicate survives" decision a
+    * real curation pipeline makes. The oracle re-closes the clusters
+    * with the recursive CTE and re-picks with the same policy.
+    */
+  private def q95ClusterResolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.dedupClustersClassed(docs, "doc_id", "text", "lang", 0.8)
+    Dedup.resolveClusters(clusters,
+        docs.select(col("doc_id"), col("n_chars").cast("double").as("score")),
+        "doc_id", "score")
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Exact stratified split: per-language 80/10/10 with boundaries at
+    * floor(cumfrac·n) over a deterministic md5 rank — proportions exact
+    * per stratum, unlike the binomial per-row hash split (q45). Output
+    * aggregates membership (count + id-sum) per (lang, split).
+    */
+  private def q96StratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSplit(t(s, dir, "documents"), "doc_id", "lang",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"), col("split"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1451,7 +1479,9 @@ object SparkEntry {
     "q91_table_profile" -> (q91TableProfile _),
     "q92_full_outer" -> (q92FullOuter _),
     "q93_asof_forward" -> (q93AsofForward _),
-    "q94_asof_nearest" -> (q94AsofNearest _))
+    "q94_asof_nearest" -> (q94AsofNearest _),
+    "q95_cluster_resolve" -> (q95ClusterResolve _),
+    "q96_stratified_split" -> (q96StratifiedSplit _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2571,7 +2601,50 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase'
         |  GROUP BY user_id, ts) f
         |  ON e.user_id = f.user_id AND e.ts <= f.ts
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    // q95: q49's recursive closure + the keep-longest pick restated
+    "q95_cluster_resolve" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsSql("0.8")}),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |best AS (
+         | SELECT comp.component AS cluster_id, d.doc_id, d.n_chars,
+         |  row_number() OVER (PARTITION BY comp.component
+         |                     ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY comp.component) AS cluster_size
+         | FROM comp JOIN documents d ON comp.id = d.doc_id)
+         |SELECT cluster_id, doc_id AS best_id,
+         | CAST(n_chars AS DOUBLE) AS best_score,
+         | cluster_size, cluster_size - 1 AS n_dropped
+         |FROM best WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
+    // q96: identical rank + floor(cumfrac·n) boundaries (same IEEE
+    // double literals ⇒ same floors)
+    "q96_stratified_split" ->
+      """WITH r AS (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT lang, split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (
+        | SELECT lang, doc_id,
+        |  -- (0.8 + 0.1), not 0.9: the engine folds cumulative weights by
+        |  -- summation, and the floor must see the bit-identical double
+        |  CASE WHEN rk <= floor(0.8 * n) THEN 'train'
+        |       WHEN rk <= floor((0.8 + 0.1) * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM r) t
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

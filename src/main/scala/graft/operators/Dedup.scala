@@ -250,6 +250,32 @@ object Dedup {
       .select(col("keep_id"), col("member_ids"), col("cluster_size"))
   }
 
+  /** Retention policy over near-dup clusters: which duplicate do we
+    * KEEP? Min-id (the [[dedupClustersClassed]] default) is arbitrary;
+    * real pipelines keep the best member by a quality signal (longest,
+    * highest model score, freshest). Joins the cluster membership
+    * against a (id, score) table and arg-maxes per cluster with a
+    * deterministic low-id tie-break.
+    *
+    * Scale shape: membership rows (|duplicates|, far smaller than the
+    * corpus) shuffle once on the id to meet the score table; the
+    * per-cluster arg-max is a partial-aggregable `max_by` on a struct —
+    * no window, no sort. Output: one row per cluster
+    * (cluster_id, best_id, best_score, cluster_size, n_dropped).
+    */
+  def resolveClusters(clusters: DataFrame, scores: DataFrame, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val members = clusters.select(col("keep_id").as("cluster_id"),
+      col("cluster_size"), explode(col("member_ids")).as(idCol))
+    members.join(scores, idCol)
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("best_id"),
+        max(col(scoreCol)).as("best_score"))
+      .select(col("cluster_id"), col("best_id"), col("best_score"),
+        col("cluster_size"), (col("cluster_size") - 1).as("n_dropped"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -109,6 +109,40 @@ object Sampling {
     * n in the hundreds) pre-thin with `hashSample(n·fudge/|group|)`
     * first; the final window keeps the result exact regardless.
     */
+  /** Exact stratified split: within every stratum, rows rank by
+    * md5(key) (deterministic "random" order, same convention as
+    * [[splitLabel]]) and the split boundaries sit at
+    * floor(cumulative-fraction · stratum-size) — so each stratum's
+    * split proportions are EXACT (±1 row), where the per-row hash
+    * split's proportions are only binomial-expected. The difference
+    * matters for small or skewed strata: a 10-doc language keeps 8/1/1,
+    * never 10/0/0.
+    *
+    * Cost: one shuffle on the stratum (rank + size share one window
+    * partitioning). A stratum's rows serialize through its partition —
+    * strata are assumed many/bounded (languages, sources); for a
+    * heavy-stratum corpus fall back to the per-row [[splitLabel]].
+    */
+  def stratifiedSplit(df: DataFrame, keyCol: String, strataCol: String,
+                      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $weights")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val wc = Window.partitionBy(col(strataCol))
+    val ranked = df
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = weights.zip(cum).init
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), cumF), rest) =>
+        when(col("__rk") <= floor(lit(cumF) * col("__n")).cast("long"), lit(name))
+          .otherwise(rest)
+      }
+    ranked.withColumn("split", label).drop("__rk", "__n")
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     import org.apache.spark.sql.expressions.Window

@@ -229,4 +229,20 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "every operator-internal persist must be tracked and released")
   }
+
+  test("resolveClusters keeps the best-scoring member, low id on ties") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, Seq(1L, 2L, 3L), 3L),  // scores 5, 9, 9 -> best 2 (tie 2 vs 3)
+      (4L, Seq(4L, 5L), 2L)       // scores 7, 1 -> best 4
+    ).toDF("keep_id", "member_ids", "cluster_size")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 7.0), (5L, 1.0))
+      .toDF("doc_id", "score")
+    val got = Dedup.resolveClusters(clusters, scores, "doc_id", "score")
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 9.0, 3L, 2L),
+      (4L, 4L, 7.0, 2L, 1L)))
+  }
 }

@@ -104,4 +104,28 @@ class SamplingSpec extends SparkSpec {
       df.repartition(7).sortWithinPartitions(desc("k")), "grp", "k", 10)
     assert(rowsOf(capped) == rowsOf(again))
   }
+
+  test("stratifiedSplit: exact per-stratum proportions; deterministic; weights validated") {
+    import spark.implicits._
+    // 10-row and 40-row strata: the hash split would only be exact in
+    // expectation — the stratified split must be exact in fact
+    val df = ((1L to 10L).map(i => ("small", i)) ++ (11L to 50L).map(i => ("big", i)))
+      .toDF("stratum", "id")
+    val split = Sampling.stratifiedSplit(df, "id", "stratum",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val sizes = split.groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sizes(("small", "train")) == 8L && sizes(("small", "val")) == 1L &&
+      sizes(("small", "test")) == 1L, sizes.toString)
+    assert(sizes(("big", "train")) == 32L && sizes(("big", "val")) == 4L &&
+      sizes(("big", "test")) == 4L, sizes.toString)
+    // every row keeps exactly one label; membership is partition-invariant
+    val again = Sampling.stratifiedSplit(
+      df.repartition(7).sortWithinPartitions(desc("id")), "id", "stratum",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(rowsOf(split) == rowsOf(again))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, "id", "stratum", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
