@@ -1384,6 +1384,96 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"), col("split"))
 
+  /** Snapshot diff: per-customer 1996 vs 1997 order aggregates
+    * classified added / removed / changed / unchanged — the audit
+    * primitive behind "what did this run change" (ship `added ∪
+    * changed` only). Null-safe compare; one full-outer join on the key.
+    */
+  private def q97SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def snap(year: Int) = ord
+      .filter(col("o_orderdate") >= to_date(lit(s"$year-01-01")) &&
+        col("o_orderdate") < to_date(lit(s"${year + 1}-01-01")))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("spend"))
+    graft.operators.Merge.snapshotDiff(snap(1996), snap(1997),
+        keys = Seq("o_custkey"), tracked = Seq("n_orders", "spend"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Gap-filled resample: per-user 6-hour event buckets DENSIFIED over
+    * each user's [first, last] span — empty buckets appear with
+    * n_events = 0 and the last observed sum carried forward
+    * (`filled_sum`), the regular-grid contract windowed GROUP BY (q33)
+    * cannot give. Buckets are integer epoch indices, so both engines do
+    * pure integer arithmetic. The raw table shuffles once; the spine,
+    * join and ffill all run over bucket-level rows.
+    */
+  private def q98GapfillResample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Rolling.resample(
+        Tables.withEventTime(t(s, dir, "events")),
+        "user_id", "event_time", "value", bucketSeconds = 21600L)
+      .select(col("user_id"), col("bucket_start"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"),
+        round(col("filled_sum"), 4).as("filled_sum"))
+      .orderBy(col("user_id"), col("bucket_start"))
+
+  /** Interval coalescing (gaps-and-islands): each event padded to a
+    * 30-minute interval, overlapping intervals merged into maximal
+    * per-user activity spans. One shuffle on the key; running-max +
+    * island-sum windows share the sort; the aggregate reuses the
+    * partitioning.
+    */
+  private def q99MergeIntervals(s: SparkSession, dir: String): DataFrame = {
+    val sec = unix_timestamp(col("event_time"))
+    val iv = Tables.withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), sec.as("s"), (sec + 1800L).as("e"))
+    graft.operators.Intervals.coalesce(iv, Seq("user_id"), "s", "e")
+      .select(col("user_id"), col("span_start"), col("span_end"),
+        col("n_intervals"))
+      .orderBy(col("user_id"), col("span_start"))
+  }
+
+  /** First-order Markov transition matrix of event types per user:
+    * consecutive-pair counts via one lead window (no self-join), row
+    * probabilities normalized within the from-state over the
+    * |states|²-row result.
+    */
+  private def q100Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(
+        Tables.withEventTime(t(s, dir, "events")),
+        "user_id", "event_time", "event_type", tieBreak = "event_id")
+      .select(col("from_state"), col("to_state"), col("n_transitions"),
+        round(col("p"), 6).as("p"))
+      .orderBy(col("from_state"), col("to_state"))
+
+  /** Distribution-shape profile: per-returnflag mean / stddev /
+    * skewness / excess kurtosis of lineitem quantity from centered
+    * power sums — the two-pass form whose formula is pinned identically
+    * in the oracle (built-in skewness/kurtosis conventions differ
+    * between engines; raw-moment identities cancel catastrophically).
+    */
+  private def q101Moments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupOps.momentStats(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity")
+      .select(col("l_returnflag"), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("stddev"), 6).as("stddev"),
+        round(col("skewness"), 6).as("skewness"),
+        round(col("kurtosis"), 6).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+
+  /** Inverted index over the document corpus: token → exact doc_freq +
+    * the first 20 postings in doc-id order, hapax tail pruned at
+    * df ≥ 5. The posting cap applies BEFORE collect_list (windowed
+    * row_number over the same token-keyed sort), so no stopword's full
+    * posting list is ever materialized.
+    */
+  private def q102InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scoring.invertedIndex(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 5L, maxPostings = 20)
+      .orderBy(col("token"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1481,7 +1571,13 @@ object SparkEntry {
     "q93_asof_forward" -> (q93AsofForward _),
     "q94_asof_nearest" -> (q94AsofNearest _),
     "q95_cluster_resolve" -> (q95ClusterResolve _),
-    "q96_stratified_split" -> (q96StratifiedSplit _))
+    "q96_stratified_split" -> (q96StratifiedSplit _),
+    "q97_snapshot_diff" -> (q97SnapshotDiff _),
+    "q98_gapfill_resample" -> (q98GapfillResample _),
+    "q99_merge_intervals" -> (q99MergeIntervals _),
+    "q100_transitions" -> (q100Transitions _),
+    "q101_moments" -> (q101Moments _),
+    "q102_inverted_index" -> (q102InvertedIndex _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2644,7 +2740,116 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         | FROM r) t
         |GROUP BY lang, split
-        |ORDER BY lang, split""".stripMargin)
+        |ORDER BY lang, split""".stripMargin,
+    // q97: same FULL JOIN + null-safe compare; count(*) is never null,
+    // so side presence can ride on it in SQL (the engine uses explicit
+    // markers for the general all-null-attribute case)
+    "q97_snapshot_diff" ->
+      """WITH o AS (
+        | SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        | FROM orders
+        | WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        | GROUP BY o_custkey),
+        |n AS (
+        | SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        | FROM orders
+        | WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+        | GROUP BY o_custkey)
+        |SELECT o_custkey,
+        | o.n_orders AS old_n_orders, o.spend AS old_spend,
+        | n.n_orders AS new_n_orders, n.spend AS new_spend,
+        | CASE WHEN o.n_orders IS NULL THEN 'added'
+        |      WHEN n.n_orders IS NULL THEN 'removed'
+        |      WHEN o.n_orders IS DISTINCT FROM n.n_orders
+        |        OR o.spend IS DISTINCT FROM n.spend THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type
+        |FROM o FULL JOIN n USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+    // q98: integer bucket indices (floor(floor(epoch)/b) == floor(epoch/b)
+    // for integer b), generate_series spine, IGNORE NULLS ffill with the
+    // default up-to-current-row frame = the engine's rowsBetween
+    "q98_gapfill_resample" ->
+      """WITH b AS (
+        | SELECT user_id, CAST(floor(epoch(ts) / 21600) AS BIGINT) AS idx,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        | FROM events GROUP BY 1, 2),
+        |spine AS (
+        | SELECT user_id, unnest(generate_series(min(idx), max(idx))) AS idx
+        | FROM b GROUP BY user_id),
+        |j AS (
+        | SELECT s.user_id, s.idx, coalesce(b.n_events, 0) AS n_events, b.sum_value
+        | FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.idx = b.idx)
+        |SELECT user_id, idx * 21600 AS bucket_start, n_events,
+        | round(sum_value, 4) AS sum_value,
+        | round(last_value(sum_value IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY idx), 4) AS filled_sum
+        |FROM j
+        |ORDER BY user_id, bucket_start""".stripMargin,
+    // q99: the same two-window gaps-and-islands restated — running max
+    // over strictly preceding rows opens islands, running sum numbers them
+    "q99_merge_intervals" ->
+      """WITH iv AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+        | FROM events),
+        |m AS (
+        | SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM iv),
+        |isl AS (
+        | SELECT user_id, s, e,
+        |  sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM m)
+        |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+        | count(*) AS n_intervals
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, span_start""".stripMargin,
+    // q100: identical lead window (event_id tie-break) + from-state
+    // normalization over the aggregated matrix
+    "q100_transitions" ->
+      """WITH t AS (
+        | SELECT event_type AS from_state,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        | FROM events)
+        |SELECT from_state, to_state, count(*) AS n_transitions,
+        | round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_state), 6) AS p
+        |FROM t WHERE to_state IS NOT NULL
+        |GROUP BY from_state, to_state
+        |ORDER BY from_state, to_state""".stripMargin,
+    // q101: the pinned two-pass formula — group mean join, centered
+    // power sums, population g1/g2 (built-in skewness/kurtosis
+    // conventions differ between engines, so neither side uses them)
+    "q101_moments" ->
+      """WITH mu AS (
+        | SELECT l_returnflag, avg(l_quantity) AS mu FROM lineitem GROUP BY 1),
+        |c AS (
+        | SELECT l.l_returnflag, mu.mu, l.l_quantity - mu.mu AS d
+        | FROM lineitem l JOIN mu USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n, round(max(mu), 6) AS mean,
+        | round(sqrt(sum(d*d) / (count(*) - 1)), 6) AS stddev,
+        | round((sum(d*d*d) / count(*)) / pow(sum(d*d) / count(*), 1.5), 6) AS skewness,
+        | round((sum(d*d*d*d) / count(*)) / pow(sum(d*d) / count(*), 2) - 3, 6) AS kurtosis
+        |FROM c GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // q102: same tokenizer as the q23 family; windowed df + posting cap,
+    // string_agg in numeric doc-id order = the engine's sorted concat_ws
+    "q102_inverted_index" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token
+        | FROM documents),
+        |w AS (
+        | SELECT token, doc_id,
+        |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY token) AS doc_freq
+        | FROM tok WHERE token <> '')
+        |SELECT token, doc_freq,
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM w WHERE doc_freq >= 5 AND rn <= 20
+        |GROUP BY token, doc_freq
+        |ORDER BY token""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

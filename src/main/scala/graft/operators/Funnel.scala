@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence conversion funnel: how many users performed step 1,
@@ -56,5 +57,34 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
       .withColumn("step_name", element_at(stepsArr, col("step")))
       .select(col("step"), col("step_name"), col("n_users"))
+  }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for every consecutive pair of events of the same key (ordered by
+    * time, ties broken by `tieBreak`), count the `from_state →
+    * to_state` transition and normalize to a probability within the
+    * from-state (rows of the matrix sum to 1) — session-flow analytics,
+    * next-event models, and anomaly baselines ("purchase → purchase is
+    * 0.1% of transitions") all start here.
+    *
+    * Plan shape: ONE hash shuffle on the key for the `lead` window,
+    * then a hash aggregate on (from, to) — partial map-side, final over
+    * at most |states|² rows — and the row normalization as a window
+    * over the from-state, which runs on those |states|² rows (a second
+    * exchange of a matrix-sized table: free). The event table moves
+    * once; there is no self-join on consecutive-ness.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       stateCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val counts = events
+      .withColumn("__to", lead(col(stateCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__to").as("to_state"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val fromTotal = Window.partitionBy(col("from_state"))
+    counts.withColumn("p",
+      col("n_transitions") / sum(col("n_transitions")).over(fromTotal))
   }
 }

@@ -65,6 +65,44 @@ object Merge {
     * runs. At 100 TB the changelog shuffles once — there is no
     * snapshot-sized join, and no per-version state beyond the sort.
     */
+  /** Row-level diff of two snapshots of the same keyed table: every key
+    * classified `added` / `removed` / `changed` / `unchanged`, with the
+    * tracked attributes from both sides (`old_*` / `new_*`) so the
+    * caller can render or act on the delta — the audit primitive behind
+    * "what did this pipeline run change" and incremental-publish
+    * decisions (ship only `added ∪ changed`).
+    *
+    * Change detection is null-safe (`<=>`): null → null is unchanged,
+    * null → value is changed. Presence is tracked with an explicit
+    * marker column, NOT the nullability of attributes, so an all-null
+    * row on one side still classifies correctly.
+    *
+    * Plan shape: one full-outer sort-merge join on the key — each side
+    * shuffles once, the classification is a map-side projection over the
+    * joined row. At 100 TB both snapshots bucketed on the key (see
+    * [[graft.sources.Tables]]) make it shuffle-free; there is no
+    * driver-side state and no window.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   tracked: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(tracked.nonEmpty, "need at least one tracked column")
+    val o = oldDf.select(keys.map(col) ++
+      tracked.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_old"): _*)
+    val n = newDf.select(keys.map(col) ++
+      tracked.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__in_new"): _*)
+    val anyChanged = tracked
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(anyChanged, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__in_old", "__in_new")
+  }
+
   def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
            tieBreak: String, tracked: Seq[String]): DataFrame = {
     require(keys.nonEmpty && tracked.nonEmpty, "need key and tracked columns")

@@ -27,6 +27,58 @@ import org.apache.spark.sql.functions._
   */
 object Rolling {
 
+  /** Gap-filled time-series resample: bucket each key's events to fixed
+    * `bucketSeconds` intervals, aggregate per bucket, then DENSIFY the
+    * series — every bucket between a key's first and last event exists
+    * in the output, empty ones with `n_events = 0`, a null `sum_value`,
+    * and `filled_sum` carrying the last observed bucket's sum forward
+    * (the resample→ffill idiom of time-series feature pipelines;
+    * windowed GROUP BY alone (q33) silently skips empty buckets, which
+    * breaks anything assuming a regular grid).
+    *
+    * Buckets are epoch-second indices (`bucket_start` = index ·
+    * `bucketSeconds`, a BIGINT) — integer arithmetic, no interval/
+    * timezone semantics to disagree about across engines.
+    *
+    * Plan shape: the raw table shuffles ONCE (the per-bucket hash
+    * aggregate, partial map-side); everything after — the per-key
+    * min/max spine, the `sequence` explode, the left join back, the
+    * forward-fill window — runs over BUCKET-level rows (|keys| ·
+    * |buckets|, orders of magnitude smaller than the input). The spine
+    * explode is map-side; its memory is one array of bucket indices per
+    * key, bounded by the key's time span / `bucketSeconds` — cap with
+    * `maxBucketsPerKey` (raise_error beyond it) so a pathological key
+    * (one event in 1970, one today) fails loudly instead of
+    * materializing a billion-element array.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, bucketSeconds: Long,
+               maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    require(bucketSeconds > 0, s"bucket must be positive, got $bucketSeconds")
+    val idx = floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long")
+    val buckets = df
+      .select(col(keyCol), idx.as("__idx"), col(valueCol).as("__v"))
+      .groupBy(col(keyCol), col("__idx"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("sum_value"))
+    val spine = buckets
+      .groupBy(col(keyCol))
+      .agg(min(col("__idx")).as("__lo"), max(col("__idx")).as("__hi"))
+      .withColumn("__span", col("__hi") - col("__lo") + 1)
+      .withColumn("__idx", explode(
+        when(col("__span") > maxBucketsPerKey,
+          raise_error(concat(lit("resample: key "), col(keyCol).cast("string"),
+            lit(s" spans more than $maxBucketsPerKey buckets"))).cast("array<bigint>"))
+          .otherwise(sequence(col("__lo"), col("__hi")))))
+      .select(col(keyCol), col("__idx"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(buckets, Seq(keyCol, "__idx"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_sum", last(col("sum_value"), ignoreNulls = true).over(w))
+      .withColumn("bucket_start", col("__idx") * bucketSeconds)
+      .drop("__idx")
+  }
+
   /** Appends `roll_count`, `roll_sum`, `roll_avg` over the trailing
     * window (inclusive of the current event's peers).
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-relative text relevance scoring (TF-IDF / BM25) — the ranking
@@ -227,5 +228,39 @@ object Scoring {
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"), col("tf"),
         (col("tf") * log(col("__n_docs").cast("double") / col("__nt"))).as("tf_idf"))
+  }
+
+  /** Inverted index construction: token → exact document frequency +
+    * the posting list (first `maxPostings` doc ids in ascending order,
+    * comma-joined) — the retrieval-side artifact behind BM25 serving,
+    * contamination lookups, and keyword routing. `minDf` prunes the
+    * hapax tail (most of any corpus's vocabulary) from the output.
+    *
+    * Scale shape: one shuffle on the token; doc_freq and the posting
+    * cap come from a window pass over the SAME (token)-partitioned sort,
+    * and the final aggregate reuses that partitioning. The cap is
+    * applied BEFORE `collect_list` (row_number ≤ maxPostings), so no
+    * executor ever materializes a stopword's full posting list — the
+    * unbounded-`collect_list` trap this operator exists to avoid. The
+    * doc_freq count is windowed over all rows, so it stays exact for
+    * capped tokens.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L, maxPostings: Int = 1000): DataFrame = {
+    require(minDf >= 1 && maxPostings >= 1, "minDf and maxPostings must be >= 1")
+    val perDoc = df.select(col(idCol).as("__id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol))))
+          .as("token"))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy(col("token"))
+    val ordered = w.orderBy(col("__id").asc)
+    perDoc
+      .withColumn("doc_freq", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("doc_freq") >= minDf && col("__rn") <= maxPostings)
+      .groupBy(col("token"), col("doc_freq"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("__id"))), _.cast("string")))
+        .as("postings"))
   }
 }

@@ -58,4 +58,34 @@ class FunnelSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"funnel must not join:\n$plan")
   }
+
+  test("transitionMatrix: consecutive pairs per key, rows normalize to 1") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),  // A->B, B->A
+      (2L, 1L, "A"), (2L, 2L, "A")                  // A->A
+    ).toDF("user", "ts", "tp").withColumn("id", monotonically_increasing_id())
+    val got = Funnel.transitionMatrix(events, "user", "ts", "tp", "id")
+      .orderBy("from_state", "to_state")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("B", "A", 1L, 1.0)))
+  }
+
+  test("transitionMatrix: same-timestamp events order by the tie-break column") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, 1L, "X"), (1L, 10L, 2L, "Y"), (1L, 10L, 3L, "Z"))
+      .toDF("user", "ts", "id", "tp")
+    val got = Funnel.transitionMatrix(events, "user", "ts", "tp", "id")
+      .orderBy("from_state")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("X", "Y"), ("Y", "Z")))
+  }
+
+  test("transitionMatrix: a single-event key contributes no transitions") {
+    import spark.implicits._
+    val events = Seq((1L, 10L, 1L, "A")).toDF("user", "ts", "id", "tp")
+    assert(Funnel.transitionMatrix(events, "user", "ts", "tp", "id").count() == 0)
+  }
 }

@@ -175,4 +175,26 @@ class GroupOpsSpec extends SparkSpec {
     assert(!binned.queryExecution.executedPlan.toString.contains("Window"))
     graft.Caches.unpersistAll()
   }
+
+  test("momentStats: hand-computed moments on the classic sigma=2 sample") {
+    import spark.implicits._
+    // {2,4,4,4,5,5,7,9}: mean 5, population m2 = 4, m3 = 42/8, m4 = 356/8
+    val df = Seq(2, 4, 4, 4, 5, 5, 7, 9).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val r = GroupOps.momentStats(df, Seq("k"), "v").collect()(0)
+    assert(r.getAs[Long]("n") == 8L)
+    assert(math.abs(r.getAs[Double]("mean") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stddev") - math.sqrt(32.0 / 7)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skewness") - (42.0 / 8) / 8.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kurtosis") - ((356.0 / 8) / 16 - 3)) < 1e-12)
+  }
+
+  test("momentStats: symmetric data has zero skewness; groups are independent") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("sym", v.toDouble)) ++
+      Seq(1, 1, 1, 10).map(v => ("skew", v.toDouble))).toDF("k", "v")
+    val got = GroupOps.momentStats(df, Seq("k"), "v").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Double]("skewness")).toMap
+    assert(math.abs(got("sym")) < 1e-12)
+    assert(got("skew") > 1.0, s"right-tailed group must skew positive: $got")
+  }
 }

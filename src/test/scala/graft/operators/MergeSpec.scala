@@ -97,4 +97,34 @@ class MergeSpec extends SparkSpec {
       .orderBy("key").collect().map(r => (r.getLong(0), r.getString(3)))
     assert(got.toSeq == Seq((1L, "v1"), (3L, "v3")))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged null-safely") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Option("a"), Option(1)), (2L, Option("b"), Option(2)),
+      (3L, Option.empty[String], Option(3)), (4L, Option("d"), Option(4)))
+      .toDF("k", "s", "v")
+    val newDf = Seq((1L, Option("a"), Option(1)),   // unchanged
+      (2L, Option("B"), Option(2)),                 // changed (s differs)
+      (3L, Option.empty[String], Option(3)),        // unchanged — null <=> null
+      (5L, Option("e"), Option(5)))                 // added; key 4 removed
+      .toDF("k", "s", "v")
+    val got = Merge.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s", "v"))
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("snapshotDiff: null -> value is changed; an all-null row classifies by presence") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val newDf = Seq((1L, Option("x"))).toDF("k", "s")
+    val got = Merge.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s"))
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 2's only attribute is null on the old side — the presence
+    // marker, not attribute nullability, must drive the classification
+    assert(got == Map(1L -> "changed", 2L -> "removed"))
+  }
 }

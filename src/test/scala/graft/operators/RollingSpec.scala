@@ -64,4 +64,44 @@ class RollingSpec extends SparkSpec {
       Rolling.trailingAgg(events, "user", "ts", "value", 0)
     }
   }
+
+  test("resample densifies gaps with zero counts and forward-fills the sum") {
+    import spark.implicits._
+    // u1: buckets 0 and 3 occupied (gap at 1, 2); u2: single bucket
+    val ev = Seq(
+      ("u1", 10L, 1.0), ("u1", 50L, 2.0),  // bucket 0: n=2, sum=3.0
+      ("u1", 190L, 5.0),                   // bucket 3: n=1, sum=5.0
+      ("u2", 70L, 9.0)                     // bucket 1: n=1, sum=9.0
+    ).toDF("user", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Rolling.resample(ev, "user", "ts", "value", bucketSeconds = 60L)
+      .orderBy("user", "bucket_start")
+      .select("user", "bucket_start", "n_events", "sum_value", "filled_sum")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("u1", 0L, 2L, Some(3.0), Some(3.0)),
+      ("u1", 60L, 0L, None, Some(3.0)),    // gap: zero count, carried sum
+      ("u1", 120L, 0L, None, Some(3.0)),
+      ("u1", 180L, 1L, Some(5.0), Some(5.0)),
+      ("u2", 60L, 1L, Some(9.0), Some(9.0))))
+  }
+
+  test("resample: the per-key span guard raises instead of exploding") {
+    import spark.implicits._
+    val ev = Seq(("u1", 0L, 1.0), ("u1", 600L, 1.0))
+      .toDF("user", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val err = intercept[Exception] {
+      Rolling.resample(ev, "user", "ts", "value",
+        bucketSeconds = 60L, maxBucketsPerKey = 5L).collect()
+    }
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(messages.contains("resample"),
+      s"expected the resample guard, got: $messages")
+  }
 }

@@ -164,4 +164,25 @@ class ScoringSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("invertedIndex: exact df, sorted capped postings, hapax pruning") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b"), (2L, "a c"), (3L, "a b b"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Scoring.invertedIndex(docs, "doc_id", "text",
+        minDf = 2L, maxPostings = 2)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // 'a' df=3 capped to the 2 lowest ids; 'b' df=2 (duplicate tokens in
+    // one doc count once); 'c' pruned at minDf; '' never indexed
+    assert(got.toSeq == Seq(("a", 3L, "2,3"), ("b", 2L, "3,10")))
+  }
+
+  test("invertedIndex: the posting cap does not distort doc_freq") {
+    import spark.implicits._
+    val docs = (1L to 9L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val got = Scoring.invertedIndex(docs, "doc_id", "text", maxPostings = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(("tok", 9L, "1,2,3")))
+  }
 }
