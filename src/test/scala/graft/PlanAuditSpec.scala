@@ -268,4 +268,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(firstAgg.nonEmpty && !firstAgg.contains("chunk_text"),
       s"first-occurrence agg should not carry chunk text:\n$p")
   }
+
+  test("q97 snapshot diff: date filters pushed, agg exchanges feed the full-outer join directly") {
+    val p = planOf("q97_snapshot_diff")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"), s"date predicates must push down:\n$p")
+    // key-partitioned aggregate outputs satisfy the join distribution:
+    // both Exchanges sit below the aggregates, none between agg and join
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q100 transitions: the raw table shuffles once; agg + normalization run matrix-sized") {
+    val p = planOf("q100_transitions")
+    assert(!p.contains("Join"), s"transitions must not self-join:\n$p")
+    // one window for lead (key exchange), one for normalization (matrix
+    // exchange), one range exchange for the final sort — nothing else
+    val exchanges = "Exchange (?:hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q102 inverted index: posting cap plans as WindowGroupLimit below the full window") {
+    val p = planOf("q102_inverted_index")
+    // row_number <= maxPostings is pushed into the sort as a per-group
+    // top-k (WindowGroupLimit) — the plan property that keeps a stopword's
+    // posting list from ever materializing
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
