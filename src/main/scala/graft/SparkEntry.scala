@@ -1474,6 +1474,24 @@ object SparkEntry {
         "doc_id", "text", minDf = 5L, maxPostings = 20)
       .orderBy(col("token"))
 
+  /** Filtered vector search (hybrid metadata + ANN): exact top-k among
+    * only the corpus vectors satisfying a metadata predicate — the
+    * PRE-filter form. Post-filtering an ANN result k-list loses recall
+    * whenever the predicate's survivors are a minority (the classic
+    * vector-DB trap); pre-filtering keeps exact recall and pushes the
+    * predicate into the parquet scan, so the heap pass reads only the
+    * matching fraction of the corpus.
+    */
+  private def q103FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKAtScale(emb.filter(col("vec_id") < 20),
+        emb.filter(col("label") === 3), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbour_id"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+      .orderBy(col("query_id"), col("neighbour_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1577,7 +1595,8 @@ object SparkEntry {
     "q99_merge_intervals" -> (q99MergeIntervals _),
     "q100_transitions" -> (q100Transitions _),
     "q101_moments" -> (q101Moments _),
-    "q102_inverted_index" -> (q102InvertedIndex _))
+    "q102_inverted_index" -> (q102InvertedIndex _),
+    "q103_filtered_ann" -> (q103FilteredAnn _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2849,7 +2868,20 @@ object SparkEntry {
         | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM w WHERE doc_freq >= 5 AND rn <= 20
         |GROUP BY token, doc_freq
-        |ORDER BY token""".stripMargin)
+        |ORDER BY token""".stripMargin,
+    // q103: q27's exact-top-k oracle with the metadata predicate applied
+    // to the corpus side BEFORE ranking (pre-filter semantics)
+    "q103_filtered_ann" ->
+      """SELECT query_id, neighbour_id, round(c, 6) AS cosine_sim FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS c,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rn
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 20 AND c.label = 3) t
+        |WHERE rn <= 5
+        |ORDER BY query_id, neighbour_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
