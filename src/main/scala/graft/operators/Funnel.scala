@@ -73,6 +73,12 @@ object Funnel {
     * over the from-state, which runs on those |states|² rows (a second
     * exchange of a matrix-sized table: free). The event table moves
     * once; there is no self-join on consecutive-ness.
+    *
+    * Null states are first-class: a null `stateCol` groups as its own
+    * from-state (Spark groupBy keeps null keys), but a pair whose NEXT
+    * state is null is dropped with the sequence-end rows (lead() cannot
+    * distinguish "last event" from "next state null") — feed a sentinel
+    * value instead of null if null-target transitions matter.
     */
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
                        stateCol: String, tieBreak: String): DataFrame = {

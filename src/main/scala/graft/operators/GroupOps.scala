@@ -282,6 +282,11 @@ object GroupOps {
     * (both partial map-side, final over |groups| rows) bridged by a
     * broadcast of the |groups|-row mean table — bounded group
     * cardinality is the caller's contract for any per-group statistic.
+    *
+    * Degenerate groups: a constant-valued group has m2 = 0, so skewness
+    * and kurtosis are 0/0 = NaN (the statistically honest answer — shape
+    * is undefined without spread); stddev is 0. Nulls in `valueCol` are
+    * excluded from every moment AND from `n` (count(v), not count(*)).
     */
   def momentStats(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")

@@ -40,11 +40,18 @@ object Intervals {
   def coalesce(df: DataFrame, keys: Seq[String], startCol: String,
                endCol: String, strict: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
+    // a null endpoint would sort NULLS FIRST and silently vanish from the
+    // running max, mis-merging every later interval of the key — raise at
+    // the row instead (same contract style as Chunking.packedKey)
+    val guarded = df.withColumn(startCol,
+      when(col(startCol).isNull || col(endCol).isNull,
+        raise_error(lit(s"coalesce: null $startCol/$endCol interval endpoint")))
+        .otherwise(col(startCol)))
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(startCol).asc, col(endCol).asc)
     // two steps (a window function may not nest inside another's
     // argument): materialize the running max, then number the islands
-    val withPrev = df.withColumn("__prev_max", max(col(endCol))
+    val withPrev = guarded.withColumn("__prev_max", max(col(endCol))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
     val opens =
       if (strict) col("__prev_max").isNull || col(startCol) >= col("__prev_max")

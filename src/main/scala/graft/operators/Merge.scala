@@ -87,6 +87,12 @@ object Merge {
                    tracked: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(tracked.nonEmpty, "need at least one tracked column")
+    require(keys.intersect(tracked).isEmpty,
+      s"key and tracked columns must be disjoint: ${keys.intersect(tracked)}")
+    val produced = tracked.flatMap(c => Seq(s"old_$c", s"new_$c")) :+ "change_type"
+    val clashing = produced.intersect(keys ++ tracked)
+    require(clashing.isEmpty,
+      s"input columns collide with produced diff columns: $clashing")
     val o = oldDf.select(keys.map(col) ++
       tracked.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_old"): _*)
     val n = newDf.select(keys.map(col) ++

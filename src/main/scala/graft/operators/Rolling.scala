@@ -57,6 +57,11 @@ object Rolling {
     require(bucketSeconds > 0, s"bucket must be positive, got $bucketSeconds")
     val idx = floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long")
     val buckets = df
+      // null timestamps are EXCLUDED up front (the pandas NaT-resample
+      // convention) — without this filter they would form a null bucket
+      // that the spine join silently drops, losing their counts with no
+      // trace; an explicit filter makes the contract visible in the plan
+      .filter(col(tsCol).isNotNull)
       .select(col(keyCol), idx.as("__idx"), col(valueCol).as("__v"))
       .groupBy(col(keyCol), col("__idx"))
       .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("sum_value"))

@@ -55,6 +55,19 @@ class IntervalsSpec extends SparkSpec {
     assert(got.toSeq == Seq((15L, 20L), (30L, 50L)))
   }
 
+  test("a null endpoint raises instead of silently mis-merging the key's islands") {
+    import spark.implicits._
+    val bad = Seq(("a", Some(0L), Some(10L)), ("a", Some(5L), Option.empty[Long]))
+      .toDF("k", "s", "e")
+    val err = intercept[Exception] {
+      Intervals.coalesce(bad, Seq("k"), "s", "e").collect()
+    }
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(messages.contains("coalesce"), s"expected the null guard, got: $messages")
+  }
+
   test("plan: one exchange — windows and the island aggregate share the key partitioning") {
     val df = Intervals.coalesce(
       iv(Seq(("a", 0L, 10L), ("a", 5L, 15L))), Seq("k"), "s", "e")

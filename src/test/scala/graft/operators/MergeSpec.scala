@@ -127,4 +127,16 @@ class MergeSpec extends SparkSpec {
     // marker, not attribute nullability, must drive the classification
     assert(got == Map(1L -> "changed", 2L -> "removed"))
   }
+
+  test("snapshotDiff rejects key/tracked overlap and old_/new_ name collisions") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(df, df, Seq("k"), Seq("k", "s"))
+    }
+    val clash = Seq((1L, "a", "b")).toDF("k", "s", "old_s")
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(clash, clash, Seq("k"), Seq("s", "old_s"))
+    }
+  }
 }

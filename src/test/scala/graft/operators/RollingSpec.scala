@@ -89,6 +89,20 @@ class RollingSpec extends SparkSpec {
       ("u2", 60L, 1L, Some(9.0), Some(9.0))))
   }
 
+  test("resample: null timestamps are excluded up front, not silently half-counted") {
+    import spark.implicits._
+    val ev = Seq((Option(10L), 1.0), (Option.empty[Long], 99.0), (Option(70L), 2.0))
+      .toDF("sec", "value")
+      .withColumn("user", lit("u1"))
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Rolling.resample(ev, "user", "ts", "value", bucketSeconds = 60L)
+      .orderBy("bucket_start")
+      .select("bucket_start", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the null-ts row contributes to NO bucket; both real buckets intact
+    assert(got.toSeq == Seq((0L, 1L, 1.0), (60L, 1L, 2.0)))
+  }
+
   test("resample: the per-key span guard raises instead of exploding") {
     import spark.implicits._
     val ev = Seq(("u1", 0L, 1.0), ("u1", 600L, 1.0))
