@@ -74,6 +74,31 @@ class ZoneMapsSpec extends SparkSpec {
     assert(got.count() == 21) // ids 100..120
   }
 
+  test("z-order clustering + zone maps: BOTH dimensions prune files from one layout") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // 32x32 grid; z-order interleaving gives files locality in x AND y,
+    // so zone maps prune on either column from the same clustered write
+    val path = tmp()
+    val df = (0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y)))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue2(col("x"), col("y"), bits = 8))
+      .repartitionByRange(16, col("z"))
+      .drop("z")
+    val manifest = ZoneMaps.writeWithZoneMap(df, path, Seq("x", "y"))
+    val all = ZoneMaps.selectFiles(manifest, Nil)
+    val xPruned = ZoneMaps.selectFiles(manifest,
+      Seq(ZoneMaps.ZoneFilter("x", Some(0L), Some(3L))))
+    val yPruned = ZoneMaps.selectFiles(manifest,
+      Seq(ZoneMaps.ZoneFilter("y", Some(28L), Some(31L))))
+    assert(xPruned.length < all.length, s"x-range should prune: ${xPruned.length}/${all.length}")
+    assert(yPruned.length < all.length, s"y-range should prune: ${yPruned.length}/${all.length}")
+    // correctness through the pruned read on the second dimension
+    val got = ZoneMaps.readPruned(spark, path,
+      Seq(ZoneMaps.ZoneFilter("y", Some(28L), Some(31L))))
+    assert(got.count() == 32 * 4)
+  }
+
   test("an empty prune still returns the correct (empty) frame with the right schema") {
     val path = tmp()
     clustered(path)
