@@ -1492,6 +1492,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("neighbour_id"))
   }
 
+  /** Temperature-based source rebalancing (alpha = 0.5, expected 300
+    * docs): rare languages are upsampled relative to their natural
+    * share, the multilingual-pretraining sampling scheme. Membership is
+    * the md5-bucket pure function with a quantized threshold, so the
+    * oracle reproduces the exact kept set. Output aggregates per
+    * language: size, keep probability, kept count, id checksum.
+    */
+  private def q104TemperatureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureRebalance(t(s, dir, "documents"),
+        "doc_id", "lang", alpha = 0.5, targetRows = 300L)
+      .groupBy(col("lang"))
+      .agg(max(col("group_rows")).as("n_total"),
+        round(max(col("keep_p")), 6).as("keep_p"),
+        count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1596,7 +1612,8 @@ object SparkEntry {
     "q100_transitions" -> (q100Transitions _),
     "q101_moments" -> (q101Moments _),
     "q102_inverted_index" -> (q102InvertedIndex _),
-    "q103_filtered_ann" -> (q103FilteredAnn _))
+    "q103_filtered_ann" -> (q103FilteredAnn _),
+    "q104_temperature_sample" -> (q104TemperatureSample _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2881,7 +2898,24 @@ object SparkEntry {
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id < 20 AND c.label = 3) t
         |WHERE rn <= 5
-        |ORDER BY query_id, neighbour_id""".stripMargin)
+        |ORDER BY query_id, neighbour_id""".stripMargin,
+    // q104: identical temperature arithmetic; the md5-bucket membership
+    // threshold is quantized (round(p*10000)) so 1-ulp weight drift
+    // between engines cannot flip a document
+    "q104_temperature_sample" ->
+      """WITH g AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_l) AS n FROM g),
+        |w AS (SELECT lang, n_l, pow(n_l * 1.0 / (SELECT n FROM tot), 0.5) AS pw FROM g),
+        |norm AS (SELECT sum(pw) AS z FROM w),
+        |kp AS (SELECT lang, n_l,
+        |  least(1.0, 300.0 * (pw / (SELECT z FROM norm)) / n_l) AS keep_p FROM w)
+        |SELECT d.lang, max(kp.n_l) AS n_total, round(max(kp.keep_p), 6) AS keep_p,
+        | count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN kp ON d.lang = kp.lang
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |      < round(kp.keep_p * 10000)
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

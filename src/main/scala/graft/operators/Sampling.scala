@@ -143,6 +143,42 @@ object Sampling {
     ranked.withColumn("split", label).drop("__rk", "__n")
   }
 
+  /** Temperature-based source rebalancing: keep probability per group
+    * follows the temperature-scaled multinomial `p_g ∝ (n_g / N)^alpha`
+    * (the multilingual-pretraining sampling scheme — alpha < 1 upsamples
+    * rare languages/sources relative to their natural share, alpha = 1
+    * is proportional, alpha = 0 uniform across groups), scaled so the
+    * EXPECTED total kept is `targetRows` and clamped at 1 (a group too
+    * small to fill its allocation keeps everything — the remainder is
+    * under-target rather than stolen from other groups). Membership is
+    * the same md5-bucket pure function as every sampler here, with the
+    * threshold quantized to 1/NumBuckets so cross-engine 1-ulp drift in
+    * the weight arithmetic cannot flip a row.
+    *
+    * Appends `keep_p` (the group's keep probability) and `group_rows`
+    * (its pre-sample size) for auditability.
+    *
+    * Scale shape: one hash aggregate to group sizes (|groups| rows), two
+    * 1-row reductions over that table, a broadcast join back, and a
+    * map-side filter — the corpus moves zero times beyond its scan.
+    */
+  def temperatureRebalance(df: DataFrame, keyCol: String, groupCol: String,
+                           alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("group_rows"))
+    val tot = g.agg(sum(col("group_rows")).as("__n"))
+    val w = g.crossJoin(broadcast(tot))
+      .withColumn("__pw", pow(col("group_rows") / col("__n"), lit(alpha)))
+    val z = w.agg(sum(col("__pw")).as("__z"))
+    val kp = w.crossJoin(broadcast(z))
+      .withColumn("keep_p", least(lit(1.0),
+        lit(targetRows.toDouble) * (col("__pw") / col("__z")) / col("group_rows")))
+      .select(col(groupCol), col("group_rows"), col("keep_p"))
+    df.join(broadcast(kp), Seq(groupCol))
+      .filter(hashBucket(col(keyCol)) < round(col("keep_p") * NumBuckets))
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     import org.apache.spark.sql.expressions.Window

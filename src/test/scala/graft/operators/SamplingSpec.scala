@@ -128,4 +128,40 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedSplit(df, "id", "stratum", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("temperatureRebalance: alpha<1 upsamples the rare group; alpha=1 is proportional") {
+    import spark.implicits._
+    // 900 vs 100 rows: natural share 9:1
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (1001L to 1100L).map(i => (i, "small")))
+      .toDF("id", "g")
+    def keepP(alpha: Double) = Sampling
+      .temperatureRebalance(df, "id", "g", alpha, targetRows = 200L)
+      .select("g", "keep_p").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prop = keepP(1.0)
+    // alpha=1: equal keep probability across groups (expected 200 of 1000)
+    assert(math.abs(prop("big") - 0.2) < 1e-12 && math.abs(prop("small") - 0.2) < 1e-12)
+    val temp = keepP(0.5)
+    // alpha=0.5: the small group's keep probability rises, the big one's falls
+    assert(temp("small") > 0.2 && temp("big") < 0.2,
+      s"temperature should favor the rare group: $temp")
+    // expected total is preserved: sum over groups of n_g * keep_p = target
+    val expected = 900 * temp("big") + 100 * temp("small")
+    assert(math.abs(expected - 200.0) < 1e-9, s"expected-total drifted: $expected")
+  }
+
+  test("temperatureRebalance clamps tiny groups at keep-everything, stays deterministic") {
+    import spark.implicits._
+    val df = ((1L to 1000L).map(i => (i, "big")) ++ Seq((2001L, "tiny"), (2002L, "tiny")))
+      .toDF("id", "g")
+    val kept = Sampling.temperatureRebalance(df, "id", "g", alpha = 0.1, targetRows = 500L)
+    val tiny = kept.filter(col("g") === "tiny")
+    // alpha→0 pushes half the target at the 2-row group: clamp keeps both rows
+    assert(tiny.count() == 2)
+    assert(tiny.select("keep_p").distinct().collect()(0).getDouble(0) == 1.0)
+    // pure function of the key: partitioning cannot change membership
+    val again = Sampling.temperatureRebalance(
+      df.repartition(7).sortWithinPartitions(desc("id")), "id", "g", 0.1, 500L)
+    assert(rowsOf(kept) == rowsOf(again))
+  }
 }
