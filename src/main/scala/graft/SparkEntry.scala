@@ -1508,6 +1508,21 @@ object SparkEntry {
         count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
 
+  /** Robust outlier detection: modified z-score (median/MAD) of event
+    * values within each event type, outliers at the conventional
+    * |z| > 3.5 cut. Median-based scoring resists the exact heavy tails
+    * being hunted (mean/stddev z is circular: outliers inflate the
+    * stddev that should expose them).
+    */
+  private def q105RobustOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupOps.robustZscore(t(s, dir, "events"),
+        Seq("event_type"), "value")
+      .filter(abs(col("robust_z")) > 3.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round(col("robust_z"), 6).as("robust_z"))
+      .orderBy(col("event_id"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1613,7 +1628,8 @@ object SparkEntry {
     "q101_moments" -> (q101Moments _),
     "q102_inverted_index" -> (q102InvertedIndex _),
     "q103_filtered_ann" -> (q103FilteredAnn _),
-    "q104_temperature_sample" -> (q104TemperatureSample _))
+    "q104_temperature_sample" -> (q104TemperatureSample _),
+    "q105_robust_outliers" -> (q105RobustOutliers _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2915,7 +2931,22 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
         |      < round(kp.keep_p * 10000)
         |GROUP BY d.lang
-        |ORDER BY d.lang""".stripMargin)
+        |ORDER BY d.lang""".stripMargin,
+    // q105: identical median/MAD arithmetic (DuckDB median ==
+    // interpolated percentile 0.5 == Spark percentile)
+    "q105_robust_outliers" ->
+      """WITH m AS (
+        | SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |d AS (
+        | SELECT e.event_id, e.event_type, e.value, e.value - m.med AS sdev,
+        |  abs(e.value - m.med) AS dev
+        | FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, round(d.value, 4) AS value,
+        | round(0.6745 * d.sdev / md.mad, 6) AS robust_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE abs(0.6745 * d.sdev / md.mad) > 3.5
+        |ORDER BY d.event_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

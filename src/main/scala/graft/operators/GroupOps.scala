@@ -305,6 +305,39 @@ object GroupOps {
           pow(col("__s2") / col("n"), 2.0) - 3).as("kurtosis"): _*)
   }
 
+  /** Robust per-group outlier score: the modified z-score
+    * `0.6745 · (x − median) / MAD` (Iglewicz–Hoaglin), with MAD the
+    * median absolute deviation from the group median. For the
+    * heavy-tailed quality/length/value columns a curation pipeline
+    * filters on, mean/stddev z-scores are circular — the outliers being
+    * hunted inflate the very stddev that is supposed to expose them;
+    * medians don't move. Appends `<out>` to every row; |score| > 3.5 is
+    * the conventional outlier cut.
+    *
+    * Degenerate groups: MAD = 0 (majority-constant group) gives ±Inf
+    * for off-median rows and NaN at the median — IEEE semantics, same
+    * in any engine, and an honest "undefined spread" answer.
+    *
+    * Scale shape: two exact grouped medians (the [[groupedMedian]]
+    * aggregate, |groups|-row outputs) bridged by broadcast joins; the
+    * score is a map-side projection. Group cardinality bounded is the
+    * caller's contract; at 100 TB swap exact percentile for
+    * `percentile_approx` the same way [[winsorize]] does.
+    */
+  def robustZscore(df: DataFrame, keys: Seq[String], valueCol: String,
+                   out: String = "robust_z"): DataFrame = {
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val med = broadcast(groupedMedian(nonNull, keys, valueCol, "__med"))
+    val mad = broadcast(nonNull.join(med, keys)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+      .groupBy(keys.map(col): _*)
+      .agg(expr("percentile(__dev, 0.5)").as("__mad")))
+    df.join(med, keys).join(mad, keys)
+      .withColumn(out,
+        lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"))
+      .drop("__med", "__mad")
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")

@@ -188,6 +188,19 @@ class GroupOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("kurtosis") - ((356.0 / 8) / 16 - 3)) < 1e-12)
   }
 
+  test("robustZscore: hand-computed modified z; the outlier does not mask itself") {
+    import spark.implicits._
+    // median 5, deviations {4,1,0,1,95} -> MAD = 1; the 100 outlier
+    // scores 0.6745*95 = 64.08 (a mean/std z on this data is only ~1.8 —
+    // the outlier inflates the stddev that should expose it)
+    val df = Seq(1.0, 4.0, 5.0, 6.0, 100.0).map(("g", _)).toDF("k", "v")
+    val got = GroupOps.robustZscore(df, Seq("k"), "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(math.abs(got(100.0) - 0.6745 * 95) < 1e-9)
+    assert(math.abs(got(5.0)) < 1e-12)
+    assert(math.abs(got(1.0) + 0.6745 * 4) < 1e-9)
+  }
+
   test("momentStats: symmetric data has zero skewness; groups are independent") {
     import spark.implicits._
     val df = (Seq(1, 2, 3, 4, 5).map(v => ("sym", v.toDouble)) ++
