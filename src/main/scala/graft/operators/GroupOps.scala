@@ -261,6 +261,20 @@ object GroupOps {
       .drop("__lo", "__hi")
   }
 
+  /** Broadcast join on NULL-SAFE key equality that preserves every left
+    * row — the `Seq`-based equi join silently drops null-keyed rows,
+    * which for per-group statistics means the (often largest, dirtiest)
+    * null group vanishes from a profile with no error. Right-side key
+    * columns are renamed away before the join and dropped after, so the
+    * output schema is left ∪ right-non-key.
+    */
+  private[operators] def nullSafeBroadcastJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], how: String = "left"): DataFrame = {
+    val renamed = keys.foldLeft(right)((d, k) => d.withColumnRenamed(k, s"__nsj_$k"))
+    val cond = keys.map(k => left(k) <=> renamed(s"__nsj_$k")).reduce(_ && _)
+    left.join(broadcast(renamed), cond, how).drop(keys.map(k => s"__nsj_$k"): _*)
+  }
+
   /** Per-group higher-moment statistics: n, mean, stddev (sample),
     * skewness and EXCESS kurtosis — the distribution-shape profile that
     * decides winsorization bands, log-transforms, and outlier policy
@@ -292,7 +306,9 @@ object GroupOps {
     val v = col(valueCol).cast("double")
     val means = df.groupBy(keys.map(col): _*).agg(avg(v).as("__mu"))
     val d = v - col("__mu")
-    df.join(broadcast(means), keys)
+    // null-safe join back: groupBy keeps the null-key group in `means`,
+    // and an equi join would silently drop it from the profile
+    nullSafeBroadcastJoin(df, means, keys)
       .groupBy(keys.map(col): _*)
       .agg(count(v).as("n"), first(col("__mu")).as("mean"),
         sum(d * d).as("__s2"), sum(d * d * d).as("__s3"),
@@ -316,7 +332,10 @@ object GroupOps {
     *
     * Degenerate groups: MAD = 0 (majority-constant group) gives ±Inf
     * for off-median rows and NaN at the median — IEEE semantics, same
-    * in any engine, and an honest "undefined spread" answer.
+    * in any engine, and an honest "undefined spread" answer. EVERY input
+    * row survives: a group whose values are all null (no median exists)
+    * and rows with null keys get a null score via null-safe left joins,
+    * never a silent drop.
     *
     * Scale shape: two exact grouped medians (the [[groupedMedian]]
     * aggregate, |groups|-row outputs) bridged by broadcast joins; the
@@ -327,12 +346,12 @@ object GroupOps {
   def robustZscore(df: DataFrame, keys: Seq[String], valueCol: String,
                    out: String = "robust_z"): DataFrame = {
     val nonNull = df.filter(col(valueCol).isNotNull)
-    val med = broadcast(groupedMedian(nonNull, keys, valueCol, "__med"))
-    val mad = broadcast(nonNull.join(med, keys)
+    val med = groupedMedian(nonNull, keys, valueCol, "__med")
+    val mad = nullSafeBroadcastJoin(nonNull, med, keys)
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
       .groupBy(keys.map(col): _*)
-      .agg(expr("percentile(__dev, 0.5)").as("__mad")))
-    df.join(med, keys).join(mad, keys)
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    nullSafeBroadcastJoin(nullSafeBroadcastJoin(df, med, keys), mad, keys)
       .withColumn(out,
         lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"))
       .drop("__med", "__mad")

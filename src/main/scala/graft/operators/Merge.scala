@@ -46,25 +46,6 @@ object Merge {
     upsert(base, changes, keys, versionCol, tieBreak)
       .filter(col(opCol) =!= deleteOp)
 
-  /** SCD type-2 history from a changelog: one validity interval per
-    * ACTUAL attribute change. Consecutive changes with identical tracked
-    * attributes collapse into one version (the no-op-change suppression
-    * that separates SCD2 from a raw event log); `valid_from` = the change
-    * timestamp, `valid_to` = the next version's timestamp (null while
-    * current), plus an `is_current` flag.
-    *
-    * Determinism: same-timestamp changes order by `tieBreak` ascending —
-    * the LAST of a timestamp tie wins the interval, earlier ties become
-    * zero-length versions (kept: auditability beats silent drops; filter
-    * `valid_from <> valid_to` downstream if zero-length versions are
-    * unwanted).
-    *
-    * Plan shape: one shuffle on the key; both windows (change detection
-    * lag, interval-close lead) share the same partitioning/ordering, so
-    * Catalyst plans a single Exchange + two Window passes over sorted
-    * runs. At 100 TB the changelog shuffles once — there is no
-    * snapshot-sized join, and no per-version state beyond the sort.
-    */
   /** Row-level diff of two snapshots of the same keyed table: every key
     * classified `added` / `removed` / `changed` / `unchanged`, with the
     * tracked attributes from both sides (`old_*` / `new_*`) so the
@@ -109,6 +90,25 @@ object Merge {
       .drop("__in_old", "__in_new")
   }
 
+  /** SCD type-2 history from a changelog: one validity interval per
+    * ACTUAL attribute change. Consecutive changes with identical tracked
+    * attributes collapse into one version (the no-op-change suppression
+    * that separates SCD2 from a raw event log); `valid_from` = the change
+    * timestamp, `valid_to` = the next version's timestamp (null while
+    * current), plus an `is_current` flag.
+    *
+    * Determinism: same-timestamp changes order by `tieBreak` ascending —
+    * the LAST of a timestamp tie wins the interval, earlier ties become
+    * zero-length versions (kept: auditability beats silent drops; filter
+    * `valid_from <> valid_to` downstream if zero-length versions are
+    * unwanted).
+    *
+    * Plan shape: one shuffle on the key; both windows (change detection
+    * lag, interval-close lead) share the same partitioning/ordering, so
+    * Catalyst plans a single Exchange + two Window passes over sorted
+    * runs. At 100 TB the changelog shuffles once — there is no
+    * snapshot-sized join, and no per-version state beyond the sort.
+    */
   def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
            tieBreak: String, tracked: Seq[String]): DataFrame = {
     require(keys.nonEmpty && tracked.nonEmpty, "need key and tracked columns")

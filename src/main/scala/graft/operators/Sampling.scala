@@ -175,7 +175,11 @@ object Sampling {
       .withColumn("keep_p", least(lit(1.0),
         lit(targetRows.toDouble) * (col("__pw") / col("__z")) / col("group_rows")))
       .select(col(groupCol), col("group_rows"), col("keep_p"))
-    df.join(broadcast(kp), Seq(groupCol))
+    // null-safe join: a null group counts in the normalizer like any
+    // other, so it must also receive its allocation — the equi join
+    // would silently drop every null-group row AND leave the expected
+    // total under target (hashBucket already handles null keys)
+    GroupOps.nullSafeBroadcastJoin(df, kp, Seq(groupCol), how = "inner")
       .filter(hashBucket(col(keyCol)) < round(col("keep_p") * NumBuckets))
   }
 

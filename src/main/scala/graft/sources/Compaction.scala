@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction for parquet table directories — the
@@ -13,40 +13,54 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * untouched — unlike the S7 `files=` knob, which rewrites the whole
   * dataset to fix its tail.
   *
-  * Crash contract (documented, not hidden): the sequence is write-new →
-  * delete-old, so a failure between the two leaves BOTH copies and a
-  * rerun would double-count — the same non-transactional window every
-  * rename-based commit has without a table format's log. Run it under
-  * [[graft.pipeline.Orchestrator]]'s idempotent completion marker (or
-  * any external lock) exactly like the reference's overwrite jobs; on a
-  * crash, the `_compact_tmp` staging dir's presence tells the rerun to
-  * clean up and start over, never to trust a half-move.
+  * Crash consistency WITHOUT a table-format transaction log, built on
+  * atomic rename (the one primitive local FS / HDFS give; object stores
+  * need their own committer — see [[ObjectStore]]):
+  *
+  *  1. compacted outputs are written to `_compact_tmp`;
+  *  2. the small originals move into `_compact_trash/<passId>/` — an
+  *     UNDO LOG, not a delete;
+  *  3. outputs rename into the root as `part-compacted-<passId>-…`;
+  *  4. the trash dir renames to `.deleting-<passId>` — THE COMMIT
+  *     POINT, one atomic rename — and is then deleted, with `_compact_tmp`
+  *     last.
+  *
+  * Recovery (runs automatically at the start of every pass): a trash
+  * dir still named `<passId>` means the pass never committed — delete
+  * any `part-compacted-<passId>-…` outputs that made it to the root,
+  * restore the originals from trash, and the directory is byte-for-byte
+  * back to its pre-pass state. A `.deleting-<passId>` dir means the
+  * pass committed and only the cleanup was interrupted — finish
+  * deleting it. Either way no row is ever lost or duplicated after
+  * recovery. Single-writer per directory is the caller's contract
+  * (concurrent passes would race the shared staging dirs), same as any
+  * log-less table maintenance.
   */
 object Compaction {
 
-  /** One compaction pass. Files smaller than `smallThreshold` (default
-    * targetBytes/2) are read back and rewritten as ceil(totalBytes /
-    * targetBytes) outputs; everything else is untouched. Returns
-    * (filesCompacted, filesWritten) — (0, 0) when fewer than two small
-    * files exist, because rewriting one file buys nothing.
+  private val TmpDir = "_compact_tmp"
+  private val TrashDir = "_compact_trash"
+
+  /** One compaction pass (after healing any crashed predecessor).
+    * Files smaller than `smallThreshold` (default targetBytes/2) are
+    * read back and rewritten as ceil(totalBytes / targetBytes) outputs;
+    * everything else is untouched. Returns (filesCompacted,
+    * filesWritten) — (0, 0) when fewer than two small files exist,
+    * because rewriting one file buys nothing.
     */
   def compactSmallFiles(spark: SparkSession, dir: String, targetBytes: Long,
                         smallThreshold: Long = 0L): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val threshold = if (smallThreshold > 0) smallThreshold else targetBytes / 2
-    val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val tmp = new Path(root, "_compact_tmp")
-    // a leftover staging dir means a previous pass died mid-move: its
-    // contents were never authoritative (originals still present until
-    // the delete phase), so discarding it is always safe
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, root)
 
-    val files = fs.listStatus(root).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val small = files.filter(_.getLen < threshold)
+    val small = Tables.parquetDataFiles(spark, dir)._2.filter(_.getLen < threshold)
     if (small.length < 2) return (0, 0)
+    val passId = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(root, TmpDir)
+    val trash = new Path(new Path(root, TrashDir), passId)
 
     val totalBytes = small.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -54,17 +68,59 @@ object Compaction {
       .coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
-    // move the compacted outputs in, then delete the originals — the
-    // ordering that can duplicate on crash but never lose rows
+    // undo log: originals move (atomic renames), nothing is deleted yet
+    fs.mkdirs(trash)
+    small.foreach { st =>
+      require(fs.rename(st.getPath, new Path(trash, st.getPath.getName)),
+        s"rename to trash failed: ${st.getPath}")
+    }
     val moved = fs.listStatus(tmp).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .zipWithIndex.map { case (st, i) =>
-        val dest = new Path(root, s"part-compacted-$i-${st.getPath.getName}")
+        val dest = new Path(root, s"part-compacted-$passId-$i.parquet")
         require(fs.rename(st.getPath, dest), s"rename failed: ${st.getPath} -> $dest")
         dest
       }
-    small.foreach(st => fs.delete(st.getPath, false))
+    // commit point: one atomic rename flips the pass from "undoable"
+    // to "committed, cleanup pending"
+    val deleting = new Path(trash.getParent, s".deleting-$passId")
+    require(fs.rename(trash, deleting), s"commit rename failed: $trash")
+    fs.delete(deleting, true)
+    if (fs.listStatus(trash.getParent).isEmpty) fs.delete(trash.getParent, false)
     fs.delete(tmp, true)
     (small.length, moved.length)
+  }
+
+  /** Heal whatever a crashed pass left behind; see the object doc for
+    * the case analysis. Idempotent; safe on a clean directory.
+    */
+  private def recover(fs: FileSystem, root: Path): Unit = {
+    val trashRoot = new Path(root, TrashDir)
+    if (fs.exists(trashRoot)) {
+      fs.listStatus(trashRoot).filter(_.isDirectory).foreach { d =>
+        val name = d.getPath.getName
+        if (name.startsWith(".deleting-")) {
+          // committed, cleanup interrupted — finish it
+          fs.delete(d.getPath, true)
+        } else {
+          // uncommitted: undo. Outputs of this pass are identifiable by
+          // name; delete them, then restore the originals
+          fs.listStatus(root)
+            .filter(st => st.isFile &&
+              st.getPath.getName.startsWith(s"part-compacted-$name-"))
+            .foreach(st => fs.delete(st.getPath, false))
+          fs.listStatus(d.getPath).foreach { st =>
+            require(fs.rename(st.getPath, new Path(root, st.getPath.getName)),
+              s"recovery restore failed: ${st.getPath}")
+          }
+          fs.delete(d.getPath, false)
+        }
+      }
+      if (fs.listStatus(trashRoot).isEmpty) fs.delete(trashRoot, false)
+    }
+    val tmp = new Path(root, TmpDir)
+    // with no surviving trash entry every pass is either committed or
+    // fully undone — staging leftovers are never authoritative
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 }

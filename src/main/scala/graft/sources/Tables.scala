@@ -94,20 +94,35 @@ object Tables {
     write(df, path, mode, files)
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(conf)
-    val entries = fs.listStatus(fsPath).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-        val nRows = try reader.getRecordCount finally reader.close()
-        (st.getPath.getName, nRows, st.getLen)
-      }
+    val entries = parquetDataFiles(spark, path)._2.map { st =>
+      (st.getPath.getName, withFooter(conf, st.getPath)(_.getRecordCount), st.getLen)
+    }
     import spark.implicits._
     val manifest = entries.toDF("file", "n_rows", "bytes")
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
     manifest
+  }
+
+  /** Driver-side listing of a parquet directory's data files — the one
+    * shared "list *.parquet of a table dir" idiom behind the manifest,
+    * zone-map and compaction maintenance paths (three hand-rolled copies
+    * of it drifted before this helper). Manifest-sized by definition.
+    */
+  private[sources] def parquetDataFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.hadoop.fs.FileSystem, Seq[org.apache.hadoop.fs.FileStatus]) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+  }
+
+  /** Open a parquet footer, hand it to `f`, close it even on throw. */
+  private[sources] def withFooter[T](conf: org.apache.hadoop.conf.Configuration,
+      path: org.apache.hadoop.fs.Path)(
+      f: org.apache.parquet.hadoop.ParquetFileReader => T): T = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try f(reader) finally reader.close()
   }
 
   /** S6/S7: parquet sink with bounded output file count. `files <= 0` keeps

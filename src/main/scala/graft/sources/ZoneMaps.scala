@@ -42,26 +42,20 @@ object ZoneMaps {
     Tables.write(df, path, mode, files)
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(conf)
-    val rows = fs.listStatus(fsPath).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .flatMap { st =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks
-          val nRows = reader.getRecordCount
-          zoneCols.map { zc =>
-            val stats = scala.jdk.CollectionConverters.ListHasAsScala(blocks).asScala
-              .flatMap { b =>
-                scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
-                  .find(_.getPath.toDotString == zc)
-              }
-            fileRow(st.getPath.getName, nRows, st.getLen, zc, stats.toSeq)
-          }
-        } finally reader.close()
+    val rows = Tables.parquetDataFiles(spark, path)._2.flatMap { st =>
+      Tables.withFooter(conf, st.getPath) { reader =>
+        val blocks = reader.getFooter.getBlocks
+        val nRows = reader.getRecordCount
+        zoneCols.map { zc =>
+          val stats = scala.jdk.CollectionConverters.ListHasAsScala(blocks).asScala
+            .flatMap { b =>
+              scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
+                .find(_.getPath.toDotString == zc)
+            }
+          fileRow(st.getPath.getName, nRows, st.getLen, zc, stats.toSeq)
+        }
       }
+    }
     import spark.implicits._
     val manifest = rows.toDF("file", "n_rows", "bytes", "col", "kind",
       "min_long", "max_long", "min_double", "max_double", "min_str", "max_str")
@@ -87,8 +81,21 @@ object ZoneMaps {
       s != null && !s.isEmpty && s.hasNonNullValue
     }
     if (!usable) return none
+    // the LOGICAL type gates pruning, not just the physical one: DECIMAL,
+    // DATE and TIMESTAMP ride on INT32/INT64 with UNSCALED statistics —
+    // comparing a caller's 3.5 against an unscaled 350 would wrongly
+    // prune files and silently lose rows. Only plain integers, floats
+    // and UTF-8 strings carry comparable bounds; everything else is
+    // recorded as "none" (kept, never pruned on).
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val annotation = chunks.head.getPrimitiveType.getLogicalTypeAnnotation
+    val plainInt = annotation == null ||
+      (annotation match {
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+        case _ => false
+      })
     chunks.head.getPrimitiveType.getPrimitiveTypeName match {
-      case INT64 | INT32 =>
+      case INT64 | INT32 if plainInt =>
         val mins = chunks.map(_.getStatistics.genericGetMin.asInstanceOf[Number].longValue)
         val maxs = chunks.map(_.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
         (file, nRows, bytes, zc, "long",
@@ -98,7 +105,8 @@ object ZoneMaps {
         val maxs = chunks.map(_.getStatistics.genericGetMax.asInstanceOf[Number].doubleValue)
         (file, nRows, bytes, zc, "double",
           None, None, Some(mins.min), Some(maxs.max), None, None)
-      case BINARY =>
+      case BINARY
+        if annotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         // UTF-8 decode of the raw binary bounds; string zone pruning is
         // byte-order vs Java-order sensitive beyond ASCII, so only the
         // ASCII-clean case should prune on strings (doc'd contract)
@@ -118,10 +126,12 @@ object ZoneMaps {
     * kind "none" (absent stats) always survive.
     */
   def selectFiles(manifest: DataFrame, filters: Seq[ZoneFilter]): Seq[String] = {
-    val all = manifest.select("file").distinct().as[String](
-      org.apache.spark.sql.Encoders.STRING).collect().toSeq
-    if (filters.isEmpty) return all.sorted
+    // one collect serves both the file universe and the bounds lookup —
+    // the manifest is tiny, but two Spark jobs per read would double the
+    // planning overhead this layer exists to remove
     val rows = manifest.collect()
+    val all = rows.map(_.getAs[String]("file")).distinct.toSeq
+    if (filters.isEmpty) return all.sorted
     val byFileCol = rows.map { r =>
       ((r.getAs[String]("file"), r.getAs[String]("col")), r)
     }.toMap

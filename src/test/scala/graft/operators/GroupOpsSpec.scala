@@ -201,6 +201,25 @@ class GroupOpsSpec extends SparkSpec {
     assert(math.abs(got(1.0) + 0.6745 * 4) < 1e-9)
   }
 
+  test("null keys and all-null groups survive momentStats and robustZscore") {
+    import spark.implicits._
+    val df = Seq((Option("g"), Option(1.0)), (Option("g"), Option(3.0)),
+      (Option.empty[String], Option(5.0)), (Option.empty[String], Option(7.0)),
+      (Option("empty"), Option.empty[Double]))
+      .toDF("k", "v")
+    // the null-key group must appear in the profile, not vanish in the join
+    val stats = GroupOps.momentStats(df, Seq("k"), "v").collect()
+      .map(r => Option(r.get(0)) -> r.getAs[Long]("n")).toMap
+    assert(stats(None) == 2L, s"null-key group missing from profile: $stats")
+    assert(stats(Some("empty")) == 0L)
+    // robustZscore appends to EVERY row: the all-null group keeps its row
+    // (null score), the null-key rows keep theirs (real score)
+    val scored = GroupOps.robustZscore(df, Seq("k"), "v")
+    assert(scored.count() == 5, "no row may be dropped")
+    assert(scored.filter(col("k").isNull && col("robust_z").isNotNull).count() == 2)
+    assert(scored.filter(col("k") === "empty").count() == 1)
+  }
+
   test("momentStats: symmetric data has zero skewness; groups are independent") {
     import spark.implicits._
     val df = (Seq(1, 2, 3, 4, 5).map(v => ("sym", v.toDouble)) ++

@@ -150,6 +150,20 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(expected - 200.0) < 1e-9, s"expected-total drifted: $expected")
   }
 
+  test("temperatureRebalance: a null group gets its allocation like any other") {
+    import spark.implicits._
+    val df = ((1L to 500L).map(i => (i, Option("en"))) ++
+      (1001L to 1500L).map(i => (i, Option.empty[String]))).toDF("id", "g")
+    val kept = Sampling.temperatureRebalance(df, "id", "g", alpha = 1.0, targetRows = 300L)
+    val probs = kept.select("g", "keep_p").distinct().collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // alpha=1, two equal groups: both keep 0.3 — the null group counted
+    // in the normalizer must also RECEIVE its share, not be dropped
+    assert(probs.keySet == Set(Some("en"), None), s"null group lost: $probs")
+    assert(math.abs(probs(None) - 0.3) < 1e-12)
+    assert(kept.filter(col("g").isNull).count() > 0)
+  }
+
   test("temperatureRebalance clamps tiny groups at keep-everything, stays deterministic") {
     import spark.implicits._
     val df = ((1L to 1000L).map(i => (i, "big")) ++ Seq((2001L, "tiny"), (2002L, "tiny")))

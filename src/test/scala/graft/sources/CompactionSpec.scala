@@ -60,4 +60,47 @@ class CompactionSpec extends SparkSpec {
     assert(!stale.exists(), "staging dir must be cleaned up")
     assert(rowsOf(spark.read.parquet(dir)) == rowsBefore)
   }
+
+  test("crash after a partial output move (uncommitted): recovery undoes, no duplicates") {
+    val dir = fragmented()
+    val rowsBefore = rowsOf(spark.read.parquet(dir))
+    // simulate a pass that died mid-step-3: originals in the undo log,
+    // one output already renamed into the root (content = a duplicate of
+    // a small file — exactly the state that double-counts without undo)
+    val root = new java.io.File(dir)
+    val smalls = root.listFiles((_, n) => n.endsWith(".parquet")).toSeq
+      .sortBy(_.length).take(4)
+    val trash = new java.io.File(root, "_compact_trash/deadpass")
+    assert(trash.mkdirs())
+    Files.copy(smalls.head.toPath,
+      root.toPath.resolve("part-compacted-deadpass-0.parquet"))
+    smalls.foreach(f => Files.move(f.toPath, trash.toPath.resolve(f.getName)))
+    // directory now holds a duplicate; recovery inside the next pass must
+    // delete the orphan output, restore the originals, then compact
+    val (compacted, written) = Compaction.compactSmallFiles(spark, dir,
+      1L << 20, smallThreshold = 100L << 10)
+    assert(compacted == 4 && written == 1)
+    assert(rowsOf(spark.read.parquet(dir)) == rowsBefore,
+      "recovery must leave every row exactly once")
+    assert(!new java.io.File(root, "_compact_trash").exists())
+  }
+
+  test("crash after the commit rename: recovery finishes cleanup, keeps the compacted data") {
+    val dir = fragmented()
+    Compaction.compactSmallFiles(spark, dir, 1L << 20, smallThreshold = 100L << 10)
+    val rowsAfter = rowsOf(spark.read.parquet(dir))
+    // simulate a committed pass whose trash deletion was interrupted:
+    // a .deleting-<passId> dir holding stale originals must be finished
+    // off, NOT restored (restoring would duplicate rows)
+    val root = new java.io.File(dir)
+    val deleting = new java.io.File(root, "_compact_trash/.deleting-deadpass")
+    assert(deleting.mkdirs())
+    Files.writeString(deleting.toPath.resolve("stale.parquet"), "leftover")
+    val (compacted, _) = Compaction.compactSmallFiles(spark, dir,
+      1L << 20, smallThreshold = 100L << 10)
+    assert(compacted == 0, "nothing small remains after the first pass")
+    assert(!new java.io.File(root, "_compact_trash").exists(),
+      "committed trash must be finished, not restored")
+    assert(rowsOf(spark.read.parquet(dir)) == rowsAfter)
+  }
 }
