@@ -49,11 +49,13 @@ object Rolling {
     * key, bounded by the key's time span / `bucketSeconds` — cap with
     * `maxBucketsPerKey` (raise_error beyond it) so a pathological key
     * (one event in 1970, one today) fails loudly instead of
-    * materializing a billion-element array.
+    * materializing a billion-element array. The default cap (1M buckets
+    * ≈ a century of hourly grid, an 8 MB index array) is the largest
+    * spine a single row should ever hold in executor memory.
     */
   def resample(df: DataFrame, keyCol: String, tsCol: String,
                valueCol: String, bucketSeconds: Long,
-               maxBucketsPerKey: Long = 10000000L): DataFrame = {
+               maxBucketsPerKey: Long = 1000000L): DataFrame = {
     require(bucketSeconds > 0, s"bucket must be positive, got $bucketSeconds")
     val idx = floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long")
     val buckets = df
