@@ -1523,6 +1523,45 @@ object SparkEntry {
         round(col("robust_z"), 6).as("robust_z"))
       .orderBy(col("event_id"))
 
+  /** Grouped top-k (k > 1, completing q07's top-1): each customer's 3
+    * most expensive orders. The rank-then-filter form plans as
+    * WindowGroupLimit (per-group top-k inside the sort — asserted for
+    * q102), so no group's full order list is held beyond k rows.
+    */
+  private def q106TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Contribution analysis (share-of-total): each nation's revenue as a
+    * fraction of its region's and of the grand total — windowed sums
+    * over the AGGREGATED rows (|nations|), so the two extra windows are
+    * free; the raw table shuffles once for the group-by.
+    */
+  private def q107ShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val byRegion = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    val overall = org.apache.spark.sql.expressions.Window.partitionBy()
+    rev
+      .withColumn("region_share", round(col("rev") / sum(col("rev")).over(byRegion), 6))
+      .withColumn("total_share", round(col("rev") / sum(col("rev")).over(overall), 6))
+      .select(col("r_name"), col("n_name"), round(col("rev"), 2).as("rev"),
+        col("region_share"), col("total_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1629,7 +1668,9 @@ object SparkEntry {
     "q102_inverted_index" -> (q102InvertedIndex _),
     "q103_filtered_ann" -> (q103FilteredAnn _),
     "q104_temperature_sample" -> (q104TemperatureSample _),
-    "q105_robust_outliers" -> (q105RobustOutliers _))
+    "q105_robust_outliers" -> (q105RobustOutliers _),
+    "q106_topk_per_group" -> (q106TopKPerGroup _),
+    "q107_share_of_total" -> (q107ShareOfTotal _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2946,7 +2987,29 @@ object SparkEntry {
         | round(0.6745 * d.sdev / md.mad, 6) AS robust_z
         |FROM d JOIN md USING (event_type)
         |WHERE abs(0.6745 * d.sdev / md.mad) > 3.5
-        |ORDER BY d.event_id""".stripMargin)
+        |ORDER BY d.event_id""".stripMargin,
+    "q106_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q107_share_of_total" ->
+      """WITH rev AS (
+        | SELECT r.r_name, n.n_name, sum(o.o_totalprice) AS rev
+        | FROM customer c
+        | JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT r_name, n_name, round(rev, 2) AS rev,
+        | round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share,
+        | round(rev / sum(rev) OVER (), 6) AS total_share
+        |FROM rev
+        |ORDER BY r_name, n_name""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
