@@ -34,8 +34,10 @@ object Bench {
     // first query touching the largest file otherwise pays the whole
     // cold-IO cost (round 3 recorded q22 at 21 s vs 1.8 s steady-state
     // under a loaded machine) — we benchmark the operators, not the disk
-    new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
-      .foreach { f =>
+    // listFiles is null (not empty) on a missing/non-dir path — degrade
+    // to per-query error records like every other failure, never NPE
+    Option(new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet")))
+      .getOrElse(Array.empty).foreach { f =>
         try spark.read.parquet(f.getPath).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }

@@ -2074,15 +2074,23 @@ object SparkEntry {
         | regexp_replace(
         |  regexp_replace(
         |   regexp_replace(
+        |    -- card redaction AFTER the date shield: adjacent dates form a
+        |    -- card-shaped digit run and must already carry sentinels
         |    regexp_replace(
+        |     -- second shield pass: the consuming boundary group makes one
+        |     -- pass skip every other date in an adjacent run (the engine
+        |     -- mirrors this with a double shieldDates)
         |     regexp_replace(
         |      regexp_replace(
-        |       regexp_replace(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |      '\b(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}\b', '<IP>', 'g'),
-        |     '\b[0-9](?:[0-9 -]{11,17})[0-9]\b', '<CARD>', 'g'),
-        |    '(^|[^0-9./-])(?:([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4}))([^0-9]|$)',
-        |    '\1\2' || chr(1) || '\3' || chr(1) || '\4\5' || chr(1) || '\6' || chr(1) || '\7\8', 'g'),
+        |       regexp_replace(
+        |        regexp_replace(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |       '\b(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}\b', '<IP>', 'g'),
+        |      '(^|[^0-9./-])(?:([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4}))([^0-9]|$)',
+        |      '\1\2' || chr(1) || '\3' || chr(1) || '\4\5' || chr(1) || '\6' || chr(1) || '\7\8', 'g'),
+        |     '(^|[^0-9./-])(?:([0-9]{4}[-/.])([0-9]{2}[-/.])([0-9]{2})|([0-9]{2}[-/.])([0-9]{2}[-/.])([0-9]{4}))([^0-9]|$)',
+        |     '\1\2' || chr(1) || '\3' || chr(1) || '\4\5' || chr(1) || '\6' || chr(1) || '\7\8', 'g'),
+        |    '\b[0-9](?:[0-9 -]{11,17})[0-9]\b', '<CARD>', 'g'),
         |   '\+?[0-9](?:[()\s.-]{0,2}[0-9]){6,}', '<PHONE>', 'g'),
         |  chr(1), '', 'g')) AS scrubbed_md5,
         | len(string_split_regex(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails

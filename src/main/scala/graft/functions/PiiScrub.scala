@@ -94,11 +94,25 @@ object PiiScrub {
     * local-part can contain digits), IPs before phones (dotted quads are
     * digit runs), cards before phones (cards are longer digit runs and
     * would otherwise be half-eaten by the phone pattern), and calendar
-    * dates shielded across the phone pass (dates are training signal,
-    * not PII — eating every ISO date is a silent precision loss).
+    * dates shielded across BOTH digit-run passes — the card pattern eats
+    * adjacent dates ("2024-01-02 2024-01-03" is a 21-char digit/sep run)
+    * just as readily as the phone pattern does, so the shield must come
+    * before it (dates are training signal, not PII — eating every ISO
+    * date is a silent precision loss). Standard card groupings
+    * (4-4-4-4, digits with spaces) never match the date shapes, so
+    * shield-before-cards costs no card recall.
+    *
+    * The shield runs TWICE: its boundary groups CONSUME a character
+    * (RE2 has no lookaround), so in a run of adjacent dates each match
+    * eats the separator the NEXT date needs as its left boundary and
+    * every other date goes unshielded — straight into the digit-run
+    * redactions. One pass shields at least every other date in any such
+    * run, so no two unshielded dates stay adjacent and a second pass
+    * provably catches the rest.
     */
   def scrub(text: Column): Column =
-    unshieldDates(redactPhones(shieldDates(redactCards(redactIps(redactEmails(text))))))
+    unshieldDates(redactPhones(redactCards(shieldDates(shieldDates(
+      redactIps(redactEmails(text)))))))
 
   /** Count of matches for auditing (how much PII a corpus slice carries)
     * without materializing the scrubbed text: size of the split-by-pattern

@@ -73,7 +73,7 @@ object Chunking {
     // the min()-based first-occurrence order instead of raising
     val packedKey = when(col(idCol).isNull || col(idCol) < 0 ||
           col(idCol) > (Long.MaxValue >> 20) || col("chunk_id") >= 1048576L,
-        raise_error(concat(lit("spanDedup: id must be a non-null in [0, 2^43] and chunks per doc < 2^20, got id="),
+        raise_error(concat(lit("spanDedup: id must be a non-null in [0, 2^43) and chunks per doc < 2^20, got id="),
           coalesce(col(idCol).cast("string"), lit("null")),
           lit(" chunk="), col("chunk_id").cast("string"))))
       .otherwise(col(idCol) * 1048576L + col("chunk_id"))

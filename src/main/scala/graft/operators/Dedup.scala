@@ -336,6 +336,9 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       blockCol: String, threshold: Double,
                       numHashes: Int = 0, bands: Int = 0): DataFrame = {
+    require((numHashes > 0) == (bands > 0),
+      s"numHashes and bands must be overridden together (got numHashes=$numHashes, bands=$bands) — " +
+        "a half-specified banding would be silently replaced by the auto-tuned one")
     val (k, b) = if (numHashes > 0 && bands > 0) (numHashes, bands)
                  else autoBanding(threshold)
     require(k % b == 0, "bands must divide numHashes")
@@ -389,6 +392,9 @@ object Dedup {
                              blockCol: String, threshold: Double,
                              numHashes: Int = 0, bands: Int = 0,
                              ngram: Int = 1): DataFrame = {
+    require((numHashes > 0) == (bands > 0),
+      s"numHashes and bands must be overridden together (got numHashes=$numHashes, bands=$bands) — " +
+        "a half-specified banding would be silently replaced by the auto-tuned one")
     val (k, b) = if (numHashes > 0 && bands > 0) (numHashes, bands)
                  else autoBanding(threshold)
     require(k % b == 0, "bands must divide numHashes")

@@ -50,11 +50,19 @@ object Funnel {
           .otherwise(acc)
       },
       acc => acc.getField("st"))
-    perUser.select(col(userCol), reached.as("__max_step"))
+    val counts = perUser.select(col(userCol), reached.as("__max_step"))
       .filter(col("__max_step") >= 1)
       .select(explode(sequence(lit(1), col("__max_step"))).as("step"))
       .groupBy(col("step"))
       .agg(count(lit(1)).as("n_users"))
+    // every declared stage gets a row even at zero conversions (the
+    // contract is one row PER STAGE; dropping empty stages silently
+    // truncates the funnel exactly when the news is worst) — a spine of
+    // the step list left-joins the counts, zero-filled
+    val spine = events.sparkSession.range(1, n + 1)
+      .select(col("id").cast("int").as("step"))
+    spine.join(counts, Seq("step"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
       .withColumn("step_name", element_at(stepsArr, col("step")))
       .select(col("step"), col("step_name"), col("n_users"))
   }

@@ -209,15 +209,20 @@ object GroupOps {
   def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
     val names = df.columns.toSeq
     require(names.nonEmpty, "cannot profile a zero-column frame")
-    val aggs = names.flatMap { n => Seq(
-      count(col(n)).as(s"__nn_$n"),
+    // positional intermediate names + quoted literals: interpolating raw
+    // column names into the stack() SQL breaks on any name that is not a
+    // plain identifier ("order date", "it's") — exactly the messy ingest
+    // tables a profiler exists to sanity-check
+    val aggs = names.zipWithIndex.flatMap { case (n, i) => Seq(
+      count(col(n)).as(s"__nn_$i"),
       (if (exactDistinct) countDistinct(col(n)) else approx_count_distinct(col(n)))
-        .as(s"__nd_$n"),
-      min(col(n)).cast("string").as(s"__mn_$n"),
-      max(col(n)).cast("string").as(s"__mx_$n")) }
+        .as(s"__nd_$i"),
+      min(col(n)).cast("string").as(s"__mn_$i"),
+      max(col(n)).cast("string").as(s"__mx_$i")) }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stackArgs = names
-      .map(n => s"'$n', __nn_$n, __nd_$n, __mn_$n, __mx_$n").mkString(", ")
+    val stackArgs = names.indices
+      .map(i => s"'${names(i).replace("\\", "\\\\").replace("'", "\\'")}', " +
+        s"__nn_$i, __nd_$i, __mn_$i, __mx_$i").mkString(", ")
     one.select(col("__n"), expr(
         s"stack(${names.length}, $stackArgs) AS " +
           "(column_name, __non_null, n_distinct, min_value, max_value)"))
@@ -255,7 +260,9 @@ object GroupOps {
         .as("__b"))
       .select((keys.map(col) :+ col("__b").getItem(0).as("__lo") :+
         col("__b").getItem(1).as("__hi")): _*)
-    df.join(broadcast(bounds), keys)
+    // null-safe join back: groupBy keeps the null-key group in `bounds`,
+    // and a plain equi join would silently DROP every null-keyed row
+    nullSafeBroadcastJoin(df, bounds, keys)
       .withColumn(out, least(greatest(v, col("__lo")), col("__hi")))
       .withColumn(s"${out}_clipped", col(out) =!= v)
       .drop("__lo", "__hi")

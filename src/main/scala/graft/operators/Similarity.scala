@@ -525,7 +525,11 @@ object Similarity {
     // top-nProbe nearest centroids per query, deterministic (sim desc,
     // cid asc — same convention as the assignment's tie-break)
     val probeCells = udf { (v: Array[Float]) =>
-      cents.indices
+      // null query vector → no cells (skip the row) — throwing here
+      // would kill a 100 TB job on one bad row, the contract the rest of
+      // this file keeps (cosineUdf nulls, corpus side filters its cells)
+      if (v == null) Array.empty[Long]
+      else cents.indices
         .filter(i => cents(i)._2.length == v.length)
         .map(i => (dotF(v, cents(i)._2) / (normF(v) * cNorms(i)), cents(i)._1))
         .sortBy { case (sim, cid) => (-sim, cid) }

@@ -35,10 +35,17 @@ object TemporalJoins {
     tieCol.foreach(c => require(right.columns.contains(c),
       s"tieCol '$c' not in right columns ${right.columns.mkString("[", ",", "]")}"))
     val l = left.withColumn("__side", lit(0))
-    // right contributes only keys + time + values (+ its tie column)
+    // right contributes keys + time + ONE STRUCT of the carried values
+    // (+ its tie column). The struct is the row-atomicity fix: filling
+    // each value column independently with ignoreNulls would source a
+    // null-valued column from an OLDER right row than the matched one —
+    // the struct is non-null for every right row, so the fill carries
+    // the nearest row whole and a null value stays null (pandas
+    // merge_asof semantics).
     val rTie = tieCol.map(c => col(c).as("__tie")).toSeq
     val r = right.select(
-        (keys :+ timeCol).map(col) ++ valueCols.map(c => col(c).as(s"__r_$c")) ++ rTie: _*)
+        (keys :+ timeCol).map(col) ++
+          Seq(struct(valueCols.map(col): _*).as("__rrow")) ++ rTie: _*)
       .withColumn("__side", lit(1))
     val unified = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal time (side desc), so the
@@ -48,13 +55,12 @@ object TemporalJoins {
         rTie.map(_ => col("__tie").asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unified) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    val renames = valueCols.map(c => s"__r_$c" -> s"asof_$c").toMap
-    filled.filter(col("__side") === 0)
-      .drop("__side", "__tie")
-      .withColumnsRenamed(renames)
+    val filled = unified.withColumn("__fill",
+      last(col("__rrow"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled.filter(col("__side") === 0)) { (df, c) =>
+        df.withColumn(s"asof_$c", col("__fill").getField(c))
+      }
+      .drop("__side", "__tie", "__rrow", "__fill")
   }
 
   /** Forward as-of join (pandas `merge_asof(direction='forward')`): for
@@ -72,8 +78,10 @@ object TemporalJoins {
       s"tieCol '$c' not in right columns ${right.columns.mkString("[", ",", "]")}"))
     val l = left.withColumn("__side", lit(0))
     val rTie = tieCol.map(c => col(c).as("__tie")).toSeq
+    // struct carry for row atomicity — see [[asofBackward]]
     val r = right.select(
-        (keys :+ timeCol).map(col) ++ valueCols.map(c => col(c).as(s"__r_$c")) ++ rTie: _*)
+        (keys :+ timeCol).map(col) ++
+          Seq(struct(valueCols.map(col): _*).as("__rrow")) ++ rTie: _*)
       .withColumn("__side", lit(1))
     val unified = l.unionByName(r, allowMissingColumns = true)
     val order: Seq[Column] =
@@ -81,13 +89,12 @@ object TemporalJoins {
         rTie.map(_ => col("__tie").desc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unified) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    val renames = valueCols.map(c => s"__r_$c" -> s"asof_$c").toMap
-    filled.filter(col("__side") === 0)
-      .drop("__side", "__tie")
-      .withColumnsRenamed(renames)
+    val filled = unified.withColumn("__fill",
+      last(col("__rrow"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled.filter(col("__side") === 0)) { (df, c) =>
+        df.withColumn(s"asof_$c", col("__fill").getField(c))
+      }
+      .drop("__side", "__tie", "__rrow", "__fill")
   }
 
   /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): the
@@ -108,12 +115,17 @@ object TemporalJoins {
                   tieCol: Option[String] = None): DataFrame = {
     tieCol.foreach(c => require(right.columns.contains(c),
       s"tieCol '$c' not in right columns ${right.columns.mkString("[", ",", "]")}"))
+    require(!valueCols.contains("__rt"), "valueCols may not use the reserved name __rt")
     val l = left.withColumn("__side", lit(0))
     val rTie = tieCol.map(c => col(c).as("__tie")).toSeq
+    // one struct per right row carries (time + values) ATOMICALLY: the
+    // candidate's time and its values always come from the same row, so
+    // a null-valued nearest row yields a null result (pandas semantics),
+    // never a farther row's value paired with the nearer row's distance
     val r = right.select(
         (keys :+ timeCol).map(col) ++
-          valueCols.map(c => col(c).as(s"__r_$c")) ++
-          Seq(col(timeCol).as("__rt")) ++ rTie: _*)
+          Seq(struct(col(timeCol).as("__rt") +: valueCols.map(col): _*).as("__rrow")) ++
+          rTie: _*)
       .withColumn("__side", lit(1))
     val unified = l.unionByName(r, allowMissingColumns = true)
     val order: Seq[Column] =
@@ -122,23 +134,19 @@ object TemporalJoins {
     val part = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val wB = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = valueCols.map(c => s"__r_$c") :+ "__rt"
-    val filled = carried.foldLeft(unified) { (df, c) =>
-      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
-        .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF))
-    }
-    val bt = col("__b___rt"); val ft = col("__f___rt")
+    val filled = unified
+      .withColumn("__b", last(col("__rrow"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__rrow"), ignoreNulls = true).over(wF))
+    val bt = col("__b").getField("__rt"); val ft = col("__f").getField("__rt")
     // backward wins when forward is missing or strictly farther
     val pickBackward = ft.isNull ||
       (bt.isNotNull && (col(timeCol) - bt) <= (ft - col(timeCol)))
     val picked = valueCols.foldLeft(filled) { (df, c) =>
       df.withColumn(s"asof_$c",
-        when(pickBackward, col(s"__b___r_$c")).otherwise(col(s"__f___r_$c")))
+        when(pickBackward, col("__b").getField(c)).otherwise(col("__f").getField(c)))
     }
     picked.filter(col("__side") === 0)
-      .drop("__side", "__tie", "__rt")
-      .drop(valueCols.map(c => s"__r_$c"): _*)
-      .drop(carried.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
+      .drop("__side", "__tie", "__rrow", "__b", "__f")
   }
 
   /** Point-in-interval (range) join: rows of `points` whose `pointCol`

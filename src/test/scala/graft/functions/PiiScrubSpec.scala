@@ -69,6 +69,19 @@ class PiiScrubSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("adjacent dates all survive the shield (consuming-boundary alternation)") {
+    import spark.implicits._
+    // the shield's boundary groups CONSUME a character, so one pass
+    // skips every other date in a run — the double pass must catch all
+    val texts = Seq(
+      "on 2024-01-02 2024-01-03 x",
+      "2024-01-01,2024-01-02,2024-01-03 end",
+      "d1 2024-01-01 2024-01-02 2024-01-03 2024-01-04 d4")
+    val got = texts.toDF("t").select(PiiScrub.scrub(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == texts, s"every date must survive: ${got.toSeq}")
+  }
+
   test("scrub is pure map-side (no Exchange, stays in codegen)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = docs.select(md5(PiiScrub.scrub(col("text"))).as("m"))

@@ -51,12 +51,31 @@ class FunnelSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1, 2, 3))
   }
 
-  test("plan: one exchange for the per-user fold, no self-join") {
+  test("plan: one exchange for the per-user fold, no per-step self-join") {
     val df = Funnel.conversionFunnel(ev(Seq((1L, 10L, "view"))),
       "user", "ts", "tp", Seq("view", "click"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      s"funnel must not join:\n$plan")
+    // the only join allowed is the broadcast of the step SPINE (bounded
+    // by |steps|); a k-way per-step self-join would shuffle events k
+    // times — assert the event table still moves exactly once
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"funnel must not shuffle-join:\n$plan")
+    // user fold + the |steps|-sized count aggregate — a per-step join
+    // would add one per stage
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges:\n$plan")
+  }
+
+  test("a zero-conversion stage still emits its row (one row PER STAGE)") {
+    import spark.implicits._
+    val events = Seq((1L, 10L, "view"), (1L, 20L, "click"), (2L, 5L, "view"))
+      .toDF("user", "ts", "tp")
+    val got = Funnel.conversionFunnel(events, "user", "ts", "tp",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // nobody purchases — the stage must appear with 0, not vanish
+    assert(got.toSeq == Seq((1, "view", 2L), (2, "click", 1L), (3, "purchase", 0L)))
   }
 
   test("transitionMatrix: consecutive pairs per key, rows normalize to 1") {

@@ -201,6 +201,18 @@ class GroupOpsSpec extends SparkSpec {
     assert(math.abs(got(1.0) + 0.6745 * 4) < 1e-9)
   }
 
+  test("winsorize keeps null-keyed rows (clipped within their own null group)") {
+    import spark.implicits._
+    val df = (Seq.tabulate(20)(i => (Option("g"), i.toDouble)) ++
+      Seq.tabulate(20)(i => (Option.empty[String], i * 10.0))).toDF("k", "v")
+    val got = GroupOps.winsorize(df, Seq("k"), "v", "w", pLo = 0.1, pHi = 0.9)
+    assert(got.count() == 40, "no row may be dropped")
+    val nullGroup = got.filter(col("k").isNull).select("w").collect()
+      .map(_.getDouble(0))
+    assert(nullGroup.length == 20 && nullGroup.max <= 171.0 + 1e-9,
+      s"null group must clip within its own bounds: max=${nullGroup.max}")
+  }
+
   test("null keys and all-null groups survive momentStats and robustZscore") {
     import spark.implicits._
     val df = Seq((Option("g"), Option(1.0)), (Option("g"), Option(3.0)),

@@ -117,4 +117,21 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("p").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(10L)) // 10 in, 20 out (half-open)
   }
+
+  test("a null-valued right row is matched WHOLE: null result, not an older row's value") {
+    import spark.implicits._
+    // right rows (t=10, v=5.0) and (t=19, v=null); left at t=20 with a
+    // forward candidate (t=22, v=9.0). Independent per-column fills
+    // would pair t=19's distance with t=10's value and answer 5.0; the
+    // row-atomic struct fill must answer null (pandas merge_asof does)
+    val l = Seq(("k", 20L)).toDF("k", "t")
+    val r = Seq(("k", 10L, Option(5.0)), ("k", 19L, Option.empty[Double]),
+      ("k", 22L, Option(9.0))).toDF("k", "t", "v")
+    val nearest = TemporalJoins.asofNearest(l, r, Seq("k"), "t", Seq("v"))
+      .select("asof_v").collect()(0)
+    assert(nearest.isNullAt(0), s"nearest row (t=19) has a null v: got $nearest")
+    val backward = TemporalJoins.asofBackward(l, r, Seq("k"), "t", Seq("v"))
+      .select("asof_v").collect()(0)
+    assert(backward.isNullAt(0), s"latest at-or-before row (t=19) has null v: got $backward")
+  }
 }

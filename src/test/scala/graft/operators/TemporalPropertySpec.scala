@@ -105,8 +105,9 @@ object TemporalPropertySpec extends Properties("temporal") {
       }
       stage
     }
-    (1 to steps.length).map(i => i -> reached.count(_ >= i).toLong)
-      .filter(_._2 > 0).toMap
+    // one row PER STAGE, zero-conversion stages included — the operator's
+    // (and the q84 oracle's) contract
+    (1 to steps.length).map(i => i -> reached.count(_ >= i).toLong).toMap
   }
 
   property("conversionFunnel == naive per-user greedy recomputation") =
