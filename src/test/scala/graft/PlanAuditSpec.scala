@@ -249,7 +249,11 @@ class PlanAuditSpec extends SparkSpec {
     df.write.format("noop").mode("overwrite").save()
     val p = df.queryExecution.executedPlan.toString
     Caches.unpersistAll()
-    assert(!p.contains("Join"), s"funnel must not join per step:\n$p")
+    // the only join allowed is the broadcast of the |steps|-row spine
+    // (zero-conversion stages must still emit); a per-step self-join
+    // would shuffle the event table once per stage
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"funnel must not shuffle-join:\n$p")
     // the step-type filter must reach the scan
     assert(p.contains("PushedFilters: [In(event_type") || p.contains("isnotnull"),
       s"step filter should push down:\n$p")
