@@ -60,21 +60,28 @@ object Bench {
     }
     val ok = runs.collect { case (name, sec, None) => name -> sec }
     val errors = runs.collect { case (name, _, Some(e)) => name -> e }
-    // millisecond precision: the driver captures only the tail of stdout,
-    // and at 71 queries full-double formatting pushed the line past the
-    // capture window (round 3's "parsed": null)
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // full per-query detail goes to the file; stdout gets a compact line
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The final stdout line must stay under ~1 KB: the driver captures
+    // only the tail of stdout, and a 107-query JSON line overflowed its
+    // window every round (BENCH "parsed": null). Summary = total, count,
+    // errors, the 5 slowest queries (the only per-query signal that fits),
+    // and the path to the full record.
+    val slowest = ok.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"errors":$es,"slowest":$slowest,"sf":"$sfDir","queries_file":"$outPath"}"""
     // stop BEFORE printing: Spark's shutdown logs (stderr) can't land
     // after the metrics line, so the JSON is the last line on stdout
     spark.stop()
-    println(json)
+    println(summary)
     System.out.flush()
     // a bench with failing queries is a failed bench run
     if (errors.nonEmpty) sys.exit(1)

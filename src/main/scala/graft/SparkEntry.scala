@@ -2264,7 +2264,7 @@ object SparkEntry {
          |       WHEN b < 9000 THEN 'val'
          |       ELSE 'test' END AS split
          | FROM (SELECT doc_id,
-         |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+         |        CAST(('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__graft_null_key__')), 1, 8)) AS BIGINT) % 10000 AS b
          |       FROM documents) t)
          |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
          | round(p.jaccard, 6) AS jaccard
@@ -2400,7 +2400,7 @@ object SparkEntry {
         | SELECT CASE WHEN b < 8000 THEN 'train'
         |             WHEN b < 9000 THEN 'val'
         |             ELSE 'test' END AS split
-        | FROM (SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        | FROM (SELECT CAST(('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__graft_null_key__')), 1, 8)) AS BIGINT) % 10000 AS b
         |       FROM d) t)
         |SELECT stage, n_docs FROM (
         | SELECT '1_input' AS stage, count(*) AS n_docs FROM documents
@@ -2426,7 +2426,7 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM (
         | SELECT lang, doc_id,
-        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b,
+        |  CAST(('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '__graft_null_key__')), 1, 8)) AS BIGINT) % 10000 AS b,
         |  CAST(n_chars AS DOUBLE) / (SELECT max(n_chars) FROM documents) AS p
         | FROM documents) t
         |WHERE b < round(p * 10000)
@@ -2930,9 +2930,9 @@ object SparkEntry {
         | SELECT l.l_returnflag, mu.mu, l.l_quantity - mu.mu AS d
         | FROM lineitem l JOIN mu USING (l_returnflag))
         |SELECT l_returnflag, count(*) AS n, round(max(mu), 6) AS mean,
-        | round(sqrt(sum(d*d) / (count(*) - 1)), 6) AS stddev,
-        | round((sum(d*d*d) / count(*)) / pow(sum(d*d) / count(*), 1.5), 6) AS skewness,
-        | round((sum(d*d*d*d) / count(*)) / pow(sum(d*d) / count(*), 2) - 3, 6) AS kurtosis
+        | round(sqrt(sum(d*d) / nullif(count(*) - 1, 0)), 6) AS stddev,
+        | round((sum(d*d*d) / count(*)) / nullif(pow(sum(d*d) / count(*), 1.5), 0), 6) AS skewness,
+        | round((sum(d*d*d*d) / count(*)) / nullif(pow(sum(d*d) / count(*), 2), 0) - 3, 6) AS kurtosis
         |FROM c GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // q102: same tokenizer as the q23 family; windowed df + posting cap,
@@ -2977,12 +2977,14 @@ object SparkEntry {
         |SELECT d.lang, max(kp.n_l) AS n_total, round(max(kp.keep_p), 6) AS keep_p,
         | count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
         |FROM documents d JOIN kp ON d.lang = kp.lang
-        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |WHERE CAST(('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '__graft_null_key__')), 1, 8)) AS BIGINT) % 10000
         |      < round(kp.keep_p * 10000)
         |GROUP BY d.lang
         |ORDER BY d.lang""".stripMargin,
     // q105: identical median/MAD arithmetic (DuckDB median ==
-    // interpolated percentile 0.5 == Spark percentile)
+    // interpolated percentile 0.5 == Spark percentile); NULLIF pins the
+    // MAD=0 degenerate case to NULL on both engines (Spark non-ANSI x/0
+    // is NULL; DuckDB IEEE x/0 would be ±Inf and leak past the z cut)
     "q105_robust_outliers" ->
       """WITH m AS (
         | SELECT event_type, median(value) AS med FROM events GROUP BY 1),
@@ -2992,9 +2994,9 @@ object SparkEntry {
         | FROM events e JOIN m USING (event_type)),
         |md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
         |SELECT d.event_id, d.event_type, round(d.value, 4) AS value,
-        | round(0.6745 * d.sdev / md.mad, 6) AS robust_z
+        | round(0.6745 * d.sdev / nullif(md.mad, 0), 6) AS robust_z
         |FROM d JOIN md USING (event_type)
-        |WHERE abs(0.6745 * d.sdev / md.mad) > 3.5
+        |WHERE abs(0.6745 * d.sdev / nullif(md.mad, 0)) > 3.5
         |ORDER BY d.event_id""".stripMargin,
     "q106_topk_per_group" ->
       """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice

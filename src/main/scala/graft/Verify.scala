@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop (same contract as Bench's SPARK_GRAFT_BENCH_ONLY): restrict
+    // the dump to a comma-separated substring match; the driver sets no
+    // env var and always gets the full dump + full oracle map
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    selected.foreach { case (name, fn) =>
       // per-query cache scope: operator-internal persisted intermediates
       // (class tables) release after each query, so ~50 queries in one
       // session don't accumulate cached blocks
@@ -41,6 +47,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

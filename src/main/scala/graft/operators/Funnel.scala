@@ -17,17 +17,28 @@ import org.apache.spark.sql.functions._
   * shuffle on the user key, per-user sorted fold — no self-join per
   * step (the naive k-way join shuffles the event table k times and
   * explodes on users with many events). Per-user state is the sorted
-  * step-event list; bound it upstream with [[Sampling.capPerGroup]] if
-  * a key's event count is unbounded.
+  * step-event list, and the bound on it is ENFORCED: a user exceeding
+  * `maxEventsPerUser` raises rather than silently ballooning executor
+  * memory — cap the hot keys upstream with [[Sampling.capPerGroup]]
+  * (or raise the limit deliberately) and rerun.
   */
 object Funnel {
 
   /** One row per funnel stage: (step, step_name, n_users) where
     * `n_users` counts users whose greedy chain reached step ≥ `step`.
+    *
+    * `maxEventsPerUser` bounds the per-user collected state (the same
+    * enforced-contract pattern as [[Chunking.spanDedup]]'s packed-key
+    * guard): the default 1M step-events ≈ tens of MB per user, far past
+    * any real funnel but well inside executor memory, so legitimate
+    * corpora never trip it while a runaway bot key fails loudly instead
+    * of OOM-ing an executor three stages later.
     */
   def conversionFunnel(events: DataFrame, userCol: String, tsCol: String,
-                       typeCol: String, steps: Seq[String]): DataFrame = {
+                       typeCol: String, steps: Seq[String],
+                       maxEventsPerUser: Int = 1000000): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
+    require(maxEventsPerUser > 0, "maxEventsPerUser must be positive")
     val stepsArr = array(steps.map(lit): _*)
     val n = steps.length
     val perUser = events
@@ -36,6 +47,18 @@ object Funnel {
         struct(col(tsCol).as("ts"), col(typeCol).as("tp")).as("__e"))
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      // enforce the state bound where the state materializes: after the
+      // aggregate (collect_list has no streaming cutoff, so the check
+      // runs on the collected size — the list exists either way; the
+      // guard converts "quiet OOM risk" into a named, actionable error)
+      .withColumn("__es",
+        when(size(col("__es")) > maxEventsPerUser,
+          raise_error(concat(
+            lit(s"conversionFunnel: user "), col(userCol).cast("string"),
+            lit(s" has "), size(col("__es")).cast("string"),
+            lit(s" step-events, over maxEventsPerUser=$maxEventsPerUser; " +
+              "cap hot keys upstream (Sampling.capPerGroup) or raise the limit"))))
+          .otherwise(col("__es")))
     // greedy fold over the time-sorted events: advance to stage s+1 on
     // the first event of type steps(s) STRICTLY after the stage-s match
     // (null `last` = no match yet = no time constraint for step 1)

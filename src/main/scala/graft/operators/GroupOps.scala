@@ -202,20 +202,32 @@ object GroupOps {
     *
     * Exact `countDistinct` across many columns plans an Expand
     * (|columns|× row multiplication before partial aggregation — the
-    * q52-documented pathology); at 100 TB pass `exactDistinct = false`
-    * for single-pass HLL sketches (±5%), the right profile tool when
-    * the numbers feed a human, not an oracle.
+    * q52-documented pathology), so exactness is SIZE-GATED like
+    * [[Components.connectedComponents]]'s driver-side gate: with
+    * `exactDistinct = true` the table is counted first (one cheap
+    * count-only scan, no Expand) and the exact path runs only when the
+    * count fits `exactDistinctMaxRows`; past the gate the profile
+    * auto-degrades to single-pass HLL sketches (±5%, the right profile
+    * tool when the numbers feed a human). Oracle/parity runs stay exact
+    * for free — every test scale is far under the default gate — and a
+    * caller needing exactness regardless can raise the gate
+    * (`Long.MaxValue` skips the pre-count entirely).
+    * `exactDistinct = false` always sketches, also skipping the
+    * pre-count.
     */
-  def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+  def tableProfile(df: DataFrame, exactDistinct: Boolean = true,
+                   exactDistinctMaxRows: Long = 10000000L): DataFrame = {
     val names = df.columns.toSeq
     require(names.nonEmpty, "cannot profile a zero-column frame")
+    val exact = exactDistinct &&
+      (exactDistinctMaxRows == Long.MaxValue || df.count() <= exactDistinctMaxRows)
     // positional intermediate names + quoted literals: interpolating raw
     // column names into the stack() SQL breaks on any name that is not a
     // plain identifier ("order date", "it's") — exactly the messy ingest
     // tables a profiler exists to sanity-check
     val aggs = names.zipWithIndex.flatMap { case (n, i) => Seq(
       count(col(n)).as(s"__nn_$i"),
-      (if (exactDistinct) countDistinct(col(n)) else approx_count_distinct(col(n)))
+      (if (exact) countDistinct(col(n)) else approx_count_distinct(col(n)))
         .as(s"__nd_$i"),
       min(col(n)).cast("string").as(s"__mn_$i"),
       max(col(n)).cast("string").as(s"__mx_$i")) }
@@ -305,9 +317,13 @@ object GroupOps {
     * cardinality is the caller's contract for any per-group statistic.
     *
     * Degenerate groups: a constant-valued group has m2 = 0, so skewness
-    * and kurtosis are 0/0 = NaN (the statistically honest answer — shape
-    * is undefined without spread); stddev is 0. Nulls in `valueCol` are
-    * excluded from every moment AND from `n` (count(v), not count(*)).
+    * and kurtosis are pinned to NULL (shape is undefined without
+    * spread), and a single-row group's stddev is NULL. Pinned
+    * explicitly via `nullif` on the divisor — engines disagree on
+    * float x/0 (Spark non-ANSI yields NULL, DuckDB/IEEE yields
+    * Inf/NaN), so the NULL answer is constructed, not inherited.
+    * Nulls in `valueCol` are excluded from every moment AND from `n`
+    * (count(v), not count(*)).
     */
   def momentStats(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
@@ -321,11 +337,11 @@ object GroupOps {
         sum(d * d).as("__s2"), sum(d * d * d).as("__s3"),
         sum(d * d * d * d).as("__s4"))
       .select(keys.map(col) :+ col("n") :+ col("mean") :+
-        sqrt(col("__s2") / (col("n") - 1)).as("stddev") :+
+        sqrt(col("__s2") / nullif(col("n") - 1, lit(0))).as("stddev") :+
         ((col("__s3") / col("n")) /
-          pow(col("__s2") / col("n"), 1.5)).as("skewness") :+
+          nullif(pow(col("__s2") / col("n"), 1.5), lit(0.0))).as("skewness") :+
         ((col("__s4") / col("n")) /
-          pow(col("__s2") / col("n"), 2.0) - 3).as("kurtosis"): _*)
+          nullif(pow(col("__s2") / col("n"), 2.0), lit(0.0)) - 3).as("kurtosis"): _*)
   }
 
   /** Robust per-group outlier score: the modified z-score
@@ -337,12 +353,15 @@ object GroupOps {
     * medians don't move. Appends `<out>` to every row; |score| > 3.5 is
     * the conventional outlier cut.
     *
-    * Degenerate groups: MAD = 0 (majority-constant group) gives ±Inf
-    * for off-median rows and NaN at the median — IEEE semantics, same
-    * in any engine, and an honest "undefined spread" answer. EVERY input
-    * row survives: a group whose values are all null (no median exists)
-    * and rows with null keys get a null score via null-safe left joins,
-    * never a silent drop.
+    * Degenerate groups: MAD = 0 (majority-constant group) pins the
+    * score to NULL via `nullif(mad, 0)` — engines disagree on float
+    * x/0 (Spark non-ANSI yields NULL, DuckDB/IEEE yields ±Inf/NaN,
+    * which would leak Inf rows past a |z| > 3.5 cut in one engine and
+    * not the other), so "undefined spread" is constructed as NULL on
+    * both sides rather than inherited from division semantics. EVERY
+    * input row survives: a group whose values are all null (no median
+    * exists) and rows with null keys get a null score via null-safe
+    * left joins, never a silent drop.
     *
     * Scale shape: two exact grouped medians (the [[groupedMedian]]
     * aggregate, |groups|-row outputs) bridged by broadcast joins; the
@@ -360,7 +379,7 @@ object GroupOps {
       .agg(expr("percentile(__dev, 0.5)").as("__mad"))
     nullSafeBroadcastJoin(nullSafeBroadcastJoin(df, med, keys), mad, keys)
       .withColumn(out,
-        lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"))
+        lit(0.6745) * (col(valueCol) - col("__med")) / nullif(col("__mad"), lit(0.0)))
       .drop("__med", "__mad")
   }
 

@@ -18,23 +18,35 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * need their own committer — see [[ObjectStore]]):
   *
   *  1. compacted outputs are written to `_compact_tmp`;
-  *  2. the small originals move into `_compact_trash/<passId>/` — an
-  *     UNDO LOG, not a delete;
-  *  3. outputs rename into the root as `part-compacted-<passId>-…`;
-  *  4. the trash dir renames to `.deleting-<passId>` — THE COMMIT
+  *  2. `_compact_trash/<passId>/` is created — the in-progress marker
+  *     and undo log;
+  *  3. outputs rename into the root as `part-compacted-<passId>-…`
+  *     BEFORE any original moves — a concurrent reader may transiently
+  *     see compacted rows twice, but never sees rows missing;
+  *  4. the small originals move into the trash dir — an UNDO LOG, not
+  *     a delete;
+  *  5. the trash dir renames to `.deleting-<passId>` — THE COMMIT
   *     POINT, one atomic rename — and is then deleted, with `_compact_tmp`
   *     last.
+  *
+  * Reader visibility during a pass: rows of the compacted set can be
+  * DUPLICATED (between steps 3 and 5) but never absent — the
+  * outputs-first order trades the missing-rows window a trash-first
+  * order would have for a duplication window, the conservative failure
+  * for maintenance-time scans. Readers needing exact results must
+  * still be excluded for the duration of the pass.
   *
   * Recovery (runs automatically at the start of every pass): a trash
   * dir still named `<passId>` means the pass never committed — delete
   * any `part-compacted-<passId>-…` outputs that made it to the root,
-  * restore the originals from trash, and the directory is byte-for-byte
-  * back to its pre-pass state. A `.deleting-<passId>` dir means the
-  * pass committed and only the cleanup was interrupted — finish
-  * deleting it. Either way no row is ever lost or duplicated after
-  * recovery. Single-writer per directory is the caller's contract
-  * (concurrent passes would race the shared staging dirs), same as any
-  * log-less table maintenance.
+  * restore any trashed originals, and the directory is byte-for-byte
+  * back to its pre-pass state (both orders of interrupted step 3/4 heal
+  * with the same two moves). A `.deleting-<passId>` dir means the pass
+  * committed and only the cleanup was interrupted — finish deleting it.
+  * Either way no row is ever lost or duplicated after recovery.
+  * Single-WRITER per directory is the caller's contract (concurrent
+  * passes would race the shared staging dirs), same as any log-less
+  * table maintenance.
   */
 object Compaction {
 
@@ -68,12 +80,11 @@ object Compaction {
       .coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
-    // undo log: originals move (atomic renames), nothing is deleted yet
+    // in-progress marker first, then outputs INTO the root, then the
+    // originals OUT: a concurrent reader between the two bulk moves sees
+    // compacted rows twice (outputs + not-yet-trashed originals), never
+    // a gap — see the reader-visibility note in the object doc
     fs.mkdirs(trash)
-    small.foreach { st =>
-      require(fs.rename(st.getPath, new Path(trash, st.getPath.getName)),
-        s"rename to trash failed: ${st.getPath}")
-    }
     val moved = fs.listStatus(tmp).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .zipWithIndex.map { case (st, i) =>
@@ -81,6 +92,11 @@ object Compaction {
         require(fs.rename(st.getPath, dest), s"rename failed: ${st.getPath} -> $dest")
         dest
       }
+    // undo log: originals move (atomic renames), nothing is deleted yet
+    small.foreach { st =>
+      require(fs.rename(st.getPath, new Path(trash, st.getPath.getName)),
+        s"rename to trash failed: ${st.getPath}")
+    }
     // commit point: one atomic rename flips the pass from "undoable"
     // to "committed, cleanup pending"
     val deleting = new Path(trash.getParent, s".deleting-$passId")

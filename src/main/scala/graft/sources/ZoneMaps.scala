@@ -107,13 +107,19 @@ object ZoneMaps {
           None, None, Some(mins.min), Some(maxs.max), None, None)
       case BINARY
         if annotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-        // UTF-8 decode of the raw binary bounds; string zone pruning is
-        // byte-order vs Java-order sensitive beyond ASCII, so only the
-        // ASCII-clean case should prune on strings (doc'd contract)
+        // Parquet string stats order by unsigned UTF-8 bytes; selectFiles
+        // compares with Java String order (UTF-16 code units). The two
+        // agree only on ASCII — for supplementary-plane text (emoji,
+        // common in scraped corpora) they diverge, and a diverging bound
+        // could prune a file that actually matches. So a non-ASCII bound
+        // demotes the file to kind="none": conservatively kept, never
+        // skipped — the contract is enforced here, not just documented.
         def utf8(b: Any) = b.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
         val mins = chunks.map(c => utf8(c.getStatistics.genericGetMin))
         val maxs = chunks.map(c => utf8(c.getStatistics.genericGetMax))
-        (file, nRows, bytes, zc, "string",
+        val asciiOnly = (mins ++ maxs).forall(_.forall(_ < 0x80))
+        if (!asciiOnly) none
+        else (file, nRows, bytes, zc, "string",
           None, None, None, None, Some(mins.min), Some(maxs.max))
       case _ => none
     }

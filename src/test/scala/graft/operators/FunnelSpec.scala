@@ -78,6 +78,36 @@ class FunnelSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "view", 2L), (2, "click", 1L), (3, "purchase", 0L)))
   }
 
+  test("a user within maxEventsPerUser converts normally (cap is not a filter)") {
+    val got = Funnel.conversionFunnel(
+        ev(Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"))),
+        "user", "ts", "tp", Seq("view", "click", "buy"), maxEventsPerUser = 3)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L), (2, 1L), (3, 1L)))
+  }
+
+  test("a user over maxEventsPerUser raises loudly, never a silent OOM risk") {
+    val rows = (1L to 10L).map(s => (7L, s, "view"))
+    val ex = intercept[Exception] {
+      Funnel.conversionFunnel(ev(rows), "user", "ts", "tp",
+        Seq("view", "click"), maxEventsPerUser = 5).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxEventsPerUser") && msg.contains("7"),
+      s"expected the named guard with the offending user, got: $msg")
+  }
+
+  test("only step-type events count against the cap (the filter runs first)") {
+    // 10 'noise' events never reach the fold — a cap of 3 must not trip
+    val rows = (1L to 10L).map(s => (1L, s, "noise")) ++
+      Seq((1L, 11L, "view"), (1L, 12L, "click"))
+    val got = Funnel.conversionFunnel(ev(rows), "user", "ts", "tp",
+        Seq("view", "click"), maxEventsPerUser = 3)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L), (2, 1L)))
+  }
+
   test("transitionMatrix: consecutive pairs per key, rows normalize to 1") {
     import spark.implicits._
     val events = Seq(

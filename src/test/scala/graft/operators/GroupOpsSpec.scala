@@ -167,6 +167,28 @@ class GroupOpsSpec extends SparkSpec {
     assert(approx("id") == 3L && approx("s") == 1L)
   }
 
+  test("tableProfile size gate: past exactDistinctMaxRows the profile auto-degrades to HLL") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "s")
+    // exact path plans the Expand that multiplies rows per column —
+    // exactly the thing the gate exists to avoid at scale
+    val exactPlan = GroupOps.tableProfile(df)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      s"exact profile should plan the multi-countDistinct Expand:\n$exactPlan")
+    // a 3-row table over a 2-row gate: auto-HLL, no Expand, values still
+    // right (HLL is exact at tiny cardinality)
+    val gated = GroupOps.tableProfile(df, exactDistinctMaxRows = 2L)
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    assert(!gatedPlan.contains("Expand"),
+      s"past the gate the profile must sketch, not Expand:\n$gatedPlan")
+    val got = gated.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("id") == 3L && got("s") == 2L)
+    // Long.MaxValue keeps exactness without the pre-count scan
+    val forced = GroupOps.tableProfile(df, exactDistinctMaxRows = Long.MaxValue)
+    assert(forced.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("ntileBuckets avoids the single-partition window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, i % 7)).toDF("id", "v")

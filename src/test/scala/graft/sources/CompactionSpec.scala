@@ -85,6 +85,29 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(root, "_compact_trash").exists())
   }
 
+  test("crash in the duplication window (outputs in, originals not yet trashed): recovery undoes") {
+    val dir = fragmented()
+    val rowsBefore = rowsOf(spark.read.parquet(dir))
+    // outputs-first order: a pass can die with an output installed while
+    // EVERY original is still in place — the marker dir exists but is
+    // empty. A reader at this instant sees duplicated rows (never
+    // missing ones); recovery must delete the orphan output and restore
+    // nothing.
+    val root = new java.io.File(dir)
+    val smalls = root.listFiles((_, n) => n.endsWith(".parquet")).toSeq
+      .sortBy(_.length).take(4)
+    val trash = new java.io.File(root, "_compact_trash/deadpass")
+    assert(trash.mkdirs())
+    Files.copy(smalls.head.toPath,
+      root.toPath.resolve("part-compacted-deadpass-0.parquet"))
+    val (compacted, written) = Compaction.compactSmallFiles(spark, dir,
+      1L << 20, smallThreshold = 100L << 10)
+    assert(compacted == 4 && written == 1)
+    assert(rowsOf(spark.read.parquet(dir)) == rowsBefore,
+      "recovery must leave every row exactly once")
+    assert(!new java.io.File(root, "_compact_trash").exists())
+  }
+
   test("crash after the commit rename: recovery finishes cleanup, keeps the compacted data") {
     val dir = fragmented()
     Compaction.compactSmallFiles(spark, dir, 1L << 20, smallThreshold = 100L << 10)
