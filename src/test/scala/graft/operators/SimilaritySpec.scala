@@ -137,6 +137,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosinePairsAboveBlocked: the blocking measurably prunes a clustered corpus") {
+    import spark.implicits._
+    // the realistic near-dup shape: directional clusters (dup families
+    // point the same way) + unique background. 8 tight clusters of 25
+    // around orthogonal-ish axes in 16 dims, deterministic jitter. The
+    // k-means-refined cells must eliminate most cross-cluster cell pairs
+    // (measured, not asserted-by-hope) with recall still 1.0.
+    val rnd = new scala.util.Random(11)
+    val rows = for (c <- 0 until 8; m <- 0 until 25) yield {
+      val v = Array.tabulate(16)(d =>
+        (if (d == c * 2) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.12f)
+      ((c * 25 + m).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (blocked, stats) = Similarity.cosinePairsAboveBlockedWithStats(
+      df, "vec_id", "embedding", 0.8)
+    val full = Similarity.cosinePairsAbove(df, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b")
+    assert(rowsOf(full).nonEmpty)
+    assert(rowsOf(blocked.select("id_a", "id_b")) == rowsOf(full))
+    // nCells counts OCCUPIED cells (k-means may strand some of the
+    // auto-selected 16 empty on 8 true clusters)
+    assert(stats.nCells >= 8, s"auto cell count too low: $stats")
+    assert(stats.prunedFraction > 0.5,
+      s"clustered corpus must prune most cell pairs: $stats")
+    graft.Caches.unpersistAll()
+  }
+
+  test("cosinePairsAboveBlocked: bench corpus (uniform directions) keeps recall; stats are honest") {
+    // the q26 corpus has NO directional structure (measured: same-label
+    // and diff-label cosine distributions are identical, p50 ~ 0; member
+    // to centroid angles ~ 90 deg), so at threshold 0.35 (theta 69.5
+    // deg) NO cell-level bound can exclude any pair with exact recall —
+    // the documented all-pairs floor. The stats must say so truthfully
+    // (kept == total) rather than claim savings that didn't happen.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (blocked, stats) = Similarity.cosinePairsAboveBlockedWithStats(
+      emb, "vec_id", "embedding", 0.35)
+    val full = Similarity.cosinePairsAbove(emb, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b")
+    assert(rowsOf(blocked.select("id_a", "id_b")) == rowsOf(full))
+    assert(stats.nCells >= 16 && stats.cellPairsKept <= stats.cellPairsTotal)
+    graft.Caches.unpersistAll()
+  }
+
   test("cosinePairsAboveBlocked is exact on tightly clustered data") {
     import spark.implicits._
     // two tight antipodal-ish clusters: cross-cluster cell pairs prune,
