@@ -1962,24 +1962,38 @@ object SparkEntry {
         |       FROM events) g) s
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
-    // q36's media table is synthesized from pure arithmetic on media_id
-    // (Multimodal.synthesize + the stub decode), so the oracle rebuilds
-    // every column from range(300): body byte j of media i is the SIGNED
-    // cast of (i*31 + j*7) % 251, and feature[0] averages bytes
-    // j = 16m over a 256-byte body → exact integer sum / 256.0
+    // q36's media table is synthesized from pure arithmetic on media_id.
+    // IMAGE rows are real 24-bit BMPs whose logical pixel-array byte p is
+    // (i*31 + p*7) % 251 (UNSIGNED intensity); the engine's real BMP
+    // decoder averages lane p%16 = 0, and the float32 feature lane is
+    // replicated bit-exactly with a CAST to REAL (the lane mean is not a
+    // /2^k fraction, so skipping the cast would flip round(...,4) on
+    // boundary values). Audio/video keep the stub decode: body byte j is
+    // the SIGNED cast of (i*31 + j*7) % 251 and feature[0] is the exact
+    // integer sum / 256.0 (a /2^k fraction — float-exact, no cast).
     "q36_multimodal" ->
-      """SELECT media_id, modality, w, h, frames_sampled,
-        | round(s / 256.0, 4) AS f0 FROM (
+      """SELECT media_id, modality, w, h, frames_sampled, round(f0, 4) AS f0 FROM (
+        | SELECT r.i AS media_id, 'image' AS modality,
+        |  CAST(16 + (r.i % 6) * 8 AS INT) AS w,
+        |  CAST(16 + (r.i % 5) * 8 AS INT) AS h,
+        |  1 AS frames_sampled,
+        |  CAST(CAST(sum((r.i * 31 + p.p * 7) % 251) AS DOUBLE) / count(*) AS REAL) AS f0
+        | FROM range(300) r(i) CROSS JOIN range(8064) p(p)
+        | WHERE r.i % 3 = 0 AND p.p % 16 = 0
+        |   AND p.p < (16 + (r.i % 6) * 8) * (16 + (r.i % 5) * 8) * 3
+        | GROUP BY r.i
+        |UNION ALL
         | SELECT r.i AS media_id,
-        |  CASE r.i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CASE r.i % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  CAST(64 + (r.i % 8) * 32 AS INT) AS w,
         |  CAST(64 + (r.i % 5) * 32 AS INT) AS h,
         |  CAST(CASE WHEN r.i % 3 = 2 THEN (8 + r.i % 4) // 2 ELSE 1 END AS INT) AS frames_sampled,
         |  sum(CASE WHEN (r.i * 31 + m.j * 112) % 251 > 127
         |           THEN (r.i * 31 + m.j * 112) % 251 - 256
-        |           ELSE (r.i * 31 + m.j * 112) % 251 END) AS s
+        |           ELSE (r.i * 31 + m.j * 112) % 251 END) / 256.0 AS f0
         | FROM range(300) r(i) CROSS JOIN range(16) m(j)
-        | GROUP BY 1, 2, 3, 4, 5) t
+        | WHERE r.i % 3 <> 0
+        | GROUP BY r.i) t
         |ORDER BY media_id""".stripMargin,
     "q37_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

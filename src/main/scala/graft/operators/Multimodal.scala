@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,11 +10,18 @@ import org.apache.spark.sql.types._
   * state is initialized once per partition, not per row (the Scala analog
   * of arrow-batched pandas UDFs on a Python cluster).
   *
-  * The codecs themselves are NOT in this container, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (parses our own synthetic header);
-  * everything around it — schema, batching, partitioning, output contract —
-  * is real and tested. Swap `decodePayload` for a jni/ffmpeg/javacv call
-  * and nothing else changes.
+  * Decode coverage is format-by-format honest:
+  *  - IMAGE payloads are real 24-bit uncompressed BMPs and [[decodeBmp]]
+  *    is a REAL decoder — pure byte arithmetic (LE header fields,
+  *    bottom-up row order, 4-byte row padding), no codec library — that
+  *    recovers width/height from the header and computes features from
+  *    the actual pixel bytes. Hand it any 24-bit BI_RGB file and it
+  *    answers correctly (spec: a hand-built 2×2 with padding).
+  *  - audio/video formats need native codecs the container doesn't
+  *    have, so their decode is a clearly-marked DETERMINISTIC STUB
+  *    (parses our own synthetic header). Swap the stub arm of
+  *    [[decodePayload]] for a jni/ffmpeg/javacv call and nothing else
+  *    changes.
   */
 object Multimodal {
 
@@ -31,9 +38,48 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("payload", BinaryType)))
 
-  /** Deterministic synthetic media: a 16-byte header (modality tag, width,
-    * height, n_frames) + pseudo-random body derived from the id. Stands in
-    * for real scraped bytes in tests/benchmarks.
+  /** Logical pixel-array byte p of synthetic image i — the single source
+    * of truth shared by [[synthesize]] (which lays these bytes out in
+    * real bottom-up padded BMP rows) and the q36 oracle (which restates
+    * the closed form in SQL).
+    */
+  @inline private def synthPixelByte(i: Long, p: Int): Int =
+    ((i * 31 + p.toLong * 7) % 251).toInt
+
+  /** A real, well-formed 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    * bottom-up rows, rows padded to 4 bytes) whose logical top-down
+    * pixel-array byte p equals [[synthPixelByte]](i, p).
+    */
+  private[operators] def synthBmp(i: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)     // file size, reserved, data offset
+      .putInt(40).putInt(w).putInt(h)                 // info size, width, height (+h = bottom-up)
+      .putShort(1).putShort(24).putInt(0)             // planes, bpp, BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835)     // image size, 72 dpi
+      .putInt(0).putInt(0)                            // palette unused
+    val arr = buf.array()
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowSize           // bottom-up: logical row y stores last-first
+      var x = 0
+      while (x < w * 3) {
+        arr(base + x) = synthPixelByte(i, y * w * 3 + x).toByte
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** Deterministic synthetic media: image rows carry a REAL BMP payload
+    * ([[synthBmp]]); audio/video carry a 16-byte header (modality tag,
+    * width, height, n_frames) + pseudo-random body derived from the id
+    * (their codecs are stubbed). Stands in for real scraped bytes in
+    * tests/benchmarks.
     */
   def synthesize(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -41,15 +87,23 @@ object Multimodal {
       val modality = (i % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val w = 64 + (i % 8).toInt * 32
-      val h = 64 + (i % 5).toInt * 32
-      val frames = if (modality == "video") 8 + (i % 4).toInt else 1
-      val header = java.nio.ByteBuffer.allocate(16)
-        .put(modality.head.toByte).put(0.toByte)
-        .putShort(w.toShort).putShort(h.toShort).putShort(frames.toShort)
-        .putLong(i)
-      val body = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
-      (i, modality, w, h, frames, header.array() ++ body)
+      if (modality == "image") {
+        // real pixels: keep dims small enough that a 300-row table's
+        // pixel volume stays oracle-recomputable (≤ 56×48×3 bytes)
+        val w = 16 + (i % 6).toInt * 8
+        val h = 16 + (i % 5).toInt * 8
+        (i, modality, w, h, 1, synthBmp(i, w, h))
+      } else {
+        val w = 64 + (i % 8).toInt * 32
+        val h = 64 + (i % 5).toInt * 32
+        val frames = if (modality == "video") 8 + (i % 4).toInt else 1
+        val header = java.nio.ByteBuffer.allocate(16)
+          .put(modality.head.toByte).put(0.toByte)
+          .putShort(w.toShort).putShort(h.toShort).putShort(frames.toShort)
+          .putLong(i)
+        val body = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
+        (i, modality, w, h, frames, header.array() ++ body)
+      }
     }.toDF("media_id", "modality", "width", "height", "n_frames", "payload")
   }
 
@@ -58,16 +112,64 @@ object Multimodal {
                            decodedWidth: Int, decodedHeight: Int,
                            nFramesSampled: Int, feature: Array[Float])
 
-  /** STUB — deterministic fake decode. A real implementation would hand
-    * `payload` to an image/audio codec here; this parses the synthetic
-    * header and derives a 16-dim feature from the body bytes so the whole
-    * pipeline is testable end-to-end without native codecs.
+  /** REAL BMP decode, pure byte arithmetic — no codec dependency. Reads
+    * the little-endian headers (data offset at 10, dims at 18/22, bpp at
+    * 28, compression at 30), walks the pixel rows in their on-disk
+    * order (bottom-up when height is positive, the common case; top-down
+    * when negative) skipping the per-row padding to 4 bytes, and
+    * computes a 16-dim feature: lane d = the mean intensity of pixel-
+    * array bytes at logical position ≡ d (mod 16), bytes as UNSIGNED
+    * 0–255 intensities. Supports exactly what it claims — 24-bit
+    * uncompressed BI_RGB — and refuses anything else loudly.
     */
-  private[operators] def decodePayload(payload: Array[Byte], frameStride: Int): MediaFeatures = {
+  private[operators] def decodeBmp(id: Long, payload: Array[Byte]): MediaFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"not a BMP payload (media_id=$id)")
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bitCount = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bitCount == 24 && compression == 0,
+      s"decodeBmp supports 24-bit uncompressed BI_RGB only, got bpp=$bitCount compression=$compression (media_id=$id)")
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    require(payload.length >= dataOffset + rowSize * h,
+      s"truncated BMP: need ${dataOffset + rowSize * h} bytes, have ${payload.length} (media_id=$id)")
+    val laneSum = new Array[Long](16)
+    val laneN = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val base = dataOffset + srcRow * rowSize
+      var x = 0
+      while (x < w * 3) {
+        val lane = (y * w * 3 + x) % 16
+        laneSum(lane) += (payload(base + x) & 0xff).toLong
+        laneN(lane) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feature = Array.tabulate(16)(d =>
+      if (laneN(d) == 0) 0f else (laneSum(d).toDouble / laneN(d)).toFloat)
+    MediaFeatures(id, "image", w, h, 1, feature)
+  }
+
+  /** STUB — deterministic fake decode for the formats whose codecs the
+    * container lacks (audio/video). Parses the synthetic header and
+    * derives a 16-dim feature from the body bytes so the pipeline is
+    * testable end-to-end; a real implementation hands `payload` to
+    * ffmpeg/javacv here.
+    */
+  private[operators] def decodeSynthetic(id: Long, payload: Array[Byte],
+                                         frameStride: Int): MediaFeatures = {
     val buf = java.nio.ByteBuffer.wrap(payload)
     val tag = buf.get(); buf.get()
     val w = buf.getShort.toInt; val h = buf.getShort.toInt
-    val frames = buf.getShort.toInt; val id = buf.getLong
+    val frames = buf.getShort.toInt; buf.getLong // embedded id (redundant with the row's)
     val modality = tag.toChar match {
       case 'i' => "image"; case 'a' => "audio"; case _ => "video"
     }
@@ -82,6 +184,15 @@ object Multimodal {
     MediaFeatures(id, modality, w, h, sampled, feature)
   }
 
+  /** Format dispatch on magic bytes: real BMP decode for "BM" payloads,
+    * the marked stub for everything else.
+    */
+  private[operators] def decodePayload(id: Long, payload: Array[Byte],
+                                       frameStride: Int): MediaFeatures =
+    if (payload.length >= 2 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+      decodeBmp(id, payload)
+    else decodeSynthetic(id, payload, frameStride)
+
   /** Partition-wise decode + feature extraction. `mapPartitions` so a real
     * codec/model would be constructed once per partition (the expensive
     * part), then stream rows through it — the exact shape arrow-batched
@@ -93,10 +204,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     val input = if (partitions > 0) media.repartition(partitions) else media
-    input.select("payload").as[Array[Byte]].mapPartitions { it =>
-      // real impl: val codec = HeavyCodec.open()  (once per partition)
-      it.map(p => decodePayload(p, frameStride))
-    }
+    input.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        // real impl: val codec = HeavyCodec.open()  (once per partition)
+        it.map { case (id, p) => decodePayload(id, p, frameStride) }
+      }
   }
 
   /** Metadata-only profile — must NOT read payload pages (verify with
