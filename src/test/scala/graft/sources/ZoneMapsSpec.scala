@@ -107,4 +107,84 @@ class ZoneMapsSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "score", "name"))
     assert(got.count() == 0)
   }
+
+  /** The surviving file names of a scan, straight from its FileIndex —
+    * the plan's `Location` listing, not a helper API's answer.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected one file scan:\n${df.queryExecution.executedPlan}")
+    scans.head.relation.location
+      .listFiles(Nil, df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      })
+      .flatMap(_.files).map(_.getPath.getName)
+  }
+
+  test("ZoneMapFileIndex: a plain .filter prunes the scan's file list inside the plan") {
+    val path = tmp()
+    clustered(path)
+    val df = ZoneMapFileIndex.read(spark, path)
+    val q = df.filter(col("id") >= 250L && col("id") <= 300L)
+    // correctness first: indexed scan == plain scan, row for row
+    val expected = spark.read.parquet(path)
+      .filter(col("id") >= 250L && col("id") <= 300L)
+    assert(rowsOf(q) == rowsOf(expected))
+    assert(q.count() == 51)
+    // the plan's own file listing holds ONLY surviving files: the
+    // narrow range fits one of the four range-clustered files
+    val unfiltered = scannedFiles(df)
+    val pruned = scannedFiles(q)
+    assert(unfiltered.length == 4)
+    assert(pruned.length < unfiltered.length,
+      s"scan must list fewer files under the predicate: $pruned")
+    // runtime agrees with the listing: numFiles metric after execution
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = q.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    assert(scan.metrics("numFiles").value == pruned.length)
+  }
+
+  test("ZoneMapFileIndex: q54-shaped z-order predicate prunes both dimensions") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val path = tmp()
+    val df = (0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y)))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue2(col("x"), col("y"), bits = 8))
+      .repartitionByRange(16, col("z"))
+      .drop("z")
+    ZoneMaps.writeWithZoneMap(df, path, Seq("x", "y"))
+    val indexed = ZoneMapFileIndex.read(spark, path)
+    val all = scannedFiles(indexed).length
+    for ((pred, n) <- Seq(
+        (col("x") <= 3L, 32L * 4),
+        (col("y") >= 28L, 32L * 4),
+        (col("x") <= 7L && col("y") <= 7L, 8L * 8))) {
+      val q = indexed.filter(pred)
+      assert(q.count() == n, s"$pred")
+      assert(scannedFiles(q).length < all,
+        s"$pred must prune files: ${scannedFiles(q)} of $all")
+    }
+  }
+
+  test("ZoneMapFileIndex: unknown predicate shapes and unmapped files are kept, never wrong") {
+    val path = tmp()
+    clustered(path)
+    val indexed = ZoneMapFileIndex.read(spark, path)
+    // a non-range predicate (endsWith) cannot use zones: full file list,
+    // right answer
+    val q = indexed.filter(col("name").endsWith("0042"))
+    assert(q.count() == 1)
+    assert(scannedFiles(q).length == 4)
+    // a file missing from the manifest is conservatively scanned: write
+    // an extra file beside the mapped ones, then prune on id
+    import spark.implicits._
+    Seq((5000L, 1.0, "extra")).toDF("id", "score", "name")
+      .coalesce(1).write.mode("append").parquet(path)
+    val again = ZoneMapFileIndex.read(spark, path)
+    val hit = again.filter(col("id") >= 4000L)
+    assert(hit.count() == 1, "the unmapped file's row must survive pruning")
+  }
 }
