@@ -111,4 +111,54 @@ object Orchestrator {
       fs.listStatus(dir).filter(_.getPath.getName.endsWith("._SUCCESS"))
         .foreach(st => fs.delete(st.getPath, false))
   }
+
+  // ------------------------------------------------------------------
+  // Scheduling — the reference DAG's `schedule_interval='@weekly',
+  // catchup=False` (Olympic-Athletes-ETL_DAG.py:12-28), engine-side
+  // ------------------------------------------------------------------
+
+  /** Fixed-interval schedule with Airflow's data-interval convention:
+    * the run covering [start + k·period, start + (k+1)·period) becomes
+    * due at the interval's END — a weekly job processes last week's
+    * data, it does not fire the moment the week opens. `Weekly(start)`
+    * is the reference DAG's literal configuration.
+    */
+  final case class Schedule(startEpochMs: Long, periodMs: Long) {
+    require(periodMs > 0, s"period must be positive, got $periodMs")
+    /** Start timestamps of every interval due at `nowMs` (end ≤ now). */
+    def duePeriods(nowMs: Long): Seq[Long] = {
+      val n = (nowMs - startEpochMs) / periodMs // intervals fully elapsed
+      if (n <= 0) Seq.empty
+      else (0L until n).map(k => startEpochMs + k * periodMs)
+    }
+  }
+  object Schedule {
+    val WeekMs: Long = 7L * 24 * 3600 * 1000
+    def weekly(startEpochMs: Long): Schedule = Schedule(startEpochMs, WeekMs)
+  }
+
+  /** One scheduler tick (call it from cron, a loop, or a test): run the
+    * DAG for every due interval — all of them in order under
+    * `catchup = true`, only the LATEST under `catchup = false` (the
+    * reference's setting: missed weeks are skipped, not backfilled).
+    * Each interval gets its own marker directory
+    * `<markerRoot>/<periodStartMs>`, so the tick is IDEMPOTENT at both
+    * levels: re-ticking a completed interval returns all-
+    * SkippedComplete without touching data, and re-ticking after a
+    * mid-DAG failure resumes exactly where [[run]]'s markers say — the
+    * scheduler adds no state of its own beyond the filesystem markers
+    * it already trusts. The clock is injected; production passes
+    * `System.currentTimeMillis _`.
+    */
+  def tick(spark: SparkSession, stages: Seq[Stage], markerRoot: String,
+           schedule: Schedule, clock: () => Long, catchup: Boolean = false,
+           retries: Int = 1, retryDelayMs: Long = 0L)
+      : Seq[(Long, Seq[StageResult])] = {
+    val due = schedule.duePeriods(clock())
+    val selected = if (catchup) due else due.takeRight(1)
+    selected.map { periodStart =>
+      periodStart ->
+        run(spark, stages, s"$markerRoot/$periodStart", retries, retryDelayMs)
+    }
+  }
 }

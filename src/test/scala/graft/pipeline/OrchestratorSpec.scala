@@ -79,6 +79,59 @@ class OrchestratorSpec extends SparkSpec {
     }
   }
 
+  test("schedule: intervals become due at their END; nothing fires early") {
+    val weekly = Orchestrator.Schedule.weekly(1000L)
+    val w = Orchestrator.Schedule.WeekMs
+    assert(weekly.duePeriods(1000L).isEmpty, "start instant: nothing due")
+    assert(weekly.duePeriods(1000L + w - 1).isEmpty, "mid-first-week: nothing due")
+    assert(weekly.duePeriods(1000L + w) == Seq(1000L), "first week closes at its end")
+    assert(weekly.duePeriods(1000L + 3 * w + 5) == Seq(1000L, 1000L + w, 1000L + 2 * w))
+  }
+
+  test("tick with catchup=false runs only the latest missed interval (the reference's setting)") {
+    val dir = tmpDir()
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stages = Seq(Stage("s")(_ => ran += "s"))
+    val sched = Orchestrator.Schedule(0L, 100L)
+    // three intervals have elapsed; only [200, 300) runs
+    val got = Orchestrator.tick(spark, stages, dir, sched, () => 350L)
+    assert(got.map(_._1) == Seq(200L))
+    assert(got.head._2.map(_.status) == Seq(Succeeded) && ran.toSeq == Seq("s"))
+    // re-tick at the same instant: idempotent, pure marker skip
+    val again = Orchestrator.tick(spark, stages, dir, sched, () => 350L)
+    assert(again.head._2.map(_.status) == Seq(SkippedComplete) && ran.size == 1)
+    // the next interval closing fires exactly once more
+    val later = Orchestrator.tick(spark, stages, dir, sched, () => 410L)
+    assert(later.map(_._1) == Seq(300L) && ran.size == 2)
+  }
+
+  test("tick with catchup=true backfills every missed interval in order") {
+    val dir = tmpDir()
+    val ran = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stages = Seq(Stage("s")(_ => ran += ran.size.toLong))
+    val sched = Orchestrator.Schedule(0L, 100L)
+    val got = Orchestrator.tick(spark, stages, dir, sched, () => 350L, catchup = true)
+    assert(got.map(_._1) == Seq(0L, 100L, 200L))
+    assert(got.flatMap(_._2).forall(_.status == Succeeded) && ran.size == 3)
+  }
+
+  test("a failed interval resumes mid-DAG on the next tick, per-interval markers isolated") {
+    val dir = tmpDir()
+    var failFirst = true
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stages = Seq(
+      Stage("a")(_ => ran += "a"),
+      Stage("b", Seq("a"))(_ =>
+        if (failFirst) { failFirst = false; sys.error("transient") } else ran += "b"))
+    val sched = Orchestrator.Schedule(0L, 100L)
+    val first = Orchestrator.tick(spark, stages, dir, sched, () => 150L, retries = 0)
+    assert(first.head._2.map(_.status) == Seq(Succeeded, Failed))
+    // same interval, next tick: a skips via its marker, b reruns and lands
+    val second = Orchestrator.tick(spark, stages, dir, sched, () => 160L, retries = 0)
+    assert(second.head._2.map(_.status) == Seq(SkippedComplete, Succeeded))
+    assert(ran.toSeq == Seq("a", "b"), "a must not recompute on resume")
+  }
+
   test("drives a parquet pipeline end-to-end through the engine sinks") {
     // the DAG shape of the reference's Olympic-Athletes-ETL_DAG.py:
     // each stage writes parquet through the engine's own sink, the next
