@@ -1566,6 +1566,31 @@ object SparkEntry {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Zone-map round trip through the custom FileIndex: lineitem is
+    * range-clustered and written with a zone-map manifest, read back
+    * through [[graft.sources.ZoneMapFileIndex]], and a plain `.filter`
+    * prunes files inside the scan (the listing audit lives in
+    * ZoneMapsSpec; this query oracle-checks the VALUES that survive the
+    * whole write→manifest→prune→scan path). The oracle runs the same
+    * predicate over the raw table — pruning must be invisible.
+    */
+  private def q108ZonemapScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ZoneMapFileIndex, ZoneMaps}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q108").toString
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .repartitionByRange(8, col("l_orderkey"))
+    ZoneMaps.writeWithZoneMap(li, tmp, Seq("l_orderkey"))
+    ZoneMapFileIndex.read(s, tmp)
+      .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 1000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1674,7 +1699,8 @@ object SparkEntry {
     "q104_temperature_sample" -> (q104TemperatureSample _),
     "q105_robust_outliers" -> (q105RobustOutliers _),
     "q106_topk_per_group" -> (q106TopKPerGroup _),
-    "q107_share_of_total" -> (q107ShareOfTotal _))
+    "q107_share_of_total" -> (q107ShareOfTotal _),
+    "q108_zonemap_scan" -> (q108ZonemapScan _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3037,7 +3063,18 @@ object SparkEntry {
         | round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share,
         | round(rev / sum(rev) OVER (), 6) AS total_share
         |FROM rev
-        |ORDER BY r_name, n_name""".stripMargin)
+        |ORDER BY r_name, n_name""".stripMargin,
+    // q108: the engine writes a zone-mapped copy and scans it through
+    // the pruning FileIndex; the oracle applies the same predicate to
+    // the raw table — file skipping must be value-invisible
+    "q108_zonemap_scan" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey >= 100 AND l_orderkey <= 1000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
