@@ -72,12 +72,16 @@ object Bench {
     // The final stdout line must stay under ~1 KB: the driver captures
     // only the tail of stdout, and a 107-query JSON line overflowed its
     // window every round (BENCH "parsed": null). Summary = total, count,
-    // errors, the 5 slowest queries (the only per-query signal that fits),
-    // and the path to the full record.
+    // the first 5 errors (values are exception CLASS NAMES — no quoting
+    // hazards — and a 108-query wipeout must not overflow the window the
+    // summary exists to fit; the full map is in the file), the 5 slowest
+    // queries, and the path to the full record.
     val slowest = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val esSummary = errors.take(5)
+      .map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"errors":$es,"slowest":$slowest,"sf":"$sfDir","queries_file":"$outPath"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"errors":$esSummary,"slowest":$slowest,"sf":"$sfDir","queries_file":"$outPath"}"""
     // stop BEFORE printing: Spark's shutdown logs (stderr) can't land
     // after the metrics line, so the JSON is the last line on stdout
     spark.stop()

@@ -1301,7 +1301,12 @@ object SparkEntry {
   /** ANALYZE-style table profile of orders: one aggregate pass melted
     * to a row per column (rows / nulls / distinct / min / max,
     * string-rendered). Oracle recomputes each column's stats
-    * independently.
+    * independently. Distinct counts ride tableProfile's default size
+    * gate (exact under 10M rows, HLL past it — the Components-style
+    * hybrid): every oracle/bench scale here is far under the gate, so
+    * the oracle's exact COUNT(DISTINCT) matches by construction; a
+    * deployment profiling >10M-row tables against an exact oracle must
+    * pin `exactDistinctMaxRows = Long.MaxValue`.
     */
   private def q91TableProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.GroupOps.tableProfile(t(s, dir, "orders"))
@@ -1576,7 +1581,11 @@ object SparkEntry {
     */
   private def q108ZonemapScan(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{ZoneMapFileIndex, ZoneMaps}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q108").toString
+    // FIXED scratch path + overwrite mode: repeated bench/verify runs
+    // reuse one directory instead of accumulating per-call temp copies
+    // until /tmp fills (bench runs queries sequentially, so the single
+    // path cannot race)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_q108_zonemap"
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
         col("l_extendedprice"))

@@ -125,11 +125,24 @@ object Orchestrator {
     */
   final case class Schedule(startEpochMs: Long, periodMs: Long) {
     require(periodMs > 0, s"period must be positive, got $periodMs")
-    /** Start timestamps of every interval due at `nowMs` (end ≤ now). */
+    /** Start timestamps of every interval due at `nowMs` (end ≤ now).
+      * O(n) in elapsed intervals — the CATCHUP enumeration; a
+      * no-catchup tick must use [[latestDue]] instead (a minutely
+      * schedule anchored years back would otherwise materialize
+      * millions of period starts just to take the last).
+      */
     def duePeriods(nowMs: Long): Seq[Long] = {
       val n = (nowMs - startEpochMs) / periodMs // intervals fully elapsed
       if (n <= 0) Seq.empty
       else (0L until n).map(k => startEpochMs + k * periodMs)
+    }
+
+    /** The most recent due interval's start, O(1); None before the
+      * first interval closes.
+      */
+    def latestDue(nowMs: Long): Option[Long] = {
+      val n = (nowMs - startEpochMs) / periodMs
+      if (n <= 0) None else Some(startEpochMs + (n - 1) * periodMs)
     }
   }
   object Schedule {
@@ -154,8 +167,9 @@ object Orchestrator {
            schedule: Schedule, clock: () => Long, catchup: Boolean = false,
            retries: Int = 1, retryDelayMs: Long = 0L)
       : Seq[(Long, Seq[StageResult])] = {
-    val due = schedule.duePeriods(clock())
-    val selected = if (catchup) due else due.takeRight(1)
+    val selected =
+      if (catchup) schedule.duePeriods(clock())
+      else schedule.latestDue(clock()).toSeq
     selected.map { periodStart =>
       periodStart ->
         run(spark, stages, s"$markerRoot/$periodStart", retries, retryDelayMs)

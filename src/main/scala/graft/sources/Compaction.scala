@@ -37,11 +37,12 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * still be excluded for the duration of the pass.
   *
   * Recovery (runs automatically at the start of every pass): a trash
-  * dir still named `<passId>` means the pass never committed — delete
-  * any `part-compacted-<passId>-…` outputs that made it to the root,
-  * restore any trashed originals, and the directory is byte-for-byte
-  * back to its pre-pass state (both orders of interrupted step 3/4 heal
-  * with the same two moves). A `.deleting-<passId>` dir means the pass
+  * dir still named `<passId>` means the pass never committed — restore
+  * any trashed originals, THEN delete any `part-compacted-<passId>-…`
+  * outputs that made it to the root (originals-first keeps the
+  * duplication-not-absence reader guarantee through recovery itself),
+  * and the directory is byte-for-byte back to its pre-pass state (both
+  * orders of interrupted step 3/4 heal with the same two moves). A `.deleting-<passId>` dir means the pass
   * committed and only the cleanup was interrupted — finish deleting it.
   * Either way no row is ever lost or duplicated after recovery.
   * Single-WRITER per directory is the caller's contract (concurrent
@@ -119,16 +120,19 @@ object Compaction {
           // committed, cleanup interrupted — finish it
           fs.delete(d.getPath, true)
         } else {
-          // uncommitted: undo. Outputs of this pass are identifiable by
-          // name; delete them, then restore the originals
-          fs.listStatus(root)
-            .filter(st => st.isFile &&
-              st.getPath.getName.startsWith(s"part-compacted-$name-"))
-            .foreach(st => fs.delete(st.getPath, false))
+          // uncommitted: undo — originals FIRST, outputs second, the
+          // same duplication-not-absence order as the forward path: a
+          // reader (or a second crash) between the two loops sees
+          // restored originals alongside not-yet-deleted outputs, never
+          // a gap. Outputs of this pass are identifiable by name.
           fs.listStatus(d.getPath).foreach { st =>
             require(fs.rename(st.getPath, new Path(root, st.getPath.getName)),
               s"recovery restore failed: ${st.getPath}")
           }
+          fs.listStatus(root)
+            .filter(st => st.isFile &&
+              st.getPath.getName.startsWith(s"part-compacted-$name-"))
+            .foreach(st => fs.delete(st.getPath, false))
           fs.delete(d.getPath, false)
         }
       }

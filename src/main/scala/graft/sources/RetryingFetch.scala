@@ -86,14 +86,18 @@ object RetryingFetch {
     * (biodata, results, errors) where `errors` is (id, error_message) —
     * feed it to [[Tables.writeErrors]] (S8) and the ids stay visible to
     * the next run's [[Tables.remaining]] resume anti-join only once they
-    * succeed. `pages` is evaluated twice downstream (bio + results);
-    * persist-scope it exactly like [[HtmlIngest.parseBronze]] documents.
+    * succeed. The fetched pages are PERSISTED here, not by the caller:
+    * three frames hang off one side-effecting fetch, and an unpersisted
+    * plan would re-run every HTTP call (and re-sleep the politeness
+    * schedule) per materialized output — release via the usual
+    * [[graft.Caches.withScope]] once the outputs are written.
     */
   def ingestWithRetry(ids: DataFrame, idCol: String,
                       openSession: () => Int => String,
                       policy: FetchPolicy = FetchPolicy())
       : (DataFrame, DataFrame, DataFrame) = {
-    val pages = fetchPages(ids, idCol, openSession, policy)
+    val pages = graft.Caches.track(
+      fetchPages(ids, idCol, openSession, policy).persist())
     val ok = pages.filter(col("error").isNull).select(col(idCol), col("html"))
     val errors = pages.filter(col("error").isNotNull)
       .select(col(idCol), col("error").as("error_message"))

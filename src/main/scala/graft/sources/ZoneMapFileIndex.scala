@@ -46,9 +46,11 @@ final class ZoneMapFileIndex(spark: SparkSession, rootPath: Path,
     FileStatusCache.getOrCreate(spark))
 
   // the manifest is driver-sized by contract (one row per file×column);
-  // collect once so every listFiles call prunes without a Spark job
+  // collect once so every listFiles call — the planner asks repeatedly —
+  // prunes without a Spark job
+  private val manifestRows = manifest.collect()
   private val manifestFiles: Set[String] =
-    manifest.select("file").distinct().collect().map(_.getString(0)).toSet
+    manifestRows.map(_.getAs[String]("file")).toSet
 
   override def rootPaths: Seq[Path] = inner.rootPaths
   override def partitionSchema: StructType = inner.partitionSchema
@@ -62,7 +64,7 @@ final class ZoneMapFileIndex(spark: SparkSession, rootPath: Path,
     val base = inner.listFiles(partitionFilters, dataFilters)
     if (zoneFilters.isEmpty) base
     else {
-      val kept = ZoneMaps.selectFiles(manifest, zoneFilters).toSet
+      val kept = ZoneMaps.selectFromRows(manifestRows, zoneFilters).toSet
       base.map { pd =>
         pd.copy(files = pd.files.filter { f =>
           val name = f.getPath.getName

@@ -131,11 +131,19 @@ object ZoneMaps {
     * disjoint from the file's [min, max] on that column; files with
     * kind "none" (absent stats) always survive.
     */
-  def selectFiles(manifest: DataFrame, filters: Seq[ZoneFilter]): Seq[String] = {
+  def selectFiles(manifest: DataFrame, filters: Seq[ZoneFilter]): Seq[String] =
     // one collect serves both the file universe and the bounds lookup —
     // the manifest is tiny, but two Spark jobs per read would double the
     // planning overhead this layer exists to remove
-    val rows = manifest.collect()
+    selectFromRows(manifest.collect(), filters)
+
+  /** The pruning decision over pre-collected manifest rows — the form a
+    * caller holding the manifest driver-side ([[ZoneMapFileIndex]], which
+    * answers repeated planner `listFiles` calls) uses so no Spark job
+    * runs per decision.
+    */
+  private[sources] def selectFromRows(rows: Array[org.apache.spark.sql.Row],
+                                      filters: Seq[ZoneFilter]): Seq[String] = {
     val all = rows.map(_.getAs[String]("file")).distinct.toSeq
     if (filters.isEmpty) return all.sorted
     val byFileCol = rows.map { r =>

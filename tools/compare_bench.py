@@ -16,11 +16,19 @@ base = json.load(open(base_p))["queries"]
 scaled = json.load(open(scaled_p))["queries"]
 
 rows = []
+only_scaled = []
 for q in sorted(scaled):
     if q not in base:
+        only_scaled.append(q)
         continue
     b, s = base[q], scaled[q]
     rows.append((s / max(b, 1e-9), b, s, q))
+
+if not rows:
+    sys.exit(f"no overlapping queries between {base_p} and {scaled_p}")
+if only_scaled:
+    print(f"NOTE: {len(only_scaled)} queries only in the scaled run "
+          f"(not compared): {', '.join(only_scaled)}")
 
 rows.sort(reverse=True)
 flagged = [r for r in rows if r[0] > gate]
