@@ -60,28 +60,10 @@ object Bench {
     }
     val ok = runs.collect { case (name, sec, None) => name -> sec }
     val errors = runs.collect { case (name, _, Some(e)) => name -> e }
-    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val es = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
     // full per-query detail goes to the file; stdout gets a compact line
-    val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The final stdout line must stay under ~1 KB: the driver captures
-    // only the tail of stdout, and a 107-query JSON line overflowed its
-    // window every round (BENCH "parsed": null). Summary = total, count,
-    // the first 5 errors (values are exception CLASS NAMES — no quoting
-    // hazards — and a 108-query wipeout must not overflow the window the
-    // summary exists to fit; the full map is in the file), the 5 slowest
-    // queries, and the path to the full record.
-    val slowest = ok.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val esSummary = errors.take(5)
-      .map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    val summary =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"errors":$esSummary,"slowest":$slowest,"sf":"$sfDir","queries_file":"$outPath"}"""
+      (fullJson(ok, errors, sfDir) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val summary = summaryJson(ok, errors, sfDir, outPath)
     // stop BEFORE printing: Spark's shutdown logs (stderr) can't land
     // after the metrics line, so the JSON is the last line on stdout
     spark.stop()
@@ -89,5 +71,37 @@ object Bench {
     System.out.flush()
     // a bench with failing queries is a failed bench run
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  private def ms(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The full record written to the bench-out file: every query, every
+    * error, millisecond precision.
+    */
+  private[graft] def fullJson(ok: Seq[(String, Double)],
+                              errors: Seq[(String, String)], sfDir: String): String = {
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val es = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${ms(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+  }
+
+  /** The final stdout line. CONTRACT (BenchSpec pins it): valid JSON,
+    * under 1 KB for any outcome — the driver captures only the tail of
+    * stdout, and a full per-query line overflowed its window every
+    * round through r4 (BENCH "parsed": null). Summary = total, counts,
+    * the first 5 errors (values are exception CLASS NAMES — no quoting
+    * hazards — and a 108-query wipeout must not overflow the window the
+    * summary exists to fit), the 5 slowest queries, and the path to the
+    * full record.
+    */
+  private[graft] def summaryJson(ok: Seq[(String, Double)],
+                                 errors: Seq[(String, String)],
+                                 sfDir: String, outPath: String): String = {
+    val slowest = ok.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val esSummary = errors.take(5)
+      .map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${ms(ok.map(_._2).sum)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"errors":$esSummary,"slowest":$slowest,"sf":"$sfDir","queries_file":"$outPath"}"""
   }
 }

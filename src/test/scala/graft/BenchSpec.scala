@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Pins the Bench stdout contract that broke the driver's tail capture
+  * four rounds running: the summary line must be VALID JSON and stay
+  * under 1 KB for any outcome, including a full 108-query wipeout.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper
+  private def queries(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"q$i%03d_some_longish_query_name" -> i * 0.137)
+
+  test("summary line: valid JSON, under 1 KB, for the all-green 108-query run") {
+    val s = Bench.summaryJson(queries(108), Nil, "/root/testdata/sf0.1", "bench_out.json")
+    val node = mapper.readTree(s)
+    assert(s.length < 1024, s"summary is ${s.length} bytes:\n$s")
+    assert(node.get("n_ok").asInt == 108 && node.get("n_err").asInt == 0)
+    assert(node.get("slowest").size == 5)
+    assert(node.get("queries_file").asText == "bench_out.json")
+  }
+
+  test("summary line: valid JSON, under 1 KB, when every query fails") {
+    val errs = (1 to 108).map(i => f"q$i%03d_some_longish_query_name" -> "SparkArithmeticException")
+    val s = Bench.summaryJson(Nil, errs, "/tmp/sf1", "out.json")
+    val node = mapper.readTree(s)
+    assert(s.length < 1024, s"summary is ${s.length} bytes:\n$s")
+    assert(node.get("n_err").asInt == 108, "the COUNT reports the wipeout")
+    assert(node.get("errors").size == 5, "only the first 5 errors ride the summary")
+  }
+
+  test("full record keeps every query and error at millisecond precision") {
+    val errs = Seq("q_bad" -> "AnalysisException")
+    val s = Bench.fullJson(queries(108), errs, "/tmp/sf1")
+    val node = mapper.readTree(s)
+    assert(node.get("queries").size == 108)
+    assert(node.get("errors").get("q_bad").asText == "AnalysisException")
+    // total excludes failed queries by construction (ok-only sum)
+    assert(math.abs(node.get("value").asDouble -
+      queries(108).map(_._2).sum) < 0.001)
+  }
+}
