@@ -27,8 +27,6 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorS) = args
-    val factor = factorS.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,6 +36,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, inDir, outDir, factorS.toInt)
+    finally spark.stop()
+  }
+
+  /** The scaling itself, session provided by the caller (main owns its
+    * own; ScaleUpSpec passes the shared test session).
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
 
     def rd(n: String) = spark.read.parquet(s"$inDir/$n.parquet")
     def stride(df: DataFrame, c: String): Long =
@@ -81,6 +88,5 @@ object ScaleUp {
       rd(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
       println(s"[scaleup] $n x1 (dimension)")
     }
-    spark.stop()
   }
 }
