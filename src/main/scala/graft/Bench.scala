@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * Failure contract: a query that throws is recorded in an "errors" map
   * with its exception class, and its time is NOT added to the total — a
   * failing query must never masquerade as a fast success.
+  *
+  * Noise contract: subset runs (SPARK_GRAFT_BENCH_ONLY) write to a
+  * `.partial` sibling and never clobber the committed full record;
+  * SPARK_GRAFT_BENCH_REPEAT=N (opt-in) re-times the N slowest queries
+  * twice more and records min-of-3, with the re-timed set declared in
+  * the record ("retimed") — both pinned by BenchSpec.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,7 +52,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-    val runs = selected.map { case (name, fn) =>
+
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Spark prune the projections being measured)
@@ -58,12 +66,33 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val ok = runs.collect { case (name, sec, None) => name -> sec }
+
+    val runs = selected.map { case (name, fn) => time(name, fn) }
+    val firstPass = runs.collect { case (name, sec, None) => name -> sec }
     val errors = runs.collect { case (name, _, Some(e)) => name -> e }
+    // noise control, opt-in: SPARK_GRAFT_BENCH_REPEAT=N re-times the N
+    // slowest first-pass queries twice more and records min-of-3 — a
+    // transient load spike on one query (the artifact that contaminated
+    // five straight driver rounds) cannot survive three timings
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(0)
+    val retimed: Map[String, Double] =
+      if (repeat <= 0) Map.empty
+      else {
+        val byName = selected.toMap
+        firstPass.sortBy(-_._2).take(repeat).map { case (name, _) =>
+          val reruns = Seq(time(name, byName(name)), time(name, byName(name)))
+          name -> reruns.collect { case (_, sec, None) => sec }
+        }.collect { case (name, secs) if secs.nonEmpty => name -> secs.min }.toMap
+      }
+    val ok = mergeRetimes(firstPass, retimed)
+    // a subset run is a partial record and must never clobber the
+    // committed full one (bit the round-5 adjudication)
+    val effOut = effectiveOutPath(outPath, only.isDefined)
     // full per-query detail goes to the file; stdout gets a compact line
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullJson(ok, errors, sfDir) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val summary = summaryJson(ok, errors, sfDir, outPath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(effOut),
+      (fullJson(ok, errors, sfDir, retimed.keySet) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val summary = summaryJson(ok, errors, sfDir, effOut)
     // stop BEFORE printing: Spark's shutdown logs (stderr) can't land
     // after the metrics line, so the JSON is the last line on stdout
     spark.stop()
@@ -76,14 +105,38 @@ object Bench {
   private def ms(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Where the record lands: subset runs (`SPARK_GRAFT_BENCH_ONLY` set)
+    * divert to a `.partial` sibling so the full committed record is
+    * never overwritten by a dev/adjudication rerun — even one that
+    * happens to select everything.
+    */
+  private[graft] def effectiveOutPath(outPath: String, isSubset: Boolean): String =
+    if (!isSubset) outPath
+    else if (outPath.endsWith(".json")) outPath.stripSuffix(".json") + ".partial.json"
+    else outPath + ".partial"
+
+  /** Fold min-of-N re-timings into the first pass, preserving query
+    * order; queries without a re-timing keep their first-pass time, and
+    * a re-timing can only LOWER a time (a rerun that came out slower is
+    * itself load noise — min is the point).
+    */
+  private[graft] def mergeRetimes(firstPass: Seq[(String, Double)],
+                                  retimed: Map[String, Double]): Seq[(String, Double)] =
+    firstPass.map { case (name, sec) =>
+      name -> retimed.get(name).fold(sec)(math.min(sec, _))
+    }
+
   /** The full record written to the bench-out file: every query, every
-    * error, millisecond precision.
+    * error, millisecond precision, plus which queries were re-timed
+    * (min-of-3) so a record's noise treatment is self-describing.
     */
   private[graft] def fullJson(ok: Seq[(String, Double)],
-                              errors: Seq[(String, String)], sfDir: String): String = {
+                              errors: Seq[(String, String)], sfDir: String,
+                              retimed: Set[String] = Set.empty): String = {
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${ms(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    val rt = retimed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${ms(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"sf":"$sfDir"}"""
   }
 
   /** The final stdout line. CONTRACT (BenchSpec pins it): valid JSON,

@@ -204,23 +204,37 @@ object GroupOps {
     * (|columns|× row multiplication before partial aggregation — the
     * q52-documented pathology), so exactness is SIZE-GATED like
     * [[Components.connectedComponents]]'s driver-side gate: with
-    * `exactDistinct = true` the table is counted first (one cheap
-    * count-only scan, no Expand) and the exact path runs only when the
-    * count fits `exactDistinctMaxRows`; past the gate the profile
+    * `exactDistinct = true` the gate is decided from Catalyst's own
+    * plan statistics when they suffice — CBO `rowCount` if available,
+    * else the size estimate: `sizeInBytes <= gate` implies the row
+    * count fits too at >=1 byte/row, so the common small-table caller
+    * pays NO extra scan — and only a table whose estimate exceeds the
+    * gate in bytes is actually counted (one cheap count-only scan, no
+    * Expand) before choosing. The residual risk of the byte heuristic
+    * runs the safe direction: a pathologically compressible sub-byte-
+    * per-row table past the gate would pick the exact Expand (a perf
+    * cost, never a wrong answer). Past the gate the profile
     * auto-degrades to single-pass HLL sketches (±5%, the right profile
     * tool when the numbers feed a human). Oracle/parity runs stay exact
     * for free — every test scale is far under the default gate — and a
     * caller needing exactness regardless can raise the gate
-    * (`Long.MaxValue` skips the pre-count entirely).
-    * `exactDistinct = false` always sketches, also skipping the
-    * pre-count.
+    * (`Long.MaxValue` skips the gate check entirely).
+    * `exactDistinct = false` always sketches, also skipping the check.
     */
   def tableProfile(df: DataFrame, exactDistinct: Boolean = true,
                    exactDistinctMaxRows: Long = 10000000L): DataFrame = {
     val names = df.columns.toSeq
     require(names.nonEmpty, "cannot profile a zero-column frame")
+    def underGate: Boolean = {
+      val stats = df.queryExecution.optimizedPlan.stats
+      stats.rowCount match {
+        case Some(n) => n <= BigInt(exactDistinctMaxRows)
+        case None if stats.sizeInBytes <= BigInt(exactDistinctMaxRows) => true
+        case None => df.count() <= exactDistinctMaxRows
+      }
+    }
     val exact = exactDistinct &&
-      (exactDistinctMaxRows == Long.MaxValue || df.count() <= exactDistinctMaxRows)
+      (exactDistinctMaxRows == Long.MaxValue || underGate)
     // positional intermediate names + quoted literals: interpolating raw
     // column names into the stack() SQL breaks on any name that is not a
     // plain identifier ("order date", "it's") — exactly the messy ingest

@@ -52,6 +52,17 @@ final class ZoneMapFileIndex(spark: SparkSession, rootPath: Path,
   private val manifestFiles: Set[String] =
     manifestRows.map(_.getAs[String]("file")).toSet
 
+  // manifest rows key by path RELATIVE to the table root (bare name for
+  // the top-level files writeWithZoneMap harvests); listed files match
+  // on the same relative form, so same-named part files in different
+  // partition subdirectories can never alias one bounds row — a file in
+  // a subdir the manifest doesn't cover relativizes to "dir/name", finds
+  // no manifest entry, and is conservatively KEPT
+  private val qualifiedRoot = rootPath.getFileSystem(
+    spark.sparkContext.hadoopConfiguration).makeQualified(rootPath)
+  private def relativeToRoot(p: Path): String =
+    qualifiedRoot.toUri.relativize(p.toUri).getPath
+
   override def rootPaths: Seq[Path] = inner.rootPaths
   override def partitionSchema: StructType = inner.partitionSchema
   override def inputFiles: Array[String] = inner.inputFiles
@@ -67,7 +78,7 @@ final class ZoneMapFileIndex(spark: SparkSession, rootPath: Path,
       val kept = ZoneMaps.selectFromRows(manifestRows, zoneFilters).toSet
       base.map { pd =>
         pd.copy(files = pd.files.filter { f =>
-          val name = f.getPath.getName
+          val name = relativeToRoot(f.getPath)
           !manifestFiles.contains(name) || kept.contains(name)
         })
       }

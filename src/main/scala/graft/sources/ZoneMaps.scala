@@ -149,6 +149,13 @@ object ZoneMaps {
     val byFileCol = rows.map { r =>
       ((r.getAs[String]("file"), r.getAs[String]("col")), r)
     }.toMap
+    // a duplicated (file, col) key would silently keep one row's bounds
+    // and could wrongly prune against the other's — fail loudly instead
+    // (can't happen for writeWithZoneMap manifests, whose file keys are
+    // a directory listing; this guards hand-built or merged manifests)
+    require(byFileCol.size == rows.length,
+      s"zone-map manifest has duplicate (file, col) rows: " +
+        s"${rows.length} rows, ${byFileCol.size} distinct keys")
     all.filter { f =>
       filters.forall { flt =>
         byFileCol.get((f, flt.col)).forall { r =>

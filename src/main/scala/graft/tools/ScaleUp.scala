@@ -47,19 +47,26 @@ object ScaleUp {
     require(factor >= 1, s"factor must be >= 1, got $factor")
 
     def rd(n: String) = spark.read.parquet(s"$inDir/$n.parquet")
-    def stride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
+    def stride(table: String, c: String): Long = {
+      val row = rd(table).agg(max(col(c).cast("long"))).head
+      // max() over zero rows or an all-null key yields NULL — name the
+      // offender instead of surfacing a bare NPE from getLong
+      require(!row.isNullAt(0),
+        s"ScaleUp: cannot derive a key stride for $table.$c " +
+          "(empty table or all-null key column)")
+      row.getLong(0) + 1L
+    }
 
     // one stride per key DOMAIN (lineitem's l_orderkey shares the orders
     // domain, etc.) so cross-table references stay consistent
-    val sCust = stride(rd("customer"), "c_custkey")
-    val sOrd = stride(rd("orders"), "o_orderkey")
-    val sPart = stride(rd("part"), "p_partkey")
-    val sSupp = stride(rd("supplier"), "s_suppkey")
-    val sDoc = stride(rd("documents"), "doc_id")
-    val sVec = stride(rd("embeddings"), "vec_id")
-    val sEv = stride(rd("events"), "event_id")
-    val sUser = stride(rd("events"), "user_id")
+    val sCust = stride("customer", "c_custkey")
+    val sOrd = stride("orders", "o_orderkey")
+    val sPart = stride("part", "p_partkey")
+    val sSupp = stride("supplier", "s_suppkey")
+    val sDoc = stride("documents", "doc_id")
+    val sVec = stride("embeddings", "vec_id")
+    val sEv = stride("events", "event_id")
+    val sUser = stride("events", "user_id")
 
     def scaled(name: String, offsets: Map[String, Long]): Unit = {
       val base = rd(name)

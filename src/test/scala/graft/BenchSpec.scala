@@ -41,4 +41,26 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(node.get("value").asDouble -
       queries(108).map(_._2).sum) < 0.001)
   }
+
+  test("subset runs divert to a .partial sibling; full runs keep the path") {
+    assert(Bench.effectiveOutPath("bench_out.json", isSubset = false) == "bench_out.json")
+    assert(Bench.effectiveOutPath("bench_out.json", isSubset = true) == "bench_out.partial.json")
+    assert(Bench.effectiveOutPath("/x/BENCH_sf1.json", isSubset = true) == "/x/BENCH_sf1.partial.json")
+    // a non-.json path still gets an unambiguous partial marker
+    assert(Bench.effectiveOutPath("record", isSubset = true) == "record.partial")
+  }
+
+  test("retime merge records min-of-runs and leaves other queries alone") {
+    val first = Seq("q_a" -> 5.0, "q_b" -> 2.0, "q_c" -> 1.0)
+    val merged = Bench.mergeRetimes(first, Map("q_a" -> 0.9, "q_b" -> 7.0))
+    assert(merged == Seq("q_a" -> 0.9, "q_b" -> 2.0, "q_c" -> 1.0),
+      "re-timing lowers q_a, cannot raise q_b, never touches q_c")
+  }
+
+  test("full record declares which queries were re-timed") {
+    val s = Bench.fullJson(queries(3), Nil, "/tmp/sf1", Set("q002_some_longish_query_name"))
+    val node = mapper.readTree(s)
+    assert(node.get("retimed").size == 1)
+    assert(node.get("retimed").get(0).asText == "q002_some_longish_query_name")
+  }
 }

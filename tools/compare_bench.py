@@ -40,4 +40,6 @@ tot_b = sum(r[1] for r in rows)
 tot_s = sum(r[2] for r in rows)
 print(f"\ntotal: sf0.1 {tot_b:.1f}s -> sf1 {tot_s:.1f}s ({tot_s/tot_b:.1f}x on 10x data)")
 print(f"{len(flagged)} queries over the {gate:.0f}x gate")
-sys.exit(0)
+# gate failures must fail the caller (CI, scripts) — a printed table alone
+# let over-gate regressions pass silently
+sys.exit(1 if flagged else 0)
