@@ -422,12 +422,12 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
-  /** Multimodal plumbing: synthetic media → partition-wise decode stub →
-    * feature extraction. Oracle-checked: the synth payload is pure
-    * arithmetic in media_id, so DuckDB reproduces every output column —
-    * metadata AND the stub feature (an exact sum of signed bytes; each
-    * value is k/256, which has no half-way cases at 4 decimals, so the
-    * rounding agrees bit-for-bit).
+  /** Multimodal plumbing: synthetic media → partition-wise decode →
+    * feature extraction. Image rows decode REAL BMP pixel bytes, audio
+    * rows REAL RIFF/WAVE PCM samples; only video uses the marked stub.
+    * Oracle-checked: every synth payload is pure arithmetic in
+    * media_id, so DuckDB reproduces every output column — metadata AND
+    * the feature lane (cast to REAL where float rounding must match).
     */
   private def q36Multimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
@@ -1600,6 +1600,25 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Real RIFF/WAVE PCM decode: synthetic audio payloads are genuine
+    * WAV files ([[graft.operators.Multimodal.synthWav]]); duration/
+    * peak/sum-of-squares/RMS come from parsing the actual chunk list
+    * and PCM bytes. Oracle-checked: the sample values are pure
+    * arithmetic in (media_id, flat index), so DuckDB reproduces every
+    * column — the integer stats exactly, RMS to 6 rounded decimals.
+    */
+  private def q109AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(s, 300).filter(col("modality") === "audio")
+    Multimodal.audioStats(media).toDF()
+      .select(col("mediaId").as("media_id"),
+        col("sampleRate").as("sample_rate"), col("channels"),
+        col("bits"), col("nFrames").as("n_frames"),
+        col("durationUs").as("duration_us"), col("peak"),
+        col("sumSq").as("sum_sq"), round(col("rms"), 6).as("rms"))
+      .orderBy(col("media_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1709,7 +1728,8 @@ object SparkEntry {
     "q105_robust_outliers" -> (q105RobustOutliers _),
     "q106_topk_per_group" -> (q106TopKPerGroup _),
     "q107_share_of_total" -> (q107ShareOfTotal _),
-    "q108_zonemap_scan" -> (q108ZonemapScan _))
+    "q108_zonemap_scan" -> (q108ZonemapScan _),
+    "q109_audio_features" -> (q109AudioFeatures _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2018,16 +2038,26 @@ object SparkEntry {
         |   AND p.p < (16 + (r.i % 6) * 8) * (16 + (r.i % 5) * 8) * 3
         | GROUP BY r.i
         |UNION ALL
-        | SELECT r.i AS media_id,
-        |  CASE r.i % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        | SELECT r.i AS media_id, 'audio' AS modality,
+        |  CAST(8000 + (r.i % 4) * 4000 AS INT) AS w,
+        |  CAST(1 + (r.i % 2) AS INT) AS h,
+        |  CAST(200 + (r.i % 50) * 4 AS INT) AS frames_sampled,
+        |  CAST(CAST(sum((r.i * 31 + j.j * 7) % 251 - 125) AS DOUBLE)
+        |       / count(*) AS REAL) AS f0
+        | FROM range(300) r(i) CROSS JOIN range(792) j(j)
+        | WHERE r.i % 3 = 1 AND j.j % 16 = 0
+        |   AND j.j < (200 + (r.i % 50) * 4) * (1 + (r.i % 2))
+        | GROUP BY r.i
+        |UNION ALL
+        | SELECT r.i AS media_id, 'video' AS modality,
         |  CAST(64 + (r.i % 8) * 32 AS INT) AS w,
         |  CAST(64 + (r.i % 5) * 32 AS INT) AS h,
-        |  CAST(CASE WHEN r.i % 3 = 2 THEN (8 + r.i % 4) // 2 ELSE 1 END AS INT) AS frames_sampled,
+        |  CAST((8 + r.i % 4) // 2 AS INT) AS frames_sampled,
         |  sum(CASE WHEN (r.i * 31 + m.j * 112) % 251 > 127
         |           THEN (r.i * 31 + m.j * 112) % 251 - 256
         |           ELSE (r.i * 31 + m.j * 112) % 251 END) / 256.0 AS f0
         | FROM range(300) r(i) CROSS JOIN range(16) m(j)
-        | WHERE r.i % 3 <> 0
+        | WHERE r.i % 3 = 2
         | GROUP BY r.i) t
         |ORDER BY media_id""".stripMargin,
     "q37_rollup" ->
@@ -3083,7 +3113,27 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey >= 100 AND l_orderkey <= 1000
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    // q109: the engine decodes real RIFF/WAVE PCM bytes; the oracle
+    // restates the synthetic sample closed form — flat sample j of
+    // audio i is ((i*31 + j*7) % 251) - 125, N = nFrames*channels.
+    // Integer stats (peak, sum_sq, duration_us) must match exactly;
+    // RMS to 6 rounded decimals (sqrt+divide are IEEE in both engines).
+    "q109_audio_features" ->
+      """SELECT r.i AS media_id,
+        | CAST(8000 + (r.i % 4) * 4000 AS INT) AS sample_rate,
+        | CAST(1 + (r.i % 2) AS INT) AS channels,
+        | 16 AS bits,
+        | CAST(200 + (r.i % 50) * 4 AS INT) AS n_frames,
+        | CAST((200 + (r.i % 50) * 4) * 1000000 // (8000 + (r.i % 4) * 4000) AS BIGINT) AS duration_us,
+        | CAST(max(abs((r.i * 31 + j.j * 7) % 251 - 125)) AS INT) AS peak,
+        | CAST(sum(((r.i * 31 + j.j * 7) % 251 - 125) * ((r.i * 31 + j.j * 7) % 251 - 125)) AS BIGINT) AS sum_sq,
+        | round(sqrt(CAST(sum(((r.i * 31 + j.j * 7) % 251 - 125) * ((r.i * 31 + j.j * 7) % 251 - 125)) AS DOUBLE) / count(*)), 6) AS rms
+        |FROM range(300) r(i) CROSS JOIN range(792) j(j)
+        |WHERE r.i % 3 = 1
+        |  AND j.j < (200 + (r.i % 50) * 4) * (1 + (r.i % 2))
+        |GROUP BY r.i
+        |ORDER BY media_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

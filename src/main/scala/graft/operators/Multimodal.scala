@@ -17,11 +17,16 @@ import org.apache.spark.sql.types._
   *    recovers width/height from the header and computes features from
   *    the actual pixel bytes. Hand it any 24-bit BI_RGB file and it
   *    answers correctly (spec: a hand-built 2×2 with padding).
-  *  - audio/video formats need native codecs the container doesn't
-  *    have, so their decode is a clearly-marked DETERMINISTIC STUB
-  *    (parses our own synthetic header). Swap the stub arm of
-  *    [[decodePayload]] for a jni/ffmpeg/javacv call and nothing else
-  *    changes.
+  *  - AUDIO payloads are real RIFF/WAVE PCM files and [[parseWav]] is a
+  *    REAL decoder — the RIFF chunk walk (odd-sized chunks pad to even,
+  *    unknown chunks skipped), the fmt-chunk fields (sample rate,
+  *    channels, bit depth), and the actual PCM samples (16-bit signed LE
+  *    or 8-bit unsigned), no codec library. [[audioStats]] computes
+  *    duration/peak/RMS from the decoded samples.
+  *  - video formats need native codecs the container doesn't have, so
+  *    their decode is a clearly-marked DETERMINISTIC STUB (parses our
+  *    own synthetic header). Swap the stub arm of [[decodePayload]] for
+  *    a jni/ffmpeg/javacv call and nothing else changes.
   */
 object Multimodal {
 
@@ -75,11 +80,52 @@ object Multimodal {
     arr
   }
 
+  /** Logical PCM sample value at flat index j (j = frame·channels + ch)
+    * of synthetic audio i — the single source of truth shared by
+    * [[synthWav]] (which lays these out as real 16-bit LE samples) and
+    * the q36/q109 oracles (closed form in SQL). Range [-125, 125].
+    */
+  @inline private def synthSample(i: Long, j: Int): Int =
+    (((i * 31 + j.toLong * 7) % 251) - 125).toInt
+
+  /** Synthetic-audio geometry for id i: (sampleRate, channels, nFrames)
+    * — shared with the oracle SQL closed forms.
+    */
+  @inline private[operators] def synthWavGeom(i: Long): (Int, Int, Int) =
+    (8000 + (i % 4).toInt * 4000, 1 + (i % 2).toInt, 200 + (i % 50).toInt * 4)
+
+  /** A real, well-formed RIFF/WAVE PCM file: RIFF header, 16-byte fmt
+    * chunk (audioFormat=1, channels, sample rate, byte rate, block
+    * align, 16 bits), data chunk of 16-bit LE samples where flat sample
+    * j equals [[synthSample]](i, j).
+    */
+  private[operators] def synthWav(i: Long): Array[Byte] = {
+    val (sampleRate, channels, nFrames) = synthWavGeom(i)
+    val nSamples = nFrames * channels
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                                    // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)              // byte rate
+      .putShort((channels * 2).toShort)               // block align
+      .putShort(16)                                   // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var j = 0
+    while (j < nSamples) { buf.putShort(synthSample(i, j).toShort); j += 1 }
+    buf.array()
+  }
+
   /** Deterministic synthetic media: image rows carry a REAL BMP payload
-    * ([[synthBmp]]); audio/video carry a 16-byte header (modality tag,
+    * ([[synthBmp]]), audio rows a REAL RIFF/WAVE PCM payload
+    * ([[synthWav]]); video carries a 16-byte header (modality tag,
     * width, height, n_frames) + pseudo-random body derived from the id
-    * (their codecs are stubbed). Stands in for real scraped bytes in
-    * tests/benchmarks.
+    * (its codec is stubbed). Stands in for real scraped bytes in
+    * tests/benchmarks. The width/height metadata columns are as-scraped
+    * metadata — for audio they are upstream noise; decode is the truth.
     */
   def synthesize(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -93,10 +139,14 @@ object Multimodal {
         val w = 16 + (i % 6).toInt * 8
         val h = 16 + (i % 5).toInt * 8
         (i, modality, w, h, 1, synthBmp(i, w, h))
+      } else if (modality == "audio") {
+        val w = 64 + (i % 8).toInt * 32
+        val h = 64 + (i % 5).toInt * 32
+        (i, modality, w, h, 1, synthWav(i))
       } else {
         val w = 64 + (i % 8).toInt * 32
         val h = 64 + (i % 5).toInt * 32
-        val frames = if (modality == "video") 8 + (i % 4).toInt else 1
+        val frames = 8 + (i % 4).toInt
         val header = java.nio.ByteBuffer.allocate(16)
           .put(modality.head.toByte).put(0.toByte)
           .putShort(w.toShort).putShort(h.toShort).putShort(frames.toShort)
@@ -158,10 +208,118 @@ object Multimodal {
     MediaFeatures(id, "image", w, h, 1, feature)
   }
 
+  /** Parsed PCM audio: fmt-chunk fields + the decoded samples as signed
+    * ints (16-bit: as-is; 8-bit unsigned: centered to [-128, 127]).
+    */
+  private[operators] final case class WavPcm(sampleRate: Int, channels: Int,
+                                             bits: Int, samples: Array[Int]) {
+    def nFrames: Int = samples.length / channels
+  }
+
+  /** REAL RIFF/WAVE PCM decode, pure byte arithmetic — no codec
+    * dependency. Walks the chunk list from offset 12 (each chunk is a
+    * 4-byte ASCII id + LE uint32 size + body, ODD sizes padded to even
+    * with a byte that is NOT counted in the size — the RIFF rule real
+    * encoders exercise via odd-length LIST/INFO chunks), reads the
+    * `fmt ` fields, and decodes the `data` chunk's samples. Supports
+    * exactly what it claims — PCM (format 1) at 16-bit signed LE or
+    * 8-bit unsigned — and refuses anything else loudly (float/ADPCM/
+    * extensible need a real codec path).
+    */
+  private[operators] def parseWav(id: Long, payload: Array[Byte]): WavPcm = {
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int) = new String(payload, off, 4, "US-ASCII")
+    require(payload.length >= 12 && fourCC(0) == "RIFF" && fourCC(8) == "WAVE",
+      s"not a RIFF/WAVE payload (media_id=$id)")
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, length
+    while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val cid = fourCC(pos)
+      val sz = buf.getInt(pos + 4)
+      require(sz >= 0 && pos + 8 + sz <= payload.length,
+        s"truncated RIFF chunk '$cid' at $pos: size=$sz of ${payload.length} bytes (media_id=$id)")
+      if (cid == "fmt ") {
+        require(sz >= 16, s"fmt chunk too short: $sz bytes (media_id=$id)")
+        fmt = Some((buf.getShort(pos + 8).toInt, buf.getShort(pos + 10).toInt,
+          buf.getInt(pos + 12), buf.getShort(pos + 22).toInt))
+      } else if (cid == "data") data = Some((pos + 8, sz))
+      pos += 8 + sz + (sz & 1) // odd-size chunks carry one pad byte
+    }
+    val (format, channels, rate, bits) = fmt.getOrElse(
+      sys.error(s"no fmt chunk in WAV (media_id=$id)"))
+    val (dOff, dLen) = data.getOrElse(sys.error(s"no data chunk in WAV (media_id=$id)"))
+    require(format == 1 && (bits == 16 || bits == 8),
+      s"parseWav supports PCM 16/8-bit only, got format=$format bits=$bits (media_id=$id)")
+    require(channels >= 1 && rate >= 1,
+      s"degenerate fmt: channels=$channels rate=$rate (media_id=$id)")
+    val bytesPerSample = bits / 8
+    require(dLen % (bytesPerSample * channels) == 0,
+      s"data length $dLen not a whole number of $channels-channel frames (media_id=$id)")
+    val n = dLen / bytesPerSample
+    val samples = new Array[Int](n)
+    var j = 0
+    if (bits == 16) while (j < n) { samples(j) = buf.getShort(dOff + 2 * j).toInt; j += 1 }
+    else while (j < n) { samples(j) = (payload(dOff + j) & 0xff) - 128; j += 1 }
+    WavPcm(rate, channels, bits, samples)
+  }
+
+  /** Per-file audio statistics computed from real decoded PCM. */
+  case class AudioStats(mediaId: Long, sampleRate: Int, channels: Int,
+                        bits: Int, nFrames: Int, durationUs: Long,
+                        peak: Int, sumSq: Long, rms: Double)
+
+  private[operators] def wavStats(id: Long, payload: Array[Byte]): AudioStats = {
+    val pcm = parseWav(id, payload)
+    var peak = 0; var sumSq = 0L
+    var j = 0
+    while (j < pcm.samples.length) {
+      val v = pcm.samples(j)
+      if (math.abs(v) > peak) peak = math.abs(v)
+      sumSq += v.toLong * v
+      j += 1
+    }
+    val rms = if (pcm.samples.isEmpty) 0.0
+      else math.sqrt(sumSq.toDouble / pcm.samples.length)
+    AudioStats(id, pcm.sampleRate, pcm.channels, pcm.bits, pcm.nFrames,
+      pcm.nFrames.toLong * 1000000L / pcm.sampleRate, peak, sumSq, rms)
+  }
+
+  /** Partition-wise audio decode over a media table's WAV payloads —
+    * same `mapPartitions` shape as [[decodeFeatures]] (codec state once
+    * per partition; here the "codec" is [[parseWav]]).
+    */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions(_.map { case (id, p) => wavStats(id, p) })
+  }
+
+  /** [[MediaFeatures]] view of a WAV payload for the unified decode
+    * path: decodedWidth/Height carry sample rate and channel count (the
+    * audio "geometry"), nFramesSampled the PCM frame count, and lane d
+    * of the feature the mean of samples at flat index ≡ d (mod 16).
+    */
+  private[operators] def decodeWavFeatures(id: Long, payload: Array[Byte]): MediaFeatures = {
+    val pcm = parseWav(id, payload)
+    val laneSum = new Array[Long](16)
+    val laneN = new Array[Long](16)
+    var j = 0
+    while (j < pcm.samples.length) {
+      laneSum(j % 16) += pcm.samples(j)
+      laneN(j % 16) += 1
+      j += 1
+    }
+    val feature = Array.tabulate(16)(d =>
+      if (laneN(d) == 0) 0f else (laneSum(d).toDouble / laneN(d)).toFloat)
+    MediaFeatures(id, "audio", pcm.sampleRate, pcm.channels, pcm.nFrames, feature)
+  }
+
   /** STUB — deterministic fake decode for the formats whose codecs the
-    * container lacks (audio/video). Parses the synthetic header and
-    * derives a 16-dim feature from the body bytes so the pipeline is
-    * testable end-to-end; a real implementation hands `payload` to
+    * container lacks (video). Parses the synthetic header and derives a
+    * 16-dim feature from the body bytes so the pipeline is testable
+    * end-to-end; a real implementation hands `payload` to
     * ffmpeg/javacv here.
     */
   private[operators] def decodeSynthetic(id: Long, payload: Array[Byte],
@@ -185,12 +343,17 @@ object Multimodal {
   }
 
   /** Format dispatch on magic bytes: real BMP decode for "BM" payloads,
-    * the marked stub for everything else.
+    * real WAV decode for "RIFF" payloads, the marked stub for everything
+    * else (video).
     */
   private[operators] def decodePayload(id: Long, payload: Array[Byte],
                                        frameStride: Int): MediaFeatures =
     if (payload.length >= 2 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
       decodeBmp(id, payload)
+    else if (payload.length >= 4 &&
+      payload(0) == 'R'.toByte && payload(1) == 'I'.toByte &&
+      payload(2) == 'F'.toByte && payload(3) == 'F'.toByte)
+      decodeWavFeatures(id, payload)
     else decodeSynthetic(id, payload, frameStride)
 
   /** Partition-wise decode + feature extraction. `mapPartitions` so a real

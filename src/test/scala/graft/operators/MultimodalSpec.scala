@@ -13,15 +13,25 @@ class MultimodalSpec extends SparkSpec {
     assert(media.select("modality").distinct().count() == 3)
   }
 
-  test("decode stub round-trips the header metadata exactly") {
+  test("decode round-trips geometry: dims for image/video, rate+channels for audio") {
     val media = Multimodal.synthesize(spark, 30)
     val decoded = Multimodal.decodeFeatures(media, frameStride = 2).toDF()
-    val joined = media.join(decoded,
+    // image (real BMP) and video (stub header) decode to the metadata dims
+    val dims = media.filter(col("modality") =!= "audio").join(decoded,
       media("media_id") === decoded("mediaId") &&
         media("width") === decoded("decodedWidth") &&
         media("height") === decoded("decodedHeight") &&
         media("modality") === decoded("modality"))
-    assert(joined.count() == 30, "every decoded row must match its source metadata")
+    assert(dims.count() == 20, "image+video rows must match their source metadata")
+    // audio (real WAV) decodes to the PCM geometry, not the scraped w/h
+    decoded.filter(col("modality") === "audio").collect().foreach { r =>
+      val i = r.getAs[Long]("mediaId")
+      val (rate, ch, frames) = Multimodal.synthWavGeom(i)
+      assert(r.getAs[Int]("decodedWidth") == rate &&
+        r.getAs[Int]("decodedHeight") == ch &&
+        r.getAs[Int]("nFramesSampled") == frames,
+        s"audio $i decoded geometry mismatch")
+    }
   }
 
   test("features are deterministic and fixed-dimension") {
@@ -92,6 +102,67 @@ class MultimodalSpec extends SparkSpec {
       assert(f.feature(0) == (lane0.sum / lane0.size).toFloat,
         s"media $i lane-0 mean mismatch")
     }
+  }
+
+  test("audio payloads are real WAVs and the real decoder recovers the synthetic samples") {
+    val media = Multimodal.synthesize(spark, 30).filter(col("modality") === "audio")
+    val payloads = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (i, p) =>
+      assert(new String(p, 0, 4, "US-ASCII") == "RIFF", s"media $i is not RIFF")
+      val (rate, ch, frames) = Multimodal.synthWavGeom(i)
+      val stats = Multimodal.wavStats(i, p)
+      assert(stats.sampleRate == rate && stats.channels == ch &&
+        stats.bits == 16 && stats.nFrames == frames)
+      // independent recomputation from the closed form
+      val vs = (0 until frames * ch).map(j => (((i * 31 + j.toLong * 7) % 251) - 125).toInt)
+      assert(stats.peak == vs.map(math.abs).max)
+      assert(stats.sumSq == vs.map(v => v.toLong * v).sum)
+      assert(stats.durationUs == frames.toLong * 1000000L / rate)
+      assert(stats.rms == math.sqrt(vs.map(v => v.toLong * v).sum.toDouble / vs.size))
+    }
+  }
+
+  test("parseWav walks unknown and ODD-sized chunks (RIFF pad byte) to find fmt/data") {
+    // layout: RIFF/WAVE + junk "LIST" chunk of ODD size 5 (padded to 6)
+    // + fmt + data. A walker that forgets the pad byte lands mid-chunk
+    // and dies; one that hardcodes offset 12 for fmt dies too.
+    val samples = Seq[Short](100, -200, 300, -400)
+    val dataSize = samples.size * 2
+    val buf = java.nio.ByteBuffer.allocate(12 + (8 + 6) + (8 + 16) + 8 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(buf.capacity - 8).put("WAVE".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array.tabulate[Byte](6)(_.toByte))       // 5 payload bytes + 1 pad
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    val pcm = Multimodal.parseWav(7L, buf.array())
+    assert(pcm.sampleRate == 44100 && pcm.channels == 2 && pcm.bits == 16)
+    assert(pcm.nFrames == 2 && pcm.samples.toSeq == samples.map(_.toInt))
+  }
+
+  test("parseWav decodes 8-bit unsigned PCM centered to signed") {
+    val buf = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(4)
+    Seq(0, 128, 255, 200).foreach(b => buf.put(b.toByte))
+    val pcm = Multimodal.parseWav(8L, buf.array())
+    assert(pcm.bits == 8 && pcm.samples.toSeq == Seq(-128, 0, 127, 72))
+  }
+
+  test("parseWav refuses non-PCM formats loudly") {
+    val buf = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(1).putInt(8000).putInt(32000).putShort(4).putShort(32) // IEEE float
+    buf.put("data".getBytes("US-ASCII")).putInt(0)
+    val ex = intercept[IllegalArgumentException] { Multimodal.parseWav(9L, buf.array()) }
+    assert(ex.getMessage.contains("PCM"))
   }
 
   test("metadata profile never reads payload pages (column pruning)") {
