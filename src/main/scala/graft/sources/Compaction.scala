@@ -68,7 +68,19 @@ object Compaction {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, root)
+    val result = pass(spark, fs, root, dir, targetBytes, threshold)
+    // zone-map manifest maintenance, AFTER the commit point: compacted
+    // outputs get their footer stats re-harvested so skipping survives
+    // compaction. A crash anywhere before this line leaves the manifest
+    // stale but the reads correct (rewritten files unmapped => KEPT;
+    // see ZoneMaps.refreshManifest), and the next pass's refresh —
+    // which runs even when nothing was compacted — repairs skipping.
+    ZoneMaps.refreshManifest(spark, dir)
+    result
+  }
 
+  private def pass(spark: SparkSession, fs: FileSystem, root: Path, dir: String,
+                   targetBytes: Long, threshold: Long): (Int, Int) = {
     val small = Tables.parquetDataFiles(spark, dir)._2.filter(_.getLen < threshold)
     if (small.length < 2) return (0, 0)
     val passId = java.util.UUID.randomUUID.toString.take(8)

@@ -40,7 +40,15 @@ object ZoneMaps {
                        mode: SaveMode = SaveMode.Overwrite, files: Int = 0): DataFrame = {
     require(zoneCols.nonEmpty, "need at least one zone column")
     Tables.write(df, path, mode, files)
-    val spark = df.sparkSession
+    writeManifest(df.sparkSession, path, zoneCols)
+  }
+
+  /** Harvest footer stats for the directory's CURRENT data files and
+    * (over)write the `_manifest` — the shared tail of the initial write
+    * and every later [[refreshManifest]].
+    */
+  private def writeManifest(spark: SparkSession, path: String,
+                            zoneCols: Seq[String]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rows = Tables.parquetDataFiles(spark, path)._2.flatMap { st =>
       Tables.withFooter(conf, st.getPath) { reader =>
@@ -61,6 +69,31 @@ object ZoneMaps {
       "min_long", "max_long", "min_double", "max_double", "min_str", "max_str")
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
     manifest
+  }
+
+  /** Re-harvest the manifest against the directory's CURRENT files —
+    * the maintenance hook for file-rewriting passes ([[Compaction]]
+    * calls it after every pass). Zone columns come from the existing
+    * manifest; returns None (and touches nothing) when the directory
+    * has no zone-map manifest (including [[Tables.writeWithManifest]]'s
+    * row-count flavor, which has no `col` column).
+    *
+    * Self-healing by construction: any crash that leaves the manifest
+    * stale is still CORRECT under the conservative read rules —
+    * rewritten files are unmapped (kept, skipping degrades to zero on
+    * them) and mapped-but-deleted files simply never appear in the
+    * scan's listing — and the next refresh restores full skipping.
+    */
+  def refreshManifest(spark: SparkSession, path: String): Option[DataFrame] = {
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath)) return None
+    val existing = spark.read.parquet(manifestPath.toString)
+    if (!existing.columns.contains("col")) return None
+    val zoneCols = existing.select("col").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (zoneCols.isEmpty) return None
+    Some(writeManifest(spark, path, zoneCols))
   }
 
   private type Row11 = (String, Long, Long, String, String, Option[Long],

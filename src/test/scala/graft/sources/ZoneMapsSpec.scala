@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -186,5 +187,78 @@ class ZoneMapsSpec extends SparkSpec {
     val again = ZoneMapFileIndex.read(spark, path)
     val hit = again.filter(col("id") >= 4000L)
     assert(hit.count() == 1, "the unmapped file's row must survive pruning")
+  }
+
+  /** A zone-mapped table whose id TAIL is a pile of small files: two
+    * well-sized files cover 1..10000, six tiny appended files cover
+    * 10001..11000 — the compaction-bait layout.
+    */
+  private def tailHeavy(path: String): Unit = {
+    import spark.implicits._
+    val big = (1L to 10000L).map(i => (i, i.toDouble / 10, s"s${"%05d".format(i)}"))
+      .toDF("id", "score", "name").repartitionByRange(2, col("id"))
+    ZoneMaps.writeWithZoneMap(big, path, Seq("id"))
+    val tail = (10001L to 11000L).map(i => (i, i.toDouble / 10, s"s${"%05d".format(i)}"))
+      .toDF("id", "score", "name").repartitionByRange(6, col("id"))
+    // Append harvests the WHOLE directory again: manifest covers all 8
+    ZoneMaps.writeWithZoneMap(tail, path, Seq("id"), SaveMode.Append)
+  }
+
+  test("compaction re-harvests the manifest: skipping survives the rewrite") {
+    val path = tmp()
+    tailHeavy(path)
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    // threshold catches only the six tiny tail files (~2 KB vs ~60 KB)
+    val (nIn, nOut) = Compaction.compactSmallFiles(spark, path,
+      targetBytes = 1L << 20, smallThreshold = 20000L)
+    assert(nIn == 6 && nOut == 1, s"expected 6 -> 1, got ($nIn, $nOut)")
+    // the refreshed manifest keys exactly the CURRENT directory listing
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val mapped = spark.read.parquet(s"$path/_manifest")
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(mapped == onDisk, s"manifest $mapped vs disk $onDisk")
+    // rows byte-identical through the indexed read
+    val indexed = ZoneMapFileIndex.read(spark, path)
+    assert(indexed.orderBy("id").collect().toSeq == before)
+    // and the compacted file PRUNES: a low-id predicate must not scan it
+    val q = indexed.filter(col("id") <= 2000L)
+    assert(q.count() == 2000)
+    val scanned = scannedFiles(q)
+    assert(scanned.length == 1 && !scanned.head.startsWith("part-compacted-"),
+      s"low-id scan must touch one pre-compaction file, got $scanned")
+    // the compacted file is itself mapped and prunable the other way
+    val hi = scannedFiles(indexed.filter(col("id") >= 10500L))
+    assert(hi.length == 1 && hi.head.startsWith("part-compacted-"),
+      s"high-id scan should hit just the compacted file, got $hi")
+  }
+
+  test("crash between rename and manifest refresh: stale manifest stays correct; next pass heals") {
+    val path = tmp()
+    tailHeavy(path)
+    val manifestDir = s"$path/_manifest"
+    val pre = spark.read.parquet(manifestDir)
+    val preRows = pre.collect().toSeq
+    val preSchema = pre.schema
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    Compaction.compactSmallFiles(spark, path, 1L << 20, smallThreshold = 20000L)
+    // simulate the crash window by restoring the PRE-compaction manifest:
+    // it maps six deleted tail files and not the compacted output
+    spark.createDataFrame(spark.sparkContext.parallelize(preRows), preSchema)
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    val stale = ZoneMapFileIndex.read(spark, path)
+    assert(stale.orderBy("id").collect().toSeq == before,
+      "stale manifest must not lose rows (unmapped => kept; deleted => unlisted)")
+    // the tail query scans the unmapped compacted file (kept, no
+    // skipping): ids 10500..11000 inclusive
+    assert(stale.filter(col("id") >= 10500L).count() == 501)
+    // the next pass (nothing left to compact) still heals the manifest
+    val (n2In, n2Out) = Compaction.compactSmallFiles(spark, path, 1L << 20, 20000L)
+    assert((n2In, n2Out) == (0, 0))
+    val healed = spark.read.parquet(manifestDir)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(healed == onDisk, "refresh on the next pass restores skipping")
   }
 }
