@@ -73,4 +73,82 @@ object ZoneMapsPropertySpec extends Properties("zonemaps") {
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       got == expected
     }
+
+  // ---- random conjunctive predicate TREES through the FileIndex ----
+  // The Catalyst→zone translation (ZoneMapFileIndex.toZoneFilter) sees
+  // whatever conjunct shapes the planner hands it: attr-op-literal and
+  // literal-op-attr across five comparison ops and three column types,
+  // plus shapes it must IGNORE (disjunctions). Hand-picked shapes
+  // can't cover that cross-product; these trees do.
+
+  /** One zone-mapped table shared by every tree case: long/double/string
+    * columns, range-clustered on v so v- and f-zones are tight and
+    * s-zones mix ASCII with demoted non-ASCII bounds.
+    */
+  private lazy val treeTable: String = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("zmprop_tree").toString
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("a", "B", "z", "0", "~", "é", "ß", "😀", "🤖")
+    val rows = (0 until 400).map { i =>
+      val v = -100L + rnd.nextInt(201)
+      val f = v * 0.3 + rnd.nextInt(10) / 10.0
+      val s = (0 to rnd.nextInt(3)).map(_ => pool(rnd.nextInt(pool.size))).mkString
+      (i.toLong, v, f, s)
+    }
+    val df = rows.toDF("rid", "v", "f", "s").repartitionByRange(6, col("v"))
+    ZoneMaps.writeWithZoneMap(df, path, Seq("v", "f", "s"))
+    path
+  }
+
+  private val atomGen: Gen[org.apache.spark.sql.Column] = for {
+    colIdx <- Gen.choose(0, 2)
+    opIdx <- Gen.choose(0, 4)
+    flip <- Gen.oneOf(true, false)
+    lLong <- Gen.choose(-120L, 120L)
+    lDbl <- Gen.choose(-40.0, 40.0)
+    lStr <- strGen
+  } yield {
+    val (c, l) = colIdx match {
+      case 0 => (col("v"), lit(lLong))
+      case 1 => (col("f"), lit(lDbl))
+      case _ => (col("s"), lit(lStr))
+    }
+    val (a, b) = if (flip) (l, c) else (c, l)
+    opIdx match {
+      case 0 => a >= b
+      case 1 => a > b
+      case 2 => a <= b
+      case 3 => a < b
+      case _ => a === b
+    }
+  }
+
+  private val treeGen: Gen[org.apache.spark.sql.Column] = for {
+    n <- Gen.choose(1, 4)
+    atoms <- Gen.listOfN(n, atomGen)
+    withOr <- Gen.oneOf(true, false)
+    orA <- atomGen
+    orB <- atomGen
+  } yield {
+    val base = atoms.reduce(_ && _)
+    // a disjunctive conjunct is untranslatable by design: it must pass
+    // through as "keep everything this conjunct can't rule out"
+    if (withOr) base && (orA || orB) else base
+  }
+
+  property("FileIndex scan == plain scan for ANY conjunctive predicate tree (5 trees/case)") =
+    Prop.forAll(Gen.listOfN(5, treeGen)) { preds =>
+      val plain = spark.read.parquet(treeTable)
+      val indexed = ZoneMapFileIndex.read(spark, treeTable)
+      preds.forall { pred =>
+        val expected = plain.filter(pred).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+          .sorted.toSeq
+        val got = indexed.filter(pred).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+          .sorted.toSeq
+        got == expected
+      }
+    }
 }
