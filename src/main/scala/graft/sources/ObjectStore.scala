@@ -27,10 +27,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Classpath contract: `hadoop-aws` (+ its AWS SDK bundle) and Spark's
   * `spark-hadoop-cloud` module must be on the cluster classpath for the
-  * `s3a://` scheme and `PathOutputCommitProtocol` respectively. They are
-  * standard distribution pieces but absent from this sandbox, so the
-  * spec asserts the configuration contract rather than a live
-  * round-trip.
+  * `s3a://` scheme and `PathOutputCommitProtocol` respectively. They
+  * are standard distribution pieces but absent from this sandbox, so
+  * the spec asserts the s3a configuration contract AND drives the full
+  * bronze→gold pipeline over [[GraftStoreFileSystem]] — a non-default
+  * FileSystem scheme registered by [[configureLocalEmulator]] — so
+  * scheme resolution, committer staging and job-commit renames run
+  * end-to-end without an S3 endpoint.
   */
 object ObjectStore {
 
@@ -95,4 +98,18 @@ object ObjectStore {
   private def classLoadable(name: String): Boolean =
     try { Class.forName(name, false, getClass.getClassLoader); true }
     catch { case _: ClassNotFoundException => false }
+
+  /** Register the local object-store emulator ([[GraftStoreFileSystem]])
+    * so `<scheme>:/...` paths resolve through a NON-default FileSystem —
+    * the closest this sandbox can get to a live S3 endpoint: committer
+    * selection, task staging, job-commit renames and listings all run
+    * end-to-end on the alternate scheme (ObjectStoreSpec drives the
+    * whole bronze→gold pipeline over it).
+    */
+  def configureLocalEmulator(spark: SparkSession,
+                             scheme: String = "graftstore"): SparkSession = {
+    spark.sparkContext.hadoopConfiguration
+      .set(s"fs.$scheme.impl", classOf[GraftStoreFileSystem].getName)
+    spark
+  }
 }

@@ -36,6 +36,37 @@ class ObjectStoreSpec extends SparkSpec {
       .contains("BindingParquetOutputCommitter"))
   }
 
+  test("bronze→gold round-trips on a NON-default FileSystem scheme (graftstore://)") {
+    import graft.pipeline.{OlympicFixtures, OlympicPipelineMain}
+    ObjectStore.configureLocalEmulator(spark)
+    val base = "graftstore:" +
+      java.nio.file.Files.createTempDirectory("graftstore").toString
+    // bronze lands on the alternate scheme through the ordinary sink —
+    // committer staging dirs + job-commit renames all run on our FS
+    Map("biodata" -> OlympicFixtures.bronzeBiodata(spark),
+        "results" -> OlympicFixtures.bronzeResults(spark),
+        "editions" -> OlympicFixtures.bronzeEditions(spark))
+      .foreach { case (n, df) => Tables.write(df, s"$base/bronze/$n.parquet") }
+    // the pipeline reads bronze FROM the scheme and its gold lands on it
+    val bronze = Seq("biodata", "results", "editions")
+      .map(n => n -> Tables.table(spark, s"$base/bronze", n)).toMap
+    val out = OlympicPipelineMain.run(bronze, OlympicFixtures.isoLookup(spark))
+    out.foreach { case (n, df) => Tables.write(df, s"$base/gold/$n") }
+    // all five gold tables round-trip row-identical
+    val goldNames = out.keys.filterNot(_.startsWith("failure_cases")).toSeq.sorted
+    assert(goldNames.size == 5, s"expected five gold tables, got $goldNames")
+    goldNames.foreach { n =>
+      val back = spark.read.parquet(s"$base/gold/$n")
+      assert(back.inputFiles.nonEmpty && back.inputFiles.forall(_.startsWith("graftstore:")),
+        s"$n must be read from the alternate scheme: ${back.inputFiles.toSeq}")
+      assert(rowsOf(back) == rowsOf(out(n)), s"gold table $n drifted through $base")
+    }
+    // the scheme is an illusion over local disk: the committer's output
+    // really moved from staging into the final directory
+    val goldDir = new java.io.File(base.stripPrefix("graftstore:"), "gold")
+    assert(goldDir.isDirectory && goldDir.list().toSet == out.keys.toSet)
+  }
+
   test("configure routes hadoop keys and spark confs to the right layers") {
     val sqlKeys = Seq("spark.sql.sources.commitProtocolClass",
       "spark.sql.parquet.output.committer.class")
