@@ -1188,11 +1188,24 @@ object SparkEntry {
     * One shuffle on the user key + a sorted per-user fold — no k-way
     * self-join. The oracle chains strict-min subqueries per stage.
     */
-  private def q84Funnel(s: SparkSession, dir: String): DataFrame =
+  private def q84Funnel(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val events = graft.sources.Tables.withEventTime(t(s, dir, "events"))
+    // state audit rides the bench path at every scale point: the guard
+    // (maxEventsPerUser=1M) is sized from a MEASURED high-water mark,
+    // and a scale-up that erodes the headroom shows up in the log, not
+    // as a surprise raise_error three decades later
+    val hw = graft.operators.Funnel
+      .stateHighWater(events, "user_id", "event_type", steps).head()
+    val max = hw.getAs[Long]("max_events_per_user")
+    println(f"[q84] funnel per-user state high-water: max=$max%d " +
+      f"p99=${hw.getAs[Double]("p99_events_per_user")}%.0f " +
+      f"mean=${hw.getAs[Double]("mean_events_per_user")}%.1f " +
+      f"headroom=${1000000.0 / max}%.0fx vs maxEventsPerUser=1000000")
     graft.operators.Funnel.conversionFunnel(
-        graft.sources.Tables.withEventTime(t(s, dir, "events")),
-        "user_id", "event_time", "event_type", Seq("view", "click", "purchase"))
+        events, "user_id", "event_time", "event_type", steps)
       .orderBy(col("step"))
+  }
 
   /** Typo-level fuzzy self-join over part names: all pairs within
     * Levenshtein distance 2, via deletion-neighborhood (SymSpell)

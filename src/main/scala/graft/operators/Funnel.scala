@@ -90,6 +90,28 @@ object Funnel {
       .select(col("step"), col("step_name"), col("n_users"))
   }
 
+  /** Per-user state audit for [[conversionFunnel]]: the distribution
+    * of step-event list sizes the funnel will collect — ONE row with
+    * user count, max, p99 and mean — so the `maxEventsPerUser` guard
+    * is sized from MEASUREMENT, not hope. Same filter + user-key
+    * aggregate shape as the funnel itself (map-side count partials, no
+    * list materialization), so the audit is strictly cheaper than the
+    * operator it audits; the bench path runs it per scale point and
+    * logs the headroom.
+    */
+  def stateHighWater(events: DataFrame, userCol: String, typeCol: String,
+                     steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_users"),
+        max(col("__n")).as("max_events_per_user"),
+        percentile_approx(col("__n"), lit(0.99), lit(10000))
+          .cast("double").as("p99_events_per_user"),
+        avg(col("__n")).as("mean_events_per_user"))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * for every consecutive pair of events of the same key (ordered by
     * time, ties broken by `tieBreak`), count the `from_state →

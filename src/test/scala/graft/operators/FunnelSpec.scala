@@ -137,4 +137,20 @@ class FunnelSpec extends SparkSpec {
     val events = Seq((1L, 10L, 1L, "A")).toDF("user", "ts", "id", "tp")
     assert(Funnel.transitionMatrix(events, "user", "ts", "tp", "id").count() == 0)
   }
+
+  test("stateHighWater measures the per-user step-event distribution the funnel collects") {
+    import spark.implicits._
+    // user 1: 3 step events (+1 non-step, excluded); user 2: 1; user 3: 0 steps
+    val events = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"), (1L, 4L, "scroll"),
+      (2L, 1L, "view"),
+      (3L, 1L, "scroll"))
+      .toDF("user", "ts", "tp")
+    val hw = Funnel.stateHighWater(events, "user", "tp",
+      Seq("view", "click", "purchase")).head()
+    assert(hw.getAs[Long]("n_users") == 2, "step-less users never enter the funnel state")
+    assert(hw.getAs[Long]("max_events_per_user") == 3)
+    assert(hw.getAs[Double]("mean_events_per_user") == 2.0)
+    assert(hw.getAs[Double]("p99_events_per_user") == 3.0)
+  }
 }
