@@ -23,10 +23,18 @@ import org.apache.spark.sql.types._
   *    channels, bit depth), and the actual PCM samples (16-bit signed LE
   *    or 8-bit unsigned), no codec library. [[audioStats]] computes
   *    duration/peak/RMS from the decoded samples.
-  *  - video formats need native codecs the container doesn't have, so
-  *    their decode is a clearly-marked DETERMINISTIC STUB (parses our
-  *    own synthetic header). Swap the stub arm of [[decodePayload]] for
-  *    a jni/ffmpeg/javacv call and nothing else changes.
+  *  - VIDEO container structure is real: payloads are genuine ISO BMFF
+  *    (MP4) files and [[parseMp4]] is a REAL box parser — big-endian
+  *    size+fourcc walk with the format's two structural quirks
+  *    (size==1 → 64-bit largesize, size==0 → box runs to the end of its
+  *    container), recursing into moov/trak/mdia/minf/stbl to read
+  *    mvhd (timescale, duration), the video trak's tkhd dimensions
+  *    (16.16 fixed point), the stsd sample-entry codec fourcc, and the
+  *    stsz frame count — everything a metadata-level video profile
+  *    needs, no codec library. Only FRAME decode is a clearly-marked
+  *    DETERMINISTIC STUB (features come from mdat bytes, not decoded
+  *    pixels — that step genuinely needs ffmpeg/javacv; swap it in
+  *    [[decodeMp4Features]] and nothing else changes).
   */
 object Multimodal {
 

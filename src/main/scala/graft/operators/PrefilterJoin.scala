@@ -25,11 +25,24 @@ object PrefilterJoin {
   /** Inner equi-join fact ⨝ dim on long keys, bloom-prefiltered.
     * Null fact keys never match an inner join and are dropped by the
     * prefilter directly.
+    *
+    * `expectedItems` sizes the filter's bit array; pass <= 0 (the
+    * default) to derive it from a `dim.count()` pre-pass. An explicit
+    * value saves that scan but is a SCALE TRAP: a filter sized for K
+    * keys saturates once the dim outgrows it (every bit set, fpp → 1)
+    * and silently degrades to "shuffle the whole fact table anyway,
+    * plus the bloom build and a per-row probe for nothing" — measured
+    * at the 100× bench, where a 200k-sized filter over a 3M-key dim
+    * made the prefilter pure overhead. The count is one narrow scan of
+    * the (small, pre-filtered) dim side — the side whose smallness is
+    * the reason to bloom-prefilter at all.
     */
   def bloomJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-                dimKey: String, expectedItems: Long,
+                dimKey: String, expectedItems: Long = -1L,
                 fpp: Double = 0.01): DataFrame = {
-    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val items = if (expectedItems > 0) expectedItems
+                else math.max(1L, dim.count())
+    val bloom = dim.stat.bloomFilter(dimKey, items, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))

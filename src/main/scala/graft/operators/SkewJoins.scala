@@ -70,6 +70,39 @@ object SkewJoins {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** [[hotKeySaltedJoin]] with the hot threshold derived from the data
+    * instead of hand-tuned: a key is hot when its rows would dominate a
+    * shuffle partition — estimated rows ≥ `skewFactor` × (|left| /
+    * `spark.sql.shuffle.partitions`). An ABSOLUTE threshold is a scale
+    * trap: one tuned to flag a 10k-row key at sf X flags EVERY key at
+    * 100·X (measured at the 100× bench, where threshold 300 against
+    * ~600 rows/key classified all 100k keys hot, shipped a 100k-entry
+    * InSet with every task, and replicated the whole dim — the
+    * mitigation became the skew). Skew is relative to the partition by
+    * definition: a key that fits comfortably in its partition needs no
+    * salting no matter how many rows it has.
+    *
+    * Costs one extra `left.count()` job (metadata-cheap on a plain
+    * parquet scan, one narrow pass otherwise) before the sampling pass.
+    */
+  def hotKeySaltedJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           salt: Int, sampleFraction: Double = 0.01,
+                           skewFactor: Double = 2.0, seed: Long = 42L,
+                           maxHotKeys: Int = 100000): DataFrame = {
+    require(skewFactor > 0, s"skewFactor must be > 0, got $skewFactor")
+    hotKeySaltedJoin(left, right, keys, salt,
+      hotThreshold = autoHotThreshold(left, skewFactor),
+      sampleFraction = sampleFraction, seed = seed, maxHotKeys = maxHotKeys)
+  }
+
+  /** skewFactor × average shuffle-partition rows, floor 1 (package-
+    * visible so the spec can pin the formula).
+    */
+  private[operators] def autoHotThreshold(left: DataFrame, skewFactor: Double): Long = {
+    val parts = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.round(skewFactor * left.count() / math.max(1, parts)))
+  }
+
   /** The tag is computed by the SAME expression in detection and
     * tagging, so value rendering can never diverge between the two; the
     * \u0001 separator keeps multi-col keys unambiguous. (A tag collision

@@ -65,6 +65,34 @@ class SkewJoinsSpec extends SparkSpec {
     assert(out.count() == 100)
   }
 
+  test("hotKeySaltedJoinAuto: partition-relative threshold salts the skewed key, not a uniform corpus") {
+    import spark.implicits._
+    // threshold formula first: skewFactor × |left| / shuffle partitions
+    val uniform = (1L to 800L).map(k => (k, s"v$k")).toDF("k", "lv")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(SkewJoins.autoHotThreshold(uniform, skewFactor = 2.0) ==
+      math.max(1L, math.round(2.0 * 800 / parts)))
+    // uniform corpus: every key ~1 row, nobody dominates a partition →
+    // nothing detected hot at the auto threshold
+    val hotUniform = SkewJoins.detectHotTags(uniform, Seq("k"),
+      SkewJoins.autoHotThreshold(uniform, 2.0), sampleFraction = 1.0,
+      seed = 42L, maxHotKeys = 1000)
+    assert(hotUniform.isEmpty, s"uniform corpus must salt nothing: $hotUniform")
+    // skewed corpus: one key holds 90% of rows → it (and only it) is hot,
+    // and the join still equals the plain join
+    val skewed = ((1 to 900).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"t$i")))
+      .toDF("k", "lv")
+    val hotSkewed = SkewJoins.detectHotTags(skewed, Seq("k"),
+      SkewJoins.autoHotThreshold(skewed, 2.0), sampleFraction = 1.0,
+      seed = 42L, maxHotKeys = 1000)
+    assert(hotSkewed == Set("1"), s"only the 900-row key dominates a partition: $hotSkewed")
+    val right = (1L to 50L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = skewed.join(right, Seq("k")).select("k", "lv", "rv")
+    val auto = SkewJoins.hotKeySaltedJoinAuto(skewed, right, Seq("k"),
+      salt = 8, sampleFraction = 1.0)
+    assert(rowsOf(auto.select("k", "lv", "rv")) == rowsOf(plain))
+  }
+
   test("hotKeySaltedJoin caps the hot-key set instead of collecting unbounded") {
     import spark.implicits._
     val left = (1L to 200L).flatMap(k => Seq((k, "a"), (k, "b"))).toDF("k", "lv")
