@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise contract: subset runs (SPARK_GRAFT_BENCH_ONLY) write to a
   * `.partial` sibling and never clobber the committed full record;
-  * SPARK_GRAFT_BENCH_REPEAT=N (opt-in) re-times the N slowest queries
-  * twice more and records min-of-3, with the re-timed set declared in
-  * the record ("retimed") — both pinned by BenchSpec.
+  * re-timing (the N slowest queries run twice more, min-of-3 recorded,
+  * re-timed set declared in the record as "retimed") is DEFAULT-ON for
+  * full runs (N=8 — the committed record must not be single-sample
+  * under load) and off for subset dev runs; SPARK_GRAFT_BENCH_REPEAT=N
+  * overrides either way (0 disables) — pinned by BenchSpec.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,14 +69,21 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
 
+    // per-scale-point state audit, OUTSIDE any timed region (it used to
+    // ride inside q84's timing and skewed cross-round comparisons)
+    try SparkEntry.funnelStateAudit(spark, sfDir)
+    catch { case _: Throwable => }
+
     val runs = selected.map { case (name, fn) => time(name, fn) }
     val firstPass = runs.collect { case (name, sec, None) => name -> sec }
     val errors = runs.collect { case (name, _, Some(e)) => name -> e }
-    // noise control, opt-in: SPARK_GRAFT_BENCH_REPEAT=N re-times the N
-    // slowest first-pass queries twice more and records min-of-3 — a
-    // transient load spike on one query (the artifact that contaminated
-    // five straight driver rounds) cannot survive three timings
-    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(0)
+    // noise control: re-time the N slowest first-pass queries twice
+    // more and record min-of-3 — a transient load spike on one query
+    // (the artifact that contaminated five straight driver rounds)
+    // cannot survive three timings. Default-on for full runs, off for
+    // subset dev loops; SPARK_GRAFT_BENCH_REPEAT overrides both ways.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
+      .getOrElse(defaultRepeat(only.isDefined))
     val retimed: Map[String, Double] =
       if (repeat <= 0) Map.empty
       else {
@@ -101,6 +110,13 @@ object Bench {
     // a bench with failing queries is a failed bench run
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** Re-timing default: full runs get min-of-3 on the 8 slowest (the
+    * committed record must never be single-sample under load — the
+    * round-6 finding); subset dev runs stay single-pass for iteration
+    * speed. `SPARK_GRAFT_BENCH_REPEAT` overrides either (0 disables).
+    */
+  private[graft] def defaultRepeat(isSubset: Boolean): Int = if (isSubset) 0 else 8
 
   private def ms(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

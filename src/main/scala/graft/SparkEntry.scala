@@ -1198,20 +1198,33 @@ object SparkEntry {
   private def q84Funnel(s: SparkSession, dir: String): DataFrame = {
     val steps = Seq("view", "click", "purchase")
     val events = graft.sources.Tables.withEventTime(t(s, dir, "events"))
-    // state audit rides the bench path at every scale point: the guard
-    // (maxEventsPerUser=1M) is sized from a MEASURED high-water mark,
-    // and a scale-up that erodes the headroom shows up in the log, not
-    // as a surprise raise_error three decades later
-    val hw = graft.operators.Funnel
-      .stateHighWater(events, "user_id", "event_type", steps).head()
-    val max = hw.getAs[Long]("max_events_per_user")
-    println(f"[q84] funnel per-user state high-water: max=$max%d " +
-      f"p99=${hw.getAs[Double]("p99_events_per_user")}%.0f " +
-      f"mean=${hw.getAs[Double]("mean_events_per_user")}%.1f " +
-      f"headroom=${1000000.0 / max}%.0fx vs maxEventsPerUser=1000000")
     graft.operators.Funnel.conversionFunnel(
         events, "user_id", "event_time", "event_type", steps)
       .orderBy(col("step"))
+  }
+
+  /** Funnel per-user state audit, run by Bench OUTSIDE q84's timed
+    * region (an extra shuffle+aggregate inside the timing skewed
+    * cross-round q84 comparisons): the `maxEventsPerUser=1M` guard is
+    * sized from a MEASURED high-water mark at every bench scale point,
+    * so a scale-up that erodes the headroom shows up in the log, not as
+    * a surprise raise_error three decades later.
+    */
+  def funnelStateAudit(s: SparkSession, dir: String): Unit = {
+    val steps = Seq("view", "click", "purchase")
+    val events = graft.sources.Tables.withEventTime(t(s, dir, "events"))
+    val hw = graft.operators.Funnel
+      .stateHighWater(events, "user_id", "event_type", steps).head()
+    // with zero step events the global max aggregates to NULL, which
+    // getAs[Long] unboxes to 0 — guard it rather than log headroom=∞
+    val max = hw.getAs[Long]("max_events_per_user")
+    if (hw.isNullAt(hw.fieldIndex("max_events_per_user")) || max == 0L)
+      println("[q84] funnel per-user state high-water: no step events")
+    else
+      println(f"[q84] funnel per-user state high-water: max=$max%d " +
+        f"p99=${hw.getAs[Double]("p99_events_per_user")}%.0f " +
+        f"mean=${hw.getAs[Double]("mean_events_per_user")}%.1f " +
+        f"headroom=${1000000.0 / max}%.0fx vs maxEventsPerUser=1000000")
   }
 
   /** Typo-level fuzzy self-join over part names: all pairs within

@@ -205,15 +205,16 @@ object GroupOps {
     * q52-documented pathology), so exactness is SIZE-GATED like
     * [[Components.connectedComponents]]'s driver-side gate: with
     * `exactDistinct = true` the gate is decided from Catalyst's own
-    * plan statistics when they suffice — CBO `rowCount` if available,
-    * else the size estimate: `sizeInBytes <= gate` implies the row
-    * count fits too at >=1 byte/row, so the common small-table caller
-    * pays NO extra scan — and only a table whose estimate exceeds the
-    * gate in bytes is actually counted (one cheap count-only scan, no
-    * Expand) before choosing. The residual risk of the byte heuristic
-    * runs the safe direction: a pathologically compressible sub-byte-
-    * per-row table past the gate would pick the exact Expand (a perf
-    * cost, never a wrong answer). Past the gate the profile
+    * plan statistics — but an estimate may only PROVE smallness, never
+    * bigness: a CBO `rowCount` under the gate decides exact with no
+    * extra scan (an UNDERestimate of a big table costs an Expand — a
+    * perf risk, never a wrong answer), while any other estimate (an
+    * overestimate of a genuinely small table, an absent rowCount, or
+    * the sub-byte-per-row `sizeInBytes` ambiguity on compressed
+    * parquet) is settled by one cheap count-only scan — no Expand —
+    * rather than trusted, so a mis-estimate can neither silently
+    * degrade a small table to sketches nor readmit the Expand
+    * pathology on a big one. Past the gate the profile
     * auto-degrades to single-pass HLL sketches (±5%, the right profile
     * tool when the numbers feed a human). Oracle/parity runs stay exact
     * for free — every test scale is far under the default gate — and a
@@ -227,11 +228,8 @@ object GroupOps {
     require(names.nonEmpty, "cannot profile a zero-column frame")
     def underGate: Boolean = {
       val stats = df.queryExecution.optimizedPlan.stats
-      stats.rowCount match {
-        case Some(n) => n <= BigInt(exactDistinctMaxRows)
-        case None if stats.sizeInBytes <= BigInt(exactDistinctMaxRows) => true
-        case None => df.count() <= exactDistinctMaxRows
-      }
+      stats.rowCount.exists(_ <= BigInt(exactDistinctMaxRows)) ||
+        df.count() <= exactDistinctMaxRows
     }
     val exact = exactDistinct &&
       (exactDistinctMaxRows == Long.MaxValue || underGate)

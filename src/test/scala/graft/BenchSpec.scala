@@ -57,6 +57,13 @@ class BenchSpec extends AnyFunSuite {
       "re-timing lowers q_a, cannot raise q_b, never touches q_c")
   }
 
+  test("re-timing defaults ON for full runs and OFF for subset dev runs") {
+    assert(Bench.defaultRepeat(isSubset = false) == 8,
+      "the committed full record must not be single-sample under load")
+    assert(Bench.defaultRepeat(isSubset = true) == 0,
+      "dev subset loops stay single-pass for iteration speed")
+  }
+
   test("full record declares which queries were re-timed") {
     val s = Bench.fullJson(queries(3), Nil, "/tmp/sf1", Set("q002_some_longish_query_name"))
     val node = mapper.readTree(s)
