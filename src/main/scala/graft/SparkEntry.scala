@@ -701,7 +701,9 @@ object SparkEntry {
     * tie-break mirrored in the oracle's window.
     */
   private def q53CdcMerge(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    // withEventTime canonicalizes ts to epoch-ns Long whatever the file's
+    // physical encoding — the `ts div 1000` below needs integer ns
+    val ev = Tables.withEventTime(t(s, dir, "events"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val merged = graft.operators.Merge.applyChangelog(
       ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1),
@@ -1652,6 +1654,26 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Real ISO BMFF (MP4) metadata extraction over genuine container
+    * payloads: the box walk (size==1 largesize, size==0 terminal box,
+    * and mdat-before-moov layouts are all exercised ON DISK across the
+    * synth corpus), mvhd movie clock (32- and 64-bit versions), the
+    * video trak's tkhd 16.16 dims, stsd codec fourcc, stsz frame
+    * count. Oracle-checked: the synth geometry is pure arithmetic in
+    * media_id ([[graft.operators.Multimodal.synthMp4Geom]]), so DuckDB
+    * restates every column in closed form.
+    */
+  private def q110VideoMetadata(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(s, 300).filter(col("modality") === "video")
+    Multimodal.videoMetadata(media).toDF()
+      .select(col("mediaId").as("media_id"), col("codec"),
+        col("timescale"), col("durationTicks").as("duration_ticks"),
+        col("width"), col("height"), col("nFrames").as("n_frames"),
+        col("durationUs").as("duration_us"))
+      .orderBy(col("media_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1762,7 +1784,8 @@ object SparkEntry {
     "q106_topk_per_group" -> (q106TopKPerGroup _),
     "q107_share_of_total" -> (q107ShareOfTotal _),
     "q108_zonemap_scan" -> (q108ZonemapScan _),
-    "q109_audio_features" -> (q109AudioFeatures _))
+    "q109_audio_features" -> (q109AudioFeatures _),
+    "q110_video_metadata" -> (q110VideoMetadata _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3166,6 +3189,21 @@ object SparkEntry {
         |WHERE r.i % 3 = 1
         |  AND j.j < (200 + (r.i % 50) * 4) * (1 + (r.i % 2))
         |GROUP BY r.i
+        |ORDER BY media_id""".stripMargin,
+    // q110: the engine walks real ISO BMFF boxes; the oracle restates
+    // the synth geometry closed forms (Multimodal.synthMp4Geom) —
+    // every column is integer arithmetic in media_id, matched exactly
+    "q110_video_metadata" ->
+      """SELECT r.i AS media_id,
+        | CASE WHEN r.i % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS codec,
+        | CAST(1000 + (r.i % 5) * 200 AS BIGINT) AS timescale,
+        | CAST((8 + r.i % 4) * (40 + r.i % 7) AS BIGINT) AS duration_ticks,
+        | CAST(64 + (r.i % 8) * 32 AS INT) AS width,
+        | CAST(64 + (r.i % 5) * 32 AS INT) AS height,
+        | CAST(8 + r.i % 4 AS INT) AS n_frames,
+        | CAST((8 + r.i % 4) * (40 + r.i % 7) * 1000000 // (1000 + (r.i % 5) * 200) AS BIGINT) AS duration_us
+        |FROM range(300) r(i)
+        |WHERE r.i % 3 = 2
         |ORDER BY media_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +

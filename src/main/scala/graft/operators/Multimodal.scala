@@ -127,6 +127,146 @@ object Multimodal {
     buf.array()
   }
 
+  /** Synthetic-video geometry for id i: (width, height, nFrames,
+    * timescale, durationTicks, codec) — shared with the q110 oracle's
+    * closed forms. durationTicks = nFrames · perFrameDelta keeps stts
+    * integer-exact.
+    */
+  @inline private[operators] def synthMp4Geom(i: Long): (Int, Int, Int, Long, Long, String) = {
+    val nFrames = 8 + (i % 4).toInt
+    (64 + (i % 8).toInt * 32, 64 + (i % 5).toInt * 32, nFrames,
+      1000L + (i % 5) * 200L, nFrames.toLong * (40L + i % 7),
+      if (i % 2 == 0) "avc1" else "hev1")
+  }
+
+  // ---- ISO BMFF (MP4) box building ---------------------------------------
+
+  /** A box: 32-bit BE size (8 + body) + fourcc + body. */
+  private def mp4Box(fourcc: String, body: Array[Byte]*): Array[Byte] = {
+    val len = body.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(8 + len)
+    buf.putInt(8 + len).put(fourcc.getBytes("US-ASCII"))
+    body.foreach(buf.put)
+    buf.array()
+  }
+
+  /** A full box: version byte + 24-bit flags prepended to the body. */
+  private def mp4FullBox(fourcc: String, version: Int, flags: Int,
+                         body: Array[Byte]): Array[Byte] =
+    mp4Box(fourcc, Array[Byte](version.toByte,
+      ((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
+      (flags & 0xff).toByte), body)
+
+  private def be32(vs: Long*): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(vs.length * 4)
+    vs.foreach(v => buf.putInt(v.toInt))
+    buf.array()
+  }
+
+  private def be64(vs: Long*): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(vs.length * 8)
+    vs.foreach(buf.putLong)
+    buf.array()
+  }
+
+  /** The identity transformation matrix every movie/track header carries. */
+  private val mp4UnityMatrix: Array[Byte] =
+    be32(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+
+  /** A real, well-formed ISO BMFF (MP4) file for synthetic video i:
+    * ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr 'vide', free,
+    * minf(vmhd, dinf(dref url), stbl(stsd, stts, stsc, stsz, stco)))))
+    * + mdat whose 256 body bytes follow the same closed form as the
+    * other modalities (byte j = (i·31 + j·7) mod 251, signed). The
+    * format's structural variation is exercised ON DISK, varying by id:
+    * odd ids write version-1 (64-bit) mvhd/tkhd/mdhd; i%9==2 places
+    * mdat BEFORE moov (non-faststart layout); i%9==5 writes mdat with
+    * size==1 + 64-bit largesize; i%9==8 writes mdat as the terminal
+    * size==0 box (runs to end-of-file). stco points at the actual mdat
+    * body offset (two-pass assembly), so the chunk offsets are real.
+    */
+  private[operators] def synthMp4(i: Long): Array[Byte] = {
+    val (w, h, nFrames, timescale, duration, codec) = synthMp4Geom(i)
+    val v = (i % 2).toInt // 0 → 32-bit times, 1 → 64-bit times
+    val layout = (i % 9).toInt // 2: mdat-first; 5: largesize mdat; 8: size==0 mdat
+
+    def times(creation: Long, modification: Long): Array[Byte] =
+      if (v == 1) be64(creation, modification) else be32(creation, modification)
+
+    val mvhd = mp4FullBox("mvhd", v, 0,
+      times(0, 0) ++ be32(timescale) ++
+        (if (v == 1) be64(duration) else be32(duration)) ++
+        be32(0x00010000L) ++ // rate 1.0
+        Array[Byte](0x01, 0x00, 0, 0) ++ be64(0) ++ // volume 1.0, reserved
+        mp4UnityMatrix ++ be32(0, 0, 0, 0, 0, 0) ++ // pre_defined[6]
+        be32(2)) // next_track_ID
+    val tkhd = mp4FullBox("tkhd", v, 0x000007, // enabled | in movie | in preview
+      times(0, 0) ++ be32(1, 0) ++ // track_ID, reserved
+        (if (v == 1) be64(duration) else be32(duration)) ++
+        be64(0) ++ be32(0) ++ // reserved[2], layer+alternate_group
+        be32(0) ++ // volume (0 for video) + reserved
+        mp4UnityMatrix ++
+        be32(w.toLong << 16, h.toLong << 16)) // 16.16 fixed point
+    val mdhd = mp4FullBox("mdhd", v, 0,
+      times(0, 0) ++ be32(timescale) ++
+        (if (v == 1) be64(duration) else be32(duration)) ++
+        Array[Byte](0x55, (0xc4 & 0xff).toByte, 0, 0)) // language 'und'
+    val hdlr = mp4FullBox("hdlr", 0, 0,
+      be32(0) ++ "vide".getBytes("US-ASCII") ++ be32(0, 0, 0) ++ Array[Byte](0))
+    val sampleEntry = {
+      val buf = java.nio.ByteBuffer.allocate(86)
+      buf.putInt(86).put(codec.getBytes("US-ASCII"))
+        .put(new Array[Byte](6)).putShort(1) // reserved, data_reference_index
+        .put(new Array[Byte](16)) // pre_defined/reserved
+        .putShort(w.toShort).putShort(h.toShort)
+        .putInt(0x00480000).putInt(0x00480000) // 72 dpi
+        .putInt(0).putShort(1) // reserved, frame_count
+        .put(new Array[Byte](32)) // compressorname
+        .putShort(24).putShort(-1) // depth, pre_defined
+      buf.array()
+    }
+    val stsd = mp4FullBox("stsd", 0, 0, be32(1) ++ sampleEntry)
+    val stts = mp4FullBox("stts", 0, 0, be32(1, nFrames, duration / nFrames))
+    val stsc = mp4FullBox("stsc", 0, 0, be32(1, 1, nFrames, 1))
+    val mdatBody = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
+    val per = mdatBody.length / nFrames
+    val sizes = Array.tabulate(nFrames)(k =>
+      if (k == nFrames - 1) (mdatBody.length - per * (nFrames - 1)).toLong else per.toLong)
+    val stsz = mp4FullBox("stsz", 0, 0, be32((0L +: nFrames.toLong +: sizes): _*))
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isomiso2mp41".getBytes("US-ASCII"))
+
+    def moovWith(chunkOffset: Long): Array[Byte] = {
+      val stco = mp4FullBox("stco", 0, 0, be32(1, chunkOffset))
+      val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
+      val dinf = mp4Box("dinf",
+        mp4FullBox("dref", 0, 0, be32(1) ++ mp4FullBox("url ", 0, 1, Array.empty)))
+      val vmhd = mp4FullBox("vmhd", 0, 1, new Array[Byte](8))
+      val minf = mp4Box("minf", vmhd, dinf, stbl)
+      // a free box inside mdia: parsers must skip unknown/irrelevant boxes
+      val mdia = mp4Box("mdia", mdhd, hdlr, mp4Box("free", new Array[Byte](4)), minf)
+      mp4Box("moov", mvhd, mp4Box("trak", tkhd, mdia))
+    }
+    val moovLen = moovWith(0).length // stco is fixed-width: length is offset-independent
+
+    if (layout == 2) {
+      // mdat before moov: body starts right after ftyp's 8-byte mdat header
+      val mdat = mp4Box("mdat", mdatBody)
+      ftyp ++ mdat ++ moovWith(ftyp.length + 8L)
+    } else if (layout == 5) {
+      // size==1: 64-bit largesize follows the fourcc (16-byte header)
+      val buf = java.nio.ByteBuffer.allocate(16 + mdatBody.length)
+      buf.putInt(1).put("mdat".getBytes("US-ASCII"))
+        .putLong(16L + mdatBody.length).put(mdatBody)
+      ftyp ++ moovWith(ftyp.length + moovLen + 16L) ++ buf.array()
+    } else {
+      // size==0: the terminal box runs to end-of-file
+      val buf = java.nio.ByteBuffer.allocate(8 + mdatBody.length)
+      buf.putInt(0).put("mdat".getBytes("US-ASCII")).put(mdatBody)
+      ftyp ++ moovWith(ftyp.length + moovLen + 8L) ++ buf.array()
+    }
+  }
+
   /** Deterministic synthetic media: image rows carry a REAL BMP payload
     * ([[synthBmp]]), audio rows a REAL RIFF/WAVE PCM payload
     * ([[synthWav]]); video carries a 16-byte header (modality tag,
@@ -155,12 +295,7 @@ object Multimodal {
         val w = 64 + (i % 8).toInt * 32
         val h = 64 + (i % 5).toInt * 32
         val frames = 8 + (i % 4).toInt
-        val header = java.nio.ByteBuffer.allocate(16)
-          .put(modality.head.toByte).put(0.toByte)
-          .putShort(w.toShort).putShort(h.toShort).putShort(frames.toShort)
-          .putLong(i)
-        val body = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
-        (i, modality, w, h, frames, header.array() ++ body)
+        (i, modality, w, h, frames, synthMp4(i))
       }
     }.toDF("media_id", "modality", "width", "height", "n_frames", "payload")
   }
@@ -324,35 +459,157 @@ object Multimodal {
     MediaFeatures(id, "audio", pcm.sampleRate, pcm.channels, pcm.nFrames, feature)
   }
 
-  /** STUB — deterministic fake decode for the formats whose codecs the
-    * container lacks (video). Parses the synthetic header and derives a
-    * 16-dim feature from the body bytes so the pipeline is testable
-    * end-to-end; a real implementation hands `payload` to
-    * ffmpeg/javacv here.
+  /** Parsed ISO BMFF metadata: movie-header clock + the video trak's
+    * dimensions/codec/frame count + the mdat payload extent.
     */
-  private[operators] def decodeSynthetic(id: Long, payload: Array[Byte],
-                                         frameStride: Int): MediaFeatures = {
-    val buf = java.nio.ByteBuffer.wrap(payload)
-    val tag = buf.get(); buf.get()
-    val w = buf.getShort.toInt; val h = buf.getShort.toInt
-    val frames = buf.getShort.toInt; buf.getLong // embedded id (redundant with the row's)
-    val modality = tag.toChar match {
-      case 'i' => "image"; case 'a' => "audio"; case _ => "video"
+  private[operators] final case class Mp4Meta(timescale: Long, duration: Long,
+                                              width: Int, height: Int,
+                                              codec: String, nFrames: Int,
+                                              mdatOffset: Int, mdatLen: Int) {
+    def durationUs: Long =
+      if (timescale == 0) 0L else duration * 1000000L / timescale
+  }
+
+  /** REAL ISO BMFF (MP4) box parse, pure byte arithmetic — no codec
+    * dependency. Walks the big-endian size+fourcc box list with the
+    * format's two structural quirks (size==1 → the 64-bit largesize
+    * follows the fourcc; size==0 → the box runs to the end of its
+    * enclosing container), recursing into moov/trak/mdia/minf/stbl.
+    * Reads mvhd (timescale, duration — version 0's 32-bit or version
+    * 1's 64-bit fields), and from each trak whose mdia/hdlr handler is
+    * 'vide': tkhd's 16.16 fixed-point width/height, stsd's first
+    * sample-entry fourcc (the codec), and stsz's sample count (the
+    * frame count). Unknown boxes are skipped by size — the rule that
+    * makes the format forward-compatible. Box order is NOT assumed
+    * (mdat-before-moov files parse identically). Only FRAME decode
+    * ([[decodeMp4Features]]) remains a deterministic stub.
+    */
+  private[operators] def parseMp4(id: Long, payload: Array[Byte]): Mp4Meta = {
+    val buf = java.nio.ByteBuffer.wrap(payload) // ISO BMFF is big-endian
+    def fourCC(off: Int) = new String(payload, off, 4, "US-ASCII")
+    require(payload.length >= 12 && fourCC(4) == "ftyp",
+      s"not an ISO BMFF payload (media_id=$id)")
+    var timescale = 0L; var duration = 0L
+    var width = 0; var height = 0; var codec = ""; var nFrames = 0
+    var mdatOffset = -1; var mdatLen = 0
+
+    // walk the children of [from, to); returns nothing, accumulates above.
+    // `inVideoTrak` is decided per-trak AFTER its subtree is scanned, so a
+    // trak's fields are gathered into candidates first.
+    def walk(from: Int, to: Int, commit: TrakFields => Unit): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size32 = buf.getInt(pos)
+        val name = fourCC(pos + 4)
+        var hdr = 8
+        val size: Long =
+          if (size32 == 1) {
+            require(pos + 16 <= to, s"truncated largesize box '$name' at $pos (media_id=$id)")
+            hdr = 16
+            buf.getLong(pos + 8)
+          } else if (size32 == 0) (to - pos).toLong // terminal box: to container end
+          else size32.toLong & 0xffffffffL
+        require(size >= hdr && pos + size <= to,
+          s"invalid box '$name' at $pos: size=$size in [$from,$to) (media_id=$id)")
+        val b = pos + hdr // body start (version/flags included for full boxes)
+        val bodyEnd = (pos + size).toInt
+        name match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(b, bodyEnd, commit)
+          case "trak" =>
+            // gather this trak's leaves into a trak-local accumulator,
+            // committed only if its hdlr declares a video handler
+            val f = new TrakFields
+            gatherTrak(b, bodyEnd, f)
+            commit(f)
+          case "mvhd" =>
+            val v = payload(b) & 0xff
+            if (v == 1) { timescale = buf.getInt(b + 20).toLong & 0xffffffffL; duration = buf.getLong(b + 24) }
+            else { timescale = buf.getInt(b + 12).toLong & 0xffffffffL; duration = buf.getInt(b + 16).toLong & 0xffffffffL }
+          case "mdat" =>
+            mdatOffset = b; mdatLen = bodyEnd - b
+          case _ => () // ftyp/free/skip/udta/...: skip by size
+        }
+        pos = bodyEnd
+      }
     }
-    val sampled = math.max(1, frames / math.max(1, frameStride))
-    val body = payload.drop(16)
+
+    def gatherTrak(from: Int, to: Int, f: TrakFields): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size32 = buf.getInt(pos)
+        val name = fourCC(pos + 4)
+        var hdr = 8
+        val size: Long =
+          if (size32 == 1) { hdr = 16; buf.getLong(pos + 8) }
+          else if (size32 == 0) (to - pos).toLong
+          else size32.toLong & 0xffffffffL
+        require(size >= hdr && pos + size <= to,
+          s"invalid box '$name' at $pos in trak (media_id=$id)")
+        val b = pos + hdr
+        val bodyEnd = (pos + size).toInt
+        name match {
+          case "mdia" | "minf" | "stbl" => gatherTrak(b, bodyEnd, f)
+          case "tkhd" =>
+            val v = payload(b) & 0xff
+            val wOff = if (v == 1) b + 88 else b + 76
+            f.width = buf.getInt(wOff) >>> 16 // 16.16 fixed point
+            f.height = buf.getInt(wOff + 4) >>> 16
+          case "hdlr" =>
+            f.handler = fourCC(b + 8) // version/flags(4) + pre_defined(4)
+          case "stsd" =>
+            // version/flags(4) + entry_count(4) + first entry: size(4) + fourcc
+            if (buf.getInt(b + 4) > 0) f.codec = fourCC(b + 12)
+          case "stsz" =>
+            f.nFrames = buf.getInt(b + 8) // sample_count (after sample_size)
+          case _ => ()
+        }
+        pos = bodyEnd
+      }
+    }
+
+    walk(0, payload.length, f => if (f.handler == "vide") {
+      width = f.width; height = f.height; codec = f.codec; nFrames = f.nFrames
+    })
+    require(timescale > 0, s"no mvhd found (media_id=$id)")
+    require(nFrames > 0 && width > 0,
+      s"no video trak with stsz/tkhd found (media_id=$id)")
+    Mp4Meta(timescale, duration, width, height, codec, nFrames, mdatOffset, mdatLen)
+  }
+
+  /** Per-trak accumulator for [[parseMp4]]'s subtree scan. */
+  private final class TrakFields {
+    var handler: String = ""
+    var width: Int = 0
+    var height: Int = 0
+    var codec: String = ""
+    var nFrames: Int = 0
+  }
+
+  /** MP4 decode for the unified feature path: the METADATA half (dims,
+    * frame count) is real [[parseMp4]] output; the FEATURE half is the
+    * clearly-marked deterministic STUB — lane d averages the raw mdat
+    * bytes at index ≡ d (mod 16) as signed values, standing in for
+    * decoded-pixel features. A real implementation hands the payload to
+    * ffmpeg/javacv HERE and nothing else changes.
+    */
+  private[operators] def decodeMp4Features(id: Long, payload: Array[Byte],
+                                           frameStride: Int): MediaFeatures = {
+    val meta = parseMp4(id, payload)
+    require(meta.mdatOffset >= 0, s"no mdat box (media_id=$id)")
+    val sampled = math.max(1, meta.nFrames / math.max(1, frameStride))
     val feature = Array.tabulate(16) { d =>
       var acc = 0f
-      var j = d
-      while (j < body.length) { acc += body(j); j += 16 }
-      acc / body.length
+      var j = meta.mdatOffset + d
+      while (j < meta.mdatOffset + meta.mdatLen) { acc += payload(j); j += 16 }
+      acc / meta.mdatLen
     }
-    MediaFeatures(id, modality, w, h, sampled, feature)
+    MediaFeatures(id, "video", meta.width, meta.height, sampled, feature)
   }
 
   /** Format dispatch on magic bytes: real BMP decode for "BM" payloads,
-    * real WAV decode for "RIFF" payloads, the marked stub for everything
-    * else (video).
+    * real WAV decode for "RIFF" payloads, real MP4 box parse (metadata) +
+    * marked feature stub for ISO BMFF payloads; anything else fails
+    * loudly rather than guessing.
     */
   private[operators] def decodePayload(id: Long, payload: Array[Byte],
                                        frameStride: Int): MediaFeatures =
@@ -362,7 +619,32 @@ object Multimodal {
       payload(0) == 'R'.toByte && payload(1) == 'I'.toByte &&
       payload(2) == 'F'.toByte && payload(3) == 'F'.toByte)
       decodeWavFeatures(id, payload)
-    else decodeSynthetic(id, payload, frameStride)
+    else if (payload.length >= 12 &&
+      new String(payload, 4, 4, "US-ASCII") == "ftyp")
+      decodeMp4Features(id, payload, frameStride)
+    else throw new IllegalArgumentException(
+      s"unrecognized payload magic (media_id=$id): " +
+        payload.take(8).map(b => f"${b & 0xff}%02x").mkString(" "))
+
+  /** Parsed per-file video metadata row produced by [[videoMetadata]]. */
+  case class VideoMeta(mediaId: Long, codec: String, timescale: Long,
+                       durationTicks: Long, width: Int, height: Int,
+                       nFrames: Int, durationUs: Long)
+
+  /** Partition-wise MP4 metadata extraction over a media table's video
+    * payloads — real container parse, same `mapPartitions` shape as
+    * [[audioStats]] (parser state once per partition).
+    */
+  def videoMetadata(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions(_.map { case (id, p) =>
+        val m = parseMp4(id, p)
+        VideoMeta(id, m.codec, m.timescale, m.duration, m.width, m.height,
+          m.nFrames, m.durationUs)
+      })
+  }
 
   /** Partition-wise decode + feature extraction. `mapPartitions` so a real
     * codec/model would be constructed once per partition (the expensive

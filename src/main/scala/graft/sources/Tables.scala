@@ -24,16 +24,38 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table's `ts` is parquet TIMESTAMP(NANOS), read as Long ns
-    * (spark.sql.legacy.parquet.nanosAsLong) — this adds `event_time` as a
-    * true TimestampType (µs precision) for window/watermark operators.
+  /** Canonicalize the events table's time column, dispatching on the
+    * PHYSICAL encoding the file actually carries — the driver's testdata
+    * has shipped `ts` both as parquet TIMESTAMP(NANOS) (read as raw Long
+    * ns under spark.sql.legacy.parquet.nanosAsLong) and as
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ / TIMESTAMP). Output
+    * contract, regardless of input encoding:
+    *   - `event_time`: TimestampType (µs precision, session TZ = UTC) for
+    *     window/watermark operators;
+    *   - `tsCol`: epoch-ns Long — every downstream operator
+    *     (sessionCounts' session_start_ns, CDC versioning, rolling/
+    *     interval second-bucketing) keeps one arithmetic-friendly shape.
+    * Integer ops only — double division/multiplication would lose ±1µs at
+    * epoch-ns magnitudes (2^60 > 2^53 double mantissa). NTZ→LTZ cast is
+    * digit- and epoch-identity because every entry point pins the session
+    * time zone to UTC (GraftSession.scala).
     */
-  def withEventTime(events: DataFrame, tsCol: String = "ts"): DataFrame =
-    events.withColumn("event_time",
-      org.apache.spark.sql.functions.timestamp_micros(
-        // integer div — `/` would go through double and lose ±1µs on
-        // epoch-ns magnitudes (2^60 > 2^53 double mantissa)
-        org.apache.spark.sql.functions.expr(s"$tsCol div 1000")))
+  def withEventTime(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema(tsCol).dataType match {
+      case LongType =>
+        events.withColumn("event_time",
+          timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampType | TimestampNTZType =>
+        val et = col(tsCol).cast(TimestampType)
+        events.withColumn("event_time", et)
+          .withColumn(tsCol, unix_micros(et) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$tsCol: expected epoch-ns LONG or TIMESTAMP[_NTZ], got $other")
+    }
+  }
 
   /** S1 with a pinned schema (skip footer-schema merge on huge table dirs). */
   def tableWithSchema(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =

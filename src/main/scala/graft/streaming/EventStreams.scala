@@ -19,6 +19,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** The ns-Long flavor of the events schema — the fixture-writing shape
+    * (tests that synthesize epoch-ns frames). Real directories may instead
+    * carry `ts` as TIMESTAMP(MICROS); [[readEventStream]] reads the actual
+    * footer schema rather than pinning this one.
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // ns since epoch (parquet TIMESTAMP(NANOS) read raw)
@@ -27,19 +32,25 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Normalize the raw ns-long `ts` to a TimestampType `event_time`.
-    * Integer div, not `/`: double division loses ±1µs at epoch-ns scale.
+  /** Normalize `ts` (epoch-ns Long OR TIMESTAMP[_NTZ], whichever the file
+    * carries) to canonical ns-Long `ts` + TimestampType `event_time` —
+    * single implementation in [[graft.sources.Tables.withEventTime]] so a
+    * testdata re-encoding is absorbed in exactly one place.
     */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.withEventTime(df)
 
   /** File-based stream over a DIRECTORY of events parquet files (file
     * stream sources watch directories, not single files) — the test/demo
     * source; in production this would be Kafka with the same downstream.
+    * File streams require a pinned schema; pin the one the directory's
+    * files ACTUALLY carry (one batch footer read at stream start) instead
+    * of assuming a physical ts encoding.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    withEventTime(
-      spark.readStream.schema(eventSchema).parquet(dir))
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val actual = spark.read.parquet(dir).schema
+    withEventTime(spark.readStream.schema(actual).parquet(dir))
+  }
 
   /** Tumbling-window counts/sums per event type, 10-minute watermark.
     * Works identically on a batch frame (watermark is a no-op there).

@@ -96,4 +96,56 @@ class ObjectStoreSpec extends SparkSpec {
         v.fold(hc.unset(k))(hc.set(k, _)) }
     }
   }
+
+  test("layout maintenance on graftstore://: zone-map write → compaction → refreshed manifest still prunes") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    ObjectStore.configureLocalEmulator(spark)
+    val path = "graftstore:" +
+      java.nio.file.Files.createTempDirectory("graftstore_zm").toString + "/t"
+    // one big range-clustered head + six tiny tail files: the compaction
+    // target shape, with id-disjoint files so zone maps can prune
+    val head = (1L to 10000L).map(i => (i, i.toDouble / 10))
+      .toDF("id", "score").repartitionByRange(2, col("id"))
+    ZoneMaps.writeWithZoneMap(head, path, Seq("id"))
+    val tail = (10001L to 10600L).map(i => (i, i.toDouble / 10))
+      .toDF("id", "score").repartitionByRange(6, col("id"))
+    ZoneMaps.writeWithZoneMap(tail, path, Seq("id"), SaveMode.Append)
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+
+    // compaction's staging renames, trash-dir commit protocol, and the
+    // manifest re-harvest all run on the NON-default scheme — the rename/
+    // listing semantics that differ on real object stores
+    val (nIn, nOut) = Compaction.compactSmallFiles(spark, path,
+      targetBytes = 1L << 20, smallThreshold = 20000L)
+    assert(nIn == 6 && nOut == 1, s"expected 6 -> 1 on graftstore://, got ($nIn, $nOut)")
+
+    // the refreshed manifest keys exactly the CURRENT scheme-side listing
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val mapped = spark.read.parquet(s"$path/_manifest")
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(mapped == onDisk, s"manifest $mapped vs graftstore listing $onDisk")
+
+    // rows identical through the indexed read, and pruning still works
+    val indexed = ZoneMapFileIndex.read(spark, path)
+    assert(indexed.inputFiles.forall(_.startsWith("graftstore:")),
+      "indexed read must resolve through the alternate scheme")
+    assert(indexed.orderBy("id").collect().toSeq == before)
+    val q = indexed.filter(col("id") >= 10050L)
+    assert(q.count() == 551)
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.length == 1)
+    val scanned = scans.head.relation.location
+      .listFiles(Nil, q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition })
+      .flatMap(_.files).map(_.getPath.getName)
+    assert(scanned.length == 1 && scanned.head.startsWith("part-compacted-"),
+      s"high-id scan must prune to just the compacted file, got $scanned")
+  }
 }
