@@ -1674,6 +1674,61 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** SemDeDup-style semantic dedup over the embedding corpus: IVF cells
+    * from the 8 deterministic seed centroids (`vec_id < 8`, the q43
+    * convention), then within-cell cosine dominance — a vector is
+    * dropped iff a LOWER-id cell-mate is ≥ 0.40 similar, so the lowest
+    * id in each near-duplicate neighbourhood survives. Pairwise work is
+    * Σ|cell|², never corpus² (the SemDeDup scaling argument); the
+    * oracle restates dominance as one NOT EXISTS over the same cell
+    * assignment.
+    */
+  private def q111SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.semanticDedup(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", threshold = 0.40)
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Bigram-LM cross-entropy per document (the KenLM-shaped perplexity
+    * quality filter, corpus-as-model): MLE bigram probabilities fit on
+    * the whole corpus in one explode pass, each doc scored by the mean
+    * -log2 P(w2|w1) of its own bigrams. Per-doc multiplicities collapse
+    * before any join; both model tables are vocab-bounded aggregates.
+    * The oracle restates the identical ratio arithmetic.
+    */
+  private def q112LmCrossEntropy(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scoring
+    Scoring.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("cross_entropy"), 6).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Damped PageRank (3 power iterations, d = 0.85) over the
+    * symmetrized part–supplier co-purchase graph from lineitem —
+    * centrality over a corpus-derived graph, the link-analysis shape a
+    * web-scale pipeline runs on its domain/dup graphs. Iterations are
+    * constant-size stages with lineage truncated per step
+    * ([[graft.operators.Graph.pageRank]]); the oracle unrolls the same
+    * three iterations in SQL. Ranks scaled ×1000 before rounding so
+    * six decimals keep real precision at N ≈ thousands of nodes.
+    */
+  private def q113PageRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val li = t(s, dir, "lineitem")
+      .select(concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+    val edges = li.unionByName(li.select(col("b").as("a"), col("a").as("b")))
+    Graph.pageRank(edges, "a", "b", iterations = 3, damping = 0.85)
+      .select(col("id"), round(col("pr") * 1000, 6).as("pr_milli"))
+      .orderBy(col("id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1785,7 +1840,10 @@ object SparkEntry {
     "q107_share_of_total" -> (q107ShareOfTotal _),
     "q108_zonemap_scan" -> (q108ZonemapScan _),
     "q109_audio_features" -> (q109AudioFeatures _),
-    "q110_video_metadata" -> (q110VideoMetadata _))
+    "q110_video_metadata" -> (q110VideoMetadata _),
+    "q111_semantic_dedup" -> (q111SemanticDedup _),
+    "q112_lm_crossentropy" -> (q112LmCrossEntropy _),
+    "q113_pagerank" -> (q113PageRank _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3204,7 +3262,68 @@ object SparkEntry {
         | CAST((8 + r.i % 4) * (40 + r.i % 7) * 1000000 // (1000 + (r.i % 5) * 200) AS BIGINT) AS duration_us
         |FROM range(300) r(i)
         |WHERE r.i % 3 = 2
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+    // q111: same cell assignment as the q43 oracle, then SemDeDup
+    // dominance as one NOT EXISTS — survivor iff no lower-id cell-mate
+    // is >= threshold cosine-similar
+    "q111_semantic_dedup" ->
+      """WITH a AS (
+        | SELECT vec_id, embedding, cid AS cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC,
+        |              c.cid ASC) AS rn
+        |  FROM embeddings e,
+        |       (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8) c) t
+        | WHERE rn = 1)
+        |SELECT x.vec_id, x.cell FROM a x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM a y
+        |  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+        |    AND list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.40)
+        |ORDER BY x.vec_id""".stripMargin,
+    // q112: identical MLE ratio arithmetic — c(w1,w2)/c(w1 as context),
+    // doc score = weighted mean -log2 over the doc's own bigrams
+    "q112_lm_crossentropy" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        |bg AS (
+        | SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        | FROM toks, unnest(range(1, len(t))) AS u(i)),
+        |d AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+        |m12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12 FROM d GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m12 GROUP BY 1)
+        |SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+        | round(-sum(d.m * log2(m12.c12::DOUBLE / m1.c1)) / sum(d.m), 6) AS cross_entropy
+        |FROM d
+        |JOIN m12 ON d.w1 = m12.w1 AND d.w2 = m12.w2
+        |JOIN m1 ON d.w1 = m1.w1
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q113: the same three power iterations unrolled — contribution
+    // aggregate per step, teleport (1-0.85)/N, symmetrized edges
+    "q113_pagerank" ->
+      """WITH e0 AS (
+        | SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        | FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, 1.0::DOUBLE / nn.n AS pr FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS id, sum(r0.pr / deg.d) AS cin
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, (1 - 0.85)::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c1.cin, 0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT e.dst AS id, sum(r1.pr / deg.d) AS cin
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, (1 - 0.85)::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c2.cin, 0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT e.dst AS id, sum(r2.pr / deg.d) AS cin
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id, (1 - 0.85)::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c3.cin, 0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, round(pr * 1000, 6) AS pr_milli FROM r3 ORDER BY id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -22,6 +22,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    // a failed query must leave a RECORD, not a silent hole: a missing
+    // dump dir reads as "not declared" to any tooling that doesn't diff
+    // against the full query manifest (the round-7 artifact read as
+    // 99/99 green with 10 queries erroring). errors.json below is the
+    // durable per-query failure map, same idea as Bench's errors field.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       // per-query cache scope: operator-internal persisted intermediates
       // (class tables) release after each query, so ~50 queries in one
@@ -31,6 +37,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures(name) = e.getClass.getSimpleName
         }
       }
     }
@@ -50,6 +57,14 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty object when clean) so "no errors.json" can
+    // never be confused with "errors.json not produced by this version"
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} of ${selected.size} queries failed: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

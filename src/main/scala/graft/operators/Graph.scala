@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis over edge lists — centrality for corpus
+  * graphs a training-data pipeline actually builds (near-duplicate
+  * graphs, citation/link graphs, entity co-occurrence). No reference
+  * implementation (the pandas ETL has no graph surface, SURVEY.md §2.12);
+  * the semantics are the classic damped PageRank (Page et al. 1999)
+  * by power iteration.
+  *
+  * Scale shape (the 100 TB contract): each iteration is two shuffle
+  * joins keyed on node id — edge ⨝ rank on `src`, contribution sum on
+  * `dst` — plus a left join back to the node spine, all distributed
+  * hash aggregations with map-side combine. The rank table is one row
+  * per NODE (never per edge) and the per-iteration lineage is truncated
+  * with an eager `localCheckpoint` (the [[Components]] pattern) so the
+  * plan and its stage DAG stay constant-size regardless of iteration
+  * count. Nothing node- or edge-sized ever reaches the driver.
+  */
+object Graph {
+
+  /** Damped PageRank over a DIRECTED edge list, fixed iteration count.
+    *
+    * `pr(id) = (1-d)/N + d * Σ_{src→id} pr(src)/outdeg(src)` from a
+    * uniform `1/N` start, N = |distinct src ∪ dst|. Duplicate edges are
+    * collapsed first (one edge = one vote, the convention that makes
+    * ranks independent of upstream fan-out multiplicity). Dangling
+    * nodes (out-degree 0) absorb rank — their mass is NOT redistributed,
+    * the simple variant; callers who need conservation symmetrize the
+    * edge list (undirected graphs have no dangling nodes by
+    * construction, which is what the q113 query does).
+    *
+    * A fixed iteration count (not a convergence test) keeps the output
+    * a pure function of (edges, iterations, damping) — oracle-checkable
+    * by unrolling the same joins in SQL.
+    *
+    * Output: (id, pr), one row per node.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist()
+    graft.Caches.track(e)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    graft.Caches.track(nodes)
+    val n = nodes.count()
+    if (n == 0) {
+      // empty graph: empty (id, pr) result with the right schema
+      return nodes.withColumn("pr", lit(0.0))
+    }
+    val teleport = (1.0 - damping) / n
+
+    // curCk backs `ranks`; each round's eager checkpoint both computes
+    // the iteration and truncates lineage, then releases the previous one
+    var curCk = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = curCk
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(outDeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("pr") / col("__deg")).as("__c"))
+        .groupBy("id")
+        .agg(sum(col("__c")).as("__in"))
+      val next = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+            .as("pr"))
+        .localCheckpoint(true)
+      curCk.unpersist(blocking = false)
+      curCk = next
+      ranks = next
+    }
+    graft.Caches.track(curCk)
+    ranks
+  }
+}

@@ -263,4 +263,56 @@ object Scoring {
         transform(sort_array(collect_list(col("__id"))), _.cast("string")))
         .as("postings"))
   }
+
+  /** Per-document bigram-LM cross-entropy — the perplexity-style quality
+    * signal training-data pipelines use to rank documents against the
+    * corpus distribution (a KenLM-shaped filter without the external
+    * model: the corpus IS the model). Maximum-likelihood bigram model
+    * fit on the whole corpus, each document scored by the mean negative
+    * log2 probability of its own bigrams:
+    *
+    *   H(d) = -(1/|d|) Σ_bigrams log2( c(w1,w2) / c(w1·) )
+    *
+    * where c(w1·) counts w1 as a bigram CONTEXT (so probabilities
+    * normalize exactly: Σ_w2 P(w2|w1) = 1). Unsmoothed on purpose —
+    * scoring the training corpus itself means every document bigram has
+    * corpus support by construction, and the estimator stays an exact
+    * ratio an oracle restates verbatim. Low H = formulaic/repetitive
+    * relative to the corpus; high H = surprising (or noisy) text.
+    *
+    * Scale shape: one explode pass over the corpus; per-document bigram
+    * multiplicities collapse BEFORE any join (map-side combine on
+    * (id, w1, w2)); both model tables are type-level aggregates (vocab-
+    * bounded, way below corpus-bounded), joined on bigram/context keys
+    * as plain shuffle hash joins AQE is free to convert to broadcast.
+    * No per-token row ever crosses a join.
+    *
+    * Output: (id, n_bigrams, cross_entropy) — docs with fewer than two
+    * tokens have no bigrams and produce no row.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
+    // bigrams by zipping the token array with itself shifted one left;
+    // slice() is 1-based and clamps, so a 1-token doc yields no rows
+    val bg = toks
+      .select(col("__id"),
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))))).as("__b"))
+      .select(col("__id"), col("__b.0").as("w1"), col("__b.1").as("w2"))
+    val docBg = bg.groupBy(col("__id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__m"))
+      .persist()
+    graft.Caches.track(docBg)
+    val c12 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("__m")).as("__c12"))
+    val c1 = docBg.groupBy(col("w1")).agg(sum(col("__m")).as("__c1"))
+    val model = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        log2(col("__c12").cast("double") / col("__c1")).as("__logp"))
+    docBg.join(model, Seq("w1", "w2"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        (-sum(col("__m") * col("__logp")) / sum(col("__m"))).as("cross_entropy"))
+  }
 }

@@ -636,4 +636,42 @@ object Similarity {
     }
     df.withColumn("cell", assign(col(vecCol)))
   }
+
+  /** SemDeDup-style semantic deduplication (the Abbas et al. 2023 shape):
+    * every vector is assigned to its nearest coarse centroid
+    * ([[ivfAssign]]), then WITHIN each cell a vector is dropped iff some
+    * LOWER-id cell-mate is cosine-similar at `threshold` or above — the
+    * lowest id in each near-duplicate neighbourhood survives as the
+    * canonical copy.
+    *
+    * Scale contract: the only pairwise work is the within-cell self-join
+    * — candidate volume is Σ|cell|², bounded by centroid count and cell
+    * balance, never corpus². Cross-cell near-duplicates are deliberately
+    * NOT examined (the same recall trade SemDeDup makes: boundary pairs
+    * are the price of pruning the quadratic — raise the centroid count,
+    * don't widen the join). Dominance is single-hop, not transitive
+    * closure: "survives" = "no lower-id cell-mate within threshold",
+    * a per-pair-local, order-free decision that an oracle can restate
+    * as one NOT EXISTS (q111). For transitive-closure semantics compose
+    * the pair output with [[Components.dedupClusters]] instead.
+    *
+    * Returns the surviving input rows plus their `cell` assignment.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centroidId: String, centroidVec: String,
+                    threshold: Double): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
+      .filter(col("cell").isNotNull)
+      .persist()
+    graft.Caches.track(assigned)
+    val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropIds = a.join(b, "cell")
+      .filter(col("__idb") < col("__ida"))
+      .withColumn("__sim", cosineNative(df)(col("__va"), col("__vb")))
+      .filter(col("__sim") >= threshold)
+      .select(col("__ida").as(idCol))
+      .distinct()
+    assigned.join(dropIds, Seq(idCol), "left_anti")
+  }
 }

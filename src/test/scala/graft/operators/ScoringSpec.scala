@@ -185,4 +185,39 @@ class ScoringSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     assert(got.toSeq == Seq(("tok", 9L, "1,2,3")))
   }
+
+  test("bigramCrossEntropy matches hand-computed MLE bigram scores") {
+    import spark.implicits._
+    // corpus bigrams: d1 "a b a b" -> (a,b) x2, (b,a); d2 "a b c" -> (a,b), (b,c)
+    // model: c(a,b)=3 c(b,a)=1 c(b,c)=1; contexts c(a.)=3, c(b.)=2
+    // P(b|a)=1 (log2=0), P(a|b)=1/2, P(c|b)=1/2 (log2=-1)
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Scoring.bigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - 1.0 / 3) < 1e-12) // -(2*0 + 1*(-1))/3
+    assert(math.abs(got(2L)._2 - 0.5) < 1e-12)     // -(0 + (-1))/2
+  }
+
+  test("bigramCrossEntropy: fully deterministic corpus scores 0; short docs drop") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val got = Scoring.bigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // P(y|x) = 1 everywhere -> H = 0; one-token and empty docs have no
+    // bigrams and produce no row
+    assert(got.keySet == Set(1L, 2L))
+    assert(got.values.forall(v => math.abs(v) < 1e-12))
+  }
+
+  test("bigramCrossEntropy: repeated doc bigrams weight the mean by multiplicity") {
+    import spark.implicits._
+    // model over both docs: c(a,b)=3, c(a,c)=1 -> P(b|a)=3/4, P(c|a)=1/4
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val got = Scoring.bigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(1L) - (-math.log(3.0 / 4) / math.log(2))) < 1e-12)
+    assert(math.abs(got(4L) - 2.0) < 1e-12) // -log2(1/4)
+  }
 }

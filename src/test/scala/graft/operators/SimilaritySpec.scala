@@ -273,4 +273,51 @@ class SimilaritySpec extends SparkSpec {
       v.zip(b(cid)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f) }
     }
   }
+
+  test("semanticDedup: lowest id survives, within-cell dominance only") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),    // cell 0, canonical
+      (11L, Array(0.999f, 0.01f)), // cell 0, ~1.0 cosine to 10 -> dropped
+      (12L, Array(0.7f, 0.7f)),    // cell 0 (tie -> lowest cid); 0.707 to 10 -> survives
+      (13L, Array(0.0f, 1.0f))     // cell 1, alone -> survives
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .semanticDedup(corpus, "vec_id", "embedding", cents, "cid", "cvec", 0.92)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 0L, 12L -> 0L, 13L -> 1L))
+  }
+
+  test("semanticDedup: dominance is single-hop — a dropped vector still suppresses") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("cid", "cvec")
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // chain at 0° / 15° / 30°: cos(15°)=0.966 >= 0.92, cos(30°)=0.866 < 0.92
+    val corpus = Seq((20L, at(0)), (21L, at(15)), (22L, at(30)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity
+      .semanticDedup(corpus, "vec_id", "embedding", cents, "cid", "cvec", 0.92)
+      .collect().map(_.getLong(0)).toSet
+    // 21 dropped by 20; 22 dropped by 21 even though 21 itself is
+    // dropped (per-pair NOT EXISTS semantics, not survivor-relative)
+    assert(got == Set(20L))
+  }
+
+  test("semanticDedup: near-dups straddling a cell boundary both survive") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // 44° and 46°: cosine 0.9994 to each other but different nearest
+    // centroids — the documented SemDeDup recall trade
+    val corpus = Seq((30L, at(44)), (31L, at(46))).toDF("vec_id", "embedding")
+    val got = Similarity
+      .semanticDedup(corpus, "vec_id", "embedding", cents, "cid", "cvec", 0.92)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(30L -> 0L, 31L -> 1L))
+  }
 }

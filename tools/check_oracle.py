@@ -19,6 +19,14 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# Verify's per-query failure record (always written; {} when clean). A
+# query listed here has no dump dir — report it as an execution failure
+# up front instead of the generic read_parquet ERROR.
+try:
+    verify_errors = json.load(open(f"{out_dir}/errors.json"))
+except FileNotFoundError:
+    verify_errors = {}
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -36,6 +44,10 @@ def cell(v):
 fails = 0
 for name in sorted(oracle):
     qdir = f"{out_dir}/{name}"
+    if name in verify_errors:
+        print(f"FAIL {name}: query errored in Verify ({verify_errors[name]})")
+        fails += 1
+        continue
     try:
         spark_df = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
         duck_df = con.execute(oracle[name]).df()
@@ -76,5 +88,10 @@ for m in sorted(missing):
         print(f"ROWS-ONLY {n}: {rows} rows")
     except Exception as e:
         print(f"ERROR {n}: {e}")
+# rows-only queries (no oracle SQL) that errored in Verify leave neither
+# a dump dir nor an oracle row — surface them from errors.json directly
+for n in sorted(set(verify_errors) - set(oracle)):
+    print(f"FAIL {n}: rows-only query errored in Verify ({verify_errors[n]})")
+    fails += 1
 print(f"\n{fails} failures")
 sys.exit(1 if fails else 0)
