@@ -22,14 +22,23 @@ import org.apache.spark.sql.functions._
   * collapse, so class pairs are the unit the LSH machinery actually
   * processes (doc-pair counts just multiply by class sizes).
   *
-  * Usage: runMain graft.tools.DedupStats <dir> [threshold] [exact]
+  * `ngram` selects the shingle width the signatures run on — the knob
+  * that decides whether LSH survives a high-baseline-overlap corpus:
+  * on synthetic small-vocab text, unrelated same-lang docs average
+  * ~0.63 UNIGRAM token-set Jaccard (so near-threshold banding admits
+  * almost every pair — measured 87%+ candidate rates), while their
+  * BIGRAM-shingle Jaccard averages ~0.03 (banding admits ~nothing but
+  * true near-dups). The 100 TB configuration is ngram >= 2.
+  *
+  * Usage: runMain graft.tools.DedupStats <dir> [threshold] [ngram] [exact]
   * Prints ONE JSON line, same contract as Bench.
   */
 object DedupStats {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(sys.error(
-      "usage: DedupStats <dir> [threshold] [exact]"))
+      "usage: DedupStats <dir> [threshold] [ngram] [exact]"))
     val threshold = args.lift(1).map(_.toDouble).getOrElse(0.95)
+    val ngram = args.lift(2).filter(_ != "exact").map(_.toInt).getOrElse(1)
     val wantExact = args.contains("exact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -40,12 +49,12 @@ object DedupStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, dir, threshold, wantExact)
+    try run(spark, dir, threshold, wantExact, ngram)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, dir: String, threshold: Double,
-          wantExact: Boolean): Unit = {
+          wantExact: Boolean, ngram: Int = 1): Unit = {
     import graft.operators.Dedup
     graft.expressions.GraftFunctions.register(spark)
 
@@ -70,7 +79,7 @@ object DedupStats {
     val withBand = reps.select(
       col("cls"), col("lang").as("blk"),
       call_function("minhash_signature",
-        Dedup.hashedShingleSet(reps, col("text"), 1), lit(k)).as("sig"))
+        Dedup.hashedShingleSet(reps, col("text"), ngram), lit(k)).as("sig"))
       .withColumn("band", explode(Dedup.lshBands(col("sig"), b, r)))
       .select(col("cls"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
@@ -86,7 +95,7 @@ object DedupStats {
     val candPairs = candidates.count()
 
     val toks = reps.select(col("cls"),
-      Dedup.hashedShingleSet(reps, col("text"), 1).as("toks"))
+      Dedup.hashedShingleSet(reps, col("text"), ngram).as("toks"))
     val verifiedPairs = candidates
       .join(toks.withColumnsRenamed(Map("cls" -> "id_a", "toks" -> "ta")), "id_a")
       .join(toks.withColumnsRenamed(Map("cls" -> "id_b", "toks" -> "tb")), "id_b")
@@ -101,14 +110,14 @@ object DedupStats {
     // opt in explicitly.
     val exactPairs =
       if (wantExact)
-        Some(Dedup.jaccardPairs(reps, "cls", "text", "lang", threshold).count())
+        Some(Dedup.jaccardPairsClassed(reps, "cls", "text", "lang", threshold, ngram).count())
       else None
 
     val precision = if (candPairs == 0) 1.0 else verifiedPairs.toDouble / candPairs
     val recall = exactPairs.map(e =>
       if (e == 0) 1.0 else verifiedPairs.toDouble / e)
     val json =
-      s"""{"metric":"dedup_stats","dir":"$dir","threshold":$threshold,""" +
+      s"""{"metric":"dedup_stats","dir":"$dir","threshold":$threshold,"ngram":$ngram,""" +
       s""""num_hashes":$k,"bands":$b,"rows_per_band":$r,""" +
       s""""n_docs":$nDocs,"n_classes":$nClasses,""" +
       s""""cand_pairs":$candPairs,"verified_pairs":$verifiedPairs,""" +

@@ -300,4 +300,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q111 semantic dedup: cell self-join is an equi-join, no cartesian") {
+    val p = planOf("q111_semantic_dedup")
+    // the only pairwise stage is the within-cell self-join — it must plan
+    // as a hash equi-join on cell (Σ|cell|² work), never a nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q112 lm cross-entropy: doc bigrams collapse with partial aggregation before any join") {
+    val p = planOf("q112_lm_crossentropy")
+    // per-(doc,bigram) multiplicities must partial-aggregate (map-side
+    // combine) below the model joins — a per-token row crossing a join
+    // would be the corpus-sized shuffle the operator exists to avoid
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Window"), s"no window needed anywhere:\n$p")
+  }
+
+  test("q113 pagerank: per-iteration lineage is truncated — the final plan does not grow with iterations") {
+    // the executed plan of the LAST iteration must read the previous
+    // ranks from a checkpointed scan, not replay all prior iterations:
+    // a constant number of joins regardless of iteration count
+    val df: DataFrame = SparkEntry.queries("q113_pagerank")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.explainString(FormattedMode)
+    Caches.unpersistAll()
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins <= 6, s"expected a constant-size (<= 2-join) final-iteration plan, got $joins Join tokens:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected the checkpointed rank table as a scan:\n$p")
+  }
 }
