@@ -325,6 +325,46 @@ object Dedup {
     }.getOrElse((48, 24))
   }
 
+  /** Most-selective banding within a hash budget: the LARGEST rows-per-
+    * band r (with the minimal band count b) whose at-threshold miss
+    * probability (1 - t^r)^b stays ≤ `miss`. Returns (numHashes, bands)
+    * for the miners' explicit-banding parameters.
+    *
+    * Why it exists: [[autoBanding]] caps the signature at 48 hashes,
+    * which at low thresholds (t ≈ 0.5, the near-dup mining regime)
+    * bottoms out at r = 2 — and a 2-row band admits unrelated pairs at
+    * ~j²·b, a 2–3% candidate floor on corpora whose unrelated docs
+    * already share j ≈ 0.03 of their shingles (measured on the perturbed
+    * 100× synthesis, SURVEY §9.1). Since the verify stage's cost is
+    * linear in ADMITTED pairs — i.e. quadratic in corpus size once the
+    * floor dominates — buying r = 3 with a bigger signature (t = 0.5
+    * needs k = 312, b = 104) cuts baseline false admits ~j-fold (~30×
+    * here) for a linear per-doc signature cost. The default stays 48:
+    * at 48 hashes the small-corpus constant is better, and the trade
+    * only wins when verify dominates. Callers opt in:
+    * {{{
+    *   val (k, b) = Dedup.selectiveBanding(0.5, maxHashes = 320)
+    *   Dedup.minhashDupPairsClassed(df, "id", "text", "lang", 0.5,
+    *     ngram = 2, numHashes = k, bands = b)
+    * }}}
+    */
+  def selectiveBanding(threshold: Double, maxHashes: Int,
+                       miss: Double = 1e-6): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(maxHashes >= 2, s"maxHashes must be >= 2, got $maxHashes")
+    require(miss > 0.0 && miss < 1.0, s"miss must be in (0, 1), got $miss")
+    val feasible = (2 to 32).flatMap { r =>
+      val pr = math.pow(threshold, r.toDouble)
+      // minimal b with (1 - pr)^b <= miss; log1p for t^r near 0
+      val b = math.ceil(math.log(miss) / math.log1p(-pr)).toInt.max(1)
+      if (r.toLong * b <= maxHashes) Some((r * b, b, r)) else None
+    }
+    feasible.maxByOption { case (_, _, r) => r }
+      .map { case (k, b, _) => (k, b) }
+      .getOrElse(autoBanding(threshold))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH, then EXACT token-set
     * Jaccard verification ≥ threshold (so the output has no false
     * positives; false negatives are bounded by the banding probability —

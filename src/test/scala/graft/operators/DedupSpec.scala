@@ -180,6 +180,35 @@ class DedupSpec extends SparkSpec {
     assert(rs == rs.sorted, s"rows-per-band should grow with threshold: $rs")
   }
 
+  test("selectiveBanding: max rows-per-band within budget, miss bound holds") {
+    // every returned config must hold the miss bound and fit the budget
+    // (t=0.5 needs k >= 98 for ANY config — with a smaller budget the
+    // helper falls back to autoBanding, tested separately above)
+    for (t <- Seq(0.7, 0.9, 0.95); kMax <- Seq(48, 128, 320)) {
+      val (k, b) = Dedup.selectiveBanding(t, kMax)
+      val r = k / b
+      assert(k % b == 0 && k <= kMax, s"t=$t kMax=$kMax: k=$k b=$b")
+      val miss = math.pow(1 - math.pow(t, r.toDouble), b.toDouble)
+      assert(miss <= 1e-6, s"t=$t kMax=$kMax (k=$k,b=$b,r=$r): miss=$miss")
+    }
+    for (kMax <- Seq(128, 320)) {
+      val (k, b) = Dedup.selectiveBanding(0.5, kMax)
+      val miss = math.pow(1 - math.pow(0.5, (k / b).toDouble), b.toDouble)
+      assert(k <= kMax && miss <= 1e-6, s"t=0.5 kMax=$kMax (k=$k,b=$b): miss=$miss")
+    }
+    // the point of the bigger budget: t=0.5 gets r=2 at 48 hashes but
+    // r=3 at 320 — an ~j-fold cut in baseline false-admit rate
+    assert(Dedup.selectiveBanding(0.5, 48)._1 / Dedup.selectiveBanding(0.5, 48)._2 == 2)
+    val (k320, b320) = Dedup.selectiveBanding(0.5, 320)
+    assert(k320 / b320 == 3, s"expected r=3 at 320 hashes, got ($k320,$b320)")
+    // a budget equal to autoBanding's never does worse than autoBanding
+    for (t <- Seq(0.7, 0.9, 0.95)) {
+      val (ka, ba) = Dedup.autoBanding(t)
+      val (ks, bs) = Dedup.selectiveBanding(t, 48)
+      assert(ks / bs >= ka / ba, s"t=$t: selective ($ks,$bs) vs auto ($ka,$ba)")
+    }
+  }
+
   test("ngramContamination flags partial inclusion doc-level dedup misses") {
     import spark.implicits._
     // eval question quoted VERBATIM inside a long training doc: jaccard
