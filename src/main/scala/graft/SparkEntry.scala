@@ -1729,6 +1729,26 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** The mining-regime LSH configuration itself, oracle-checked: same
+    * near-dup contract as q44 (bigram shingles, threshold 0.5, classed
+    * miner) but under [[graft.operators.Dedup.selectiveBanding]] inside
+    * a 320-hash budget — r = 3 rows per band instead of autoBanding's
+    * r = 2, the banding SURVEY §9.1 adjudicates as the 100 TB default
+    * (measured ~4.5× candidate cut at identical output). Banding changes
+    * candidate efficiency, never the verified output (miss ≤ 1e-6 at
+    * threshold), so the brute-force bigram-Jaccard oracle must match
+    * exactly — which is precisely the property that makes the scale
+    * configuration safe to adopt.
+    */
+  private def q114SelectiveLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val (k, b) = Dedup.selectiveBanding(0.5, maxHashes = 320)
+    Dedup.minhashDupPairsClassed(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5,
+        numHashes = k, bands = b, ngram = 2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1843,7 +1863,8 @@ object SparkEntry {
     "q110_video_metadata" -> (q110VideoMetadata _),
     "q111_semantic_dedup" -> (q111SemanticDedup _),
     "q112_lm_crossentropy" -> (q112LmCrossEntropy _),
-    "q113_pagerank" -> (q113PageRank _))
+    "q113_pagerank" -> (q113PageRank _),
+    "q114_selective_lsh" -> (q114SelectiveLsh _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2229,22 +2250,11 @@ object SparkEntry {
         |WHERE rn = 1
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
-    "q44_ngram_jaccard" ->
-      """WITH g AS (
-        | SELECT doc_id, lang,
-        |  list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
-        | FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks FROM documents) t
-        |), tok AS (SELECT doc_id, lang, unnest(grams) AS g2 FROM g),
-        |sz AS (SELECT doc_id, len(grams) AS n FROM g),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |          FROM tok a JOIN tok b ON a.g2 = b.g2 AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
-        |FROM pairs
-        |JOIN sz sa ON id_a = sa.doc_id
-        |JOIN sz sb ON id_b = sb.doc_id
-        |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q44_ngram_jaccard" -> ngramJaccardOracle,
+    // q114: same output contract as q44 — selectiveBanding changes the
+    // candidate machinery only, so the identical brute-force oracle is
+    // exactly the check that makes the scale banding adoptable
+    "q114_selective_lsh" -> ngramJaccardOracle,
     // q45: the split is a pure function of md5(doc_id) — the oracle
     // recomputes bucket and label from scratch (bounds for 0.8/0.1/0.1
     // over 10000 buckets: [0,8000) [8000,9000) [9000,10000))
@@ -3332,6 +3342,27 @@ object SparkEntry {
     * threshold — the shared subquery behind the q23/q24 oracle and the
     * q49 connected-components oracle.
     */
+  /** Brute-force bigram-shingle Jaccard pairs at threshold 0.5 — the
+    * shared oracle for q44 (autoBanding) and q114 (selectiveBanding):
+    * banding must never change the verified pair set.
+    */
+  private val ngramJaccardOracle: String =
+    """WITH g AS (
+      | SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+      | FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks FROM documents) t
+      |), tok AS (SELECT doc_id, lang, unnest(grams) AS g2 FROM g),
+      |sz AS (SELECT doc_id, len(grams) AS n FROM g),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |          FROM tok a JOIN tok b ON a.g2 = b.g2 AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON id_a = sa.doc_id
+      |JOIN sz sb ON id_b = sb.doc_id
+      |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   private def jaccardPairsSql(threshold: String): String =
     s"""SELECT id_a, id_b, shared * 1.0 / (na + nb - shared) AS jaccard
        |FROM (

@@ -259,6 +259,17 @@ class DedupSpec extends SparkSpec {
       "every operator-internal persist must be tracked and released")
   }
 
+  test("selectiveBanding output == autoBanding output on real documents (q114 contract)") {
+    // banding changes candidate efficiency only; the verified pair set
+    // must be identical under either banding at the mining threshold
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val auto = Dedup.minhashDupPairsClassed(real, "doc_id", "text", "lang", 0.5, ngram = 2)
+    val (k, b) = Dedup.selectiveBanding(0.5, maxHashes = 320)
+    val sel = Dedup.minhashDupPairsClassed(real, "doc_id", "text", "lang", 0.5,
+      numHashes = k, bands = b, ngram = 2)
+    assert(rowsOf(auto) == rowsOf(sel))
+  }
+
   test("resolveClusters keeps the best-scoring member, low id on ties") {
     import spark.implicits._
     val clusters = Seq(
