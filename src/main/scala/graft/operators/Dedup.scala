@@ -333,13 +333,15 @@ object Dedup {
     * Why it exists: [[autoBanding]] caps the signature at 48 hashes,
     * which at low thresholds (t ≈ 0.5, the near-dup mining regime)
     * bottoms out at r = 2 — and a 2-row band admits unrelated pairs at
-    * ~j²·b, a 2–3% candidate floor on corpora whose unrelated docs
+    * ~j²·b, a ~2.6% candidate floor on corpora whose unrelated docs
     * already share j ≈ 0.03 of their shingles (measured on the perturbed
-    * 100× synthesis, SURVEY §9.1). Since the verify stage's cost is
-    * linear in ADMITTED pairs — i.e. quadratic in corpus size once the
-    * floor dominates — buying r = 3 with a bigger signature (t = 0.5
-    * needs k = 312, b = 104) cuts baseline false admits ~j-fold (~30×
-    * here) for a linear per-doc signature cost. The default stays 48:
+    * 10× synthesis: 7.52M false admits over 293M same-lang class pairs,
+    * SURVEY §9.1). Since the verify stage's cost is linear in ADMITTED
+    * pairs — i.e. quadratic in corpus size once the floor dominates —
+    * buying r = 3 with a bigger signature (t = 0.5 needs k = 312,
+    * b = 104) cuts false admits by the per-pair-probability ratio
+    * j·(104/24) ≈ 7× predicted, 4.8× measured (the overlap j varies by
+    * pair), for a linear per-doc signature cost. The default stays 48:
     * at 48 hashes the small-corpus constant is better, and the trade
     * only wins when verify dominates. Callers opt in:
     * {{{
