@@ -1749,6 +1749,41 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental dedup through a persisted-shape MinHash band index:
+    * the corpus (doc_id % 5 != 0) is indexed once, then the "new batch"
+    * (doc_id % 5 == 0) probes it — corpus-vs-batch near-dup pairs at
+    * token Jaccard ≥ 0.9 with exact verification. The oracle brute-
+    * forces the cross-pairs; banding miss at the threshold is ≤ 1e-9
+    * (autoBanding(0.9) → 16 bands × 3 rows), so the sets must match
+    * exactly. The timed query includes the index build — the bench
+    * measures both halves of the ingestion cycle.
+    */
+  private def q115IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text", "lang", 0.9)
+    Dedup.incrementalDupPairs(batch, corpus, index, "doc_id", "text", "lang", 0.9)
+      .select(col("corpus_id"), col("new_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("corpus_id"), col("new_id"))
+  }
+
+  /** CCNet-style line-level boilerplate removal. The synthetic corpus is
+    * single-line, so the query first segments every document into
+    * 10-token lines (a deterministic regexp the oracle restates — the
+    * segmentation is an input property, the operator takes any
+    * delimiter), then drops lines whose normalized content appears in
+    * ≥ 2 distinct documents and reassembles the rest in order.
+    */
+  private def q116LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val seg = t(s, dir, "documents").withColumn("text",
+      regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n"))
+    Dedup.lineDedup(seg, "doc_id", "text", minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1864,7 +1899,9 @@ object SparkEntry {
     "q111_semantic_dedup" -> (q111SemanticDedup _),
     "q112_lm_crossentropy" -> (q112LmCrossEntropy _),
     "q113_pagerank" -> (q113PageRank _),
-    "q114_selective_lsh" -> (q114SelectiveLsh _))
+    "q114_selective_lsh" -> (q114SelectiveLsh _),
+    "q115_incremental_dedup" -> (q115IncrementalDedup _),
+    "q116_line_dedup" -> (q116LineDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2255,6 +2292,44 @@ object SparkEntry {
     // candidate machinery only, so the identical brute-force oracle is
     // exactly the check that makes the scale banding adoptable
     "q114_selective_lsh" -> ngramJaccardOracle,
+    "q115_incremental_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, list_distinct(string_split(lower(trim(text)), ' ')) AS ts
+        | FROM documents),
+        |ct AS (SELECT doc_id, lang, unnest(ts) AS token FROM toks WHERE doc_id % 5 <> 0),
+        |nt AS (SELECT doc_id, lang, unnest(ts) AS token FROM toks WHERE doc_id % 5 = 0),
+        |p AS (SELECT c.doc_id AS corpus_id, n.doc_id AS new_id, count(*) AS shared
+        |      FROM ct c JOIN nt n ON c.token = n.token AND c.lang = n.lang
+        |      GROUP BY 1, 2)
+        |SELECT corpus_id, new_id,
+        | round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM p
+        |JOIN (SELECT doc_id, len(ts) AS n FROM toks WHERE doc_id % 5 <> 0) sa ON corpus_id = sa.doc_id
+        |JOIN (SELECT doc_id, len(ts) AS n FROM toks WHERE doc_id % 5 = 0) sb ON new_id = sb.doc_id
+        |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.9
+        |ORDER BY corpus_id, new_id""".stripMargin,
+    "q116_line_dedup" ->
+      ("""WITH seg AS (
+        | SELECT doc_id,
+        |  regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+        | FROM documents),
+        |l0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM seg),
+        |lines AS (SELECT doc_id, unnest(ls) AS line,
+        |          unnest(range(1, len(ls) + 1)) AS pos FROM l0),
+        |keyed AS (SELECT doc_id, pos, line, md5(lower(trim(line))) AS k FROM lines),
+        |boiler AS (SELECT k FROM (
+        |  SELECT k, count(DISTINCT doc_id) AS d FROM keyed GROUP BY 1) f
+        |  WHERE d >= 2),
+        |reb AS (
+        | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |        count(*) AS lines_kept
+        | FROM keyed WHERE k NOT IN (SELECT k FROM boiler)
+        | GROUP BY 1)
+        |SELECT l0.doc_id, coalesce(reb.text_clean, '') AS text_clean,
+        | CAST(coalesce(reb.lines_kept, 0) AS BIGINT) AS lines_kept,
+        | CAST(len(l0.ls) AS BIGINT) AS lines_total
+        |FROM l0 LEFT JOIN reb ON l0.doc_id = reb.doc_id
+        |ORDER BY l0.doc_id""").stripMargin,
     // q45: the split is a pure function of md5(doc_id) — the oracle
     // recomputes bucket and label from scratch (bounds for 0.8/0.1/0.1
     // over 10000 buckets: [0,8000) [8000,9000) [9000,10000))

@@ -494,6 +494,161 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Incremental dedup: persisted LSH index + new-batch probe
+  // ------------------------------------------------------------------
+
+  /** MinHash-LSH band index of a corpus — the PERSISTED artifact that
+    * makes dedup INCREMENTAL: ingesting a new batch probes this index
+    * instead of re-mining the whole corpus (the difference between
+    * O(batch) and O(corpus) per ingestion cycle at 100 TB).
+    *
+    * Output: one narrow row per (document, band) —
+    * `(id, blk, band_idx, band_hash, num_hashes, bands, ngram)`. The
+    * banding parameters ride along as constant columns (dictionary/RLE-
+    * encoded to ~nothing in parquet) so the index is SELF-DESCRIBING:
+    * [[incrementalDupPairs]] reads them back and refuses a probe built
+    * with mismatched banding — the production failure mode where a
+    * config drift silently zeroes recall.
+    *
+    * Scale: persist via [[graft.sources.Tables.writeBucketed]] on
+    * `(blk, band_idx, band_hash)` — the probe join then reads the
+    * corpus-×-bands-sized index side WITHOUT an Exchange (only the
+    * batch-sized probe side shuffles, to the bucket count). Appending a
+    * new batch's own band rows (this function on the batch) keeps the
+    * index current; compact small appends with
+    * [[graft.sources.Compaction]].
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, threshold: Double, ngram: Int = 1,
+                   numHashes: Int = 0, bands: Int = 0): DataFrame = {
+    require((numHashes > 0) == (bands > 0),
+      s"numHashes and bands must be overridden together (got numHashes=$numHashes, bands=$bands)")
+    val (k, b) = if (numHashes > 0 && bands > 0) (numHashes, bands)
+                 else autoBanding(threshold)
+    require(k % b == 0, "bands must divide numHashes")
+    bandRows(df, idCol, textCol, blockCol, k, b, ngram)
+      .withColumn("num_hashes", lit(k))
+      .withColumn("bands", lit(b))
+      .withColumn("ngram", lit(ngram))
+  }
+
+  /** The shared banding projection: `(id, blk, band_idx, band_hash)` via
+    * the native signature kernel over hashed n-gram shingles.
+    */
+  private def bandRows(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, k: Int, b: Int, ngram: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        call_function("minhash_signature",
+          hashedShingleSet(df, col(textCol), ngram), lit(k)).as("sig"))
+      .withColumn("band", explode(lshBands(col("sig"), b, k / b)))
+      .select(col("id"), col("blk"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+  }
+
+  /** New-batch-vs-corpus near-duplicate pairs through a persisted
+    * [[minhashIndex]]: band the batch with the INDEX's own recorded
+    * parameters, join bands against the index, then verify candidates
+    * with exact token/shingle Jaccard against the corpus text — so the
+    * output has no false positives and the same ≤ `miss` banding recall
+    * bound as the batch miners, but the corpus is never re-mined.
+    * Within-batch pairs are deliberately NOT emitted (run a batch miner
+    * on the batch for those — it is batch-sized work either way).
+    *
+    * Scale shape: the band join is candidate-generating (index side
+    * shuffle-free when bucketed — see [[minhashIndex]]); the two verify
+    * joins are CANDIDATE-sized lookups into corpus/batch text, orders of
+    * magnitude below corpus size. One bounded driver read (a single
+    * index row) validates banding compatibility.
+    * Output: (corpus_id, new_id, jaccard).
+    */
+  def incrementalDupPairs(newDf: DataFrame, corpus: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String, blockCol: String,
+                          threshold: Double, ngram: Int = 1): DataFrame = {
+    val meta = index.select(col("num_hashes"), col("bands"), col("ngram")).head(1)
+    require(meta.nonEmpty, "cannot probe an EMPTY index: build it with minhashIndex first")
+    val (k, b, idxNgram) = (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
+    require(idxNgram == ngram,
+      s"index was built over $idxNgram-gram shingles but the probe asked for $ngram-gram — " +
+        "signatures would be incomparable and recall silently zero")
+    val probe = bandRows(newDf, idCol, textCol, blockCol, k, b, ngram)
+    val candidates = probe.as("n")
+      .join(index.as("x"),
+        col("n.blk") === col("x.blk") &&
+          col("n.band_idx") === col("x.band_idx") &&
+          col("n.band_hash") === col("x.band_hash") &&
+          col("n.id") =!= col("x.id"))
+      .select(col("x.id").as("corpus_id"), col("n.id").as("new_id"))
+      .dropDuplicates("corpus_id", "new_id")
+    val ctoks = corpus.select(col(idCol).as("corpus_id"),
+      hashedShingleSet(corpus, col(textCol), ngram).as("ta"))
+    val ntoks = newDf.select(col(idCol).as("new_id"),
+      hashedShingleSet(newDf, col(textCol), ngram).as("tb"))
+    candidates
+      .join(ctoks, "corpus_id")
+      .join(ntoks, "new_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // Line-level dedup (boilerplate removal)
+  // ------------------------------------------------------------------
+
+  /** Line-level deduplication in the CCNet/RefinedWeb mold: a line whose
+    * normalized content appears in ≥ `minDocs` DISTINCT documents is
+    * boilerplate (headers, footers, cookie banners, nav chrome) and is
+    * removed from EVERY document; remaining lines are reassembled in
+    * their original order. Doc-level dedup cannot see this — two pages
+    * sharing a 40-line footer are not near-duplicates of each other.
+    *
+    * `delim` is the segmentation unit (literal, not a regex; "\n" for
+    * real text — the caller owns segmentation, which is a property of
+    * the corpus, not of the algorithm).
+    *
+    * Scale shape: lines explode map-side; the document-frequency pass is
+    * a two-level aggregate on the 16-byte line fingerprint (never the
+    * line text); the boilerplate filter is a left-anti hash join on that
+    * fingerprint; reassembly is ONE shuffle of kept lines by doc id with
+    * an `array_sort(collect_list(struct(pos, line)))` — no window, no
+    * single-partition sort. Nothing is driver-side.
+    * Output: (id, text_clean, lines_kept, lines_total) for every input
+    * document — a doc whose every line was boilerplate keeps a row with
+    * `text_clean = ""` so the caller decides the drop policy.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String, minDocs: Int,
+                delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs) — at 1 every line is boilerplate")
+    val splitter = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(splitter).as(Seq("pos", "line")))
+      .withColumn("k", md5(lower(trim(col("line")))))
+    // document frequency per line fingerprint: collapse (k, id) first so
+    // a line repeated WITHIN one doc counts that doc once
+    val boiler = lines.select("k", "id").distinct()
+      .groupBy("k").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("k")
+    val rebuilt = lines.join(boiler, Seq("k"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s("line")),
+          delim).as("text_clean"),
+        count(lit(1)).as("lines_kept"))
+    df.select(col(idCol).as("id"), size(splitter).cast("long").as("lines_total"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("lines_kept"), lit(0L)).as("lines_kept"),
+        col("lines_total"))
+  }
+
+  // ------------------------------------------------------------------
   // Eval-set decontamination
   // ------------------------------------------------------------------
 

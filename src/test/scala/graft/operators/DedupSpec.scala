@@ -270,6 +270,111 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(auto) == rowsOf(sel))
   }
 
+  test("incrementalDupPairs == brute-force cross pairs on real documents") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 5 =!= 0)
+    val batch = real.filter(col("doc_id") % 5 === 0)
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text", "lang", 0.9)
+    val got = Dedup.incrementalDupPairs(batch, corpus, index,
+      "doc_id", "text", "lang", 0.9)
+    // ground truth: all near-dup pairs of the FULL corpus, restricted to
+    // (corpus, batch) cross pairs and reoriented to that contract
+    val all = Dedup.jaccardPairs(real, "doc_id", "text", "lang", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = all.flatMap { case (a, b, j) =>
+      if (a % 5 != 0 && b % 5 == 0) Some((a, b, j))
+      else if (a % 5 == 0 && b % 5 != 0) Some((b, a, j))
+      else None
+    }.toSet
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSet == expect)
+    assert(gotSet.nonEmpty, "fixture must actually exercise cross dups")
+  }
+
+  test("incrementalDupPairs refuses a probe with mismatched shingle width") {
+    val index = Dedup.minhashIndex(docs, "doc_id", "text", "lang", 0.9, ngram = 2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDupPairs(docs, docs, index, "doc_id", "text", "lang", 0.9, ngram = 1)
+    }
+    assert(e.getMessage.contains("incomparable"))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalDupPairs(docs, docs, index.limit(0), "doc_id", "text", "lang", 0.9, ngram = 2)
+    }
+  }
+
+  test("bucketed index probe: no Exchange on the index side of the band join") {
+    import graft.sources.Tables
+    val corpus = docs.filter(col("doc_id") =!= 2L)
+    val batch = docs.filter(col("doc_id") === 2L)
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text", "lang", 0.9)
+    Tables.writeBucketed(index, "dedup_band_index",
+      Seq("blk", "band_idx", "band_hash"), numBuckets = 4)
+    // at fixture size every join broadcasts, which hides the very
+    // shuffle bucketing removes — force the shuffle-join path the index
+    // faces at scale (a 100 TB index side is never broadcastable)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = spark.table("dedup_band_index")
+      val viaBucketed = Dedup.incrementalDupPairs(batch, corpus, bucketed,
+        "doc_id", "text", "lang", 0.9)
+      val viaPlain = Dedup.incrementalDupPairs(batch, corpus, index,
+        "doc_id", "text", "lang", 0.9)
+      assert(rowsOf(viaBucketed) == rowsOf(viaPlain))
+      val pB = viaBucketed.queryExecution.executedPlan.toString
+      val pP = viaPlain.queryExecution.executedPlan.toString
+      assert(pB.contains("Bucketed: true"),
+        s"bucketed table scan should be planned as bucketed:\n$pB")
+      val exB = "Exchange hashpartitioning".r.findAllIn(pB).length
+      val exP = "Exchange hashpartitioning".r.findAllIn(pP).length
+      assert(exB < exP,
+        s"bucketed index must remove the index-side shuffle ($exB vs $exP):\n$pB")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS dedup_band_index")
+    }
+  }
+
+  test("lineDedup removes corpus-frequent lines, preserves order and counts") {
+    import spark.implicits._
+    val lined = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\nshared footer\nunique beta"),
+      (2L, "cookie banner\nanother thought\nshared footer"),
+      (3L, "totally original text\nnothing shared here"),
+      (4L, "shared footer")                       // boilerplate-only doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(lined, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      // "COOKIE BANNER" matches "cookie banner" (normalized fingerprint)
+      (1L, "unique alpha\nunique beta", 2L, 4L),
+      (2L, "another thought", 1L, 3L),
+      (3L, "totally original text\nnothing shared here", 2L, 2L),
+      (4L, "", 0L, 1L)))
+  }
+
+  test("lineDedup: within-doc repeats count the doc once; minDocs boundary") {
+    import spark.implicits._
+    val lined = Seq(
+      (1L, "chorus line\nchorus line\nverse one"),   // repeat inside ONE doc
+      (2L, "verse two\nbridge")
+    ).toDF("doc_id", "text")
+    // "chorus line" appears twice but only in doc 1 -> df = 1 -> kept
+    val got = Dedup.lineDedup(lined, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got(0) == (1L, "chorus line\nchorus line\nverse one"))
+    // at minDocs = 2 a line in exactly 2 docs IS boilerplate
+    val two = Seq((1L, "same\nown a"), (2L, "same\nown b")).toDF("doc_id", "text")
+    val cleaned = Dedup.lineDedup(two, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(cleaned.toSeq == Seq("own a", "own b"))
+    intercept[IllegalArgumentException] {
+      Dedup.lineDedup(two, "doc_id", "text", minDocs = 1)
+    }
+  }
+
   test("resolveClusters keeps the best-scoring member, low id on ties") {
     import spark.implicits._
     val clusters = Seq(
