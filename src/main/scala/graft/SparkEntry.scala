@@ -1784,6 +1784,48 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketch-table EXACT distinct rollup ([[graft.operators.Sketches]]):
+    * one roaring-style bitmap of user_id per (event_type, day) shard —
+    * the persisted sketch-table shape — then distinct users per
+    * event_type by unioning shard sketches
+    * ([[graft.expressions.BitmapBuildAgg]]/[[BitmapUnionAgg]]). The
+    * rollup aggregation touches KB-sized sketches, never the raw keys;
+    * because the bitmap is exact (unlike HLL), the oracle is a plain
+    * `count(distinct user_id)` — the incremental path must equal the
+    * cold re-scan bit-for-bit. Reference anchor: full-column
+    * `nunique()` re-scans in pandas_based/src/data_clean.py restated
+    * as mergeable persisted state.
+    */
+  private def q117BitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val shards = Sketches.bitmapShards(ev,
+      Seq(col("event_type"), to_date(col("event_time")).as("day")), col("user_id"))
+    Sketches.bitmapRollup(shards, Seq(col("event_type")))
+      .select(col("event_type"), col("n_shards"),
+        col("n_distinct").as("distinct_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sketch-table APPROXIMATE distinct rollup on Spark's Datasketches
+    * HLL built-ins (`hll_sketch_agg`/`hll_union_agg`, lgK = 12) — the
+    * same shard→rollup shape as q117 for key domains too wide to
+    * bitmap. The Datasketches estimate is engine-specific, so there is
+    * no DuckDB oracle (rows-only gate); SketchesSpec instead asserts
+    * both the sharded rollup and a direct single-pass sketch within 2%
+    * of exact, and the rollup deterministic across re-runs (the two
+    * routes differ by estimator — HIP vs composite — not by registers).
+    */
+  private def q118HllRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val shards = Sketches.hllShards(ev,
+      Seq(col("event_type"), to_date(col("event_time")).as("day")), col("user_id"))
+    Sketches.hllRollup(shards, Seq(col("event_type")))
+      .select(col("event_type"), col("n_shards"), col("approx_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1901,7 +1943,9 @@ object SparkEntry {
     "q113_pagerank" -> (q113PageRank _),
     "q114_selective_lsh" -> (q114SelectiveLsh _),
     "q115_incremental_dedup" -> (q115IncrementalDedup _),
-    "q116_line_dedup" -> (q116LineDedup _))
+    "q116_line_dedup" -> (q116LineDedup _),
+    "q117_bitmap_distinct" -> (q117BitmapDistinct _),
+    "q118_hll_rollup" -> (q118HllRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3408,7 +3452,17 @@ object SparkEntry {
         |       FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
         |r3 AS (SELECT nodes.id, (1 - 0.85)::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c3.cin, 0) AS pr
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
-        |SELECT id, round(pr * 1000, 6) AS pr_milli FROM r3 ORDER BY id""".stripMargin)
+        |SELECT id, round(pr * 1000, 6) AS pr_milli FROM r3 ORDER BY id""".stripMargin,
+    // q117: the bitmap sketch is exact, so the sharded rollup must equal
+    // a plain distinct re-scan; n_shards = distinct (event_type, day)
+    // groups. q118 (HLL) has no SQL oracle — estimate is engine-specific.
+    "q117_bitmap_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_shards,
+        | count(DISTINCT user_id) AS distinct_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

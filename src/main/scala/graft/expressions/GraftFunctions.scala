@@ -82,6 +82,30 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "misra_gries takes exactly 2 arguments")
         MisraGries(children.head, children(1))
+      }),
+    (FunctionIdentifier("bitmap_build"),
+      new ExpressionInfo(classOf[BitmapBuildAgg].getName, "bitmap_build"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bitmap_build takes exactly 1 argument")
+        BitmapBuildAgg(children.head)
+      }),
+    (FunctionIdentifier("bitmap_union_agg"),
+      new ExpressionInfo(classOf[BitmapUnionAgg].getName, "bitmap_union_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bitmap_union_agg takes exactly 1 argument")
+        BitmapUnionAgg(children.head)
+      }),
+    (FunctionIdentifier("bitmap_cardinality"),
+      new ExpressionInfo(classOf[BitmapCardinality].getName, "bitmap_cardinality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bitmap_cardinality takes exactly 1 argument")
+        BitmapCardinality(children.head)
+      }),
+    (FunctionIdentifier("bitmap_contains"),
+      new ExpressionInfo(classOf[BitmapContains].getName, "bitmap_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bitmap_contains takes exactly 2 arguments")
+        BitmapContains(children.head, children(1))
       }))
 
   /** Idempotent runtime registration: the function registry AND the
