@@ -1826,6 +1826,27 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Frame sampling over real MP4 sample tables: every 2nd sample's
+    * byte extent + decode timestamp, resolved from the actual stsz/
+    * stsc/stco/stts boxes ([[graft.operators.Multimodal.mp4SampleTable]]),
+    * with a signed-byte checksum of the REAL bytes at the resolved
+    * offset — the range a real pipeline hands to the codec. The synth
+    * geometry is closed-form in media_id, so DuckDB restates every
+    * column including the checksum (the mdat byte at flat index j is
+    * (i·31 + j·7) mod 251, signed).
+    */
+  private def q119FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(s, 300).filter(col("modality") === "video")
+    Multimodal.frameSamples(media, stride = 2).toDF()
+      .select(col("mediaId").as("media_id"), col("sampleIdx").as("sample_idx"),
+        col("chunkIdx").as("chunk_idx"), col("size"),
+        col("offsetInChunk").as("offset_in_chunk"),
+        col("dtsTicks").as("dts_ticks"), col("dtsUs").as("dts_us"),
+        col("sync"), col("byteSum").as("byte_sum"))
+      .orderBy(col("media_id"), col("sample_idx"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1945,7 +1966,8 @@ object SparkEntry {
     "q115_incremental_dedup" -> (q115IncrementalDedup _),
     "q116_line_dedup" -> (q116LineDedup _),
     "q117_bitmap_distinct" -> (q117BitmapDistinct _),
-    "q118_hll_rollup" -> (q118HllRollup _))
+    "q118_hll_rollup" -> (q118HllRollup _),
+    "q119_frame_sample" -> (q119FrameSample _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3462,7 +3484,33 @@ object SparkEntry {
         | count(DISTINCT user_id) AS distinct_users
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    // q119: the synth sample table in closed form — per = 256 // n bytes
+    // per frame (last frame takes the remainder), one chunk, dts = k·delta,
+    // mdat byte at flat index j = (i·31 + j·7) mod 251 as a signed byte
+    "q119_frame_sample" ->
+      """WITH v AS (
+        | SELECT r.i AS media_id, CAST(8 + r.i % 4 AS INT) AS n,
+        |  40 + r.i % 7 AS delta, 1000 + (r.i % 5) * 200 AS mts
+        | FROM range(300) r(i) WHERE r.i % 3 = 2),
+        |e AS (
+        | SELECT media_id, n, delta, mts, CAST(u.k AS INT) AS k, 256 // n AS per,
+        |  CASE WHEN u.k = n - 1 THEN 256 - (256 // n) * (n - 1) ELSE 256 // n END AS sz,
+        |  u.k * (256 // n) AS rel
+        | FROM v, unnest(range(0, v.n)) AS u(k)
+        | WHERE u.k % 2 = 0)
+        |SELECT e.media_id, e.k AS sample_idx, CAST(0 AS INT) AS chunk_idx,
+        | CAST(e.sz AS BIGINT) AS size,
+        | CAST(e.rel AS BIGINT) AS offset_in_chunk,
+        | CAST(e.k * e.delta AS BIGINT) AS dts_ticks,
+        | CAST((e.k * e.delta * 1000000) // e.mts AS BIGINT) AS dts_us,
+        | TRUE AS sync,
+        | CAST((SELECT sum(CASE WHEN m > 127 THEN m - 256 ELSE m END)
+        |       FROM (SELECT (e.media_id * 31 + j.j * 7) % 251 AS m
+        |             FROM unnest(range(e.rel, e.rel + e.sz)) AS j(j)) q)
+        |      AS BIGINT) AS byte_sum
+        |FROM e
+        |ORDER BY media_id, sample_idx""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -121,6 +121,110 @@ class Mp4Spec extends SparkSpec {
     }
   }
 
+  /** Multi-chunk sample-table fixture, independent of synthMp4: 7
+    * samples with per-sample sizes [3,4,5,6,2,3,1], stsc runs
+    * (first_chunk 1 → 2/chunk, first_chunk 3 → 3/chunk), three stco
+    * chunks with GAPS between them (interleaved-track layout), stts
+    * runs (3×Δ10, 4×Δ20), stss sync marks at samples 1 and 4
+    * (1-based). Two-pass assembly like synthMp4 so stco carries real
+    * absolute offsets.
+    */
+  private def multiChunkFile: Array[Byte] = {
+    val sizes = Seq(3L, 4L, 5L, 6L, 2L, 3L, 1L)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ i32(0))
+    val mvhd = full("mvhd", 0, i32(0, 0, 1000, 90, 0x00010000L, 0x01000000L, 0, 0,
+      0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L, 0, 0, 0, 0, 0, 0, 2))
+    val tkhd = full("tkhd", 0,
+      i32(0, 0, 1, 0, 90, 0, 0, 0, 0,
+        0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L,
+        64L << 16, 64L << 16))
+    val mdhd = full("mdhd", 0, i32(0, 0, 1000, 90) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = full("hdlr", 0,
+      i32(0) ++ "vide".getBytes("US-ASCII") ++ i32(0, 0, 0) ++ Array[Byte](0))
+    val entry = {
+      val buf = java.nio.ByteBuffer.allocate(86)
+      buf.putInt(86).put("mp4v".getBytes("US-ASCII")).put(new Array[Byte](78))
+      buf.array()
+    }
+    def moovWith(mdatBody: Long): Array[Byte] = {
+      val stbl = box("stbl",
+        full("stsd", 0, i32(1) ++ entry) ++
+          full("stts", 0, i32(2, 3, 10, 4, 20)) ++
+          full("stsc", 0, i32(2, 1, 2, 1, 3, 3, 1)) ++
+          full("stsz", 0, i32(0L +: sizes.length.toLong +: sizes: _*)) ++
+          full("stco", 0, i32(3, mdatBody, mdatBody + 10, mdatBody + 25)) ++
+          full("stss", 0, i32(2, 1, 4)))
+      box("moov", mvhd ++ box("trak",
+        tkhd ++ box("mdia", mdhd ++ hdlr ++ box("minf", stbl))))
+    }
+    val moovLen = moovWith(0).length
+    ftyp ++ moovWith(ftyp.length + moovLen + 8L) ++
+      box("mdat", Array.tabulate[Byte](40)(_.toByte))
+  }
+
+  test("mp4SampleTable: multi-chunk stsc runs, gapped stco, stts runs, stss marks") {
+    val bytes = multiChunkFile
+    val (samples, mediaTs) = Multimodal.mp4SampleTable(9L, bytes)
+    assert(mediaTs == 1000L)
+    assert(samples.length == 7)
+    val expect = Seq( // (chunk, size, offsetInChunk, dts, sync)
+      (0, 3L, 0L, 0L, true), (0, 4L, 3L, 10L, false),
+      (1, 5L, 0L, 20L, false), (1, 6L, 5L, 30L, true),
+      (2, 2L, 0L, 50L, false), (2, 3L, 2L, 70L, false), (2, 1L, 5L, 90L, false))
+    samples.zip(expect).foreach { case (s, (c, sz, rel, dts, sync)) =>
+      assert(s.chunkIdx == c && s.size == sz && s.offsetInChunk == rel,
+        s"extent of sample ${s.sampleIdx}")
+      assert(s.dtsTicks == dts, s"dts of sample ${s.sampleIdx}")
+      assert(s.sync == sync, s"sync of sample ${s.sampleIdx}")
+      // absolute offsets index the real mdat bytes: body byte at flat
+      // position p is p (tabulate identity), chunk bases at 0/10/25
+      val base = Seq(0, 10, 25)(c)
+      (0 until sz.toInt).foreach { t =>
+        assert(bytes(s.offset.toInt + t) == (base + rel + t).toByte,
+          s"byte $t of sample ${s.sampleIdx}")
+      }
+    }
+  }
+
+  test("mp4SampleTable: fixed-size stsz and absent stss (all sync)") {
+    // synth corpus: per-sample stsz but no stss → every sample sync;
+    // single chunk at the mdat body; dts = k·(duration/nFrames)
+    for (i <- Seq(2L, 5L, 8L, 11L)) {
+      val (samples, mediaTs) = Multimodal.mp4SampleTable(i, Multimodal.synthMp4(i))
+      val (_, _, nFrames, timescale, duration, _) = Multimodal.synthMp4Geom(i)
+      assert(mediaTs == timescale)
+      assert(samples.length == nFrames)
+      val per = 256 / nFrames
+      samples.foreach { s =>
+        val expectSize = if (s.sampleIdx == nFrames - 1) 256L - per * (nFrames - 1) else per.toLong
+        assert(s.chunkIdx == 0 && s.size == expectSize)
+        assert(s.offsetInChunk == s.sampleIdx.toLong * per)
+        assert(s.dtsTicks == s.sampleIdx * (duration / nFrames))
+        assert(s.sync, "no stss box: every sample is a sync sample")
+      }
+    }
+  }
+
+  test("frameSamples: stride-2 selection, checksum over the real byte extents") {
+    val media = Multimodal.synthesize(spark, 30).filter(col("modality") === "video")
+    val rows = Multimodal.frameSamples(media, stride = 2).collect()
+    val byId = rows.groupBy(_.mediaId)
+    byId.foreach { case (i, rs) =>
+      val (_, _, nFrames, timescale, duration, _) = Multimodal.synthMp4Geom(i)
+      assert(rs.length == (nFrames + 1) / 2, s"stride-2 count for id=$i")
+      val per = 256 / nFrames
+      rs.foreach { r =>
+        assert(r.sampleIdx % 2 == 0)
+        val rel = r.sampleIdx * per
+        val expected = (0 until r.size.toInt)
+          .map(t => ((i * 31 + (rel + t) * 7) % 251).toByte.toLong).sum
+        assert(r.byteSum == expected, s"byteSum of sample ${r.sampleIdx} id=$i")
+        assert(r.dtsUs == r.dtsTicks * 1000000L / timescale)
+        assert(r.dtsTicks == r.sampleIdx * (duration / nFrames))
+      }
+    }
+  }
+
   test("unified decode path: video dims come from tkhd, features from mdat bytes") {
     val media = Multimodal.synthesize(spark, 30).filter(col("modality") === "video")
     val decoded = Multimodal.decodeFeatures(media, frameStride = 2).collect()
