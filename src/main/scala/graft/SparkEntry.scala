@@ -1847,6 +1847,28 @@ object SparkEntry {
       .orderBy(col("media_id"), col("sample_idx"))
   }
 
+  /** Sketch-table QUANTILE rollup ([[graft.operators.Sketches]]):
+    * one DDSketch of `value` per (event_type, day) shard at α = 1%,
+    * bin-wise union per event_type, p50/p95/p99 off the merged sketch
+    * — latency-style percentile tables maintained incrementally, each
+    * answer within 1% relative error of the true value. The estimate
+    * is algorithm-specific (log-binned midpoints), so no DuckDB oracle
+    * (rows-only gate); SketchesSpec pins the α bound against exact
+    * quantiles and the shard-union byte-identity that makes the
+    * incremental table trustworthy.
+    */
+  private def q120QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val shards = Sketches.ddsketchShards(ev,
+      Seq(col("event_type"), to_date(col("event_time")).as("day")), col("value"))
+    Sketches.ddsketchRollup(shards, Seq(col("event_type")))
+      .select(col("event_type"), col("n_shards"),
+        round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
+        round(col("p99"), 6).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1967,7 +1989,8 @@ object SparkEntry {
     "q116_line_dedup" -> (q116LineDedup _),
     "q117_bitmap_distinct" -> (q117BitmapDistinct _),
     "q118_hll_rollup" -> (q118HllRollup _),
-    "q119_frame_sample" -> (q119FrameSample _))
+    "q119_frame_sample" -> (q119FrameSample _),
+    "q120_quantile_sketch" -> (q120QuantileSketch _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -106,6 +106,24 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "bitmap_contains takes exactly 2 arguments")
         BitmapContains(children.head, children(1))
+      }),
+    (FunctionIdentifier("ddsketch_build"),
+      new ExpressionInfo(classOf[DDSketchAgg].getName, "ddsketch_build"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "ddsketch_build takes exactly 2 arguments")
+        DDSketchAgg(children.head, children(1))
+      }),
+    (FunctionIdentifier("ddsketch_merge_agg"),
+      new ExpressionInfo(classOf[DDSketchMergeAgg].getName, "ddsketch_merge_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "ddsketch_merge_agg takes exactly 1 argument")
+        DDSketchMergeAgg(children.head)
+      }),
+    (FunctionIdentifier("ddsketch_quantile"),
+      new ExpressionInfo(classOf[DDSketchQuantile].getName, "ddsketch_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "ddsketch_quantile takes exactly 2 arguments")
+        DDSketchQuantile(children.head, children(1))
       }))
 
   /** Idempotent runtime registration: the function registry AND the

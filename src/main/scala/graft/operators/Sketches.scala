@@ -11,15 +11,18 @@ import org.apache.spark.sql.functions._
   * dashboard that re-shuffles the corpus per question and one that
   * reads a few MB of sketches.
   *
-  * Two rungs, same shape:
-  *  - EXACT: [[graft.expressions.BitmapBuildAgg]] /
+  * Three rungs, same shape:
+  *  - EXACT DISTINCT: [[graft.expressions.BitmapBuildAgg]] /
   *    [[graft.expressions.BitmapUnionAgg]] — roaring-style bitmaps,
   *    union of shard sketches byte-identical to a cold rebuild, so
   *    incremental rollups never drift ([[bitmapShards]]/[[bitmapRollup]]).
-  *  - APPROXIMATE: Spark's Datasketches HLL built-ins (`hll_sketch_agg`
-  *    / `hll_union_agg`) — constant ~1.5 KB per sketch regardless of
-  *    cardinality, ±2% at lgK=12, for key domains too wide to bitmap
-  *    ([[hllShards]]/[[hllRollup]]).
+  *  - APPROX DISTINCT: Spark's Datasketches HLL built-ins
+  *    (`hll_sketch_agg` / `hll_union_agg`) — constant ~1.5 KB per
+  *    sketch regardless of cardinality, ±2% at lgK=12, for key domains
+  *    too wide to bitmap ([[hllShards]]/[[hllRollup]]).
+  *  - QUANTILES: [[graft.expressions.DDSketchAgg]] — relative-error
+  *    log-binned histograms whose merge is bin-wise addition
+  *    ([[ddsketchShards]]/[[ddsketchRollup]]).
   *
   * Reference anchor: the reference counts distinct athletes/NOCs with
   * full-column `nunique()` re-scans (pandas_based/src/data_clean.py);
@@ -49,6 +52,36 @@ object Sketches {
       .agg(count(lit(1)).as("n_shards"),
         call_function("bitmap_union_agg", col("sketch")).as("sketch"))
       .withColumn("n_distinct", call_function("bitmap_cardinality", col("sketch")))
+
+  /** Per-shard quantile sketch table: one DDSketch of `valueCol` per
+    * `shardCols` group at relative accuracy `alpha`
+    * ([[graft.expressions.DDSketchAgg]]) — persist-shaped like
+    * [[bitmapShards]]; the shuffle carries bin histograms, never
+    * values.
+    */
+  def ddsketchShards(df: DataFrame, shardCols: Seq[Column], valueCol: Column,
+                     alpha: Double = 0.01): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(shardCols: _*)
+      .agg(call_function("ddsketch_build", valueCol, lit(alpha)).as("sketch"))
+  }
+
+  /** Quantile rollup of a DDSketch shard table: bin-wise union, then
+    * any requested quantiles off the merged sketch — each within
+    * relative error α of the true value. In the no-collapse regime the
+    * union is byte-identical to a cold one-pass sketch (SketchesSpec
+    * pins it), so incremental quantile tables never drift.
+    */
+  def ddsketchRollup(shards: DataFrame, groupCols: Seq[Column],
+                     quantiles: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    val merged = shards.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_shards"),
+        call_function("ddsketch_merge_agg", col("sketch")).as("sketch"))
+    quantiles.foldLeft(merged) { (df, q) =>
+      df.withColumn(s"p${(q * 100).round}",
+        call_function("ddsketch_quantile", col("sketch"), lit(q)))
+    }
+  }
 
   /** Per-shard approximate sketch table on Spark's Datasketches HLL
     * built-ins — same persist-shape as [[bitmapShards]] with a

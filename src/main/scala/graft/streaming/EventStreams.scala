@@ -258,6 +258,31 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("heavy"))
   }
 
+  /** Streaming EXACT distinct-by-window: the roaring bitmap aggregate
+    * ([[graft.expressions.BitmapBuildAgg]]) as a watermarked windowed
+    * streaming aggregate — per event-time window, the exact distinct
+    * count of a key column plus the sketch itself (so a downstream
+    * batch rollup can union windows without re-reading the stream —
+    * the streaming half of [[graft.operators.Sketches]]' sketch-table
+    * pattern). Partial buffers merge associatively in the state store
+    * exactly like [[windowedHeavyHitters]]' MG sketch; state per
+    * window is one bitmap — KBs on integer-dense key domains — and the
+    * answer is exact, which approx_count_distinct in a stream is not.
+    * Watermark bounds which windows stay live.
+    */
+  def windowedDistinct(events: DataFrame, keyCol: String,
+                       window_ : String = "1 hour",
+                       delay: String = "10 minutes"): DataFrame = {
+    graft.expressions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), window_))
+      .agg(call_function("bitmap_build", col(keyCol)).as("sketch"))
+      .select(col("window.start").as("window_start"),
+        call_function("bitmap_cardinality", col("sketch")).as("n_distinct"),
+        col("sketch"))
+  }
+
   /** Idempotent foreachBatch parquet sink: each micro-batch lands in its
     * own `batch_<id>` directory, committed by writing a marker AFTER the
     * data; a redelivered batch id (failure between sink write and

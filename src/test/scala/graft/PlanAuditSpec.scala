@@ -331,4 +331,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"expected the checkpointed rank table as a scan:\n$p")
   }
+
+  test("q117 bitmap distinct: two aggregation shuffles carrying sketches, no join, no window") {
+    val p = planOf("q117_bitmap_distinct")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial/final split — the shuffle between them carries partial
+    // SKETCHES, never raw user_ids
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"sketch aggregation must stay hash-based, not sort-based:\n$p")
+    // formatted mode prints each operator twice (tree + detail) — count
+    // tree nodes only
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).length
+    // shard groupBy + rollup groupBy + the final orderBy range exchange
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"sketch rollup needs no join:\n$p")
+    assert(!p.contains("Window"), s"sketch rollup needs no window:\n$p")
+  }
+
+  test("q119 frame sample: per-partition sample-table walk, payloads never shuffle") {
+    val p = planOf("q119_frame_sample")
+    // the only exchange is the final presentation orderBy — the MP4
+    // payloads are parsed and reduced to extent rows inside their
+    // partition (MapPartitions), never shuffled whole
+    assert(p.contains("MapPartitions"), s"expected MapPartitions decode:\n$p")
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges <= 1, s"payloads must not shuffle, got $exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }

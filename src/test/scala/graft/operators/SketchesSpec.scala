@@ -72,6 +72,76 @@ class SketchesSpec extends SparkSpec {
     assert(row.getLong(0) == 3L && row.getBoolean(1) && !row.getBoolean(2))
   }
 
+  test("DDSketch: relative-error bound across 9 orders of magnitude, sign handling") {
+    import graft.expressions.DDSketch
+    // log-spread positives: heavy tails are exactly where rank-error
+    // sketches lose value accuracy and DDSketch must not
+    val values = (0 until 5000).map(i => math.pow(10.0, -3.0 + 9.0 * i / 4999.0))
+    val sk = new DDSketch.Sketch(0.01)
+    values.foreach(sk.add(_))
+    val sorted = values.sorted
+    Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0).foreach { q =>
+      val trueV = sorted(math.round(q * (sorted.size - 1)).toInt)
+      val est = sk.quantile(q)
+      assert(math.abs(est / trueV - 1) <= 0.01 + 1e-9,
+        s"q=$q: est $est vs true $trueV breaks the alpha bound")
+    }
+    // mixed signs + zeros: orderings preserved, zero band answered as 0
+    val mixed = new DDSketch.Sketch(0.01)
+    Seq(-100.0, -1.0, 0.0, 0.0, 1.0, 100.0).foreach(mixed.add(_))
+    assert(mixed.quantile(0.0) < -99 && mixed.quantile(1.0) > 99)
+    assert(mixed.quantile(0.5) == 0.0)
+  }
+
+  test("DDSketch: shard union byte-identical to direct build; collapse bounds size") {
+    import graft.expressions.DDSketch
+    val values = (0 until 3000).map(i => math.pow(10.0, -2.0 + 6.0 * i / 2999.0))
+    val direct = new DDSketch.Sketch(0.01)
+    values.foreach(direct.add(_))
+    val parts = values.grouped(700).map { chunk =>
+      val s = new DDSketch.Sketch(0.01); chunk.foreach(s.add(_)); s
+    }.toSeq
+    val merged = parts.head
+    parts.tail.foreach(merged.mergeFrom)
+    assert(java.util.Arrays.equals(merged.serialize(), direct.serialize()),
+      "no-collapse regime: bin-wise union must equal the one-pass build")
+    // wire roundtrip
+    assert(java.util.Arrays.equals(
+      DDSketch.deserialize(direct.serialize()).serialize(), direct.serialize()))
+    // collapse: more distinct bins than MaxBins — size stays bounded and
+    // the TAIL keeps its guarantee (collapse folds the smallest bins)
+    val wide = new DDSketch.Sketch(0.01)
+    val gamma = wide.gamma
+    val big = (0 until DDSketch.MaxBins + 500).map(i => math.pow(gamma, i + 1.0))
+    big.foreach(wide.add(_))
+    assert(wide.pos.size() <= DDSketch.MaxBins)
+    val sortedBig = big.sorted
+    val trueP99 = sortedBig(math.round(0.99 * (sortedBig.size - 1)).toInt)
+    assert(math.abs(wide.quantile(0.99) / trueP99 - 1) <= 0.01 + 1e-9)
+  }
+
+  test("ddsketchShards + ddsketchRollup: p50/p95/p99 within alpha of exact") {
+    import spark.implicits._
+    val df = (0 until 20000)
+      .map(i => (s"g${i % 3}", s"d${i % 5}", math.pow(10.0, (i % 1000) / 200.0)))
+      .toDF("grp", "shard", "v")
+    val rolled = Sketches.ddsketchRollup(
+      Sketches.ddsketchShards(df, Seq(col("grp"), col("shard")), col("v")),
+      Seq(col("grp"))).collect()
+    val exact = df.collect().groupBy(_.getString(0))
+      .map { case (g, rows) => (g, rows.map(_.getDouble(2)).sorted) }
+    rolled.foreach { r =>
+      val sorted = exact(r.getAs[String]("grp"))
+      assert(r.getAs[Long]("n_shards") == 5L)
+      Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)).foreach { case (cn, q) =>
+        val trueV = sorted(math.round(q * (sorted.length - 1)).toInt)
+        val est = r.getAs[Double](cn)
+        assert(math.abs(est / trueV - 1) <= 0.01 + 1e-9,
+          s"$cn: est $est vs true $trueV for ${r.getAs[String]("grp")}")
+      }
+    }
+  }
+
   test("hllShards + hllRollup: estimates within 2% of exact, rollup deterministic") {
     import spark.implicits._
     val df = (0L until 20000L).map(k => (s"s${k % 4}", k % 7001L)).toDF("shard", "key")

@@ -295,6 +295,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == batchLast, "stream state-merge must equal the batch sketch")
   }
 
+  test("windowedDistinct: bitmap state merges across micro-batches == batch sketch") {
+    import spark.implicits._
+    // two micro-batches in the SAME window with OVERLAPPING user ids —
+    // a fresh-start second batch would report 5, the folded state 7
+    val base = 1700000000L * 1000000000L
+    def evRow(id: Long, offsetSec: Long) =
+      (id, base + offsetSec * 1000000000L, id % 7, "view", 1.0, """{}""")
+    val srcDir = java.nio.file.Files.createTempDirectory("wd_stream")
+    def writeBatch(name: String, mtime: Long,
+                   rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("wd_batch").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(srcDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    writeBatch("b1.parquet", 1000000, (1L to 7L).map(i => evRow(i, i))) // users 0..6
+    writeBatch("b2.parquet", 2000000, (8L to 12L).map(i => evRow(i, 60 + i))) // users 1..5
+    val stream = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.windowedDistinct(stream, "user_id"),
+      "wd_test", OutputMode.Update())
+    val last = streamed.collect().last
+    assert(last.getAs[Long]("n_distinct") == 7L,
+      "batch 2 must fold into the stored bitmap, not start fresh")
+    val batch = EventStreams.windowedDistinct(
+      EventStreams.withEventTime(spark.read.parquet(srcDir.toString)), "user_id")
+      .collect()(0)
+    assert(batch.getAs[Long]("n_distinct") == 7L)
+    // deterministic wire format: streamed final state == batch sketch bytes
+    assert(java.util.Arrays.equals(
+      last.getAs[Array[Byte]]("sketch"), batch.getAs[Array[Byte]]("sketch")),
+      "stream state-merge must serialize identically to the batch sketch")
+  }
+
   test("dedupWithinWatermark drops duplicate keys across micro-batches") {
     import spark.implicits._
     // two files = two micro-batches (maxFilesPerTrigger=1); the batch-2
