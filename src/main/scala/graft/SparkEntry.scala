@@ -1869,6 +1869,50 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Product-quantization encode ([[graft.operators.Pq]]), oracle-
+    * checked: codebooks are the 16 lowest-id corpus vectors' subvectors
+    * (the deterministic-reference convention q43/q111 use for
+    * centroids), so the per-subspace argmin is pure double arithmetic
+    * DuckDB restates verbatim — including the lowest-index tie-break.
+    * Output is one row per (vector, subspace) with its 4-bit code: the
+    * 32x-compressed corpus representation ADC search (q122) scans
+    * instead of raw embeddings.
+    */
+  private def q121PqEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val ref = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding")).as[Array[Float]].collect()
+    val (m, dsub) = (8, 8)
+    val cents = Array.tabulate(m, 16)((sp, j) =>
+      java.util.Arrays.copyOfRange(ref(j), sp * dsub, (sp + 1) * dsub))
+    Pq.encode(emb, "vec_id", "embedding", Pq.Codebooks(m, dsub, 16, cents)).toDF()
+      .select(col("id").as("vec_id"), posexplode(col("code")))
+      .select(col("vec_id"), col("pos").as("subspace"), col("col").as("code"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** PQ asymmetric-distance top-10 over the trained codebooks
+    * ([[graft.operators.Pq.fit]], 5 Lloyd iterations on the
+    * deterministic lowest-id sample): each query costs one m×ksub
+    * distance table + m table-lookups per corpus CODE — the corpus is
+    * scanned compressed, never reconstructed. Training is engine-side
+    * k-means, so no SQL oracle (rows-only gate); PqSpec pins the ADC
+    * arithmetic against table-free reconstruction distances exactly and
+    * bounds recall@10 vs exact L2.
+    */
+  private def q122PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 5)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    Pq.adcTopK(emb.filter(col("vec_id") < 5), codes, "vec_id", "embedding", cb, k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1990,7 +2034,9 @@ object SparkEntry {
     "q117_bitmap_distinct" -> (q117BitmapDistinct _),
     "q118_hll_rollup" -> (q118HllRollup _),
     "q119_frame_sample" -> (q119FrameSample _),
-    "q120_quantile_sketch" -> (q120QuantileSketch _))
+    "q120_quantile_sketch" -> (q120QuantileSketch _),
+    "q121_pq_encode" -> (q121PqEncode _),
+    "q122_pq_adc" -> (q122PqAdc _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3533,7 +3579,27 @@ object SparkEntry {
         |             FROM unnest(range(e.rel, e.rel + e.sz)) AS j(j)) q)
         |      AS BIGINT) AS byte_sum
         |FROM e
-        |ORDER BY media_id, sample_idx""".stripMargin)
+        |ORDER BY media_id, sample_idx""".stripMargin,
+    // q121: same double-precision per-subspace argmin over the 16
+    // reference vectors' subvectors; row_number tie-break = lowest j,
+    // matching encodeVec's strict-< first-wins scan. DuckDB lists are
+    // 1-based: subspace s, dim t -> element s*8 + t + 1.
+    "q121_pq_encode" ->
+      """WITH cb AS (
+        | SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |d AS (
+        | SELECT e.vec_id, s.s AS subspace, cb.j,
+        |  sum((CAST(e.embedding[s.s * 8 + t.t + 1] AS DOUBLE)
+        |       - CAST(cb.cv[s.s * 8 + t.t + 1] AS DOUBLE)) ^ 2) AS d2
+        | FROM embeddings e, unnest(range(8)) AS s(s), cb, unnest(range(8)) AS t(t)
+        | GROUP BY 1, 2, 3),
+        |r AS (
+        | SELECT vec_id, subspace, j,
+        |  row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2, j) AS rn
+        | FROM d)
+        |SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(j AS INT) AS code
+        |FROM r WHERE rn = 1
+        |ORDER BY vec_id, subspace""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
