@@ -1913,6 +1913,39 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Retrieval-quality evaluation ([[graft.operators.Retrieval]]):
+    * P@10 / R@10 / MRR / nDCG@10 of exact cosine top-10 against
+    * label-match relevance — the eval loop every retrieval index
+    * change reruns. The ranking is the q27 convention (cosine desc,
+    * id asc), judgments are same-label pairs (grade 1), and the
+    * oracle restates the whole metric arithmetic — DCG logs included
+    * — in SQL.
+    */
+  private def q123RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Retrieval, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val results = Similarity
+      .bruteForceTopKAtScale(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)))
+    val labels = emb.select(col("vec_id"), col("label"))
+    val judgments = labels.filter(col("vec_id") < 5).as("q")
+      .join(labels.as("c"),
+        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbour_id"),
+        lit(1.0).as("grade"))
+    Retrieval.rankingMetrics(results, judgments,
+        "query_id", "neighbour_id", "rank", "grade", k = 10)
+      .select(col("query_id"), col("n_relevant_total"), col("n_relevant_retrieved"),
+        round(col("precision_k"), 6).as("precision_k"),
+        round(col("recall_k"), 6).as("recall_k"),
+        round(col("mrr"), 6).as("mrr"),
+        round(col("ndcg"), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2036,7 +2069,8 @@ object SparkEntry {
     "q119_frame_sample" -> (q119FrameSample _),
     "q120_quantile_sketch" -> (q120QuantileSketch _),
     "q121_pq_encode" -> (q121PqEncode _),
-    "q122_pq_adc" -> (q122PqAdc _))
+    "q122_pq_adc" -> (q122PqAdc _),
+    "q123_retrieval_metrics" -> (q123RetrievalMetrics _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3599,7 +3633,51 @@ object SparkEntry {
         | FROM d)
         |SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(j AS INT) AS code
         |FROM r WHERE rn = 1
-        |ORDER BY vec_id, subspace""".stripMargin)
+        |ORDER BY vec_id, subspace""".stripMargin,
+    // q123: the q27-convention top-10 per query, label-match relevance,
+    // then the TREC arithmetic verbatim — gain 1/log2(rank+1) (grade 1),
+    // IDCG over ranks 1..min(k, n_rel): range(n) is 0-based so the
+    // rank-r term is 1/log2(i+2)
+    "q123_retrieval_metrics" ->
+      """WITH topk AS (
+        | SELECT query_id, neighbour_id, rn FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |              c.vec_id ASC) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5) t
+        | WHERE rn <= 10),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |rel AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS doc_id
+        | FROM lab q JOIN lab c ON q.label = c.label AND q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 5),
+        |tot AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |hits AS (
+        | SELECT t.query_id, t.rn,
+        |  CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS g
+        | FROM topk t LEFT JOIN rel r
+        |   ON t.query_id = r.query_id AND t.neighbour_id = r.doc_id),
+        |agg AS (
+        | SELECT query_id, sum(g) AS n_rel_ret,
+        |  sum(g * 1.0 / log2(rn + 1)) AS dcg,
+        |  max(CASE WHEN g = 1 THEN 1.0 / rn ELSE 0 END) AS mrr
+        | FROM hits GROUP BY 1),
+        |ideal AS (
+        | SELECT tot.query_id,
+        |  (SELECT sum(1.0 / log2(i.i + 2))
+        |   FROM unnest(range(least(10, tot.n_rel))) i(i)) AS idcg
+        | FROM tot)
+        |SELECT a.query_id,
+        | CAST(tot.n_rel AS BIGINT) AS n_relevant_total,
+        | CAST(a.n_rel_ret AS BIGINT) AS n_relevant_retrieved,
+        | round(a.n_rel_ret / 10.0, 6) AS precision_k,
+        | round(a.n_rel_ret * 1.0 / tot.n_rel, 6) AS recall_k,
+        | round(a.mrr, 6) AS mrr,
+        | round(a.dcg / ideal.idcg, 6) AS ndcg
+        |FROM agg a JOIN tot USING (query_id) JOIN ideal USING (query_id)
+        |ORDER BY query_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

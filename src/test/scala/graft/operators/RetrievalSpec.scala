@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+
+  private def metricsOf(results: Seq[(String, String, Int)],
+                        judgments: Seq[(String, String, Double)],
+                        k: Int): Map[String, org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    Retrieval.rankingMetrics(
+      results.toDF("q", "d", "rank"), judgments.toDF("q", "d", "grade"),
+      "q", "d", "rank", "grade", k)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("graded nDCG/MRR/P/R match the hand computation") {
+    val m = metricsOf(
+      results = Seq(("A", "d9", 1), ("A", "d1", 2), ("A", "d2", 3)),
+      judgments = Seq(("A", "d1", 2.0), ("A", "d2", 1.0), ("A", "d3", 1.0)),
+      k = 3)("A")
+    assert(m.getAs[Long]("n_relevant_total") == 3L)
+    assert(m.getAs[Long]("n_relevant_retrieved") == 2L)
+    assert(math.abs(m.getAs[Double]("precision_k") - 2.0 / 3) < 1e-9)
+    assert(math.abs(m.getAs[Double]("recall_k") - 2.0 / 3) < 1e-9)
+    assert(math.abs(m.getAs[Double]("mrr") - 0.5) < 1e-9)
+    // dcg = 3/log2(3) + 1/log2(4); idcg = 3/log2(2) + 1/log2(3) + 1/log2(4)
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 0.5
+    val idcg = 3.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(m.getAs[Double]("ndcg") - dcg / idcg) < 1e-9)
+  }
+
+  test("no judged relevant docs: recall/mrr/ndcg are 0, never null or NaN") {
+    val m = metricsOf(
+      results = Seq(("B", "d1", 1), ("B", "d2", 2)),
+      judgments = Seq(("B", "d1", 0.0)), // judged NOT relevant
+      k = 2)("B")
+    assert(m.getAs[Long]("n_relevant_total") == 0L)
+    assert(m.getAs[Double]("recall_k") == 0.0)
+    assert(m.getAs[Double]("mrr") == 0.0)
+    assert(m.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("ideal order gives ndcg exactly 1; ranks beyond k are ignored") {
+    val m = metricsOf(
+      results = Seq(("C", "d1", 1), ("C", "d2", 2), ("C", "junk", 3)),
+      judgments = Seq(("C", "d1", 2.0), ("C", "d2", 1.0)),
+      k = 2)("C") // rank-3 row must not contribute
+    assert(m.getAs[Long]("n_retrieved") == 2L)
+    assert(m.getAs[Double]("ndcg") == 1.0)
+    assert(m.getAs[Double]("mrr") == 1.0)
+  }
+
+  test("more judged relevant than k: idcg truncates at k, perfect prefix still 1") {
+    val m = metricsOf(
+      results = Seq(("D", "d1", 1), ("D", "d2", 2)),
+      judgments = Seq(("D", "d1", 1.0), ("D", "d2", 1.0),
+        ("D", "d3", 1.0), ("D", "d4", 1.0)),
+      k = 2)("D")
+    // retrieved the best possible 2 of 4 relevant: ndcg = 1, recall = 1/2
+    assert(m.getAs[Double]("ndcg") == 1.0)
+    assert(math.abs(m.getAs[Double]("recall_k") - 0.5) < 1e-9)
+    assert(math.abs(m.getAs[Double]("precision_k") - 1.0) < 1e-9)
+  }
+}
