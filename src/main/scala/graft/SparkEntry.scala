@@ -1946,6 +1946,27 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Real learned-subword tokenization ([[graft.operators.Bpe]],
+    * Sennrich 2016), replacing the q_tokens regex approximation for
+    * token accounting: 200 merges trained on the corpus's own word
+    * frequencies (distributed count, bounded-vocab driver loop), then
+    * map-side encode with per-partition word memoization. Output pins
+    * the exact tokenization by md5 plus the two numbers a data-mixture
+    * plan needs — subword count and words-per-token compression.
+    * Training is iterative, so no SQL oracle (rows-only gate); BpeSpec
+    * pins the paper's worked merge sequence and losslessness instead.
+    */
+  private def q124BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = t(s, dir, "documents")
+    val model = Bpe.train(docs, "text", numMerges = 200)
+    Bpe.encode(docs, "doc_id", "text", model).toDF()
+      .select(col("id").as("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2070,7 +2091,8 @@ object SparkEntry {
     "q120_quantile_sketch" -> (q120QuantileSketch _),
     "q121_pq_encode" -> (q121PqEncode _),
     "q122_pq_adc" -> (q122PqAdc _),
-    "q123_retrieval_metrics" -> (q123RetrievalMetrics _))
+    "q123_retrieval_metrics" -> (q123RetrievalMetrics _),
+    "q124_bpe_tokenize" -> (q124BpeTokenize _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
