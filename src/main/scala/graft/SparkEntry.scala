@@ -1967,6 +1967,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Snapshot drift gate ([[graft.operators.Drift]]): PSI + KL of the
+    * events value distribution per event_type, first half of January
+    * as baseline vs the second half — the admit-or-alert check a
+    * continuously-ingesting pipeline runs per batch. Fixed-width bins
+    * over the baseline's [min,max] keep the bin function closed-form
+    * IEEE arithmetic, so the oracle replays binning, alignment,
+    * eps-flooring and both logs exactly.
+    */
+  private def q125DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val cut = lit("2024-01-15").cast("timestamp")
+    Drift.psiSummary(ev.filter(col("event_time") < cut),
+        ev.filter(col("event_time") >= cut),
+        Seq("event_type"), "value", nBins = 10)
+      .select(col("event_type"), col("n_bins"),
+        round(col("psi"), 6).as("psi"), round(col("kl"), 6).as("kl"))
+      .orderBy(col("event_type"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2092,7 +2112,8 @@ object SparkEntry {
     "q121_pq_encode" -> (q121PqEncode _),
     "q122_pq_adc" -> (q122PqAdc _),
     "q123_retrieval_metrics" -> (q123RetrievalMetrics _),
-    "q124_bpe_tokenize" -> (q124BpeTokenize _))
+    "q124_bpe_tokenize" -> (q124BpeTokenize _),
+    "q125_drift_psi" -> (q125DriftPsi _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3699,7 +3720,46 @@ object SparkEntry {
         | round(a.mrr, 6) AS mrr,
         | round(a.dcg / ideal.idcg, 6) AS ndcg
         |FROM agg a JOIN tot USING (query_id) JOIN ideal USING (query_id)
-        |ORDER BY query_id""".stripMargin)
+        |ORDER BY query_id""".stripMargin,
+    // q125: identical bin arithmetic (floor((v-lo)/((hi-lo)/10)) clamped
+    // to [0,9], baseline bounds), full-outer bin alignment, eps floor
+    // 1e-6, natural logs
+    "q125_drift_psi" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        | WHERE ts < TIMESTAMP '2024-01-15'),
+        |c AS (
+        | SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-15'),
+        |bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM b GROUP BY 1),
+        |bb AS (
+        | SELECT b.event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(9, greatest(0, CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT))) END AS bin,
+        |  count(*) AS nb
+        | FROM b JOIN bounds USING (event_type) GROUP BY 1, 2),
+        |cc AS (
+        | SELECT c.event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(9, greatest(0, CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT))) END AS bin,
+        |  count(*) AS nc
+        | FROM c JOIN bounds USING (event_type) GROUP BY 1, 2),
+        |al AS (
+        | SELECT coalesce(bb.event_type, cc.event_type) AS event_type,
+        |  coalesce(bb.bin, cc.bin) AS bin,
+        |  coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+        | FROM bb FULL JOIN cc ON bb.event_type = cc.event_type AND bb.bin = cc.bin),
+        |tot AS (SELECT event_type, sum(nb) AS tb, sum(nc) AS tc FROM al GROUP BY 1),
+        |fr AS (
+        | SELECT al.event_type, bin,
+        |  greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS ef,
+        |  greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS af
+        | FROM al JOIN tot USING (event_type))
+        |SELECT event_type, count(*) AS n_bins,
+        | round(sum((af - ef) * ln(af / ef)), 6) AS psi,
+        | round(sum(af * ln(af / ef)), 6) AS kl
+        |FROM fr GROUP BY 1
+        |ORDER BY 1""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

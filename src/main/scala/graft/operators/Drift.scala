@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two snapshots of a corpus —
+  * the gate a continuously-ingesting training pipeline runs before
+  * admitting a new batch: has the value distribution of a feature
+  * moved? Population Stability Index (the credit-scoring standard:
+  * PSI = Σ (actual% − expected%)·ln(actual%/expected%), < 0.1 stable /
+  * 0.1–0.25 moderate / > 0.25 action) plus the asymmetric KL term,
+  * per group.
+  *
+  * Binning: `nBins` fixed-width bins over the BASELINE's per-group
+  * [min, max] (right-open; out-of-range current values clamp into the
+  * edge bins, so drifted mass lands somewhere visible instead of
+  * disappearing). Fixed-width rather than quantile bins keeps the bin
+  * function a pure closed-form expression — the same `floor((v−min)/w)`
+  * IEEE arithmetic replays identically in any engine, which is what
+  * makes q125's oracle exact. Zero-count bins are floored at `eps`
+  * before the logs (the standard PSI convention), so the index stays
+  * finite when a bin empties.
+  *
+  * Shape: one aggregate per snapshot (group×bin-sized results), a
+  * broadcast bounds join, one full-outer bin alignment — the raw
+  * snapshots are each scanned once and never joined row-to-row.
+  */
+object Drift {
+
+  /** Per-(group, bin) drift table; sum `psi_bin` (or use [[psiSummary]])
+    * for the group index.
+    */
+  def psiBins(base: DataFrame, current: DataFrame, groupCols: Seq[String],
+              valueCol: String, nBins: Int = 10,
+              eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val g = groupCols.map(col)
+    val bounds = base.groupBy(g: _*)
+      .agg(min(col(valueCol).cast("double")).as("__lo"),
+        max(col(valueCol).cast("double")).as("__hi"))
+    def binned(df: DataFrame, cntName: String): DataFrame =
+      df.join(broadcast(bounds), groupCols)
+        .withColumn("__bin",
+          when(col("__hi") === col("__lo"), lit(0)).otherwise(
+            least(lit(nBins - 1), greatest(lit(0),
+              floor((col(valueCol).cast("double") - col("__lo")) /
+                ((col("__hi") - col("__lo")) / nBins)).cast("int")))))
+        .groupBy((g :+ col("__bin")): _*)
+        .agg(count(lit(1)).as(cntName))
+    val b = binned(base, "__nb")
+    val c = binned(current, "__nc")
+    val joinCols = groupCols :+ "__bin"
+    val aligned = b.join(c, joinCols, "full_outer")
+      .na.fill(0L, Seq("__nb", "__nc"))
+    val totals = aligned.groupBy(g: _*)
+      .agg(sum(col("__nb")).as("__tb"), sum(col("__nc")).as("__tc"))
+    aligned.join(broadcast(totals), groupCols)
+      .select((g :+ col("__bin").as("bin")) ++ Seq(
+        (col("__nb") / col("__tb")).as("expected_frac"),
+        (col("__nc") / col("__tc")).as("actual_frac")): _*)
+      .withColumn("psi_bin",
+        (greatest(col("actual_frac"), lit(eps)) - greatest(col("expected_frac"), lit(eps))) *
+          log(greatest(col("actual_frac"), lit(eps)) / greatest(col("expected_frac"), lit(eps))))
+  }
+
+  /** Per-group PSI + KL(current‖base) summary. */
+  def psiSummary(base: DataFrame, current: DataFrame, groupCols: Seq[String],
+                 valueCol: String, nBins: Int = 10,
+                 eps: Double = 1e-6): DataFrame = {
+    val bins = psiBins(base, current, groupCols, valueCol, nBins, eps)
+    bins.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("psi_bin")).as("psi"),
+        sum(greatest(col("actual_frac"), lit(eps)) *
+          log(greatest(col("actual_frac"), lit(eps)) /
+            greatest(col("expected_frac"), lit(eps)))).as("kl"))
+  }
+}

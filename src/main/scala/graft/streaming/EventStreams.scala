@@ -283,6 +283,30 @@ object EventStreams {
         col("sketch"))
   }
 
+  /** Streaming windowed quantiles: the DDSketch aggregate
+    * ([[graft.expressions.DDSketchAgg]]) per event-time window —
+    * p50/p95/p99 of a value column with the α relative-error guarantee,
+    * state per window one bounded bin histogram merged bin-wise across
+    * micro-batches. The sketch rides along for downstream batch
+    * rollups, mirroring [[windowedDistinct]].
+    */
+  def windowedQuantiles(events: DataFrame, valueCol: String,
+                        window_ : String = "1 hour",
+                        delay: String = "10 minutes",
+                        alpha: Double = 0.01): DataFrame = {
+    graft.expressions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), window_))
+      .agg(call_function("ddsketch_build",
+        col(valueCol).cast("double"), lit(alpha)).as("sketch"))
+      .select(col("window.start").as("window_start"),
+        call_function("ddsketch_quantile", col("sketch"), lit(0.5)).as("p50"),
+        call_function("ddsketch_quantile", col("sketch"), lit(0.95)).as("p95"),
+        call_function("ddsketch_quantile", col("sketch"), lit(0.99)).as("p99"),
+        col("sketch"))
+  }
+
   /** Idempotent foreachBatch parquet sink: each micro-batch lands in its
     * own `batch_<id>` directory, committed by writing a marker AFTER the
     * data; a redelivered batch id (failure between sink write and

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+
+  private def df(vals: Seq[Double], g: String = "g") = {
+    import spark.implicits._
+    vals.map((g, _)).toDF("grp", "v")
+  }
+
+  test("identical snapshots: psi and kl are exactly zero") {
+    val base = df((0 until 10).map(_.toDouble))
+    val r = Drift.psiSummary(base, base, Seq("grp"), "v", nBins = 10).collect()(0)
+    assert(r.getAs[Double]("psi") == 0.0)
+    assert(r.getAs[Double]("kl") == 0.0)
+    assert(r.getAs[Long]("n_bins") == 10L)
+  }
+
+  test("total shift clamps into the edge bin and matches the hand-computed PSI") {
+    val base = df((0 until 10).map(_.toDouble)) // one value per bin, ef = 0.1
+    val cur = df((0 until 10).map(_ + 100.0)) // all out of range -> bin 9
+    val r = Drift.psiSummary(base, cur, Seq("grp"), "v", nBins = 10).collect()(0)
+    val eps = 1e-6
+    val expected = // bins 0..8: af floored at eps; bin 9: af = 1.0
+      9 * ((eps - 0.1) * math.log(eps / 0.1)) + (1.0 - 0.1) * math.log(1.0 / 0.1)
+    assert(math.abs(r.getAs[Double]("psi") - expected) < 1e-9,
+      s"psi ${r.getAs[Double]("psi")} vs hand-computed $expected")
+    assert(r.getAs[Double]("psi") > 5, "a total shift must scream")
+  }
+
+  test("per-bin table: fractions, clamping, and bin arithmetic") {
+    val base = df(Seq(0.0, 0.0, 9.0, 9.0)) // lo=0 hi=9, width 0.9
+    val cur = df(Seq(-5.0, 4.5, 50.0)) // clamp low, mid bin 5, clamp high
+    val bins = Drift.psiBins(base, cur, Seq("grp"), "v", nBins = 10)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Double]("expected_frac"), r.getAs[Double]("actual_frac"))).toMap
+    assert(bins(0) == (0.5, 1.0 / 3)) // two base zeros; one clamped current
+    assert(bins(9)._1 == 0.5 && math.abs(bins(9)._2 - 1.0 / 3) < 1e-15)
+    assert(bins(5) == (0.0, 1.0 / 3)) // 4.5/0.9 = 5; base empty there
+  }
+
+  test("degenerate baseline (single value): everything lands in bin 0, no NaN") {
+    val base = df(Seq(7.0, 7.0, 7.0))
+    val cur = df(Seq(7.0, 8.0))
+    val r = Drift.psiSummary(base, cur, Seq("grp"), "v", nBins = 10).collect()(0)
+    assert(!r.getAs[Double]("psi").isNaN && !r.getAs[Double]("kl").isNaN)
+    assert(r.getAs[Long]("n_bins") == 1L) // hi == lo -> one occupied bin
+  }
+
+  test("groups bin independently: a drifted group does not contaminate a stable one") {
+    import spark.implicits._
+    val base = ((0 until 10).map(d => ("a", d.toDouble)) ++
+      (0 until 10).map(d => ("b", d.toDouble))).toDF("grp", "v")
+    val cur = ((0 until 10).map(d => ("a", d.toDouble)) ++
+      (0 until 10).map(d => ("b", d + 100.0))).toDF("grp", "v")
+    val rows = Drift.psiSummary(base, cur, Seq("grp"), "v", nBins = 10)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("psi")).toMap
+    assert(rows("a") == 0.0)
+    assert(rows("b") > 5)
+  }
+}

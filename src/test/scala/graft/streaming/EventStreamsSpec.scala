@@ -335,6 +335,45 @@ class EventStreamsSpec extends SparkSpec {
       "stream state-merge must serialize identically to the batch sketch")
   }
 
+  test("windowedQuantiles: DDSketch state merges across micro-batches == batch sketch") {
+    import spark.implicits._
+    val base = 1700000000L * 1000000000L
+    def evRow(id: Long, value: Double, offsetSec: Long) =
+      (id, base + offsetSec * 1000000000L, id % 7, "view", value, """{}""")
+    val srcDir = java.nio.file.Files.createTempDirectory("wq_stream")
+    def writeBatch(name: String, mtime: Long,
+                   rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("wq_batch").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(srcDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // values 1..100 split across two micro-batches of the same window:
+    // a fresh-start batch 2 would report p50 of 51..100 (~75), folded ~50
+    writeBatch("b1.parquet", 1000000, (1L to 50L).map(i => evRow(i, i.toDouble, i % 50)))
+    writeBatch("b2.parquet", 2000000, (51L to 100L).map(i => evRow(i, i.toDouble, i % 50)))
+    val stream = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.windowedQuantiles(stream, "value"),
+      "wq_test", OutputMode.Update())
+    val last = streamed.collect().last
+    assert(math.abs(last.getAs[Double]("p50") / 50.0 - 1) < 0.05,
+      s"p50 over the folded window should be ~50, got ${last.getAs[Double]("p50")}")
+    val batch = EventStreams.windowedQuantiles(
+      EventStreams.withEventTime(spark.read.parquet(srcDir.toString)), "value")
+      .collect()(0)
+    assert(last.getAs[Double]("p50") == batch.getAs[Double]("p50"))
+    assert(java.util.Arrays.equals(
+      last.getAs[Array[Byte]]("sketch"), batch.getAs[Array[Byte]]("sketch")),
+      "stream state-merge must serialize identically to the batch sketch")
+  }
+
   test("dedupWithinWatermark drops duplicate keys across micro-batches") {
     import spark.implicits._
     // two files = two micro-batches (maxFilesPerTrigger=1); the batch-2
