@@ -1987,6 +1987,22 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Synchronous label propagation ([[graft.operators.Graph
+    * .labelPropagation]]) over the q113 symmetrized part–supplier
+    * graph, 2 iterations — community detection on a corpus-derived
+    * graph with the deterministic schedule (sync + smallest-label
+    * ties) that lets the oracle unroll both iterations in SQL.
+    */
+  private def q126LabelProp(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val li = t(s, dir, "lineitem")
+      .select(concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+    val edges = li.unionByName(li.select(col("b").as("a"), col("a").as("b")))
+    Graph.labelPropagation(edges, "a", "b", iterations = 2)
+      .orderBy(col("id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2113,7 +2129,8 @@ object SparkEntry {
     "q122_pq_adc" -> (q122PqAdc _),
     "q123_retrieval_metrics" -> (q123RetrievalMetrics _),
     "q124_bpe_tokenize" -> (q124BpeTokenize _),
-    "q125_drift_psi" -> (q125DriftPsi _))
+    "q125_drift_psi" -> (q125DriftPsi _),
+    "q126_label_prop" -> (q126LabelProp _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3759,7 +3776,33 @@ object SparkEntry {
         | round(sum((af - ef) * ln(af / ef)), 6) AS psi,
         | round(sum(af * ln(af / ef)), 6) AS kl
         |FROM fr GROUP BY 1
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+    // q126: both synchronous iterations unrolled — neighbour label votes,
+    // (count desc, label asc) winner, isolated fallthrough via coalesce
+    "q126_label_prop" ->
+      """WITH e0 AS (
+        | SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        | FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |l0 AS (SELECT id, id AS label FROM nodes),
+        |v1 AS (SELECT e.src AS id, l0.label, count(*) AS n
+        |       FROM e JOIN l0 ON l0.id = e.dst GROUP BY 1, 2),
+        |w1 AS (SELECT id, label FROM (
+        |        SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+        |        FROM v1) t WHERE rn = 1),
+        |l1 AS (SELECT l0.id, coalesce(w1.label, l0.label) AS label
+        |       FROM l0 LEFT JOIN w1 ON w1.id = l0.id),
+        |v2 AS (SELECT e.src AS id, l1.label, count(*) AS n
+        |       FROM e JOIN l1 ON l1.id = e.dst GROUP BY 1, 2),
+        |w2 AS (SELECT id, label FROM (
+        |        SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+        |        FROM v2) t WHERE rn = 1),
+        |l2 AS (SELECT l1.id, coalesce(w2.label, l1.label) AS label
+        |       FROM l1 LEFT JOIN w2 ON w2.id = l1.id)
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

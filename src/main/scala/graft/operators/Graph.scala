@@ -85,4 +85,62 @@ object Graph {
     graft.Caches.track(curCk)
     ranks
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) —
+    * community detection over the same corpus graphs: every node
+    * starts labeled with its own id; each iteration it adopts the
+    * label most frequent among its out-neighbours (callers symmetrize
+    * for undirected semantics, as with [[pageRank]]), ties breaking to
+    * the SMALLEST label and isolated nodes keeping theirs. The
+    * synchronous schedule + deterministic tie-break make the output a
+    * pure function of (edges, iterations) — oracle-checkable by
+    * unrolling, where the classic asynchronous variant is
+    * order-dependent.
+    *
+    * Scale shape mirrors [[pageRank]]: per iteration one edge ⨝ label
+    * join, an (id, label)-keyed count with map-side combine, a
+    * node-keyed window over the ≤ degree candidate labels per node,
+    * and lineage truncation via eager localCheckpoint. Label state is
+    * one row per node.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist()
+    graft.Caches.track(e)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    graft.Caches.track(nodes)
+
+    var curCk = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    var labels = curCk
+    for (_ <- 1 to iterations) {
+      val votes = e
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+      val winner = votes
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id"))
+            .orderBy(col("__n").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label").as("__new"))
+      val next = nodes
+        .join(winner, Seq("id"), "left")
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .select(col("id"), coalesce(col("__new"), col("__old")).as("label"))
+        .localCheckpoint(true)
+      curCk.unpersist(blocking = false)
+      curCk = next
+      labels = next
+    }
+    graft.Caches.track(curCk)
+    labels
+  }
 }

@@ -57,4 +57,52 @@ class GraphSpec extends SparkSpec {
     val pr = ranks(Graph.pageRank(e, "s", "d", 0))
     assert(pr.values.forall(v => math.abs(v - 0.25) < 1e-12))
   }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("labelPropagation: hand-traced synchronous schedule on two bridged triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4, symmetrized
+    val fwd = Seq(("1", "2"), ("2", "3"), ("1", "3"),
+      ("4", "5"), ("5", "6"), ("4", "6"), ("3", "4")).toDF("s", "d")
+    val sym = fwd.unionByName(fwd.select(col("d").as("s"), col("s").as("d")))
+    // iteration 1 from self-labels (each vote count 1 => ties break to
+    // the smallest neighbour label)
+    val l1 = labelsOf(Graph.labelPropagation(sym, "s", "d", 1))
+    assert(l1 == Map("1" -> "2", "2" -> "1", "3" -> "1",
+      "4" -> "3", "5" -> "4", "6" -> "4"))
+    // iteration 2 re-votes over l1 (hand-traced)
+    val l2 = labelsOf(Graph.labelPropagation(sym, "s", "d", 2))
+    assert(l2 == Map("1" -> "1", "2" -> "1", "3" -> "1",
+      "4" -> "4", "5" -> "3", "6" -> "3"))
+  }
+
+  test("labelPropagation: majority beats smaller label; sink-only node keeps its label") {
+    import spark.implicits._
+    // node x has out-neighbours {a, b, b2} where b and b2 carry label
+    // "b" after... simpler: direct one iteration — x's neighbours are
+    // a (label a) and two nodes labeled m, m2? Use votes directly:
+    // x -> a, x -> m, x -> n where after self-labels the counts are
+    // a:1, m:1, n:1 -> tie -> smallest "a". With a duplicate target
+    // label the majority must win over the smaller singleton.
+    val e = Seq(("x", "m"), ("x", "n"), ("x", "a"), ("m", "n"), ("n", "m"))
+      .toDF("s", "d")
+    val l1 = labelsOf(Graph.labelPropagation(e, "s", "d", 1))
+    assert(l1("x") == "a", "all singleton votes: smallest label wins")
+    val l2 = labelsOf(Graph.labelPropagation(e, "s", "d", 2))
+    // after iter 1: m -> n's label "n"... n -> "m", a keeps "a" (sink)
+    assert(l1("a") == "a", "sink-only node must keep its label")
+    // iter 2: x's neighbours m,n,a carry labels n,m,a -> tie -> "a"
+    assert(l2("x") == "a")
+  }
+
+  test("labelPropagation: deterministic across reruns and partitionings") {
+    import spark.implicits._
+    val fwd = (1 to 40).map(i => (s"n${i % 13}", s"n${(i * 7) % 13}")).toDF("s", "d")
+    val sym = fwd.unionByName(fwd.select(col("d").as("s"), col("s").as("d")))
+    val a = labelsOf(Graph.labelPropagation(sym, "s", "d", 3))
+    val b = labelsOf(Graph.labelPropagation(sym.repartition(7), "s", "d", 3))
+    assert(a == b)
+  }
 }
