@@ -2003,6 +2003,68 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Cohort retention from persisted-shape bitmap sketches: per
+    * event_type, one bitmap of first-half users and one of second-half
+    * users (conditional build — nulls skip), then |A ∩ B| via
+    * `bitmap_and_cardinality`'s wire-format chunk merge-join
+    * ([[graft.expressions.BitmapAndCardinality]]) — the
+    * audience-overlap question answered without a raw-key self-join.
+    * Exact, so the oracle is the plain DISTINCT-users intersection.
+    */
+  private def q127Retention(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val cut = lit("2024-01-15").cast("timestamp")
+    ev.groupBy(col("event_type"))
+      .agg(
+        call_function("bitmap_build",
+          when(col("event_time") < cut, col("user_id"))).as("a"),
+        call_function("bitmap_build",
+          when(col("event_time") >= cut, col("user_id"))).as("b"))
+      .select(col("event_type"),
+        call_function("bitmap_cardinality", col("a")).as("users_p1"),
+        call_function("bitmap_cardinality", col("b")).as("users_p2"),
+        call_function("bitmap_and_cardinality", col("a"), col("b")).as("retained"))
+      .withColumn("retention_rate",
+        round(col("retained") / col("users_p1"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** The q125 drift gate re-answered from PERSISTED sketches: per-day
+    * DDSketch shards roll up into a first-half and a second-half
+    * sketch per event_type, and `ddsketch_psi` compares the two bin
+    * histograms directly — no raw-value re-scan, the drift check a
+    * sketch-table warehouse runs nightly. Log-γ bins differ from
+    * q125's fixed-width bins, so the indices differ numerically while
+    * agreeing on the verdict; estimates are algorithm-specific ⇒
+    * rows-only gate, with SketchesSpec pinning the PSI arithmetic.
+    */
+  private def q128SketchDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val cut = lit("2024-01-15").cast("timestamp")
+    // alpha 0.25, NOT the quantile default 0.01: PSI over log-γ bins
+    // needs bins wide enough to hold real mass — at α = 0.01 the ~2%
+    // bins slice 10k values into thousands of near-empty cells and
+    // eps-noise masquerades as drift (measured on this stable split:
+    // PSI ~1.5 at α=0.01, ~0.14 at α=0.1, ~0.03–0.09 at α=0.25 vs
+    // fixed-width q125's ~0.01 verdict; the α=0.1/0.25 figures are
+    // reproduced exactly by an independent numpy replay). The accuracy
+    // knob doubles as the drift-resolution knob.
+    val shards = Sketches.ddsketchShards(ev,
+      Seq(col("event_type"), to_date(col("event_time")).as("day")), col("value"),
+      alpha = 0.25)
+      .withColumn("half", col("day") < to_date(cut))
+    val halves = shards.groupBy(col("event_type"), col("half"))
+      .agg(call_function("ddsketch_merge_agg", col("sketch")).as("sketch"))
+    val a = halves.filter(col("half")).select(col("event_type"), col("sketch").as("base"))
+    val b = halves.filter(!col("half")).select(col("event_type"), col("sketch").as("cur"))
+    a.join(b, "event_type")
+      .select(col("event_type"),
+        round(call_function("ddsketch_psi", col("base"), col("cur")), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2130,7 +2192,9 @@ object SparkEntry {
     "q123_retrieval_metrics" -> (q123RetrievalMetrics _),
     "q124_bpe_tokenize" -> (q124BpeTokenize _),
     "q125_drift_psi" -> (q125DriftPsi _),
-    "q126_label_prop" -> (q126LabelProp _))
+    "q126_label_prop" -> (q126LabelProp _),
+    "q127_retention" -> (q127Retention _),
+    "q128_sketch_drift" -> (q128SketchDrift _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3802,7 +3866,25 @@ object SparkEntry {
         |        FROM v2) t WHERE rn = 1),
         |l2 AS (SELECT l1.id, coalesce(w2.label, l1.label) AS label
         |       FROM l1 LEFT JOIN w2 ON w2.id = l1.id)
-        |SELECT id, label FROM l2 ORDER BY id""".stripMargin)
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
+    // q127: the bitmap intersection is exact, so the oracle is the plain
+    // distinct-user intersection across the two halves
+    "q127_retention" ->
+      """WITH p1 AS (
+        | SELECT DISTINCT event_type, user_id FROM events
+        | WHERE ts < TIMESTAMP '2024-01-15'),
+        |p2 AS (
+        | SELECT DISTINCT event_type, user_id FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-15'),
+        |a AS (SELECT event_type, count(*) AS n1 FROM p1 GROUP BY 1),
+        |b AS (SELECT event_type, count(*) AS n2 FROM p2 GROUP BY 1),
+        |r AS (SELECT p1.event_type, count(*) AS ret
+        |      FROM p1 JOIN p2 USING (event_type, user_id) GROUP BY 1)
+        |SELECT a.event_type, a.n1 AS users_p1, b.n2 AS users_p2,
+        | coalesce(r.ret, 0) AS retained,
+        | round(CAST(coalesce(r.ret, 0) AS DOUBLE) / a.n1, 6) AS retention_rate
+        |FROM a JOIN b USING (event_type) LEFT JOIN r USING (event_type)
+        |ORDER BY event_type""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -205,6 +205,80 @@ object Bitmap64 {
     total
   }
 
+  /** Intersection cardinality of two serialized sketches — a merge-join
+    * over the (sorted) chunk directories, intersecting only chunks
+    * present in BOTH: dense∧dense is 1024 popcounts, dense∧sparse
+    * probes bits, sparse∧sparse two-pointers. Nothing materializes.
+    * This is the audience-overlap / retention primitive: |A ∩ B| of two
+    * persisted shard sketches without touching raw keys.
+    */
+  def andCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val na = ba.getInt
+    val nb = bb.getInt
+    var ia = 0
+    var ib = 0
+    var posA = 4
+    var posB = 4
+    var total = 0L
+    // per-chunk header: key(8) + mode(1) + n(4) = 13 bytes, then payload
+    @inline def keyAt(buf: java.nio.ByteBuffer, pos: Int): Long = buf.getLong(pos)
+    @inline def modeAt(buf: java.nio.ByteBuffer, pos: Int): Byte = buf.get(pos + 8)
+    @inline def nAt(buf: java.nio.ByteBuffer, pos: Int): Int = buf.getInt(pos + 9)
+    @inline def payloadLen(mode: Byte, n: Int): Int = if (mode == 1) 8192 else n * 2
+    while (ia < na && ib < nb) {
+      val ka = keyAt(ba, posA)
+      val kb = keyAt(bb, posB)
+      if (ka < kb) { posA += 13 + payloadLen(modeAt(ba, posA), nAt(ba, posA)); ia += 1 }
+      else if (kb < ka) { posB += 13 + payloadLen(modeAt(bb, posB), nAt(bb, posB)); ib += 1 }
+      else {
+        val ma = modeAt(ba, posA); val nA = nAt(ba, posA); val pA = posA + 13
+        val mb = modeAt(bb, posB); val nB = nAt(bb, posB); val pB = posB + 13
+        total += intersectChunk(ba, ma, nA, pA, bb, mb, nB, pB)
+        posA += 13 + payloadLen(ma, nA); ia += 1
+        posB += 13 + payloadLen(mb, nB); ib += 1
+      }
+    }
+    total
+  }
+
+  private def intersectChunk(ba: java.nio.ByteBuffer, ma: Byte, na: Int, pa: Int,
+                             bb: java.nio.ByteBuffer, mb: Byte, nb: Int, pb: Int): Long =
+    if (ma == 1 && mb == 1) {
+      var w = 0
+      var c = 0L
+      while (w < 1024) {
+        c += java.lang.Long.bitCount(ba.getLong(pa + w * 8) & bb.getLong(pb + w * 8))
+        w += 1
+      }
+      c
+    } else if (ma == 1 || mb == 1) {
+      // probe the sparse side's elements against the dense side's bits
+      val (dense, dOff, sparse, sOff, sN) =
+        if (ma == 1) (ba, pa, bb, pb, nb) else (bb, pb, ba, pa, na)
+      var i = 0
+      var c = 0L
+      while (i < sN) {
+        val v = sparse.getChar(sOff + i * 2)
+        if ((dense.getLong(dOff + (v >> 6) * 8) & (1L << (v & 63))) != 0L) c += 1
+        i += 1
+      }
+      c
+    } else {
+      var i = 0
+      var j = 0
+      var c = 0L
+      while (i < na && j < nb) {
+        val va = ba.getChar(pa + i * 2)
+        val vb = bb.getChar(pb + j * 2)
+        if (va == vb) { c += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
+      c
+    }
+
   /** Membership straight off the wire format. Chunks are ascending by
     * key, so the scan stops at the first key past the target.
     */
@@ -373,6 +447,35 @@ case class BitmapCardinality(child: Expression) extends UnaryExpression
 
   override protected def withNewChildInternal(newChild: Expression): BitmapCardinality =
     copy(child = newChild)
+}
+
+/** `bitmap_and_cardinality(binary, binary) -> bigint`: exact |A ∩ B| of
+  * two serialized [[Bitmap64]] sketches — the retention / audience-
+  * overlap primitive ("users active in BOTH weeks") answered from
+  * persisted sketches with a chunk merge-join, no raw-key re-scan, no
+  * join. Called once per output group; interpreted eval off the hot
+  * path.
+  */
+case class BitmapAndCardinality(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bitmap_and_cardinality expects (binary, binary), got ($l, $r)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_and_cardinality"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap64.andCardinality(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCardinality =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bitmap_contains(binary, bigint) -> boolean`: membership probe

@@ -178,6 +178,42 @@ object DDSketch {
     }
   }
 
+  /** PSI between two DDSketches — drift gating straight off PERSISTED
+    * sketch tables, no raw-value re-scan: both sketches share the same
+    * log-γ bin function (equal alpha required), so their bin
+    * histograms are directly comparable; fractions are eps-floored
+    * like [[graft.operators.Drift]]. The zero band counts as its own
+    * bin; positive and negative stores compare bin-by-bin over the
+    * union of occupied bins.
+    */
+  def psi(base: Sketch, current: Sketch, eps: Double = 1e-6): Double = {
+    require(base.alpha == current.alpha,
+      s"cannot compare sketches with different alpha (${base.alpha} vs ${current.alpha})")
+    val tb = base.totalCount.toDouble
+    val tc = current.totalCount.toDouble
+    require(tb > 0 && tc > 0, "cannot compute PSI against an empty sketch")
+    var out = 0.0
+    def term(nb: Long, nc: Long): Unit = {
+      val ef = math.max(nb / tb, eps)
+      val af = math.max(nc / tc, eps)
+      out += (af - ef) * math.log(af / ef)
+    }
+    def store(sel: Sketch => java.util.HashMap[Integer, java.lang.Long]): Unit = {
+      val keys = new java.util.HashSet[Integer](sel(base).keySet())
+      keys.addAll(sel(current).keySet())
+      val it = keys.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        term(Option(sel(base).get(k)).map(_.longValue).getOrElse(0L),
+          Option(sel(current).get(k)).map(_.longValue).getOrElse(0L))
+      }
+    }
+    store(_.pos)
+    store(_.neg)
+    if (base.zeros > 0 || current.zeros > 0) term(base.zeros, current.zeros)
+    out
+  }
+
   def deserialize(bytes: Array[Byte]): Sketch = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val sk = new Sketch(in.readDouble())
@@ -304,6 +340,32 @@ case class DDSketchMergeAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): DDSketchMergeAgg =
     copy(child = newChild)
+}
+
+/** `ddsketch_psi(binary, binary) -> double`: PSI of (base, current)
+  * persisted DDSketches — the [[graft.operators.Drift]] gate without
+  * re-scanning raw values. Equal-alpha sketches only (refused loudly).
+  */
+case class DDSketchPsi(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ddsketch_psi expects (binary base, binary current), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ddsketch_psi"
+
+  override protected def nullSafeEval(base: Any, current: Any): Any =
+    DDSketch.psi(DDSketch.deserialize(base.asInstanceOf[Array[Byte]]),
+      DDSketch.deserialize(current.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DDSketchPsi =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `ddsketch_quantile(binary, q) -> double`: quantile estimate off a

@@ -107,6 +107,12 @@ object GraftFunctions {
         require(children.length == 2, "bitmap_contains takes exactly 2 arguments")
         BitmapContains(children.head, children(1))
       }),
+    (FunctionIdentifier("bitmap_and_cardinality"),
+      new ExpressionInfo(classOf[BitmapAndCardinality].getName, "bitmap_and_cardinality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bitmap_and_cardinality takes exactly 2 arguments")
+        BitmapAndCardinality(children.head, children(1))
+      }),
     (FunctionIdentifier("ddsketch_build"),
       new ExpressionInfo(classOf[DDSketchAgg].getName, "ddsketch_build"),
       (children: Seq[Expression]) => {
@@ -118,6 +124,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "ddsketch_merge_agg takes exactly 1 argument")
         DDSketchMergeAgg(children.head)
+      }),
+    (FunctionIdentifier("ddsketch_psi"),
+      new ExpressionInfo(classOf[DDSketchPsi].getName, "ddsketch_psi"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "ddsketch_psi takes exactly 2 arguments")
+        DDSketchPsi(children.head, children(1))
       }),
     (FunctionIdentifier("ddsketch_quantile"),
       new ExpressionInfo(classOf[DDSketchQuantile].getName, "ddsketch_quantile"),

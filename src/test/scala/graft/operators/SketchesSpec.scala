@@ -72,6 +72,57 @@ class SketchesSpec extends SparkSpec {
     assert(row.getLong(0) == 3L && row.getBoolean(1) && !row.getBoolean(2))
   }
 
+  test("Bitmap64.andCardinality: all container-mode pairings match set intersection") {
+    def sk(vals: Iterable[Long]): Array[Byte] = {
+      val s = Bitmap64.empty(); vals.foreach(Bitmap64.add(s, _)); Bitmap64.serialize(s)
+    }
+    // chunk 0 dense in A (5000 > promote) vs sparse in B; chunk 1
+    // sparse in both; chunk 2 only in A; chunk 3 dense in both
+    val a = (0L until 5000L) ++ (65536L to 65600L by 2) ++ Seq(131072L) ++
+      (196608L until 201700L)
+    val b = (2500L until 7000L) ++ (65536L to 65600L by 3) ++
+      (196608L until 201800L by 1)
+    val expected = (a.toSet intersect b.toSet).size.toLong
+    assert(Bitmap64.andCardinality(sk(a), sk(b)) == expected)
+    assert(Bitmap64.andCardinality(sk(b), sk(a)) == expected, "symmetric")
+    assert(Bitmap64.andCardinality(sk(a), sk(Seq(999999999L))) == 0L, "disjoint")
+  }
+
+  test("bitmap retention end-to-end: sketch intersection == distinct-user intersection") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (0 until 2000).map { i =>
+      (s"g${i % 2}", i % 3 == 0, (i % 97).toLong) // period flag, user
+    }.toDF("grp", "p1", "user")
+    val got = df.groupBy("grp")
+      .agg(call_function("bitmap_build", when(col("p1"), col("user"))).as("a"),
+        call_function("bitmap_build", when(!col("p1"), col("user"))).as("b"))
+      .select(col("grp"),
+        call_function("bitmap_and_cardinality", col("a"), col("b")).as("ret"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.collect().groupBy(_.getString(0)).map { case (g, rows) =>
+      val p1 = rows.filter(_.getBoolean(1)).map(_.getLong(2)).toSet
+      val p2 = rows.filterNot(_.getBoolean(1)).map(_.getLong(2)).toSet
+      g -> (p1 intersect p2).size.toLong
+    }
+    assert(got == exact)
+  }
+
+  test("DDSketch.psi: zero on identical, hand-computed two-bin case, alpha refusal") {
+    import graft.expressions.DDSketch
+    def sk(vals: Seq[Double], alpha: Double = 0.01): DDSketch.Sketch = {
+      val s = new DDSketch.Sketch(alpha); vals.foreach(s.add(_)); s
+    }
+    val a = sk(Seq(1.0, 1.0, 2.0))
+    assert(DDSketch.psi(a, sk(Seq(1.0, 1.0, 2.0))) == 0.0)
+    // A: bins {b(1): 2/3, b(2): 1/3}; B swaps -> psi = (2/3)·ln 2
+    val handPsi = (2.0 / 3) * math.log(2.0)
+    assert(math.abs(DDSketch.psi(a, sk(Seq(1.0, 2.0, 2.0))) - handPsi) < 1e-12)
+    // a full shift screams; equal-alpha is enforced
+    assert(DDSketch.psi(a, sk(Seq(1000.0, 2000.0))) > 5)
+    intercept[IllegalArgumentException](DDSketch.psi(a, sk(Seq(1.0), alpha = 0.02)))
+  }
+
   test("DDSketch: relative-error bound across 9 orders of magnitude, sign handling") {
     import graft.expressions.DDSketch
     // log-spread positives: heavy tails are exactly where rank-error
