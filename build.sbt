@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the full query suite's whole-stage codegen can exhaust the default
+  // 240 MB code cache, silently degrading to interpreted execution
+  "-XX:ReservedCodeCacheSize=1g",
 )

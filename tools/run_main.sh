@@ -5,7 +5,12 @@
 # Env passthrough: SPARK_GRAFT_* vars are read by the mains themselves.
 set -euo pipefail
 CLS="$1"; shift
-exec java -Xmx96g \
+# 128+ queries x whole-stage codegen generate enough JIT'd classes to
+# exhaust the default 240 MB reserved code cache mid-run, after which
+# HotSpot silently stops compiling and everything runs interpreted —
+# the bench's erratic 5-30x per-query tail. Reserve enough for the
+# whole suite.
+exec java -Xmx96g -XX:ReservedCodeCacheSize=1g \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
