@@ -2065,6 +2065,102 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Triangle counts + local clustering coefficient over the part
+    * co-order graph (parts sharing an order are linked) — cohesion
+    * scoring for corpus graphs via [[graft.operators.Graph.triangleCounts]]'
+    * degree-oriented wedge mining: O(m^{3/2}) wedge volume regardless of
+    * hub skew, each triangle found once at its lowest-(degree,id) apex.
+    * Exact, so the oracle brute-forces ordered triangles x<y<z with
+    * three edge joins.
+    */
+  private def q129Triangles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    Graph.triangleCounts(edges, "a", "b")
+      .select(col("id").as("part_id"), col("degree"), col("triangles"),
+        round(col("lcc"), 6).as("lcc"))
+      .orderBy(col("part_id"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): every document scored
+    * by ln p̂_en(x) − ln p̂_raw(x) under hashed unigram+bigram models —
+    * target = the English subset, raw = the whole corpus — the
+    * data-selection signal that shifts a crawl toward a curated
+    * distribution. Exact log-ratio arithmetic, md5-prefix bucket hash
+    * (q25 convention), so the oracle replays the entire pipeline.
+    */
+  private def q130DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dsir
+    val docs = t(s, dir, "documents")
+    Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024, alpha = 1.0)
+      .select(col("id").as("doc_id"), col("n_grams"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q127 retention question re-answered from KMV/theta sketches
+    * ([[graft.expressions.KmvSketch]]) — constant-memory audience
+    * overlap for key domains where exact bitmaps can't fit and HLL
+    * can't intersect. The md5-prefix hash makes every estimate a pure
+    * function of the key sets, so the oracle replays the k-smallest
+    * scan and the θ-cut arithmetic EXACTLY — an approximate sketch
+    * with an exact-match oracle.
+    */
+  private def q131KmvRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .filter(col("user_id").isNotNull)
+    val cut = lit("2024-01-15").cast("timestamp")
+    ev.groupBy(col("event_type"))
+      .agg(
+        call_function("kmv_build",
+          when(col("event_time") < cut, col("user_id")), lit(256)).as("a"),
+        call_function("kmv_build",
+          when(col("event_time") >= cut, col("user_id")), lit(256)).as("b"))
+      .select(col("event_type"),
+        round(call_function("kmv_cardinality", col("a")), 6).as("est_p1"),
+        round(call_function("kmv_cardinality", col("b")), 6).as("est_p2"),
+        round(call_function("kmv_and_cardinality", col("a"), col("b")), 6)
+          .as("est_retained"),
+        round(call_function("kmv_or_cardinality", col("a"), col("b")), 6)
+          .as("est_either"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hard-negative mining ([[graft.operators.Retrieval.hardNegatives]],
+    * the DPR/ANCE recipe): top-20 exact candidates per query minus the
+    * label-match positives, first 5 survivors re-ranked — the
+    * contrastive-training byproduct of the q123 evaluation setup.
+    * Fully deterministic (q27 ordering convention), so the oracle
+    * restates the whole mine in SQL.
+    */
+  private def q132HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Retrieval, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val results = Similarity
+      .bruteForceTopKAtScale(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)))
+    val labels = emb.select(col("vec_id"), col("label"))
+    val positives = labels.filter(col("vec_id") < 5).as("q")
+      .join(labels.as("c"),
+        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbour_id"))
+    Retrieval.hardNegatives(results, positives,
+        "query_id", "neighbour_id", "rank", n = 5)
+      .select(col("query_id"), col("neg_rank").cast("long").as("neg_rank"),
+        col("neighbour_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2194,7 +2290,11 @@ object SparkEntry {
     "q125_drift_psi" -> (q125DriftPsi _),
     "q126_label_prop" -> (q126LabelProp _),
     "q127_retention" -> (q127Retention _),
-    "q128_sketch_drift" -> (q128SketchDrift _))
+    "q128_sketch_drift" -> (q128SketchDrift _),
+    "q129_triangles" -> (q129Triangles _),
+    "q130_dsir_weights" -> (q130DsirWeights _),
+    "q131_kmv_retention" -> (q131KmvRetention _),
+    "q132_hard_negatives" -> (q132HardNegatives _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3884,7 +3984,138 @@ object SparkEntry {
         | coalesce(r.ret, 0) AS retained,
         | round(CAST(coalesce(r.ret, 0) AS DOUBLE) / a.n1, 6) AS retention_rate
         |FROM a JOIN b USING (event_type) LEFT JOIN r USING (event_type)
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    // q129: exact per-node triangle counts — brute-force ordered
+    // triangles x<y<z over the undirected co-order edge set (each
+    // triangle once), exploded back to its three corners
+    "q129_triangles" ->
+      """WITH ps AS (
+        | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        | SELECT DISTINCT x.p AS a, y.p AS b
+        | FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+        |tri AS (
+        | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM e e1
+        | JOIN e e2 ON e2.a = e1.b
+        | JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (
+        | SELECT id, count(*) AS t FROM (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) u
+        | GROUP BY 1),
+        |deg AS (
+        | SELECT id, count(*) AS degree FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) d
+        | GROUP BY 1)
+        |SELECT deg.id AS part_id, deg.degree,
+        | coalesce(pern.t, 0) AS triangles,
+        | CASE WHEN deg.degree >= 2
+        |      THEN round(2.0 * coalesce(pern.t, 0) / (deg.degree * (deg.degree - 1.0)), 6)
+        |      ELSE 0.0 END AS lcc
+        |FROM deg LEFT JOIN pern ON pern.id = deg.id
+        |ORDER BY part_id""".stripMargin,
+    // q130: the whole DSIR pipeline replayed — filter-first single-space
+    // tokens, unigrams + adjacent bigrams, md5-prefix bucket (q25
+    // convention) mod 1024, Laplace α = 1 models, per-doc log-ratio sum
+    "q130_dsir_weights" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS tk
+        | FROM documents),
+        |g0 AS (
+        | SELECT doc_id, lang, unnest(tk) AS g FROM tok
+        | UNION ALL
+        | SELECT doc_id, lang, tk[j] || ' ' || tk[j+1] AS g
+        | FROM (SELECT doc_id, lang, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS j FROM tok) x),
+        |gb AS (
+        | SELECT doc_id, lang,
+        |  CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+        | FROM g0),
+        |db AS (SELECT doc_id, b, count(*) AS c FROM gb GROUP BY 1, 2),
+        |tc AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM gb GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM gb WHERE lang = 'en'),
+        |tr AS (SELECT CAST(count(*) AS DOUBLE) AS nr FROM gb)
+        |SELECT db.doc_id,
+        | CAST(sum(db.c) AS BIGINT) AS n_grams,
+        | round(sum(db.c * (ln((coalesce(tc.ct, 0) + 1.0) / (tt.nt + 1024.0))
+        |                 - ln((rc.cr + 1.0) / (tr.nr + 1024.0)))), 6) AS weight
+        |FROM db
+        |LEFT JOIN tc USING (b)
+        |JOIN rc USING (b), tt, tr
+        |GROUP BY db.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q131: the KMV estimator replayed exactly — 60-bit md5-prefix
+    // hashes, k-smallest per (event_type, half), θ = u(256th) when
+    // full else 1, cardinality n-or-255/θ, set ops at θ = min over the
+    // strict θ-cut samples. Deterministic hash ⇒ exact match.
+    "q131_kmv_retention" ->
+      """WITH h AS (
+        | SELECT DISTINCT event_type, (ts < TIMESTAMP '2024-01-15') AS p1,
+        |  CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        | FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        | SELECT event_type, p1, hv,
+        |  row_number() OVER (PARTITION BY event_type, p1 ORDER BY hv) AS rn,
+        |  count(*) OVER (PARTITION BY event_type, p1) AS n
+        | FROM h),
+        |kept AS (SELECT * FROM r WHERE rn <= 256),
+        |half AS (
+        | SELECT event_type, p1, max(n) AS n,
+        |  CASE WHEN max(n) >= 256
+        |       THEN max(CASE WHEN rn = 256 THEN hv END) / 1152921504606846976.0
+        |       ELSE 1.0 END AS theta
+        | FROM kept GROUP BY 1, 2),
+        |est AS (
+        | SELECT event_type, p1,
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / theta END AS card
+        | FROM half),
+        |t2 AS (
+        | SELECT event_type,
+        |  least(coalesce(max(CASE WHEN p1 THEN theta END), 1.0),
+        |        coalesce(max(CASE WHEN NOT p1 THEN theta END), 1.0)) AS theta
+        | FROM half GROUP BY 1),
+        |sa AS (SELECT k.event_type, k.hv FROM kept k JOIN t2 USING (event_type)
+        |       WHERE k.p1 AND k.hv / 1152921504606846976.0 < t2.theta),
+        |sb AS (SELECT k.event_type, k.hv FROM kept k JOIN t2 USING (event_type)
+        |       WHERE NOT k.p1 AND k.hv / 1152921504606846976.0 < t2.theta),
+        |ii AS (SELECT sa.event_type, count(*) AS ni
+        |       FROM sa JOIN sb USING (event_type, hv) GROUP BY 1),
+        |uu AS (SELECT event_type, count(DISTINCT hv) AS nu
+        |       FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) u GROUP BY 1)
+        |SELECT t2.event_type,
+        | round(coalesce(ea.card, 0.0), 6) AS est_p1,
+        | round(coalesce(eb.card, 0.0), 6) AS est_p2,
+        | round(coalesce(ii.ni, 0) / t2.theta, 6) AS est_retained,
+        | round(coalesce(uu.nu, 0) / t2.theta, 6) AS est_either
+        |FROM t2
+        |LEFT JOIN est ea ON ea.event_type = t2.event_type AND ea.p1
+        |LEFT JOIN est eb ON eb.event_type = t2.event_type AND NOT eb.p1
+        |LEFT JOIN ii ON ii.event_type = t2.event_type
+        |LEFT JOIN uu ON uu.event_type = t2.event_type
+        |ORDER BY t2.event_type""".stripMargin,
+    // q132: top-20 exact candidates per query (q27 ordering convention),
+    // label-match positives removed, negative ranks re-densified, top 5
+    "q132_hard_negatives" ->
+      """WITH cand AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+        |  q.label AS ql, c.label AS cl,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rn
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 5),
+        |neg AS (
+        | SELECT query_id, neighbour_id, cs,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rn) AS neg_rank
+        | FROM cand WHERE rn <= 20 AND ql <> cl)
+        |SELECT query_id, neg_rank, neighbour_id, round(cs, 6) AS cosine_sim
+        |FROM neg WHERE neg_rank <= 5
+        |ORDER BY query_id, neg_rank""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -113,6 +113,36 @@ object GraftFunctions {
         require(children.length == 2, "bitmap_and_cardinality takes exactly 2 arguments")
         BitmapAndCardinality(children.head, children(1))
       }),
+    (FunctionIdentifier("kmv_build"),
+      new ExpressionInfo(classOf[KmvBuildAgg].getName, "kmv_build"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_build takes exactly 2 arguments")
+        KmvBuildAgg(children.head, children(1))
+      }),
+    (FunctionIdentifier("kmv_merge_agg"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kmv_merge_agg takes exactly 1 argument")
+        KmvMergeAgg(children.head)
+      }),
+    (FunctionIdentifier("kmv_cardinality"),
+      new ExpressionInfo(classOf[KmvCardinality].getName, "kmv_cardinality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kmv_cardinality takes exactly 1 argument")
+        KmvCardinality(children.head)
+      }),
+    (FunctionIdentifier("kmv_and_cardinality"),
+      new ExpressionInfo(classOf[KmvAndCardinality].getName, "kmv_and_cardinality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_and_cardinality takes exactly 2 arguments")
+        KmvAndCardinality(children.head, children(1))
+      }),
+    (FunctionIdentifier("kmv_or_cardinality"),
+      new ExpressionInfo(classOf[KmvOrCardinality].getName, "kmv_or_cardinality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_or_cardinality takes exactly 2 arguments")
+        KmvOrCardinality(children.head, children(1))
+      }),
     (FunctionIdentifier("ddsketch_build"),
       new ExpressionInfo(classOf[DDSketchAgg].getName, "ddsketch_build"),
       (children: Seq[Expression]) => {

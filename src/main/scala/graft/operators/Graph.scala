@@ -143,4 +143,86 @@ object Graph {
     graft.Caches.track(curCk)
     labels
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * UNDIRECTED graph (input edge list may carry either or both
+    * directions, duplicates, and self-loops — all normalized away
+    * first). Completes the corpus-graph family next to [[pageRank]],
+    * [[labelPropagation]] and [[Components]]: triangle density is the
+    * standard cohesion signal for near-duplicate clusters (a dedup
+    * cluster that is also a near-clique is a template family; a
+    * star is one viral doc) and for link-spam detection.
+    *
+    * Algorithm: degree-ordered edge orientation (Suri &
+    * Vassilvitskii, WWW 2011 / Chiba–Nishizeki). Every undirected
+    * edge is directed from its lower to its higher endpoint under the
+    * total order (degree, id); wedges are mined by self-joining
+    * oriented edges on their apex and closed by one more join against
+    * the oriented edge set. Orientation bounds every node's oriented
+    * out-degree by O(√m), so total wedge volume is O(m^{3/2})
+    * REGARDLESS of skew — an un-oriented wedge join on a
+    * 10M-follower hub node would enumerate 10M² wedges; oriented,
+    * the hub is always the wedge TARGET, never the apex. Each
+    * triangle is produced exactly once (at its unique lowest-order
+    * apex). All three joins shuffle on node/edge keys with map-side
+    * combine on the final count; nothing graph-sized reaches the
+    * driver.
+    *
+    * Output: (id, degree, triangles, lcc), one row per node with
+    * degree ≥ 1; `lcc` = 2·T/(d·(d−1)) (0.0 when d < 2), exact
+    * double — callers round for presentation.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist()
+    graft.Caches.track(und)
+
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .persist()
+    graft.Caches.track(deg)
+
+    // orient a—b from the smaller to the larger (degree, id) pair;
+    // struct ordering gives the lexicographic total order directly
+    // (field names aliased identically so both CASE branches carry the
+    // same struct type)
+    val ordA = struct(col("__da").as("d"), col("a").as("n"))
+    val ordB = struct(col("__db").as("d"), col("b").as("n"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("__db")), "b")
+      .select(
+        when(ordA < ordB, col("a")).otherwise(col("b")).as("lo"),
+        when(ordA < ordB, col("b")).otherwise(col("a")).as("hi"),
+        when(ordA < ordB, ordB).otherwise(ordA).as("hi_ord"))
+      .persist()
+    graft.Caches.track(oriented)
+
+    // wedges at each apex, endpoints ordered by the SAME total order the
+    // orientation used — so the closing edge, if present, is oriented
+    // exactly y→z and one equi-join finds it
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi_ord") < col("e2.hi_ord"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
+    val tri = wedges.join(
+      oriented.select(col("lo").as("y"), col("hi").as("z")), Seq("y", "z"))
+
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1.0))))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

@@ -75,4 +75,36 @@ object Retrieval {
         when(col("idcg").isNull, 0.0)
           .otherwise(col("dcg") / col("idcg")).as("ndcg"))
   }
+
+  /** Hard-negative mining for contrastive retrieval training (the DPR /
+    * ANCE recipe — Karpukhin et al. 2020, Xiong et al. 2021): for each
+    * query, take its top-ranked retrieved candidates, remove the judged
+    * positives, and keep the first `n` that remain — the
+    * "looks-relevant-but-isn't" examples a bi-encoder needs, mined from
+    * the retriever's own confusions rather than sampled at random.
+    *
+    * Composable over ANY retrieval backend: `results` is a ranked
+    * candidate table (from brute-force, LSH, IVF, or PQ search),
+    * `positives` the (query, doc) pairs to exclude. Negative ranks are
+    * re-densified (1..n) after exclusion so downstream samplers can
+    * stratify on them; all other `results` columns (scores, metadata)
+    * pass through. A query whose candidate list is entirely positive
+    * yields fewer than `n` rows — mine deeper, don't pad.
+    *
+    * Scale shape: results are nQueries·depth rows — evaluation-sized,
+    * never corpus-sized; one keyed anti-join + one per-query window
+    * over ≤ depth rows. The expensive part (candidate generation)
+    * stays in the ANN family where its scale story already lives.
+    */
+  def hardNegatives(results: DataFrame, positives: DataFrame,
+                    queryCol: String, docCol: String, rankCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val pos = positives.select(col(queryCol), col(docCol)).distinct()
+    results.join(pos, Seq(queryCol, docCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col(queryCol)).orderBy(col(rankCol).asc)))
+      .filter(col("neg_rank") <= n)
+      .drop(rankCol)
+  }
 }

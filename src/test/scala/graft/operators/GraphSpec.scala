@@ -105,4 +105,48 @@ class GraphSpec extends SparkSpec {
     val b = labelsOf(Graph.labelPropagation(sym.repartition(7), "s", "d", 3))
     assert(a == b)
   }
+
+  private def triRows(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Double)] =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("triangleCounts: two triangles sharing an edge, hand-computed") {
+    import spark.implicits._
+    // a-b-c triangle and b-c-d triangle share edge b-c; e pendant off a
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "c"),
+      ("a", "e")).toDF("s", "d")
+    val t = triRows(Graph.triangleCounts(e, "s", "d"))
+    assert(t("a") == ((3L, 1L, 2.0 * 1 / (3 * 2))))
+    assert(t("b") == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(t("c") == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(t("d") == ((2L, 1L, 1.0)))
+    assert(t("e") == ((1L, 0L, 0.0)), "pendant: degree 1, lcc pinned 0.0")
+  }
+
+  test("triangleCounts: K4 is all-triangular, lcc = 1 everywhere") {
+    import spark.implicits._
+    val ns = Seq("a", "b", "c", "d")
+    val e = (for (x <- ns; y <- ns if x < y) yield (x, y)).toDF("s", "d")
+    val t = triRows(Graph.triangleCounts(e, "s", "d"))
+    // each K4 node: degree 3, sits in C(3,2) = 3 triangles, lcc = 1
+    assert(ns.forall(n => t(n) == ((3L, 3L, 1.0))))
+  }
+
+  test("triangleCounts: direction, duplicates and self-loops are normalized away") {
+    import spark.implicits._
+    val clean = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val messy = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("b", "c"),
+      ("c", "a"), ("a", "a")).toDF("s", "d")
+    assert(triRows(Graph.triangleCounts(clean, "s", "d")) ==
+      triRows(Graph.triangleCounts(messy, "s", "d")))
+  }
+
+  test("triangleCounts: triangle-free star counts zero; partitioning-invariant") {
+    import spark.implicits._
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")).toDF("s", "d")
+    val t = triRows(Graph.triangleCounts(star, "s", "d"))
+    assert(t("h") == ((4L, 0L, 0.0)))
+    assert(Seq("a", "b", "c", "d").forall(n => t(n) == ((1L, 0L, 0.0))))
+    assert(triRows(Graph.triangleCounts(star.repartition(5), "s", "d")) == t)
+  }
 }

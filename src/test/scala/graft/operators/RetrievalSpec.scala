@@ -62,4 +62,45 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("recall_k") - 0.5) < 1e-9)
     assert(math.abs(m.getAs[Double]("precision_k") - 1.0) < 1e-9)
   }
+
+  private def negsOf(results: Seq[(String, String, Int, Double)],
+                     positives: Seq[(String, String)],
+                     n: Int): Seq[(String, Int, String, Double)] = {
+    import spark.implicits._
+    Retrieval.hardNegatives(
+        results.toDF("q", "d", "rank", "score"), positives.toDF("q", "d"),
+        "q", "d", "rank", n)
+      .select("q", "neg_rank", "d", "score")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("hardNegatives: positives removed, ranks re-densified, scores pass through") {
+    val out = negsOf(
+      results = Seq(("A", "p1", 1, 0.9), ("A", "n1", 2, 0.8),
+        ("A", "p2", 3, 0.7), ("A", "n2", 4, 0.6), ("A", "n3", 5, 0.5)),
+      positives = Seq(("A", "p1"), ("A", "p2"), ("B", "p1")),
+      n = 2)
+    // p1/p3 drop, survivors keep candidate order, neg_rank densifies to 1..n
+    assert(out == Seq(("A", 1, "n1", 0.8), ("A", 2, "n2", 0.6)))
+  }
+
+  test("hardNegatives: positives of OTHER queries don't leak; all-positive list yields none") {
+    val out = negsOf(
+      results = Seq(("A", "x", 1, 0.9), ("A", "y", 2, 0.8),
+        ("B", "x", 1, 0.9), ("B", "y", 2, 0.8)),
+      positives = Seq(("A", "x"), ("A", "y"), ("B", "z")),
+      n = 5)
+    // A's candidates are all positive -> zero rows, no padding;
+    // B keeps both (its positive z wasn't retrieved; A's x/y are not B's)
+    assert(out == Seq(("B", 1, "x", 0.9), ("B", 2, "y", 0.8)))
+  }
+
+  test("hardNegatives: duplicate positive pairs don't multiply survivors") {
+    val out = negsOf(
+      results = Seq(("A", "p", 1, 0.9), ("A", "n", 2, 0.8)),
+      positives = Seq(("A", "p"), ("A", "p"), ("A", "p")),
+      n = 3)
+    assert(out == Seq(("A", 1, "n", 0.8)))
+  }
 }

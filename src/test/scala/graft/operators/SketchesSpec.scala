@@ -219,4 +219,91 @@ class SketchesSpec extends SparkSpec {
     // merge order / partitioning must not change the answer
     assert(roll() == rolled)
   }
+
+  test("KmvSketch: exact below k for long and string keys; nulls skipped") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (0L until 150L).map(i => (i % 100, s"u${i % 100}"))
+      .toDF("lk", "sk")
+      .union(Seq((java.lang.Long.valueOf(5L).longValue(), null.asInstanceOf[String]))
+        .toDF("lk", "sk"))
+    val r = df.agg(
+      call_function("kmv_cardinality",
+        call_function("kmv_build", col("lk"), lit(256))).as("el"),
+      call_function("kmv_cardinality",
+        call_function("kmv_build", col("sk"), lit(256))).as("es"))
+      .collect().head
+    // 100 distinct keys < k = 256: θ = 1, the sketch IS the set — exact
+    assert(r.getDouble(0) == 100.0)
+    assert(r.getDouble(1) == 100.0, "null string key must be skipped")
+  }
+
+  test("KmvSketch: full-sketch estimate within the O(1/√k) band; hand-replayed estimator") {
+    import graft.expressions.KmvSketch
+    val n = 20000
+    val k = 512
+    val b = new KmvSketch.Buffer(k)
+    (0 until n).foreach(i => b.add(KmvSketch.hash60(i.toString)))
+    val est = b.estimate
+    assert(math.abs(est - n) / n < 3.0 / math.sqrt(k.toDouble),
+      s"estimate $est vs $n outside 3/√k")
+    // replay the estimator convention by hand: (k−1)/u(k-th smallest)
+    val sorted = (0 until n).map(i => KmvSketch.hash60(i.toString)).distinct.sorted
+    val expected = (k - 1) / (sorted(k - 1) / 1152921504606846976.0)
+    assert(est == expected)
+  }
+
+  test("KmvSketch: shard union byte-identical to cold build; SQL merge path") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (0L until 5000L).map(i => (s"s${i % 7}", i % 3001L)).toDF("shard", "key")
+    val rolled = df.groupBy("shard")
+      .agg(call_function("kmv_build", col("key"), lit(128)).as("sk"))
+      .agg(call_function("kmv_merge_agg", col("sk")).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    val cold = df.agg(call_function("kmv_build", col("key"), lit(128)).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(rolled, cold),
+      "k-smallest of pooled k-smallests must equal k-smallest of the union")
+  }
+
+  test("KmvSketch: set ops exact when both sketches are below k (θ = 1)") {
+    import graft.expressions.KmvSketch
+    val a = new KmvSketch.Buffer(256)
+    val b = new KmvSketch.Buffer(256)
+    (0 until 100).foreach(i => a.add(KmvSketch.hash60(s"k$i")))
+    (60 until 180).foreach(i => b.add(KmvSketch.hash60(s"k$i")))
+    val sa = KmvSketch.serialize(a)
+    val sb = KmvSketch.serialize(b)
+    assert(KmvSketch.andEstimate(sa, sb) == 40.0)
+    assert(KmvSketch.orEstimate(sa, sb) == 180.0)
+    assert(KmvSketch.andEstimate(sa, sa) == 100.0)
+    assert(KmvSketch.orEstimate(sa, KmvSketch.serialize(new KmvSketch.Buffer(256))) == 100.0)
+  }
+
+  test("KmvSketch: intersection estimate lands near truth on full sketches") {
+    import graft.expressions.KmvSketch
+    val k = 512
+    val a = new KmvSketch.Buffer(k)
+    val b = new KmvSketch.Buffer(k)
+    // |A| = 8000, |B| = 8000, |A ∩ B| = 4000
+    (0 until 8000).foreach(i => a.add(KmvSketch.hash60(s"x$i")))
+    (4000 until 12000).foreach(i => b.add(KmvSketch.hash60(s"x$i")))
+    val est = KmvSketch.andEstimate(KmvSketch.serialize(a), KmvSketch.serialize(b))
+    // θ-cut sample of the intersection has ~k/4 hits — band is wider
+    // than plain cardinality; 4/√(k/4) ≈ 0.35 relative
+    assert(math.abs(est - 4000) / 4000.0 < 0.35, s"intersection estimate $est vs 4000")
+    val uest = KmvSketch.orEstimate(KmvSketch.serialize(a), KmvSketch.serialize(b))
+    assert(math.abs(uest - 12000) / 12000.0 < 0.2, s"union estimate $uest vs 12000")
+  }
+
+  test("KmvSketch: estimates are partitioning-invariant (deterministic bytes)") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    def build(parts: Int) = (0L until 4000L).map(i => i % 2345L).toDF("key")
+      .repartition(parts)
+      .agg(call_function("kmv_build", col("key"), lit(64)).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(build(1), build(17)))
+  }
 }
