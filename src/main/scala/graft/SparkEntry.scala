@@ -2161,6 +2161,30 @@ object SparkEntry {
       .orderBy(col("query_id"), col("neg_rank"))
   }
 
+  /** Count-min point-frequency estimates ([[graft.expressions.Cms]],
+    * Cormode & Muthukrishnan 2005) vs exact counts for the corpus's 30
+    * most frequent tokens — the "how often did THIS key occur" question
+    * [[graft.expressions.MisraGries]] can't answer for keys it dropped,
+    * in 64 KB regardless of vocabulary size. The md5-row-hash grid is
+    * deterministic, so the oracle rebuilds every cell and replays the
+    * min-over-rows estimate exactly.
+    */
+  private def q133CmsFreq(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val toks = t(s, dir, "documents")
+      .select(explode(
+        filter(split(lower(trim(col("text"))), " "), t => t =!= lit("")))
+        .as("token"))
+    val sketch = toks.agg(
+      call_function("cms_build", col("token"), lit(2048), lit(4)).as("sk"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token").asc).limit(30)
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("exact"),
+        call_function("cms_estimate", col("sk"), col("token")).as("cms_est"))
+      .orderBy(col("exact").desc, col("token"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2294,7 +2318,8 @@ object SparkEntry {
     "q129_triangles" -> (q129Triangles _),
     "q130_dsir_weights" -> (q130DsirWeights _),
     "q131_kmv_retention" -> (q131KmvRetention _),
-    "q132_hard_negatives" -> (q132HardNegatives _))
+    "q132_hard_negatives" -> (q132HardNegatives _),
+    "q133_cms_freq" -> (q133CmsFreq _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4115,7 +4140,34 @@ object SparkEntry {
         | FROM cand WHERE rn <= 20 AND ql <> cl)
         |SELECT query_id, neg_rank, neighbour_id, round(cs, 6) AS cosine_sim
         |FROM neg WHERE neg_rank <= 5
-        |ORDER BY query_id, neg_rank""".stripMargin)
+        |ORDER BY query_id, neg_rank""".stripMargin,
+    // q133: every CMS cell rebuilt in SQL — row-i bucket of token t is
+    // md5(i || ':' || t) first-8-hex mod 2048; cell totals sum the full
+    // vocabulary's counts; the estimate is the min over the 4 rows
+    "q133_cms_freq" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+        |         t -> t <> '')) AS token
+        | FROM documents),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact
+        |        FROM toks GROUP BY 1),
+        |top AS (SELECT token, exact FROM cnt ORDER BY exact DESC, token LIMIT 30),
+        |cell AS (
+        | SELECT r.i,
+        |  CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || cnt.token), 1, 8))
+        |   AS BIGINT) % 2048 AS b,
+        |  CAST(sum(cnt.exact) AS BIGINT) AS total
+        | FROM cnt, generate_series(0, 3) r(i)
+        | GROUP BY 1, 2),
+        |probe AS (
+        | SELECT t.token, t.exact, r.i,
+        |  CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || t.token), 1, 8))
+        |   AS BIGINT) % 2048 AS b
+        | FROM top t, generate_series(0, 3) r(i))
+        |SELECT p.token, p.exact, min(c.total) AS cms_est
+        |FROM probe p JOIN cell c ON c.i = p.i AND c.b = p.b
+        |GROUP BY 1, 2
+        |ORDER BY exact DESC, token""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

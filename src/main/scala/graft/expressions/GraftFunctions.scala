@@ -113,6 +113,24 @@ object GraftFunctions {
         require(children.length == 2, "bitmap_and_cardinality takes exactly 2 arguments")
         BitmapAndCardinality(children.head, children(1))
       }),
+    (FunctionIdentifier("cms_build"),
+      new ExpressionInfo(classOf[CmsBuildAgg].getName, "cms_build"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "cms_build takes exactly 3 arguments")
+        CmsBuildAgg(children.head, children(1), children(2))
+      }),
+    (FunctionIdentifier("cms_merge_agg"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "cms_merge_agg takes exactly 1 argument")
+        CmsMergeAgg(children.head)
+      }),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cms_estimate takes exactly 2 arguments")
+        CmsEstimate(children.head, children(1))
+      }),
     (FunctionIdentifier("kmv_build"),
       new ExpressionInfo(classOf[KmvBuildAgg].getName, "kmv_build"),
       (children: Seq[Expression]) => {

@@ -359,4 +359,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"payloads must not shuffle, got $exchanges exchanges:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q129 triangles: every join is an equi-join — no cartesian, no nested loop") {
+    val p = planOf("q129_triangles")
+    // the wedge self-join and the closure join key on (lo) / (y, z);
+    // a cartesian here would be the classic all-pairs triangle mistake
+    assert(!p.contains("CartesianProduct"), s"no cartesian in wedge mining:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop join:\n$p")
+  }
+
+  test("q130 dsir: bucket models join by broadcast — the corpus never shuffle-joins") {
+    val df = SparkEntry.queries("q130_dsir_weights")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    // both ≤1024-row models and both 1-row totals broadcast into the
+    // doc×bucket stream; the only corpus-sized exchanges are the two
+    // hash aggregations (gram counts, doc score reduce) + final sort
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"model joins must broadcast, never shuffle the doc-bucket table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model joins:\n$p")
+  }
+
+  test("q133 cms: one 64 KB sketch broadcast, top-30 as TakeOrdered") {
+    val df = SparkEntry.queries("q133_cms_freq")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 must be a bounded heap, not a global sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the CMS build must plan as ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 1-row sketch joins by broadcast:\n$p")
+  }
 }

@@ -297,6 +297,74 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(uest - 12000) / 12000.0 < 0.2, s"union estimate $uest vs 12000")
   }
 
+  test("Cms: collision-free estimates are exact; overcount-only under forced collisions") {
+    import graft.expressions.Cms
+    val keys = (0 until 40).map(i => s"key$i")
+    val wide = new Cms.Buffer(4, 65536)
+    keys.zipWithIndex.foreach { case (k, i) => wide.add(k, i + 1L) }
+    keys.zipWithIndex.foreach { case (k, i) =>
+      assert(wide.estimate(k) == i + 1L, s"collision-free estimate must be exact: $k")
+    }
+    // w = 4 forces collisions: estimates never undercount
+    val tiny = new Cms.Buffer(4, 4)
+    keys.zipWithIndex.foreach { case (k, i) => tiny.add(k, i + 1L) }
+    keys.zipWithIndex.foreach { case (k, i) =>
+      assert(tiny.estimate(k) >= i + 1L, "CMS must never undercount")
+    }
+    assert(keys.zipWithIndex.exists { case (k, i) => tiny.estimate(k) > i + 1L },
+      "40 keys in 4 buckets must collide somewhere")
+  }
+
+  test("Cms: estimate is the min over hand-rebuilt row cells") {
+    import graft.expressions.Cms
+    val counts = Map("a" -> 7L, "bb" -> 3L, "ccc" -> 11L, "dd" -> 1L)
+    val b = new Cms.Buffer(3, 8)
+    counts.foreach { case (k, c) => b.add(k, c) }
+    counts.keys.foreach { k =>
+      val expected = (0 until 3).map { i =>
+        val bucket = Cms.hashBucket(i, k, 8)
+        counts.collect { case (k2, c) if Cms.hashBucket(i, k2, 8) == bucket => c }.sum
+      }.min
+      assert(b.estimate(k) == expected)
+    }
+  }
+
+  test("Cms: shard merge byte-identical to cold build; geometry mismatch refused") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (0L until 3000L).map(i => (s"s${i % 5}", s"k${i % 97}")).toDF("shard", "key")
+    val rolled = df.groupBy("shard")
+      .agg(call_function("cms_build", col("key"), lit(64), lit(4)).as("sk"))
+      .agg(call_function("cms_merge_agg", col("sk")).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    val cold = df.agg(call_function("cms_build", col("key"), lit(64), lit(4)).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(rolled, cold),
+      "grid addition must equal a cold one-pass build")
+    // SQL estimate off the merged sketch equals the exact group count
+    // (k % 97 over 3000 rows: some keys collide in w=64 — only assert >=)
+    val est = df.crossJoin(
+        df.agg(call_function("cms_build", col("key"), lit(64), lit(4)).as("sk")))
+      .groupBy("key").agg(max(call_function("cms_estimate", col("sk"), col("key"))).as("e"),
+        count(lit(1)).as("c"))
+      .collect()
+    est.foreach(r => assert(r.getAs[Long]("e") >= r.getAs[Long]("c")))
+    import graft.expressions.Cms
+    val a = new Cms.Buffer(4, 64)
+    val c = new Cms.Buffer(4, 32)
+    intercept[IllegalArgumentException](a.mergeFrom(c))
+  }
+
+  test("Cms: sketch bytes are partitioning-invariant") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    def build(parts: Int) = (0L until 2000L).map(i => s"t${i % 313}").toDF("key")
+      .repartition(parts)
+      .agg(call_function("cms_build", col("key"), lit(128), lit(4)).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(build(1), build(11)))
+  }
+
   test("KmvSketch: estimates are partitioning-invariant (deterministic bytes)") {
     import spark.implicits._
     graft.expressions.GraftFunctions.register(spark)
