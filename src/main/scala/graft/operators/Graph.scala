@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** [[triangleCounts]] broadcasts the oriented adjacency table while
+    * the graph has at most this many edges (total adjacency payload is
+    * one entry per edge — ~130 MB of longs plus row overhead at the
+    * cutoff); larger graphs fall back to keyed shuffle joins.
+    */
+  val BroadcastAdjacencyEdges: Long = 8000000L
+
   /** Damped PageRank over a DIRECTED edge list, fixed iteration count.
     *
     * `pr(id) = (1-d)/N + d * Σ_{src→id} pr(src)/outdeg(src)` from a
@@ -153,20 +160,23 @@ object Graph {
     * cluster that is also a near-clique is a template family; a
     * star is one viral doc) and for link-spam detection.
     *
-    * Algorithm: degree-ordered edge orientation (Suri &
-    * Vassilvitskii, WWW 2011 / Chiba–Nishizeki). Every undirected
-    * edge is directed from its lower to its higher endpoint under the
-    * total order (degree, id); wedges are mined by self-joining
-    * oriented edges on their apex and closed by one more join against
-    * the oriented edge set. Orientation bounds every node's oriented
-    * out-degree by O(√m), so total wedge volume is O(m^{3/2})
-    * REGARDLESS of skew — an un-oriented wedge join on a
-    * 10M-follower hub node would enumerate 10M² wedges; oriented,
-    * the hub is always the wedge TARGET, never the apex. Each
-    * triangle is produced exactly once (at its unique lowest-order
-    * apex). All three joins shuffle on node/edge keys with map-side
-    * combine on the final count; nothing graph-sized reaches the
-    * driver.
+    * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    * WWW 2011 / Chiba–Nishizeki) + edge-iterator adjacency
+    * intersection. Every undirected edge is directed from its lower to
+    * its higher endpoint under the total order (degree, id), which
+    * bounds every node's oriented OUT-degree by O(√m) regardless of
+    * skew — a 10M-follower hub is always a neighbour-list ENTRY, never
+    * the list owner. Oriented out-neighbour lists are then joined onto
+    * both endpoints of each oriented edge (u, v) and intersected:
+    * every common out-neighbour w closes the triangle {u, v, w},
+    * found exactly once (u, v are its two lowest-order corners). Total
+    * intersection work is the O(m^{3/2}) wedge bound, but — unlike the
+    * naive wedge SELF-JOIN — no wedge-sized table is ever
+    * materialized or shuffled: the big intermediates are edge-sized
+    * rows carrying ≤ O(√m)-element arrays, the intersections run
+    * inside the projection, and the only post-edge shuffles are
+    * triangle-sized count aggregations with map-side combine. Nothing
+    * graph-sized reaches the driver.
     *
     * Output: (id, degree, triangles, lcc), one row per node with
     * degree ≥ 1; `lcc` = 2·T/(d·(d−1)) (0.0 when d < 2), exact
@@ -198,24 +208,46 @@ object Graph {
       .join(deg.select(col("id").as("b"), col("degree").as("__db")), "b")
       .select(
         when(ordA < ordB, col("a")).otherwise(col("b")).as("lo"),
-        when(ordA < ordB, col("b")).otherwise(col("a")).as("hi"),
-        when(ordA < ordB, ordB).otherwise(ordA).as("hi_ord"))
+        when(ordA < ordB, col("b")).otherwise(col("a")).as("hi"))
       .persist()
     graft.Caches.track(oriented)
 
-    // wedges at each apex, endpoints ordered by the SAME total order the
-    // orientation used — so the closing edge, if present, is oriented
-    // exactly y→z and one equi-join finds it
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.lo") === col("e2.lo") && col("e1.hi_ord") < col("e2.hi_ord"))
-      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
-    val tri = wedges.join(
-      oriented.select(col("lo").as("y"), col("hi").as("z")), Seq("y", "z"))
+    // oriented out-neighbour lists — ≤ O(√m) entries each by the
+    // orientation bound, so collect_list is safe at any graph size
+    val adj = oriented.groupBy(col("lo")).agg(collect_list(col("hi")).as("nb"))
 
-    val perNode = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    // edge-iterator: for oriented edge (lo, hi), every common
+    // out-neighbour w of lo and hi closes triangle {lo, hi, w} — found
+    // exactly once, at its two lowest-order corners. hi-side adjacency
+    // joins inner: an endpoint with no out-edges closes nothing.
+    // The naive alternative (wedge SELF-JOIN then closure join)
+    // materializes and shuffles an O(m^{3/2})-row wedge table — 41M
+    // rows on the sf0.1 co-order graph; here the same intersections
+    // run inside the projection on edge-sized rows. The adjacency
+    // table is m entries spread over n rows (~16 MB at m = 1.2M):
+    // below the cutoff it BROADCASTS, so edges stream through both
+    // probes in one stage and the per-edge array payload is never
+    // shuffled twice; above it, plain keyed joins (size dispatch on
+    // the persisted edge count, the [[Components]] pattern).
+    val attach =
+      if (und.count() <= BroadcastAdjacencyEdges) (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
+    val closed = oriented
+      .join(attach(adj.select(col("lo"), col("nb").as("__nbu"))), Seq("lo"))
+      .join(attach(adj.select(col("lo").as("hi"), col("nb").as("__nbv"))), Seq("hi"))
+      .select(col("lo"), col("hi"),
+        array_intersect(col("__nbu"), col("__nbv")).as("__w"))
+      .filter(size(col("__w")) > 0)
+
+    // per-triangle corner credits: lo and hi once per common neighbour,
+    // each common neighbour w once
+    val perNode = closed
+      .select(explode(col("__w")).as("id"), lit(1L).as("__t"))
+      .unionByName(closed.select(col("lo").as("id"),
+        size(col("__w")).cast("long").as("__t")))
+      .unionByName(closed.select(col("hi").as("id"),
+        size(col("__w")).cast("long").as("__t")))
+      .groupBy("id").agg(sum(col("__t")).as("triangles"))
 
     deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("degree"),
