@@ -155,6 +155,12 @@ object GraftFunctions {
         require(children.length == 2, "kmv_and_cardinality takes exactly 2 arguments")
         KmvAndCardinality(children.head, children(1))
       }),
+    (FunctionIdentifier("kmv_andnot_cardinality"),
+      new ExpressionInfo(classOf[KmvAndNotCardinality].getName, "kmv_andnot_cardinality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_andnot_cardinality takes exactly 2 arguments")
+        KmvAndNotCardinality(children.head, children(1))
+      }),
     (FunctionIdentifier("kmv_or_cardinality"),
       new ExpressionInfo(classOf[KmvOrCardinality].getName, "kmv_or_cardinality"),
       (children: Seq[Expression]) => {

@@ -148,6 +148,31 @@ object KmvSketch {
     val (_, union, theta) = thetaCounts(a, b)
     union / theta
   }
+
+  /** |A \ B| estimate at the shared θ: θ-cut sample hits of A that B's
+    * sample doesn't contain. With both samples cut to the same θ,
+    * membership in the sample IS membership in the set (for hashes
+    * below θ), so |S_A| − |S_A ∩ S_B| is the unbiased difference
+    * sample.
+    */
+  def andNotEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val ba = deserialize(a)
+    val bb = deserialize(b)
+    val theta = math.min(ba.theta, bb.theta)
+    @inline def in(h: Long): Boolean = h / Two60 < theta
+    var onlyA = 0L
+    val ia = ba.set.iterator()
+    val ib = bb.set.iterator()
+    var vb = if (ib.hasNext) ib.next().longValue() else Long.MaxValue
+    while (ia.hasNext) {
+      val va = ia.next().longValue()
+      if (in(va)) {
+        while (vb < va) vb = if (ib.hasNext) ib.next().longValue() else Long.MaxValue
+        if (va != vb) onlyA += 1
+      }
+    }
+    onlyA / theta
+  }
 }
 
 /** `kmv_build(key, k) -> binary`: one-pass KMV sketch of a key column
@@ -325,6 +350,33 @@ case class KmvAndCardinality(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KmvAndCardinality =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kmv_andnot_cardinality(binary, binary) -> double`: |A \ B| estimate
+  * at the shared θ — audience exclusion ("users active in week 1 but
+  * not week 2") from persisted sketches, the third set-algebra verb
+  * next to intersection and union.
+  */
+case class KmvAndNotCardinality(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kmv_andnot_cardinality expects (binary, binary), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmv_andnot_cardinality"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    KmvSketch.andNotEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvAndNotCardinality =
     copy(left = newLeft, right = newRight)
 }
 

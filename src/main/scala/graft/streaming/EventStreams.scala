@@ -283,6 +283,31 @@ object EventStreams {
         col("sketch"))
   }
 
+  /** Streaming APPROXIMATE distinct-by-window at constant state: the
+    * KMV aggregate ([[graft.expressions.KmvBuildAgg]]) per event-time
+    * window — the unbounded-key-domain companion to
+    * [[windowedDistinct]]'s exact bitmap (whose state grows with the
+    * key set; a KMV window is ≤ k hashes forever). Partial buffers
+    * merge associatively in the state store; the sketch rides along
+    * for downstream batch rollups AND set algebra — window-over-window
+    * retention/churn straight off the emitted sketches via
+    * `kmv_and_cardinality` / `kmv_andnot_cardinality`, which HLL
+    * windows cannot do. Estimates are exact below k.
+    */
+  def windowedDistinctApprox(events: DataFrame, keyCol: String,
+                             window_ : String = "1 hour",
+                             delay: String = "10 minutes",
+                             k: Int = 1024): DataFrame = {
+    graft.expressions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), window_))
+      .agg(call_function("kmv_build", col(keyCol), lit(k)).as("sketch"))
+      .select(col("window.start").as("window_start"),
+        call_function("kmv_cardinality", col("sketch")).as("approx_distinct"),
+        col("sketch"))
+  }
+
   /** Streaming windowed quantiles: the DDSketch aggregate
     * ([[graft.expressions.DDSketchAgg]]) per event-time window —
     * p50/p95/p99 of a value column with the α relative-error guarantee,

@@ -281,6 +281,28 @@ class SketchesSpec extends SparkSpec {
     assert(KmvSketch.orEstimate(sa, KmvSketch.serialize(new KmvSketch.Buffer(256))) == 100.0)
   }
 
+  test("KmvSketch: difference exact below k; A\\A = 0; A\\∅ = |A|; near truth when full") {
+    import graft.expressions.KmvSketch
+    val a = new KmvSketch.Buffer(256)
+    val b = new KmvSketch.Buffer(256)
+    (0 until 100).foreach(i => a.add(KmvSketch.hash60(s"k$i")))
+    (60 until 180).foreach(i => b.add(KmvSketch.hash60(s"k$i")))
+    val sa = KmvSketch.serialize(a)
+    val sb = KmvSketch.serialize(b)
+    assert(KmvSketch.andNotEstimate(sa, sb) == 60.0)
+    assert(KmvSketch.andNotEstimate(sb, sa) == 80.0)
+    assert(KmvSketch.andNotEstimate(sa, sa) == 0.0)
+    assert(KmvSketch.andNotEstimate(sa,
+      KmvSketch.serialize(new KmvSketch.Buffer(256))) == 100.0)
+    // full sketches: |A| = 8000, |A \ B| = 4000
+    val fa = new KmvSketch.Buffer(512)
+    val fb = new KmvSketch.Buffer(512)
+    (0 until 8000).foreach(i => fa.add(KmvSketch.hash60(s"x$i")))
+    (4000 until 12000).foreach(i => fb.add(KmvSketch.hash60(s"x$i")))
+    val est = KmvSketch.andNotEstimate(KmvSketch.serialize(fa), KmvSketch.serialize(fb))
+    assert(math.abs(est - 4000) / 4000.0 < 0.35, s"difference estimate $est vs 4000")
+  }
+
   test("KmvSketch: intersection estimate lands near truth on full sketches") {
     import graft.expressions.KmvSketch
     val k = 512

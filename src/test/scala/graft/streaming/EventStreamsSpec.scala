@@ -374,6 +374,46 @@ class EventStreamsSpec extends SparkSpec {
       "stream state-merge must serialize identically to the batch sketch")
   }
 
+  test("windowedDistinctApprox: KMV state folds across micro-batches == batch sketch") {
+    import spark.implicits._
+    // same overlapping-user shape as the bitmap test: 7 distinct users
+    // split over two micro-batches with overlap — fresh-start batch 2
+    // would answer 5; below k the KMV estimate is EXACT, so folded
+    // state must answer 7.0
+    val base = 1700000000L * 1000000000L
+    def evRow(id: Long, offsetSec: Long) =
+      (id, base + offsetSec * 1000000000L, id % 7, "view", 1.0, """{}""")
+    val srcDir = java.nio.file.Files.createTempDirectory("wk_stream")
+    def writeBatch(name: String, mtime: Long,
+                   rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("wk_batch").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(srcDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    writeBatch("b1.parquet", 1000000, (1L to 7L).map(i => evRow(i, i)))
+    writeBatch("b2.parquet", 2000000, (8L to 12L).map(i => evRow(i, 60 + i)))
+    val stream = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.windowedDistinctApprox(stream, "user_id", k = 64),
+      "wk_test", OutputMode.Update())
+    val last = streamed.collect().last
+    assert(last.getAs[Double]("approx_distinct") == 7.0,
+      "below k the folded KMV window must be exact")
+    val batch = EventStreams.windowedDistinctApprox(
+      EventStreams.withEventTime(spark.read.parquet(srcDir.toString)),
+      "user_id", k = 64).collect()(0)
+    assert(java.util.Arrays.equals(
+      last.getAs[Array[Byte]]("sketch"), batch.getAs[Array[Byte]]("sketch")),
+      "stream state-merge must serialize identically to the batch sketch")
+  }
+
   test("dedupWithinWatermark drops duplicate keys across micro-batches") {
     import spark.implicits._
     // two files = two micro-batches (maxFilesPerTrigger=1); the batch-2
