@@ -2185,6 +2185,25 @@ object SparkEntry {
       .orderBy(col("exact").desc, col("token"))
   }
 
+  /** Real image downsampling ([[graft.operators.Multimodal.imagePool]]):
+    * 4×4 box-mean thumbnails over actually-decoded BMP pixels — the
+    * resize kernel a vision pipeline runs before embedding, with
+    * payloads reduced in-partition. The synthetic corpus pins every
+    * pixel byte in closed form ((i·31 + 7p) mod 251, the q36
+    * convention), so the oracle recomputes every cell mean exactly.
+    */
+  private def q134ImagePool(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(s, 300)
+    Multimodal.imagePool(media, gridW = 4, gridH = 4).toDF()
+      .select(col("mediaId").as("media_id"), col("cellX").as("cell_x"),
+        col("cellY").as("cell_y"),
+        round(col("rMean"), 4).as("r_mean"),
+        round(col("gMean"), 4).as("g_mean"),
+        round(col("bMean"), 4).as("b_mean"))
+      .orderBy(col("media_id"), col("cell_y"), col("cell_x"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2319,7 +2338,8 @@ object SparkEntry {
     "q130_dsir_weights" -> (q130DsirWeights _),
     "q131_kmv_retention" -> (q131KmvRetention _),
     "q132_hard_negatives" -> (q132HardNegatives _),
-    "q133_cms_freq" -> (q133CmsFreq _))
+    "q133_cms_freq" -> (q133CmsFreq _),
+    "q134_image_pool" -> (q134ImagePool _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4167,7 +4187,27 @@ object SparkEntry {
         |SELECT p.token, p.exact, min(c.total) AS cms_est
         |FROM probe p JOIN cell c ON c.i = p.i AND c.b = p.b
         |GROUP BY 1, 2
-        |ORDER BY exact DESC, token""".stripMargin)
+        |ORDER BY exact DESC, token""".stripMargin,
+    // q134: every pooled cell recomputed from the closed-form synthetic
+    // pixels — byte at logical position p of image i is (i*31 + 7p) mod
+    // 251, rows are BGR (r at x*3+2), cell of pixel x is x*4 // w
+    "q134_image_pool" ->
+      """WITH m AS (
+        | SELECT r.i AS media_id, CAST(16 + (r.i % 6) * 8 AS INT) AS w,
+        |  CAST(16 + (r.i % 5) * 8 AS INT) AS h
+        | FROM range(300) r(i) WHERE r.i % 3 = 0),
+        |px AS (
+        | SELECT m.media_id, (xx.x * 4) // m.w AS cell_x, (yy.y * 4) // m.h AS cell_y,
+        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 2)) % 251 AS rb,
+        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 1)) % 251 AS gb,
+        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3)) % 251 AS bb
+        | FROM m, unnest(range(0, m.w)) xx(x), unnest(range(0, m.h)) yy(y))
+        |SELECT media_id, CAST(cell_x AS INT) AS cell_x, CAST(cell_y AS INT) AS cell_y,
+        | round(avg(rb), 4) AS r_mean, round(avg(gb), 4) AS g_mean,
+        | round(avg(bb), 4) AS b_mean
+        |FROM px
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_id, cell_y, cell_x""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -831,4 +831,84 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         avg(col("width") * col("height")).as("avg_pixels"),
         sum(col("n_frames")).as("total_frames"))
+
+  /** One pooled cell of [[imagePool]]: per-channel box means over the
+    * cell's source-pixel region, doubles (callers round).
+    */
+  case class ImageCell(mediaId: Long, cellX: Int, cellY: Int,
+                       rMean: Double, gMean: Double, bMean: Double)
+
+  /** REAL image downsampling — gridW×gridH box-mean pooling (the
+    * resize/thumbnail kernel every vision-data pipeline runs before
+    * embedding) over actually-decoded 24-bit BMP pixels, pure byte
+    * arithmetic like [[decodeBmp]]. Source pixel (x, y) pools into
+    * cell (x·gridW ∕ w, y·gridH ∕ h) — integer floor, the partition
+    * that handles non-divisible dims — and each channel's cell mean is
+    * the exact sum÷count double. BMP rows are BGR; output is named
+    * R/G/B. Refuses grids finer than the source (an empty cell has no
+    * mean) and non-BI_RGB payloads, loudly.
+    *
+    * Scale shape: payloads are decoded AND reduced to gridW·gridH·3
+    * numbers inside their partition (flatMap) — pixels never shuffle,
+    * the [[decodeFeatures]] contract.
+    */
+  def imagePool(media: DataFrame, gridW: Int = 4, gridH: Int = 4): Dataset[ImageCell] = {
+    require(gridW >= 1 && gridH >= 1, s"grid must be >= 1x1, got ${gridW}x$gridH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) => poolBmp(id, p, gridW, gridH) }
+  }
+
+  private[operators] def poolBmp(id: Long, payload: Array[Byte],
+                                 gw: Int, gh: Int): Seq[ImageCell] = {
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"not a BMP payload (media_id=$id)")
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bitCount = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bitCount == 24 && compression == 0,
+      s"imagePool supports 24-bit uncompressed BI_RGB only, got bpp=$bitCount " +
+        s"compression=$compression (media_id=$id)")
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(w >= gw && h >= gh,
+      s"grid ${gw}x$gh finer than source ${w}x$h (media_id=$id): a cell " +
+        "with no source pixels has no mean")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    require(payload.length >= dataOffset + rowSize * h,
+      s"truncated BMP: need ${dataOffset + rowSize * h} bytes, have " +
+        s"${payload.length} (media_id=$id)")
+    // sums/counts per (cell, channel); channel order B, G, R on disk
+    val sums = new Array[Long](gw * gh * 3)
+    val counts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val base = dataOffset + srcRow * rowSize
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * gw + x * gw / w
+        val o = base + x * 3
+        sums(cell * 3) += (payload(o) & 0xff).toLong
+        sums(cell * 3 + 1) += (payload(o + 1) & 0xff).toLong
+        sums(cell * 3 + 2) += (payload(o + 2) & 0xff).toLong
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (0 until gh).flatMap(cy => (0 until gw).map { cx =>
+      val cell = cy * gw + cx
+      val n = counts(cell).toDouble
+      ImageCell(id, cx, cy,
+        sums(cell * 3 + 2) / n, sums(cell * 3 + 1) / n, sums(cell * 3) / n)
+    })
+  }
 }

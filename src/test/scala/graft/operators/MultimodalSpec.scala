@@ -165,6 +165,76 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("PCM"))
   }
 
+  private def bmp2x2(topDown: Boolean): Array[Byte] = {
+    // logical top-down pixel bytes: row 0 = 10..60, row 1 = 70..120
+    // (BGR triplets: pixel (0,0) = B10 G20 R30, (1,0) = B40 G50 R60 ...)
+    val buf = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(70).putInt(0).putInt(54)
+      .putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val rows = Seq(Seq(10, 20, 30, 40, 50, 60, 0xEE, 0xEE),
+      Seq(70, 80, 90, 100, 110, 120, 0xEE, 0xEE))
+    val stored = if (topDown) rows else rows.reverse
+    stored.flatten.foreach(b => buf.put(b.toByte))
+    buf.array()
+  }
+
+  test("poolBmp: 1x1 pool of the hand-built 2x2 BMP is the exact channel mean") {
+    val cells = Multimodal.poolBmp(7L, bmp2x2(topDown = false), 1, 1)
+    assert(cells.size == 1)
+    val c = cells.head
+    // B bytes: 10, 40, 70, 100; G: 20, 50, 80, 110; R: 30, 60, 90, 120
+    assert(c == Multimodal.ImageCell(7L, 0, 0, 75.0, 65.0, 55.0))
+  }
+
+  test("poolBmp: top-down and bottom-up encodings of the same pixels pool identically") {
+    val a = Multimodal.poolBmp(7L, bmp2x2(topDown = false), 2, 1)
+    val b = Multimodal.poolBmp(7L, bmp2x2(topDown = true), 2, 1)
+    assert(a == b)
+    // left column = pixels (0,0)/(0,1): R mean = (30+90)/2
+    assert(a.head == Multimodal.ImageCell(7L, 0, 0, 60.0, 50.0, 40.0))
+  }
+
+  test("poolBmp: grid == dims returns the raw pixels; cell means re-average to the image mean") {
+    val img = Multimodal.synthBmp(3L, 16, 16)
+    val full = Multimodal.poolBmp(3L, img, 16, 16)
+    assert(full.size == 256)
+    // every 1-pixel cell is the exact byte triple
+    full.foreach { c =>
+      val p = (c.cellY * 16 + c.cellX) * 3
+      assert(c.bMean == ((3L * 31 + 7L * p) % 251).toDouble)
+      assert(c.gMean == ((3L * 31 + 7L * (p + 1)) % 251).toDouble)
+      assert(c.rMean == ((3L * 31 + 7L * (p + 2)) % 251).toDouble)
+    }
+    // count-weighted 4x4 cell means collapse to the whole-image mean
+    val pooled = Multimodal.poolBmp(3L, img, 4, 4)
+    val wavg = pooled.map(_.rMean).sum / pooled.size // uniform cells: 4x4 over 16x16
+    val exact = full.map(_.rMean).sum / full.size
+    assert(math.abs(wavg - exact) < 1e-9)
+  }
+
+  test("imagePool: distributed pool on the synth corpus matches the local kernel") {
+    val media = Multimodal.synthesize(spark, 30)
+    val dist = Multimodal.imagePool(media, 4, 4).collect()
+      .map(c => (c.mediaId, c.cellX, c.cellY) -> ((c.rMean, c.gMean, c.bMean))).toMap
+    val local = media.filter(col("modality") === "image")
+      .select("media_id", "payload").collect()
+      .flatMap(r => Multimodal.poolBmp(r.getLong(0), r.getAs[Array[Byte]]("payload"), 4, 4))
+    assert(local.nonEmpty)
+    local.foreach(c =>
+      assert(dist((c.mediaId, c.cellX, c.cellY)) == ((c.rMean, c.gMean, c.bMean))))
+  }
+
+  test("poolBmp refuses a grid finer than the source") {
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.poolBmp(1L, bmp2x2(topDown = false), 3, 1)
+    }
+    assert(ex.getMessage.contains("finer than source"))
+  }
+
   test("metadata profile never reads payload pages (column pruning)") {
     val media = Multimodal.synthesize(spark, 30)
     val tmp = java.nio.file.Files.createTempDirectory("media").toString
