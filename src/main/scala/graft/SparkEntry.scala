@@ -2204,6 +2204,20 @@ object SparkEntry {
       .orderBy(col("media_id"), col("cell_y"), col("cell_x"))
   }
 
+  /** Deterministic epoch shuffle ([[graft.operators.Layout.seededShuffle]]):
+    * the corpus's training order for "epoch 0" as a pure function of
+    * (seed, doc_id) — md5 sort key + two-phase prefix-sum positions,
+    * no single-partition window, reproducible and resumable where
+    * ORDER BY rand() is neither. The oracle is the windowed
+    * restatement of the same md5 order.
+    */
+  private def q135CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    Layout.seededShuffle(t(s, dir, "documents"), "doc_id", "ep0")
+      .select(col("doc_id"), col("position"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2339,7 +2353,8 @@ object SparkEntry {
     "q131_kmv_retention" -> (q131KmvRetention _),
     "q132_hard_negatives" -> (q132HardNegatives _),
     "q133_cms_freq" -> (q133CmsFreq _),
-    "q134_image_pool" -> (q134ImagePool _))
+    "q134_image_pool" -> (q134ImagePool _),
+    "q135_corpus_shuffle" -> (q135CorpusShuffle _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4207,7 +4222,16 @@ object SparkEntry {
         | round(avg(bb), 4) AS b_mean
         |FROM px
         |GROUP BY 1, 2, 3
-        |ORDER BY media_id, cell_y, cell_x""".stripMargin)
+        |ORDER BY media_id, cell_y, cell_x""".stripMargin,
+    // q135: the same md5 permutation as a window — hex strings compare
+    // identically (ASCII) in both engines; doc_id breaks (never-seen)
+    // md5 ties
+    "q135_corpus_shuffle" ->
+      """SELECT doc_id,
+        | row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  - 1 AS position
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

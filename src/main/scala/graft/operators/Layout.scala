@@ -65,4 +65,33 @@ object Layout {
       else withZ.repartitionByRange(col("__z"))
     parted.sortWithinPartitions(col("__z")).drop("__z")
   }
+
+  /** Deterministic global corpus shuffle — the pretraining-order
+    * problem: a 100 TB corpus must be read in (pseudo)random document
+    * order every epoch, but `ORDER BY rand()` is neither reproducible
+    * nor resumable and a naive global sort of random keys re-shuffles
+    * the whole corpus per epoch with no audit trail. Here the
+    * permutation is a pure FUNCTION: sort key = md5(seed || ':' || id)
+    * (id tie-break), so the order is reproducible from (seed, id)
+    * alone — change the seed string per epoch for a fresh permutation,
+    * re-derive any doc's position after a crash, and let two
+    * independent jobs agree on the order without coordination.
+    *
+    * `out` is each row's 0-based global position, assigned by the
+    * [[GroupOps]] two-phase prefix sum over a RANGE partitioning on
+    * the shuffle key — one range shuffle, a partition-count-sized
+    * offset array on the driver, never a single-partition window. The
+    * result comes back range-partitioned and sorted by position, so
+    * writing it immediately yields files a sequential trainer streams
+    * in shuffled order.
+    */
+  def seededShuffle(df: DataFrame, idCol: String, seed: String,
+                    out: String = "position"): DataFrame = {
+    val keyCol = Iterator.from(0).map(i => s"__shuf$i")
+      .find(!df.columns.contains(_)).get
+    df.withColumn(keyCol,
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .transform(GroupOps.denseId(_, Seq(col(keyCol), col(idCol)), out, start = 0L))
+      .drop(keyCol)
+  }
 }

@@ -75,4 +75,36 @@ class LayoutSpec extends SparkSpec {
       Layout.zValue2(col("x"), col("y"), 12).as("z"))
     assert(rowsOf(viaSql) == rowsOf(viaCol))
   }
+
+  private def shuffleOrder(seed: String, parts: Int = 1): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"doc $i")).toDF("id", "text")
+    Layout.seededShuffle(if (parts > 1) df.repartition(parts) else df, "id", seed)
+      .select("id", "position").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+  }
+
+  test("seededShuffle: positions are a 0-based permutation matching the md5 window order") {
+    import spark.implicits._
+    val got = shuffleOrder("ep0")
+    assert(got.map(_._2).sorted == (0L until 500L), "must be a permutation of 0..n-1")
+    // the declarative restatement (the q135 oracle shape) must agree
+    val expected = (0L until 500L).map(i => (i, s"doc $i")).toDF("id", "text")
+      .select(col("id"), (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(concat(lit("ep0:"), col("id").cast("string"))), col("id")))
+        .cast("long") - 1).as("position"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("seededShuffle: partitioning-invariant; a new seed is a genuinely different order") {
+    val a = shuffleOrder("ep0")
+    assert(shuffleOrder("ep0", parts = 13) == a, "same seed ⇒ same permutation")
+    val b = shuffleOrder("ep1")
+    assert(a != b, "new epoch seed must re-permute")
+    // and not a near-identity drift: most docs must actually move
+    val moved = a.zip(b).count { case ((_, p0), (_, p1)) => p0 != p1 }
+    assert(moved > 450, s"only $moved of 500 positions changed")
+  }
 }
