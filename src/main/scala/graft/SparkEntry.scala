@@ -2218,6 +2218,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Real audio spectral features
+    * ([[graft.operators.Multimodal.audioSpectrum]]): DFT bin energies
+    * over actually-decoded WAV channel-0 samples, log-compressed. The
+    * synthetic samples are closed-form ((i·31 + 7j) mod 251 − 125), so
+    * the oracle replays decode, trig weighting and normalization
+    * exactly — the ln keeps the cross-engine float round stable.
+    */
+  private def q136AudioSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(s, 300)
+    Multimodal.audioSpectrum(media, bins = Seq(1, 2, 4, 8))
+      .select(col("media_id"), col("bin"),
+        round(col("log_power"), 6).as("log_power"))
+      .orderBy(col("media_id"), col("bin"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2354,7 +2370,8 @@ object SparkEntry {
     "q132_hard_negatives" -> (q132HardNegatives _),
     "q133_cms_freq" -> (q133CmsFreq _),
     "q134_image_pool" -> (q134ImagePool _),
-    "q135_corpus_shuffle" -> (q135CorpusShuffle _))
+    "q135_corpus_shuffle" -> (q135CorpusShuffle _),
+    "q136_audio_spectrum" -> (q136AudioSpectrum _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4231,7 +4248,30 @@ object SparkEntry {
         | row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id)
         |  - 1 AS position
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q136: decode replayed in closed form — audio ids are i%3=1,
+    // channels 1+i%2, frames 200+(i%50)*4, channel-0 flat sample index
+    // n*channels, value (i*31+7j)%251-125; angle left-associated
+    // exactly as the engine builds it
+    "q136_audio_spectrum" ->
+      """WITH a AS (
+        | SELECT r.i AS media_id, CAST(1 + r.i % 2 AS INT) AS ch,
+        |  CAST(200 + (r.i % 50) * 4 AS INT) AS nf
+        | FROM range(300) r(i) WHERE r.i % 3 = 1),
+        |x AS (
+        | SELECT media_id, nf, CAST(nn.n AS INT) AS n,
+        |  CAST(((media_id * 31 + 7 * (nn.n * ch)) % 251) - 125 AS DOUBLE) AS v
+        | FROM a, unnest(range(0, a.nf)) nn(n)),
+        |s AS (
+        | SELECT media_id, b.bin, nf,
+        |  sum(v * cos(2 * pi() * b.bin * n / nf)) AS c,
+        |  sum(v * sin(2 * pi() * b.bin * n / nf)) AS sn
+        | FROM x, (SELECT unnest([1, 2, 4, 8]) AS bin) b
+        | GROUP BY 1, 2, 3)
+        |SELECT media_id, CAST(bin AS INT) AS bin,
+        | round(ln(1.0 + (c * c + sn * sn) / CAST(nf * nf AS DOUBLE)), 6) AS log_power
+        |FROM s
+        |ORDER BY media_id, bin""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

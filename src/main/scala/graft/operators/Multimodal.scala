@@ -832,6 +832,57 @@ object Multimodal {
         avg(col("width") * col("height")).as("avg_pixels"),
         sum(col("n_frames")).as("total_frames"))
 
+  /** One decoded channel-0 PCM sample emitted by [[audioSpectrum]]'s
+    * in-partition decode: flat frame index `n` of `nFrames`, value as
+    * a double.
+    */
+  case class AudioSample(mediaId: Long, n: Int, nFrames: Int, v: Double)
+
+  /** REAL spectral analysis over decoded WAV payloads: exact DFT bin
+    * energies of each clip's channel-0 sample series — the
+    * tone/voicing/bandwidth features an audio-data pipeline computes
+    * before filtering or embedding, one step past [[audioStats]]'
+    * time-domain moments. For bin k over N frames,
+    * `power_k = ((Σ xₙ·cos(2πkn/N))² + (Σ xₙ·sin(2πkn/N))²) / N²`,
+    * reported as `ln(1 + power)` — the log compresses the dynamic
+    * range AND keeps the value float-stable enough for an exact
+    * cross-engine oracle round (the q75 ln-parity precedent).
+    *
+    * Spark-first split: the WAV decode ([[parseWav]], real RIFF walk)
+    * runs in-partition via flatMap; everything after — the bin
+    * explode, the codegen'd cos/sin weighting, the partial-aggregated
+    * sums — is declarative, so the shuffle carries (media × bins)
+    * partial sums, never raw samples.
+    */
+  def audioSpectrum(media: DataFrame, bins: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(bins.nonEmpty && bins.forall(_ >= 1), s"bins must be >= 1, got $bins")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val samples = media.filter(col("modality") === "audio")
+      .select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val wav = parseWav(id, p)
+        val nf = wav.nFrames
+        (0 until nf).iterator.map(n =>
+          AudioSample(id, n, nf, wav.samples(n * wav.channels).toDouble))
+      }.toDF()
+    // angle built left-associated exactly as the oracle writes it:
+    // ((2·π · bin) · n) / N — float parity is part of the contract
+    val angle = lit(2 * math.Pi) * col("bin") * col("n") / col("nFrames")
+    samples
+      .select(col("mediaId").as("media_id"), col("n"), col("nFrames"), col("v"),
+        explode(lit(bins.toArray)).as("bin"))
+      .groupBy(col("media_id"), col("bin"), col("nFrames"))
+      .agg(sum(col("v") * cos(angle)).as("__c"),
+        sum(col("v") * sin(angle)).as("__s"))
+      .select(col("media_id"), col("bin"),
+        log(lit(1.0) +
+          (col("__c") * col("__c") + col("__s") * col("__s")) /
+            (col("nFrames") * col("nFrames")).cast("double"))
+          .as("log_power"))
+  }
+
   /** One pooled cell of [[imagePool]]: per-channel box means over the
     * cell's source-pixel region, doubles (callers round).
     */

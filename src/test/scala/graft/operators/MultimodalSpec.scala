@@ -235,6 +235,86 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("finer than source"))
   }
 
+  private def wavOf(samples: Seq[Seq[Int]], sampleRate: Int = 8000): Array[Byte] = {
+    // samples(frame)(channel), 16-bit PCM
+    val channels = samples.head.size
+    val flat = samples.flatten
+    val buf = java.nio.ByteBuffer.allocate(44 + flat.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + flat.size * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(flat.size * 2)
+    flat.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  private def spectrumOf(payload: Array[Byte], bins: Seq[Int]): Map[Int, Double] = {
+    import spark.implicits._
+    val media = Seq((1L, "audio", 0, 0, 1, payload))
+      .toDF("media_id", "modality", "width", "height", "n_frames", "payload")
+    Multimodal.audioSpectrum(media, bins).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+  }
+
+  test("audioSpectrum: a pure sine concentrates its energy in its own bin") {
+    val n = 64
+    val sine = (0 until n).map(j =>
+      Seq(math.round(100.0 * math.cos(2 * math.Pi * 4 * j / n)).toInt))
+    val sp = spectrumOf(wavOf(sine), Seq(1, 2, 4, 8))
+    // bin 4 holds ~ (N·A/2 / N)² = 2500 → ln ≈ 7.8; others near 0
+    assert(sp(4) > 7.0, s"sine bin should dominate, got $sp")
+    assert(Seq(1, 2, 8).forall(b => sp(b) < 1.0), s"off bins should be ~0: $sp")
+  }
+
+  test("audioSpectrum: constant (DC) signal has no energy in any k >= 1 bin") {
+    val dc = Seq.fill(50)(Seq(117))
+    val sp = spectrumOf(wavOf(dc), Seq(1, 2, 4, 8))
+    // integer bins are orthogonal to the constant over exact N — float
+    // residue only
+    assert(sp.values.forall(_ < 1e-6), s"DC leaked: $sp")
+  }
+
+  test("audioSpectrum: analyses channel 0 of a stereo clip") {
+    val n = 64
+    val stereo = (0 until n).map { j =>
+      Seq(math.round(100.0 * math.cos(2 * math.Pi * 2 * j / n)).toInt, // ch0: bin-2 sine
+        if (j % 2 == 0) 90 else -90) // ch1: alternating = bin n/2, not measured
+    }
+    val sp = spectrumOf(wavOf(stereo), Seq(1, 2, 4, 8))
+    assert(sp(2) > 7.0, s"ch0's bin-2 sine must dominate: $sp")
+    assert(Seq(1, 4, 8).forall(b => sp(b) < 1.0), s"ch1 must not leak: $sp")
+  }
+
+  test("audioSpectrum: distributed result matches a local recomputation on the synth corpus") {
+    val media = Multimodal.synthesize(spark, 12)
+    val got = Multimodal.audioSpectrum(media, Seq(1, 2)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val audio = media.filter(col("modality") === "audio")
+      .select("media_id", "payload").collect()
+    assert(audio.nonEmpty && got.size == audio.length * 2)
+    audio.foreach { r =>
+      val id = r.getLong(0)
+      val wav = Multimodal.parseWav(id, r.getAs[Array[Byte]]("payload"))
+      val nf = wav.nFrames
+      Seq(1, 2).foreach { k =>
+        var c = 0.0
+        var s = 0.0
+        (0 until nf).foreach { j =>
+          val v = wav.samples(j * wav.channels).toDouble
+          val ang = 2 * math.Pi * k * j / nf
+          c += v * math.cos(ang)
+          s += v * math.sin(ang)
+        }
+        val expect = math.log(1.0 + (c * c + s * s) / (nf.toDouble * nf))
+        assert(math.abs(got((id, k)) - expect) < 1e-9,
+          s"media $id bin $k: ${got((id, k))} vs $expect")
+      }
+    }
+  }
+
   test("metadata profile never reads payload pages (column pruning)") {
     val media = Multimodal.synthesize(spark, 30)
     val tmp = java.nio.file.Files.createTempDirectory("media").toString
