@@ -2234,6 +2234,36 @@ object SparkEntry {
       .orderBy(col("media_id"), col("bin"))
   }
 
+  /** Join-size estimation from persisted key sketches
+    * ([[graft.expressions.CmsInnerProduct]], the Cormode–Muthukrishnan
+    * inner-product estimator): |A ⋈ B| = Σ_k f_A(k)·f_B(k) answered
+    * from two 128 KB grids without touching either table — the
+    * broadcast-vs-shuffle / skew-predetection input a join planner
+    * wants. Measured against the exact join sizes for the
+    * lineitem⋈orders FK join and the skewed lineitem self-join; the
+    * deterministic grid makes the estimates exactly SQL-replayable.
+    */
+  private def q137JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    def sk(df: DataFrame, key: String) =
+      df.agg(call_function("cms_build", col(key), lit(4096), lit(4)).as("sk"))
+    val cL = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val cO = ord.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    val cP = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+    val row1 = cL.join(cO, "k").agg(sum(col("ca") * col("cb")).as("exact"))
+      .crossJoin(broadcast(sk(li, "l_orderkey").select(col("sk").as("a"))))
+      .crossJoin(broadcast(sk(ord, "o_orderkey").select(col("sk").as("b"))))
+      .select(lit("lineitem_orders_orderkey").as("join_key"), col("exact"),
+        call_function("cms_inner_product", col("a"), col("b")).as("cms_est"))
+    val row2 = cP.agg(sum(col("c") * col("c")).as("exact"))
+      .crossJoin(broadcast(sk(li, "l_partkey").select(col("sk").as("a"))))
+      .select(lit("lineitem_self_partkey").as("join_key"), col("exact"),
+        call_function("cms_inner_product", col("a"), col("a")).as("cms_est"))
+    row1.unionByName(row2).orderBy(col("join_key"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2371,7 +2401,8 @@ object SparkEntry {
     "q133_cms_freq" -> (q133CmsFreq _),
     "q134_image_pool" -> (q134ImagePool _),
     "q135_corpus_shuffle" -> (q135CorpusShuffle _),
-    "q136_audio_spectrum" -> (q136AudioSpectrum _))
+    "q136_audio_spectrum" -> (q136AudioSpectrum _),
+    "q137_join_cardinality" -> (q137JoinCardinality _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4271,7 +4302,48 @@ object SparkEntry {
         |SELECT media_id, CAST(bin AS INT) AS bin,
         | round(ln(1.0 + (c * c + sn * sn) / CAST(nf * nf AS DOUBLE)), 6) AS log_power
         |FROM s
-        |ORDER BY media_id, bin""".stripMargin)
+        |ORDER BY media_id, bin""".stripMargin,
+    // q137: the CM inner-product estimator replayed — per-row bucket
+    // totals over each side's full key-frequency table, row-wise
+    // product sums, min over the 4 rows; exact sizes from the count
+    // tables directly
+    "q137_join_cardinality" ->
+      """WITH cl AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |co AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |cp AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |cellL AS (
+        | SELECT r.i,
+        |  CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))
+        |   AS BIGINT) % 4096 AS b,
+        |  CAST(sum(c) AS BIGINT) AS t
+        | FROM cl, generate_series(0, 3) r(i) GROUP BY 1, 2),
+        |cellO AS (
+        | SELECT r.i,
+        |  CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))
+        |   AS BIGINT) % 4096 AS b,
+        |  CAST(sum(c) AS BIGINT) AS t
+        | FROM co, generate_series(0, 3) r(i) GROUP BY 1, 2),
+        |cellP AS (
+        | SELECT r.i,
+        |  CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))
+        |   AS BIGINT) % 4096 AS b,
+        |  CAST(sum(c) AS BIGINT) AS t
+        | FROM cp, generate_series(0, 3) r(i) GROUP BY 1, 2),
+        |est1 AS (
+        | SELECT CAST(min(s) AS BIGINT) AS e FROM (
+        |  SELECT l.i, sum(l.t * o.t) AS s
+        |  FROM cellL l JOIN cellO o ON o.i = l.i AND o.b = l.b GROUP BY 1) x),
+        |est2 AS (
+        | SELECT CAST(min(s) AS BIGINT) AS e FROM (
+        |  SELECT i, sum(t * t) AS s FROM cellP GROUP BY 1) x),
+        |ex1 AS (SELECT CAST(sum(cl.c * co.c) AS BIGINT) AS e
+        |        FROM cl JOIN co USING (k)),
+        |ex2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS e FROM cp)
+        |SELECT 'lineitem_orders_orderkey' AS join_key, ex1.e AS exact, est1.e AS cms_est
+        |FROM ex1, est1
+        |UNION ALL
+        |SELECT 'lineitem_self_partkey', ex2.e, est2.e FROM ex2, est2
+        |ORDER BY join_key""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -89,6 +89,33 @@ object Cms {
 
   def estimate(bytes: Array[Byte], key: String): Long =
     deserialize(bytes).estimate(key)
+
+  /** Equi-join size estimate from two grids over the join key columns
+    * (Cormode & Muthukrishnan's inner-product estimator): row i's
+    * Σ_b a[i][b]·b[i][b] upper-bounds Σ_k f_A(k)·f_B(k) = |A ⋈ B|
+    * (collisions only ADD cross terms), and the min over rows is the
+    * estimate — join cardinality for ANY pair of persisted key
+    * sketches without touching either table. Same-geometry sketches
+    * only (the hash families must line up bucket-for-bucket).
+    */
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = deserialize(a)
+    val bb = deserialize(b)
+    require(ba.d == bb.d && ba.w == bb.w,
+      s"cannot inner-product count-min sketches of different geometry: " +
+        s"(${ba.d}x${ba.w}) vs (${bb.d}x${bb.w})")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < ba.d) {
+      var s = 0L
+      var j = i * ba.w
+      val end = j + ba.w
+      while (j < end) { s += ba.counters(j) * bb.counters(j); j += 1 }
+      if (s < best) best = s
+      i += 1
+    }
+    best
+  }
 }
 
 /** `cms_build(key, w, d) -> binary`: one-pass count-min sketch of a key
@@ -207,6 +234,34 @@ case class CmsMergeAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
     copy(child = newChild)
+}
+
+/** `cms_inner_product(binary, binary) -> bigint`: equi-join size
+  * estimate |A ⋈ B| = Σ_k f_A(k)·f_B(k) off two persisted key grids —
+  * the cardinality input a join planner wants BEFORE reading either
+  * table (broadcast-vs-shuffle, skew pre-detection). Overcounts only;
+  * exact when no row pair collides. Geometry mismatch refused.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_inner_product expects (binary, binary), got ($l, $r)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_inner_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Cms.innerProduct(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `cms_estimate(binary, key) -> bigint`: min-over-rows point-frequency

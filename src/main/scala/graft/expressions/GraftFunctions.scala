@@ -131,6 +131,12 @@ object GraftFunctions {
         require(children.length == 2, "cms_estimate takes exactly 2 arguments")
         CmsEstimate(children.head, children(1))
       }),
+    (FunctionIdentifier("cms_inner_product"),
+      new ExpressionInfo(classOf[CmsInnerProduct].getName, "cms_inner_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cms_inner_product takes exactly 2 arguments")
+        CmsInnerProduct(children.head, children(1))
+      }),
     (FunctionIdentifier("kmv_build"),
       new ExpressionInfo(classOf[KmvBuildAgg].getName, "kmv_build"),
       (children: Seq[Expression]) => {

@@ -377,6 +377,30 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](a.mergeFrom(c))
   }
 
+  test("Cms.innerProduct: exact join size when collision-free; overcount-only; refusal") {
+    import graft.expressions.Cms
+    // A: key k_i appears i+1 times; B: overlapping subset with its own counts
+    val a = new Cms.Buffer(4, 65536)
+    val b = new Cms.Buffer(4, 65536)
+    (0 until 30).foreach(i => a.add(s"k$i", i + 1L))
+    (20 until 50).foreach(i => b.add(s"k$i", 2L * i))
+    val exact = (20 until 30).map(i => (i + 1L) * (2L * i)).sum
+    assert(Cms.innerProduct(Cms.serialize(a), Cms.serialize(b)) == exact,
+      "collision-free grids give the exact equi-join size")
+    // self inner product = sum of squared frequencies
+    assert(Cms.innerProduct(Cms.serialize(a), Cms.serialize(a)) ==
+      (0 until 30).map(i => (i + 1L) * (i + 1L)).sum)
+    // forced collisions (w = 8) may only ADD cross terms
+    val ta = new Cms.Buffer(4, 8)
+    val tb = new Cms.Buffer(4, 8)
+    (0 until 30).foreach(i => ta.add(s"k$i", i + 1L))
+    (20 until 50).foreach(i => tb.add(s"k$i", 2L * i))
+    assert(Cms.innerProduct(Cms.serialize(ta), Cms.serialize(tb)) >= exact)
+    val other = new Cms.Buffer(4, 16)
+    intercept[IllegalArgumentException](
+      Cms.innerProduct(Cms.serialize(ta), Cms.serialize(other)))
+  }
+
   test("Cms: sketch bytes are partitioning-invariant") {
     import spark.implicits._
     graft.expressions.GraftFunctions.register(spark)
