@@ -2264,6 +2264,23 @@ object SparkEntry {
     row1.unionByName(row2).orderBy(col("join_key"))
   }
 
+  /** Per-group deterministic uniform sample
+    * ([[graft.expressions.BottomKSampleAgg]]): 5 example user ids per
+    * event_type in one aggregation pass — hash-order bottom-k over
+    * distinct keys, mergeable across shards, rerun-stable where
+    * rand()-sampling is not. The md5 pick rule is exactly replayable
+    * in SQL.
+    */
+  private def q138GroupSample(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    t(s, dir, "events").filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(call_function("sample_bottomk", col("user_id"), lit(5)).as("sample"))
+      .select(col("event_type"), posexplode(col("sample")).as(Seq("pos", "user_id_str")))
+      .select(col("event_type"), col("pos").cast("long").as("pos"), col("user_id_str"))
+      .orderBy(col("event_type"), col("pos"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2402,7 +2419,8 @@ object SparkEntry {
     "q134_image_pool" -> (q134ImagePool _),
     "q135_corpus_shuffle" -> (q135CorpusShuffle _),
     "q136_audio_spectrum" -> (q136AudioSpectrum _),
-    "q137_join_cardinality" -> (q137JoinCardinality _))
+    "q137_join_cardinality" -> (q137JoinCardinality _),
+    "q138_group_sample" -> (q138GroupSample _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4343,7 +4361,21 @@ object SparkEntry {
         |FROM ex1, est1
         |UNION ALL
         |SELECT 'lineitem_self_partkey', ex2.e, est2.e FROM ex2, est2
-        |ORDER BY join_key""".stripMargin)
+        |ORDER BY join_key""".stripMargin,
+    // q138: the bottom-k pick replayed — distinct stringified keys
+    // ranked by (60-bit md5-prefix hash, key), first 5 per group
+    "q138_group_sample" ->
+      """WITH u AS (
+        | SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS us
+        | FROM events WHERE user_id IS NOT NULL),
+        |rk AS (
+        | SELECT event_type, us,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY CAST(('0x' || substring(md5(us), 1, 15)) AS BIGINT), us) AS rn
+        | FROM u)
+        |SELECT event_type, CAST(rn - 1 AS BIGINT) AS pos, us AS user_id_str
+        |FROM rk WHERE rn <= 5
+        |ORDER BY event_type, pos""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -113,6 +113,12 @@ object GraftFunctions {
         require(children.length == 2, "bitmap_and_cardinality takes exactly 2 arguments")
         BitmapAndCardinality(children.head, children(1))
       }),
+    (FunctionIdentifier("sample_bottomk"),
+      new ExpressionInfo(classOf[BottomKSampleAgg].getName, "sample_bottomk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sample_bottomk takes exactly 2 arguments")
+        BottomKSampleAgg(children.head, children(1))
+      }),
     (FunctionIdentifier("cms_build"),
       new ExpressionInfo(classOf[CmsBuildAgg].getName, "cms_build"),
       (children: Seq[Expression]) => {

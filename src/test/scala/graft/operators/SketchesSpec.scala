@@ -401,6 +401,39 @@ class SketchesSpec extends SparkSpec {
       Cms.innerProduct(Cms.serialize(ta), Cms.serialize(other)))
   }
 
+  test("BottomKSample: below k returns ALL distinct keys in hash order; repeats collapse") {
+    import spark.implicits._
+    import graft.expressions.KmvSketch
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq("a", "b", "c", "b", "a", "a").toDF("key")
+    val got = df.agg(call_function("sample_bottomk", col("key"), lit(10)).as("s"))
+      .collect().head.getSeq[String](0)
+    val expected = Seq("a", "b", "c").sortBy(k => (KmvSketch.hash60(k), k))
+    assert(got == expected)
+  }
+
+  test("BottomKSample: pick rule is the k smallest (hash, key) pairs; deterministic") {
+    import spark.implicits._
+    import graft.expressions.KmvSketch
+    graft.expressions.GraftFunctions.register(spark)
+    val keys = (0 until 300).map(i => s"u$i")
+    def sample(parts: Int) = keys.toDF("key").repartition(parts)
+      .agg(call_function("sample_bottomk", col("key"), lit(7)).as("s"))
+      .collect().head.getSeq[String](0)
+    val expected = keys.sortBy(k => (KmvSketch.hash60(k), k)).take(7)
+    assert(sample(1) == expected)
+    assert(sample(17) == expected, "shard merges must reproduce the global bottom-k")
+  }
+
+  test("BottomKSample: nulls skipped; integral keys render in decimal") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq(Some(42L), None, Some(7L), Some(42L)).toDF("key")
+    val got = df.agg(call_function("sample_bottomk", col("key"), lit(5)).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got.toSet == Set("42", "7"))
+  }
+
   test("Cms: sketch bytes are partitioning-invariant") {
     import spark.implicits._
     graft.expressions.GraftFunctions.register(spark)
