@@ -2281,6 +2281,24 @@ object SparkEntry {
       .orderBy(col("event_type"), col("pos"))
   }
 
+  /** Bounded k-core peeling ([[graft.operators.Graph.kCore]]) over the
+    * part co-order graph: two rounds of delete-degree-<90, surviving
+    * subgraph degrees out — the dense-core extractor for corpus
+    * graphs, oracle-checked by unrolling both peels in SQL.
+    */
+  private def q139Kcore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    Graph.kCore(edges, "a", "b", k = 90, rounds = 2)
+      .select(col("id").as("part_id"), col("degree"))
+      .orderBy(col("part_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2420,7 +2438,8 @@ object SparkEntry {
     "q135_corpus_shuffle" -> (q135CorpusShuffle _),
     "q136_audio_spectrum" -> (q136AudioSpectrum _),
     "q137_join_cardinality" -> (q137JoinCardinality _),
-    "q138_group_sample" -> (q138GroupSample _))
+    "q138_group_sample" -> (q138GroupSample _),
+    "q139_kcore" -> (q139Kcore _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4375,7 +4394,28 @@ object SparkEntry {
         | FROM u)
         |SELECT event_type, CAST(rn - 1 AS BIGINT) AS pos, us AS user_id_str
         |FROM rk WHERE rn <= 5
-        |ORDER BY event_type, pos""".stripMargin)
+        |ORDER BY event_type, pos""".stripMargin,
+    // q139: both peel rounds unrolled — degrees over the current edge
+    // set, survivors deg >= 90, edges restricted to survivors, repeat;
+    // output = degrees over the round-2 subgraph
+    "q139_kcore" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |       FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+        |d1 AS (SELECT id, count(*) AS d FROM (
+        |        SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) u GROUP BY 1),
+        |s1 AS (SELECT id FROM d1 WHERE d >= 90),
+        |e1 AS (SELECT e0.a, e0.b FROM e0
+        |       JOIN s1 x ON x.id = e0.a JOIN s1 y ON y.id = e0.b),
+        |d2 AS (SELECT id, count(*) AS d FROM (
+        |        SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) u GROUP BY 1),
+        |s2 AS (SELECT id FROM d2 WHERE d >= 90),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |       JOIN s2 x ON x.id = e1.a JOIN s2 y ON y.id = e1.b)
+        |SELECT id AS part_id, count(*) AS degree FROM (
+        | SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) u
+        |GROUP BY 1
+        |ORDER BY part_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

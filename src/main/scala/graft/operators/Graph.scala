@@ -151,6 +151,51 @@ object Graph {
     labels
   }
 
+  /** Bounded k-core peeling (Matula–Beck): iteratively delete every
+    * node of degree < k, restricting the edge set to survivors each
+    * round — the standard dense-core extractor for corpus graphs
+    * (link-spam cores, template families inside near-dup graphs,
+    * community nuclei) and the complement of [[triangleCounts]]'
+    * per-node cohesion. A FIXED round count (not a fixpoint test)
+    * keeps the output a pure function of (edges, k, rounds) — the
+    * [[pageRank]]/[[labelPropagation]] convention that makes it
+    * oracle-checkable by unrolling; peeling is monotone, so `rounds`
+    * ≥ the peel depth reaches the true k-core and extra rounds are
+    * no-ops (spec'd).
+    *
+    * Scale shape: each round is one degree aggregation (map-side
+    * combined) + two node-keyed semi-joins restricting the edge list;
+    * state is the edge set itself, shrinking monotonically, with
+    * lineage truncated per round by eager localCheckpoint. Output:
+    * (id, degree) over the surviving subgraph — nodes that lost every
+    * edge drop out with it.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    def degrees(e: DataFrame) = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    var e = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val surv = degrees(e).filter(col("degree") >= k).select(col("id"))
+      val next = e
+        .join(surv.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(surv.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      e.unpersist(blocking = false)
+      e = next
+    }
+    graft.Caches.track(e)
+    degrees(e)
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * UNDIRECTED graph (input edge list may carry either or both
     * directions, duplicates, and self-loops — all normalized away

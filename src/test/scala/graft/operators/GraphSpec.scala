@@ -141,6 +141,43 @@ class GraphSpec extends SparkSpec {
       triRows(Graph.triangleCounts(messy, "s", "d")))
   }
 
+  test("kCore: K4 with a pendant tail — the 2-core is exactly K4") {
+    import spark.implicits._
+    val ns = Seq("a", "b", "c", "d")
+    val k4 = for (x <- ns; y <- ns if x < y) yield (x, y)
+    // pendant chain e-a plus a detached edge f-g: all peel away at k=2
+    val e = (k4 ++ Seq(("e", "a"), ("f", "g"))).toDF("s", "d")
+    val core = triRows0(Graph.kCore(e, "s", "d", k = 2, rounds = 3))
+    assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  private def triRows0(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("kCore: cascade — removing a leaf can expose the next node; fixpoint is stable") {
+    import spark.implicits._
+    // path a-b-c-d plus triangle d-x-y(-d): 2-core = the triangle, but
+    // only after the path peels one node per round (a, then b, then c)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("d", "x"), ("x", "y"), ("y", "d")).toDF("s", "d")
+    // one round is NOT enough — b and c still look degree-2 initially
+    val r1 = triRows0(Graph.kCore(e, "s", "d", 2, 1))
+    assert(r1.contains("b") || r1.contains("c"),
+      "a single round cannot finish the cascade")
+    val r5 = triRows0(Graph.kCore(e, "s", "d", 2, 5))
+    assert(r5 == Map("d" -> 2L, "x" -> 2L, "y" -> 2L))
+    // monotone: extra rounds past the fixpoint are no-ops
+    assert(triRows0(Graph.kCore(e, "s", "d", 2, 10)) == r5)
+  }
+
+  test("kCore: k above the max degree empties the graph; rounds = 0 returns input degrees") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    assert(Graph.kCore(e, "s", "d", 5, 3).isEmpty)
+    assert(triRows0(Graph.kCore(e, "s", "d", 2, 0)) ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
   test("triangleCounts: triangle-free star counts zero; partitioning-invariant") {
     import spark.implicits._
     val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")).toDF("s", "d")
