@@ -2299,6 +2299,23 @@ object SparkEntry {
       .orderBy(col("part_id"))
   }
 
+  /** Hilbert-curve linearization ([[graft.expressions.HilbertIndex2]],
+    * codegen'd): the locality-preserving companion to q54's Morton
+    * z-order — consecutive indices are always grid-adjacent, so range
+    * partitions tile compactly. The oracle is the identical arithmetic
+    * unrolled one SQL level per bit
+    * ([[graft.operators.Layout.hilbertSqlLevels]], the q54 contract).
+    */
+  private def q140Hilbert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 3000)
+      .select((col("l_orderkey") % 256).cast("long").as("x"),
+        (col("l_partkey") % 256).cast("long").as("y"))
+    base.withColumn("h",
+        graft.operators.Layout.hilbertValue2(base, col("x"), col("y"), 8))
+      .orderBy(col("h"), col("x"), col("y"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2439,7 +2456,8 @@ object SparkEntry {
     "q136_audio_spectrum" -> (q136AudioSpectrum _),
     "q137_join_cardinality" -> (q137JoinCardinality _),
     "q138_group_sample" -> (q138GroupSample _),
-    "q139_kcore" -> (q139Kcore _))
+    "q139_kcore" -> (q139Kcore _),
+    "q140_hilbert" -> (q140Hilbert _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4415,7 +4433,15 @@ object SparkEntry {
         |SELECT id AS part_id, count(*) AS degree FROM (
         | SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) u
         |GROUP BY 1
-        |ORDER BY part_id""".stripMargin)
+        |ORDER BY part_id""".stripMargin,
+    // q140: the Hilbert walk unrolled one SQL level per bit by the same
+    // generator the spec cross-checks against the codegen'd expression
+    "q140_hilbert" -> (graft.operators.Layout.hilbertSqlLevels(
+      Seq("x", "y"), "x", "y", 8,
+      "(SELECT CAST(l_orderkey % 256 AS BIGINT) AS x, " +
+        "CAST(l_partkey % 256 AS BIGINT) AS y " +
+        "FROM lineitem WHERE l_orderkey < 3000) base") +
+      " ORDER BY h, x, y"))
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -113,6 +113,12 @@ object GraftFunctions {
         require(children.length == 2, "bitmap_and_cardinality takes exactly 2 arguments")
         BitmapAndCardinality(children.head, children(1))
       }),
+    (FunctionIdentifier("hilbert2"),
+      new ExpressionInfo(classOf[HilbertIndex2].getName, "hilbert2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "hilbert2 takes exactly 3 arguments")
+        HilbertIndex2(children.head, children(1), children(2))
+      }),
     (FunctionIdentifier("sample_bottomk"),
       new ExpressionInfo(classOf[BottomKSampleAgg].getName, "sample_bottomk"),
       (children: Seq[Expression]) => {

@@ -66,6 +66,64 @@ object Layout {
     parted.sortWithinPartitions(col("__z")).drop("__z")
   }
 
+  /** Hilbert index of two integral columns at `bits` bits each — the
+    * locality-preserving alternative to [[zValue2]]: consecutive
+    * indices are ALWAYS grid-adjacent, so contiguous index ranges map
+    * to compact tiles without Morton jumps (tighter per-file min/max
+    * envelopes, spec-measured). Backed by the codegen'd
+    * [[graft.expressions.HilbertIndex2]] expression.
+    */
+  def hilbertValue2(df: DataFrame, x: Column, y: Column, bits: Int = 16): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    call_function("hilbert2", x, y, lit(bits))
+  }
+
+  /** Rewrite `df` into Hilbert order on two int columns — [[zorderBy]]
+    * with the adjacency-guaranteed walk.
+    */
+  def hilbertBy(df: DataFrame, xCol: String, yCol: String, bits: Int = 16,
+                numPartitions: Int = 0): DataFrame = {
+    val withH = df.withColumn("__h", hilbertValue2(df, col(xCol), col(yCol), bits))
+    val parted =
+      if (numPartitions > 0) withH.repartitionByRange(numPartitions, col("__h"))
+      else withH.repartitionByRange(col("__h"))
+    parted.sortWithinPartitions(col("__h")).drop("__h")
+  }
+
+  /** The SAME Hilbert arithmetic as engine-portable unrolled SQL (the
+    * [[zValue2Sql]] / q54 oracle contract): wraps `from` (a table name
+    * or parenthesized subquery exposing `x`, `y` and the `passthrough`
+    * columns) in one nested SELECT per bit level, emitting the final
+    * index as column `h`. Parses identically in Spark SQL (spec
+    * cross-check) and DuckDB (oracle). Per level with side s: the
+    * quadrant gray code adds to the index, coordinates reduce to the
+    * quadrant, and the ry=0 rotation/reflection is a 3-way CASE.
+    */
+  def hilbertSqlLevels(passthrough: Seq[String], x: String, y: String,
+                       bits: Int, from: String): String = {
+    val mask = (1L << bits) - 1
+    val pass = passthrough.mkString(", ")
+    val sep = if (passthrough.isEmpty) "" else s"$pass, "
+    var q = s"SELECT $sep(CAST($x AS BIGINT) & $mask) AS hx, " +
+      s"(CAST($y AS BIGINT) & $mask) AS hy, CAST(0 AS BIGINT) AS hd FROM $from"
+    for (level <- 0 until bits) {
+      val s = 1L << (bits - 1 - level)
+      val sm = s - 1
+      q = s"""SELECT $sep
+        | hd + ($s * $s) * (CASE WHEN (hx & $s) > 0 AND (hy & $s) > 0 THEN 2
+        |                        WHEN (hx & $s) > 0 THEN 3
+        |                        WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd,
+        | CASE WHEN (hy & $s) > 0 THEN (hx & $sm)
+        |      WHEN (hx & $s) > 0 THEN $sm - (hy & $sm)
+        |      ELSE (hy & $sm) END AS hx,
+        | CASE WHEN (hy & $s) > 0 THEN (hy & $sm)
+        |      WHEN (hx & $s) > 0 THEN $sm - (hx & $sm)
+        |      ELSE (hx & $sm) END AS hy
+        |FROM ($q) lvl$level""".stripMargin
+    }
+    s"SELECT ${sep}hd AS h FROM ($q) lvlout"
+  }
+
   /** Deterministic global corpus shuffle — the pretraining-order
     * problem: a 100 TB corpus must be read in (pseudo)random document
     * order every epoch, but `ORDER BY rand()` is neither reproducible

@@ -76,6 +76,100 @@ class LayoutSpec extends SparkSpec {
     assert(rowsOf(viaSql) == rowsOf(viaCol))
   }
 
+  // independent local reference for the Hilbert walk
+  private def hilbertLocal(bits: Int, x0: Long, y0: Long): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      x &= s - 1; y &= s - 1
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  private def gridWithH(bits: Int): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    val n = 1L << bits
+    val df = (for (x <- 0L until n; y <- 0L until n) yield (x, y)).toDF("x", "y")
+    df.withColumn("h", Layout.hilbertValue2(df, col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  test("hilbert2: bijective over the grid, EVERY consecutive pair grid-adjacent, matches reference") {
+    val bits = 5
+    val pts = gridWithH(bits)
+    pts.foreach { case (x, y, h) => assert(h == hilbertLocal(bits, x, y)) }
+    val byD = pts.map { case (x, y, h) => h -> ((x, y)) }.toMap
+    val n2 = 1L << (2 * bits)
+    assert(byD.keySet == (0L until n2).toSet, "indices must be a bijection")
+    // THE Hilbert property Morton lacks: each step moves one cell
+    (0L until n2 - 1).foreach { d =>
+      val (x0, y0) = byD(d)
+      val (x1, y1) = byD(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"step $d: ($x0,$y0) -> ($x1,$y1) is not adjacent")
+    }
+  }
+
+  test("hilbert2: generated unrolled SQL == codegen'd expression (the q140 oracle contract)") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i * 7 % 100, i * 13 % 100)).toDF("x", "y")
+    df.createOrReplaceTempView("hpts")
+    val viaSql = spark.sql(
+        Layout.hilbertSqlLevels(Seq("x", "y"), "x", "y", 7, "hpts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaExpr = df.withColumn("h", Layout.hilbertValue2(df, col("x"), col("y"), 7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaSql == viaExpr)
+  }
+
+  test("hilbert2: two instances inline into one projection (codegen freshName hygiene)") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i % 32, (i * 11) % 32)).toDF("x", "y")
+    val rows = df.select(col("x"), col("y"),
+        Layout.hilbertValue2(df, col("x"), col("y"), 5).as("h5"),
+        Layout.hilbertValue2(df, col("y"), col("x"), 4).as("h4"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == hilbertLocal(5, r.getLong(0), r.getLong(1)))
+      assert(r.getLong(3) == hilbertLocal(4, r.getLong(1), r.getLong(0)))
+    }
+  }
+
+  test("hilbert tiles are tighter than z-order: smaller bounding boxes per contiguous range") {
+    val bits = 5
+    val n = 1 << bits
+    // 100-cell ranges deliberately MISALIGN with the power-of-4 quadrant
+    // structure — aligned ranges tile identically on both curves; real
+    // file boundaries land by size, not by quadrant
+    def bboxAreaSum(order: Seq[(Long, Long)]): Long =
+      order.grouped(100).map { tile =>
+        val xs = tile.map(_._1)
+        val ys = tile.map(_._2)
+        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+      }.sum
+    def mortonLocal(x: Long, y: Long): Long =
+      (0 until bits).foldLeft(0L)((r, i) =>
+        r | (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1)))
+    val hOrder = gridWithH(bits).sortBy(_._3).map(t => (t._1, t._2))
+    val zOrder = (for (x <- 0L until n; y <- 0L until n) yield (x, y))
+      .sortBy { case (x, y) => mortonLocal(x, y) }
+    val hArea = bboxAreaSum(hOrder)
+    val zArea = bboxAreaSum(zOrder)
+    assert(hArea < zArea,
+      s"hilbert tiles ($hArea) should beat z-order tiles ($zArea)")
+  }
+
   private def shuffleOrder(seed: String, parts: Int = 1): Seq[(Long, Long)] = {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"doc $i")).toDF("id", "text")
