@@ -100,6 +100,34 @@ class ZoneMapsSpec extends SparkSpec {
     assert(got.count() == 32 * 4)
   }
 
+  test("hilbertBy clustering + zone maps: prunes both dimensions at least as hard as z-order") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // same 32x32 grid through the Hilbert walk — adjacency-guaranteed
+    // ranges should give per-file envelopes no looser than Morton's
+    val grid = (0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y)))
+      .toDF("x", "y")
+    def prunedCounts(clustered: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      val path = tmp()
+      val manifest = ZoneMaps.writeWithZoneMap(
+        clustered.repartitionByRange(16, col("__k")).drop("__k"), path, Seq("x", "y"))
+      val all = ZoneMaps.selectFiles(manifest, Nil).length
+      val xp = ZoneMaps.selectFiles(manifest,
+        Seq(ZoneMaps.ZoneFilter("x", Some(0L), Some(3L)))).length
+      val yp = ZoneMaps.selectFiles(manifest,
+        Seq(ZoneMaps.ZoneFilter("y", Some(28L), Some(31L)))).length
+      (all, xp, yp)
+    }
+    val (hAll, hx, hy) = prunedCounts(grid.withColumn("__k",
+      Layout.hilbertValue2(grid, col("x"), col("y"), 8)))
+    val (zAll, zx, zy) = prunedCounts(grid.withColumn("__k",
+      Layout.zValue2(col("x"), col("y"), 8)))
+    assert(hAll == zAll)
+    assert(hx < hAll && hy < hAll, "hilbert layout must prune both dimensions")
+    assert(hx <= zx && hy <= zy,
+      s"hilbert should prune at least as hard: x $hx vs $zx, y $hy vs $zy")
+  }
+
   test("an empty prune still returns the correct (empty) frame with the right schema") {
     val path = tmp()
     clustered(path)
