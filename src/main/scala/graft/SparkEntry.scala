@@ -2316,6 +2316,46 @@ object SparkEntry {
       .orderBy(col("h"), col("x"), col("y"))
   }
 
+  /** Hybrid search via Reciprocal Rank Fusion
+    * ([[graft.operators.Retrieval.rrfFusion]]): a lexical run
+    * (distinct-token overlap with the query doc's text, the
+    * inverted-index question at demo scale) and a vector run (exact
+    * cosine top-20, q27 convention) fused at k = 60 — no score
+    * calibration across the two retrievers, the SIGIR 2009 recipe.
+    * Every rank and the fusion arithmetic are deterministic, so the
+    * oracle replays both runs and the merge exactly.
+    */
+  private def q141RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Retrieval, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(filter(split(lower(trim(col("text"))), " "),
+          t => t =!= lit(""))).as("toks"))
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+    val lexical = queries.crossJoin(docs)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        size(array_intersect(col("qtoks"), col("toks"))).as("overlap"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("overlap").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 20)
+    val emb = t(s, dir, "embeddings")
+    val vector = Similarity
+      .bruteForceTopKAtScale(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)))
+      .select(col("query_id"), col("neighbour_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFusion(Seq(lexical.select("query_id", "doc_id", "rank"), vector),
+        "query_id", "doc_id", "rank", k = 60, topN = 10)
+      .select(col("query_id"), col("fused_rank").cast("long").as("fused_rank"),
+        col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"), col("n_runs"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2457,7 +2497,8 @@ object SparkEntry {
     "q137_join_cardinality" -> (q137JoinCardinality _),
     "q138_group_sample" -> (q138GroupSample _),
     "q139_kcore" -> (q139Kcore _),
-    "q140_hilbert" -> (q140Hilbert _))
+    "q140_hilbert" -> (q140Hilbert _),
+    "q141_rrf_fusion" -> (q141RrfFusion _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4441,7 +4482,46 @@ object SparkEntry {
       "(SELECT CAST(l_orderkey % 256 AS BIGINT) AS x, " +
         "CAST(l_partkey % 256 AS BIGINT) AS y " +
         "FROM lineitem WHERE l_orderkey < 3000) base") +
-      " ORDER BY h, x, y"))
+      " ORDER BY h, x, y"),
+    // q141: both runs and the fusion replayed — distinct-token overlap
+    // ranks (ties by doc), q27-convention cosine ranks, 1/(60+r)
+    // contributions summed over the union, re-ranked, top 10
+    "q141_rrf_fusion" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_distinct(list_filter(string_split(lower(trim(text)), ' '),
+        |   t -> t <> '')) AS tk
+        | FROM documents),
+        |q AS (SELECT doc_id AS query_id, tk AS qtk FROM tok WHERE doc_id < 5),
+        |lex AS (
+        | SELECT q.query_id, d.doc_id,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |   ORDER BY len(list_intersect(q.qtk, d.tk)) DESC, d.doc_id ASC) AS rnk
+        | FROM q, tok d WHERE d.doc_id <> q.query_id),
+        |vec AS (
+        | SELECT e.vec_id AS query_id, c.vec_id AS doc_id,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |            c.vec_id ASC) AS rnk
+        | FROM embeddings e JOIN embeddings c ON e.vec_id <> c.vec_id
+        | WHERE e.vec_id < 5),
+        |uni AS (
+        | SELECT query_id, doc_id, 1.0 / (60 + rnk) AS c FROM lex WHERE rnk <= 20
+        | UNION ALL
+        | SELECT query_id, doc_id, 1.0 / (60 + rnk) FROM vec WHERE rnk <= 20),
+        |fused AS (
+        | SELECT query_id, doc_id, sum(c) AS rrf_score,
+        |  CAST(count(*) AS BIGINT) AS n_runs
+        | FROM uni GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT query_id, doc_id, rrf_score, n_runs,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY rrf_score DESC, doc_id ASC) AS fr
+        | FROM fused)
+        |SELECT query_id, CAST(fr AS BIGINT) AS fused_rank, doc_id,
+        | round(rrf_score, 6) AS rrf_score, n_runs
+        |FROM ranked WHERE fr <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -76,6 +76,37 @@ object Retrieval {
           .otherwise(col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * merge N ranked runs — lexical, vector, any backend — into one
+    * list by `score(d) = Σ_runs 1/(k + rank_run(d))`, the standard
+    * hybrid-search combiner (k = 60 per the paper; rank-based, so no
+    * cross-run score calibration is needed, which is exactly why it
+    * beats score averaging across heterogeneous retrievers). A doc
+    * absent from a run simply contributes nothing from it; `n_runs`
+    * reports how many runs surfaced each doc. Fused ranks re-densify
+    * 1..topN per query, ties breaking by doc id.
+    *
+    * Scale shape: runs are nQueries·depth rows (evaluation-sized) —
+    * one keyed aggregation + one per-query window over ≤ Σ depths
+    * rows; the corpus stays inside the retrievers.
+    */
+  def rrfFusion(runs: Seq[DataFrame], queryCol: String, docCol: String,
+                rankCol: String, k: Int = 60, topN: Int = 10): DataFrame = {
+    require(runs.nonEmpty, "rrfFusion needs at least one run")
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val contribs = runs.map(_.select(col(queryCol), col(docCol),
+        (lit(1.0) / (lit(k) + col(rankCol).cast("double"))).as("__c")))
+      .reduce(_ unionByName _)
+    contribs
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_runs"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_score").desc, col(docCol).asc)))
+      .filter(col("fused_rank") <= topN)
+  }
+
   /** Hard-negative mining for contrastive retrieval training (the DPR /
     * ANCE recipe — Karpukhin et al. 2020, Xiong et al. 2021): for each
     * query, take its top-ranked retrieved candidates, remove the judged

@@ -103,4 +103,36 @@ class RetrievalSpec extends SparkSpec {
       n = 3)
     assert(out == Seq(("A", 1, "n", 0.8)))
   }
+
+  private def fuse(runA: Seq[(String, String, Int)], runB: Seq[(String, String, Int)],
+                   k: Int = 60, topN: Int = 10): Seq[(String, Int, String, Double, Long)] = {
+    import spark.implicits._
+    Retrieval.rrfFusion(
+        Seq(runA.toDF("q", "d", "rank"), runB.toDF("q", "d", "rank")),
+        "q", "d", "rank", k, topN)
+      .select("q", "fused_rank", "d", "rrf_score", "n_runs")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("rrfFusion: hand-computed scores, single-run docs included, ranks densify") {
+    val out = fuse(
+      runA = Seq(("Q", "d1", 1), ("Q", "d2", 2)),
+      runB = Seq(("Q", "d2", 1), ("Q", "d3", 2)))
+    // d2: 1/62 + 1/61; d1: 1/61; d3: 1/62 — d2 > d1 > d3
+    val (s2, s1, s3) = (1.0 / 62 + 1.0 / 61, 1.0 / 61, 1.0 / 62)
+    assert(out == Seq(
+      ("Q", 1, "d2", s2, 2L), ("Q", 2, "d1", s1, 1L), ("Q", 3, "d3", s3, 1L)))
+  }
+
+  test("rrfFusion: equal scores tie-break by doc id; topN caps; queries stay separate") {
+    val out = fuse(
+      runA = Seq(("Q", "zz", 3), ("Q", "aa", 3), ("R", "x", 1)),
+      runB = Seq(("Q", "mm", 3), ("R", "y", 1)),
+      topN = 2)
+    // all three Q docs score 1/63 — doc-id order, capped at 2
+    assert(out.filter(_._1 == "Q").map(t => (t._2, t._3)) == Seq((1, "aa"), (2, "mm")))
+    assert(out.filter(_._1 == "R").map(t => (t._2, t._3)) == Seq((1, "x"), (2, "y")))
+  }
 }
