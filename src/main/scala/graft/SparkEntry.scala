@@ -2356,6 +2356,29 @@ object SparkEntry {
       .orderBy(col("query_id"), col("fused_rank"))
   }
 
+  /** Topic labels for embedding clusters
+    * ([[graft.operators.Scoring.clusterLabels]]): q43's deterministic
+    * reference-centroid assignment joined back to document text, each
+    * cluster labeled by its doc-frequency-lift top tokens — the
+    * catalog step that turns opaque cell ids into auditable themes.
+    * Assignment, counts, lift and ranks are all deterministic, so the
+    * oracle replays the whole pipeline.
+    */
+  private def q142ClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Scoring, Similarity}
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec")
+      .select(col("vec_id"), col("cell"))
+    Scoring.clusterLabels(assign, "vec_id", "cell",
+        t(s, dir, "documents"), "doc_id", "text", topN = 5, minDocs = 3)
+      .select(col("cluster"), col("lift_rank").cast("long").as("lift_rank"),
+        col("token"), col("df_c"), round(col("lift"), 6).as("lift"))
+      .orderBy(col("cluster"), col("lift_rank"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2498,7 +2521,8 @@ object SparkEntry {
     "q138_group_sample" -> (q138GroupSample _),
     "q139_kcore" -> (q139Kcore _),
     "q140_hilbert" -> (q140Hilbert _),
-    "q141_rrf_fusion" -> (q141RrfFusion _))
+    "q141_rrf_fusion" -> (q141RrfFusion _),
+    "q142_cluster_labels" -> (q142ClusterLabels _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4521,7 +4545,44 @@ object SparkEntry {
         |SELECT query_id, CAST(fr AS BIGINT) AS fused_rank, doc_id,
         | round(rrf_score, 6) AS rrf_score, n_runs
         |FROM ranked WHERE fr <= 10
-        |ORDER BY query_id, fused_rank""".stripMargin)
+        |ORDER BY query_id, fused_rank""".stripMargin,
+    // q142: q43's assignment + distinct-token df tables + the lift
+    // arithmetic and per-cluster rank, replayed end to end
+    "q142_cluster_labels" ->
+      """WITH a AS (
+        | SELECT vec_id, cid AS cluster FROM (
+        |  SELECT e.vec_id, c.cid,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC,
+        |             c.cid ASC) AS rn
+        |  FROM embeddings e,
+        |       (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8) c) t
+        | WHERE rn = 1),
+        |tok AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_filter(string_split(lower(trim(text)), ' '),
+        |   x -> x <> ''))) AS token
+        | FROM documents),
+        |mem AS (SELECT d.doc_id, a.cluster
+        |        FROM (SELECT doc_id FROM documents) d JOIN a ON a.vec_id = d.doc_id),
+        |nc AS (SELECT cluster, count(*) AS n_c FROM mem GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM mem),
+        |dfc AS (SELECT m.cluster, t.token, CAST(count(*) AS BIGINT) AS df_c
+        |        FROM tok t JOIN mem m ON m.doc_id = t.doc_id GROUP BY 1, 2),
+        |dfa AS (SELECT token, count(*) AS df_all FROM tok GROUP BY 1),
+        |l AS (
+        | SELECT dfc.cluster, dfc.token, dfc.df_c,
+        |  (CAST(dfc.df_c AS DOUBLE) / nc.n_c) / (CAST(dfa.df_all AS DOUBLE) / nd.n) AS lift
+        | FROM dfc JOIN nc USING (cluster) JOIN dfa USING (token), nd
+        | WHERE dfc.df_c >= 3),
+        |r AS (
+        | SELECT cluster, token, df_c, lift,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY lift DESC, token ASC) AS rnk
+        | FROM l)
+        |SELECT cluster, CAST(rnk AS BIGINT) AS lift_rank, token, df_c,
+        | round(lift, 6) AS lift
+        |FROM r WHERE rnk <= 5
+        |ORDER BY cluster, lift_rank""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -315,4 +315,57 @@ object Scoring {
       .agg(sum(col("__m")).as("n_bigrams"),
         (-sum(col("__m") * col("__logp")) / sum(col("__m"))).as("cross_entropy"))
   }
+
+  /** Cluster labeling by document-frequency lift: for every cluster of
+    * an assignment table, the tokens that are discriminatively
+    * OVER-represented there — `lift(t, c) = (df_c(t)/n_c) / (df(t)/n)`
+    * — the catalog step after any clustering (k-means cells, near-dup
+    * components, LSH buckets) that turns opaque cluster ids into
+    * human-auditable topic labels. Document frequency (distinct
+    * presence), not term frequency: a single doc repeating a token
+    * can't fake a cluster theme. `minDocs` floors df_c (lift is noisy
+    * on hapax evidence — the PMI minCount precedent).
+    *
+    * Scale shape: one distinct-token explode joined to the
+    * (doc-sized) assignment; all aggregates collapse to
+    * vocabulary×clusters / vocabulary / clusters sizes with map-side
+    * combine; the final window runs over ≤ vocabulary-sized rows per
+    * cluster. Nothing corpus-sized is broadcast.
+    *
+    * Output: (cluster, lift_rank, token, df_c, lift), top `topN`
+    * tokens per cluster, lift descending, token tie-break.
+    */
+  def clusterLabels(assign: DataFrame, assignIdCol: String, clusterCol: String,
+                    docs: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 5, minDocs: Long = 3): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    // the universe is the ASSIGNED docs — both df tables and both
+    // totals normalize over the same population, so lift is a clean
+    // ratio of proportions even under partial assignments
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(filter(split(lower(trim(col(textCol))), " "),
+        t => t =!= lit("")))).as("token"))
+    val members = docs.select(col(idCol).as("__id"))
+      .join(assign.select(col(assignIdCol).as("__id"), col(clusterCol).as("cluster")),
+        Seq("__id"))
+    val nC = members.groupBy(col("cluster")).agg(count(lit(1)).as("__n_c"))
+    val nDocs = members.agg(count(lit(1)).as("__n"))
+    val mToks = toks.join(members, Seq("__id"))
+    val dfC = mToks
+      .groupBy(col("cluster"), col("token")).agg(count(lit(1)).as("df_c"))
+    val dfAll = mToks.groupBy(col("token")).agg(count(lit(1)).as("__df_all"))
+    dfC.filter(col("df_c") >= minDocs)
+      .join(nC, Seq("cluster"))
+      .join(dfAll, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift",
+        (col("df_c").cast("double") / col("__n_c")) /
+          (col("__df_all").cast("double") / col("__n")))
+      .withColumn("lift_rank", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("lift").desc, col("token").asc)))
+      .filter(col("lift_rank") <= topN)
+      .select(col("cluster"), col("lift_rank"), col("token"), col("df_c"), col("lift"))
+  }
 }

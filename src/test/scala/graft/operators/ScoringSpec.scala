@@ -220,4 +220,33 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(got(1L) - (-math.log(3.0 / 4) / math.log(2))) < 1e-12)
     assert(math.abs(got(4L) - 2.0) < 1e-12) // -log2(1/4)
   }
+
+  test("clusterLabels: hand-computed lift, per-doc distinct df, minDocs floor") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z"), (4L, "z w"))
+      .toDF("doc_id", "text")
+    val assign = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("id", "cl")
+    val got = Scoring.clusterLabels(assign, "id", "cl", docs, "doc_id", "text",
+        topN = 2, minDocs = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // df: x=2 (both A; "x x" counts once), y=2, z=3, w=1; n=4, n_A=n_B=2
+    // A: x (2/2)/(2/4)=2.0 > y (1/2)/(2/4)=1.0 > z 0.667
+    // B: w (1/2)/(1/4)=2.0 > z (2/2)/(3/4)=1.333 > y 1.0
+    assert(got == Seq(
+      ("A", 1, "x", 2L, 2.0), ("A", 2, "y", 1L, 1.0),
+      ("B", 1, "w", 1L, 2.0), ("B", 2, "z", 2L, 2.0 / 1.5)))
+    // minDocs = 2 drops every hapax-evidence label (w, and A's y/z)
+    val floored = Scoring.clusterLabels(assign, "id", "cl", docs, "doc_id", "text",
+        topN = 5, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(floored == Set(("A", "x"), ("B", "z")))
+    // unassigned docs contribute to corpus df but join out of clusters
+    val partial = Scoring.clusterLabels(assign.filter(col("id") < 3L), "id", "cl",
+        docs, "doc_id", "text", topN = 5, minDocs = 1)
+      .collect().map(r => r.getString(0)).toSet
+    assert(partial == Set("A"))
+  }
 }
