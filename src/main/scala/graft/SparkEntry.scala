@@ -2379,6 +2379,19 @@ object SparkEntry {
       .orderBy(col("cluster"), col("lift_rank"))
   }
 
+  /** Session-path mining ([[graft.operators.Funnel.sessionPaths]]):
+    * 30-minute-gap sessionization + whole-journey frequency counts —
+    * the path-level complement to q100's one-step Markov matrix. All
+    * orderings tie-break on event_id, so the oracle replays
+    * gaps-and-islands, ordered path assembly and the top-20 exactly.
+    */
+  private def q143SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    Funnel.sessionPaths(ev, "user_id", "ts", "event_type", "event_id", topK = 20)
+      .orderBy(col("n_sessions").desc, col("path").asc)
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2522,7 +2535,8 @@ object SparkEntry {
     "q139_kcore" -> (q139Kcore _),
     "q140_hilbert" -> (q140Hilbert _),
     "q141_rrf_fusion" -> (q141RrfFusion _),
-    "q142_cluster_labels" -> (q142ClusterLabels _))
+    "q142_cluster_labels" -> (q142ClusterLabels _),
+    "q143_session_paths" -> (q143SessionPaths _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4582,7 +4596,28 @@ object SparkEntry {
         |SELECT cluster, CAST(rnk AS BIGINT) AS lift_rank, token, df_c,
         | round(lift, 6) AS lift
         |FROM r WHERE rnk <= 5
-        |ORDER BY cluster, lift_rank""".stripMargin)
+        |ORDER BY cluster, lift_rank""".stripMargin,
+    // q143: gaps-and-islands sessionization (30-min inactivity), ordered
+    // string_agg path assembly with event_id tie-breaks, top-20 paths
+    "q143_session_paths" ->
+      """WITH m AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nw
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        | FROM m),
+        |p AS (
+        | SELECT user_id, sess,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        | FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC
+        |LIMIT 20""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

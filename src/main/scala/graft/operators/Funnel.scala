@@ -146,4 +146,51 @@ object Funnel {
     counts.withColumn("p",
       col("n_transitions") / sum(col("n_transitions")).over(fromTotal))
   }
+
+  /** Session-path mining: split each key's event stream into sessions
+    * at inactivity gaps > `gapNanos` (the gaps-and-islands running-sum
+    * construction, [[Intervals]]' precedent — lag flags a boundary, a
+    * running sum numbers the island), render every session as its
+    * ordered event-type path ("view>click>purchase"), and count
+    * identical journeys corpus-wide — the whole-journey complement to
+    * [[transitionMatrix]]'s single-step view (a Markov matrix cannot
+    * distinguish view>click>view>click from view>view>click>click;
+    * paths can).
+    *
+    * Determinism: events ordering ties break on `tieBreakCol`, and the
+    * per-session path is assembled with
+    * `array_sort(collect_list(struct(ts, tie, type)))` — no
+    * order-dependent collect (the q116 line-reassembly pattern).
+    *
+    * Scale shape: one shuffle on the key for the two windows, then a
+    * path-keyed hash aggregate with map-side combine (identical
+    * journeys collapse per partition first); the top-k is a bounded
+    * TakeOrdered, never a global sort. Per-session state is one path
+    * string — sessions, not users, bound the row count.
+    *
+    * Output: (path, n_sessions) — `topK` most frequent, count
+    * descending, path ascending on ties.
+    */
+  def sessionPaths(events: DataFrame, keyCol: String, tsNanosCol: String,
+                   typeCol: String, tieBreakCol: String,
+                   gapNanos: Long = 30L * 60 * 1000000000L,
+                   topK: Int = 20): DataFrame = {
+    require(gapNanos > 0, s"gapNanos must be positive, got $gapNanos")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsNanosCol).asc, col(tieBreakCol).asc)
+    events
+      .withColumn("__new", when(col(tsNanosCol) - lag(col(tsNanosCol), 1).over(w)
+          > gapNanos, 1L).otherwise(lit(0L)))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__sess"))
+      .agg(array_sort(collect_list(struct(col(tsNanosCol).as("t"),
+        col(tieBreakCol).as("b"), col(typeCol).as("s")))).as("__evs"))
+      .select(concat_ws(">", transform(col("__evs"), e => e.getField("s"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
 }

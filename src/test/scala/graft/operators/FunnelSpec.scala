@@ -153,4 +153,45 @@ class FunnelSpec extends SparkSpec {
     assert(hw.getAs[Double]("mean_events_per_user") == 2.0)
     assert(hw.getAs[Double]("p99_events_per_user") == 3.0)
   }
+
+  private def pathsOf(rows: Seq[(Long, Long, Long, String)], gapNs: Long,
+                      topK: Int = 20): Seq[(String, Long)] = {
+    import spark.implicits._
+    Funnel.sessionPaths(rows.toDF("user", "ts", "eid", "tp"),
+        "user", "ts", "tp", "eid", gapNs, topK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  test("sessionPaths: gap splits sessions, exact paths, counts aggregate across users") {
+    val min = 60L * 1000000000L
+    val rows = Seq(
+      // user 1: view>click, 40-min gap, view>click again
+      (1L, 0 * min, 1L, "view"), (1L, 1 * min, 2L, "click"),
+      (1L, 41 * min, 3L, "view"), (1L, 42 * min, 4L, "click"),
+      // user 2: one session view>click
+      (2L, 0 * min, 5L, "view"), (2L, 5 * min, 6L, "click"),
+      // user 3: solo purchase
+      (3L, 0 * min, 7L, "purchase"))
+    assert(pathsOf(rows, gapNs = 30 * min) ==
+      Seq(("view>click", 3L), ("purchase", 1L)))
+  }
+
+  test("sessionPaths: equal timestamps order by the tie-break column") {
+    val rows = Seq(
+      (1L, 100L, 2L, "b"), (1L, 100L, 1L, "a"), (1L, 100L, 3L, "c"))
+    assert(pathsOf(rows, gapNs = 1000L) == Seq(("a>b>c", 1L)))
+  }
+
+  test("sessionPaths: a gap equal to the threshold does NOT split (strict >)") {
+    val rows = Seq((1L, 0L, 1L, "x"), (1L, 500L, 2L, "y"), (1L, 1001L, 3L, "z"))
+    // 0→500 gap 500 ≤ 500 keeps; 500→1001 gap 501 > 500 splits
+    assert(pathsOf(rows, gapNs = 500L).toSet == Set(("x>y", 1L), ("z", 1L)))
+  }
+
+  test("sessionPaths: topK caps with count-then-path ordering") {
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (2L, 0L, 2L, "a"),
+      (3L, 0L, 3L, "b"), (4L, 0L, 4L, "c"))
+    assert(pathsOf(rows, gapNs = 10L, topK = 2) == Seq(("a", 2L), ("b", 1L)))
+  }
 }
