@@ -2392,6 +2392,24 @@ object SparkEntry {
       .orderBy(col("n_sessions").desc, col("path").asc)
   }
 
+  /** Rolling 7-day active users off the daily bitmap sketch table
+    * ([[graft.operators.Sketches.rollingDistinct]]): every trailing
+    * window is a union of ≤ 7 KB-sized day sketches — the fact table
+    * is scanned once for any window length, where the naive
+    * range-join re-shuffles it per window day. Exact, so the oracle
+    * is the plain rolling COUNT(DISTINCT).
+    */
+  private def q144RollingMau(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .filter(col("user_id").isNotNull)
+    val shards = Sketches.bitmapShards(ev,
+      Seq(to_date(col("event_time")).as("day")), col("user_id"))
+    Sketches.rollingDistinct(shards, "day", windowDays = 7)
+      .select(col("day"), col("n_distinct"))
+      .orderBy(col("day"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2536,7 +2554,8 @@ object SparkEntry {
     "q140_hilbert" -> (q140Hilbert _),
     "q141_rrf_fusion" -> (q141RrfFusion _),
     "q142_cluster_labels" -> (q142ClusterLabels _),
-    "q143_session_paths" -> (q143SessionPaths _))
+    "q143_session_paths" -> (q143SessionPaths _),
+    "q144_rolling_mau" -> (q144RollingMau _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4617,7 +4636,18 @@ object SparkEntry {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    // q144: the bitmap windows are exact, so the oracle is the plain
+    // rolling COUNT(DISTINCT) over a trailing 7-day range join
+    "q144_rolling_mau" ->
+      """WITH du AS (
+        | SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_distinct
+        |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -53,6 +53,36 @@ object Sketches {
         call_function("bitmap_union_agg", col("sketch")).as("sketch"))
       .withColumn("n_distinct", call_function("bitmap_cardinality", col("sketch")))
 
+  /** Rolling distinct-count time series off a DAILY sketch table — the
+    * WAU/MAU question ("distinct users over the trailing w days, per
+    * day") that plain window functions cannot answer (no DISTINCT in a
+    * range frame) and a raw-event self-join answers by re-shuffling
+    * the fact table once per window day. Here each day's bitmap is
+    * built ONCE ([[bitmapShards]]) and every trailing window is a
+    * union of ≤ `windowDays` KB-sized sketches — exact, and the fact
+    * table is read exactly once regardless of window length.
+    *
+    * The day-spine join is calendar×window-sized (a few thousand rows
+    * for years of data), so its nested-loop plan is irrelevant at any
+    * corpus scale — the corpus cost lives entirely in the one
+    * shard-building pass. Output: (day, n_distinct, sketch) — the
+    * window sketch rides along for further rollups.
+    */
+  def rollingDistinct(shards: DataFrame, dayCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    graft.expressions.GraftFunctions.register(shards.sparkSession)
+    val d = shards.select(col(dayCol).as("day"), col("sketch").as("__sk"))
+    val spine = d.select(col("day")).distinct()
+    spine.join(d.select(col("day").as("__sd"), col("__sk")),
+        datediff(col("day"), col("__sd")).between(0, windowDays - 1))
+      .groupBy(col("day"))
+      .agg(call_function("bitmap_union_agg", col("__sk")).as("sketch"))
+      .select(col("day"),
+        call_function("bitmap_cardinality", col("sketch")).as("n_distinct"),
+        col("sketch"))
+  }
+
   /** Per-shard quantile sketch table: one DDSketch of `valueCol` per
     * `shardCols` group at relative accuracy `alpha`
     * ([[graft.expressions.DDSketchAgg]]) — persist-shaped like

@@ -108,6 +108,33 @@ class SketchesSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("rollingDistinct: hand-computed trailing windows; window sketch == direct build") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      (d("2024-01-01"), 1L), (d("2024-01-01"), 2L),
+      (d("2024-01-02"), 2L), (d("2024-01-02"), 3L),
+      (d("2024-01-03"), 4L)).toDF("day", "user")
+    val shards = Sketches.bitmapShards(rows, Seq(col("day")), col("user"))
+    val got = Sketches.rollingDistinct(shards, "day", windowDays = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getAs[Array[Byte]]("sketch")))).toMap
+    assert(got("2024-01-01")._1 == 2L)
+    assert(got("2024-01-02")._1 == 3L, "{1,2} ∪ {2,3}")
+    assert(got("2024-01-03")._1 == 3L, "{2,3} ∪ {4}")
+    // the emitted window sketch is byte-identical to a cold build over
+    // the window's raw keys (the union-≡-rebuild bitmap guarantee)
+    val direct = rows.filter(col("day") >= d("2024-01-02"))
+      .agg(call_function("bitmap_build", col("user")).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(got("2024-01-03")._2, direct))
+    // a one-day window degenerates to the shard table itself
+    val w1 = Sketches.rollingDistinct(shards, "day", windowDays = 1)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(w1 == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 1L))
+  }
+
   test("DDSketch.psi: zero on identical, hand-computed two-bin case, alpha refusal") {
     import graft.expressions.DDSketch
     def sk(vals: Seq[Double], alpha: Double = 0.01): DDSketch.Sketch = {
