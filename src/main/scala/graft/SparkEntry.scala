@@ -2410,6 +2410,23 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Weekly cohort retention matrix
+    * ([[graft.operators.Sketches.cohortRetention]]): first-activity
+    * week defines each user's cohort; every (cohort × week-offset)
+    * cell is one KB-sized bitmap intersection — q127's retention
+    * generalized to the full product-analytics triangle, with no
+    * per-cell re-scan. Exact, so the oracle is the plain
+    * membership-join COUNT(DISTINCT) matrix.
+    */
+  private def q145CohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .filter(col("user_id").isNotNull)
+      .withColumn("week", date_trunc("week", col("event_time")).cast("date"))
+    Sketches.cohortRetention(ev, "user_id", "week", periodDays = 7, maxOffset = 4)
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2555,7 +2572,8 @@ object SparkEntry {
     "q141_rrf_fusion" -> (q141RrfFusion _),
     "q142_cluster_labels" -> (q142ClusterLabels _),
     "q143_session_paths" -> (q143SessionPaths _),
-    "q144_rolling_mau" -> (q144RollingMau _))
+    "q144_rolling_mau" -> (q144RollingMau _),
+    "q145_cohort_matrix" -> (q145CohortMatrix _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4647,7 +4665,36 @@ object SparkEntry {
         |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_distinct
         |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+    // q145: the bitmap matrix is exact — oracle = membership-join
+    // COUNT(DISTINCT) per (cohort, offset); Monday-truncated weeks in
+    // both engines, offsets exact multiples of 7 days
+    "q145_cohort_matrix" ->
+      """WITH act AS (
+        | SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS period, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |coh AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY 1),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM coh GROUP BY 1),
+        |cells AS (
+        | SELECT cs.cohort,
+        |  CAST(datediff('day', cs.cohort, p.period) / 7 AS BIGINT) AS week_offset
+        | FROM cs, (SELECT DISTINCT period FROM act) p
+        | WHERE datediff('day', cs.cohort, p.period) BETWEEN 0 AND 28),
+        |r AS (
+        | SELECT c.cohort,
+        |  CAST(datediff('day', c.cohort, a.period) / 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS retained
+        | FROM coh c JOIN act a ON a.user_id = c.user_id
+        | WHERE datediff('day', c.cohort, a.period) BETWEEN 0 AND 28
+        | GROUP BY 1, 2)
+        |SELECT cells.cohort, cells.week_offset, cs.cohort_size,
+        | CAST(coalesce(r.retained, 0) AS BIGINT) AS retained,
+        | round(CAST(coalesce(r.retained, 0) AS DOUBLE) / cs.cohort_size, 6) AS rate
+        |FROM cells
+        |JOIN cs USING (cohort)
+        |LEFT JOIN r ON r.cohort = cells.cohort AND r.week_offset = cells.week_offset
+        |ORDER BY cells.cohort, cells.week_offset""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -83,6 +83,47 @@ object Sketches {
         col("sketch"))
   }
 
+  /** Cohort retention matrix off bitmap sketches: users grouped by
+    * first-activity period (their cohort), retention(c, k) = fraction
+    * of cohort c's users active in period c+k — the product-analytics
+    * triangle, generalizing q127's two-period retention to every
+    * (cohort × offset) cell. One cohort bitmap + one activity bitmap
+    * per period; every cell is a `bitmap_and_cardinality` chunk
+    * merge-join of two KB sketches, so the matrix costs
+    * periods²-many KB intersections, never a per-cell re-scan or a
+    * raw-key self-join. Exact.
+    *
+    * `periodCol` must be a period-truncated DATE (e.g.
+    * `date_trunc("week", …)`), `periodDays` its length — offsets are
+    * exact multiples by construction.
+    *
+    * Output: (cohort, offset, cohort_size, retained, rate), offsets
+    * 0..maxOffset.
+    */
+  def cohortRetention(activity: DataFrame, keyCol: String, periodCol: String,
+                      periodDays: Int, maxOffset: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    graft.expressions.GraftFunctions.register(activity.sparkSession)
+    val act = activity.select(col(periodCol).as("period"), col(keyCol).as("__k"))
+      .where(col("__k").isNotNull).distinct()
+    val cohorts = act.groupBy(col("__k")).agg(min(col("period")).as("cohort"))
+    val cohortSk = bitmapShards(cohorts, Seq(col("cohort")), col("__k"))
+      .select(col("cohort"), col("sketch").as("__cs"))
+    val periodSk = bitmapShards(act, Seq(col("period")), col("__k"))
+      .select(col("period"), col("sketch").as("__ps"))
+    cohortSk.join(periodSk,
+        datediff(col("period"), col("cohort")).between(0, periodDays * maxOffset))
+      .select(col("cohort"),
+        // "offset" is a reserved word in SQL dialects (LIMIT/OFFSET)
+        (datediff(col("period"), col("cohort")) / lit(periodDays)).cast("long")
+          .as("week_offset"),
+        call_function("bitmap_cardinality", col("__cs")).as("cohort_size"),
+        call_function("bitmap_and_cardinality", col("__cs"), col("__ps"))
+          .as("retained"))
+      .withColumn("rate", round(col("retained") / col("cohort_size"), 6))
+  }
+
   /** Per-shard quantile sketch table: one DDSketch of `valueCol` per
     * `shardCols` group at relative accuracy `alpha`
     * ([[graft.expressions.DDSketchAgg]]) — persist-shaped like

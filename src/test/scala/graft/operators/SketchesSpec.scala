@@ -135,6 +135,27 @@ class SketchesSpec extends SparkSpec {
     assert(w1 == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 1L))
   }
 
+  test("cohortRetention: hand-computed matrix incl. explicit zero cells") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val (w0, w1, w2) = (d("2024-01-01"), d("2024-01-08"), d("2024-01-15"))
+    // u1: w0,w1,w2; u2: w0,w2; u3: w1 only
+    val act = Seq((w0, 1L), (w1, 1L), (w2, 1L), (w0, 2L), (w2, 2L), (w1, 3L))
+      .toDF("week", "user")
+    val got = Sketches.cohortRetention(act, "user", "week", 7, maxOffset = 4)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("2024-01-01", 0L)) == ((2L, 2L, 1.0)))
+    assert(got(("2024-01-01", 1L)) == ((2L, 1L, 0.5)), "only u1 returned in w1")
+    assert(got(("2024-01-01", 2L)) == ((2L, 2L, 1.0)), "u2 came back in w2")
+    assert(got(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
+    assert(got(("2024-01-08", 1L)) == ((1L, 0L, 0.0)),
+      "existing period with no returning members is an explicit zero cell")
+    assert(got.size == 5, "cells exist only for observed periods within the offset cap")
+  }
+
   test("DDSketch.psi: zero on identical, hand-computed two-bin case, alpha refusal") {
     import graft.expressions.DDSketch
     def sk(vals: Seq[Double], alpha: Double = 0.01): DDSketch.Sketch = {
