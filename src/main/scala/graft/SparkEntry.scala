@@ -2427,6 +2427,24 @@ object SparkEntry {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
+  /** Conversion-lag percentiles
+    * ([[graft.operators.Funnel.conversionLag]]): time from first view
+    * to the greedy-earliest purchase completion for q84's converters,
+    * in exact microseconds with exact-interpolated percentiles — the
+    * funnel COUNT turned into an SLA. The oracle restates the
+    * strict-min chaining CTEs (the q84 convention) and quantile_cont.
+    */
+  private def q146ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    Funnel.conversionLag(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("n_converters"),
+        round(col("p50_us"), 6).as("p50_us"),
+        round(col("p90_us"), 6).as("p90_us"),
+        col("max_us"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2573,7 +2591,8 @@ object SparkEntry {
     "q142_cluster_labels" -> (q142ClusterLabels _),
     "q143_session_paths" -> (q143SessionPaths _),
     "q144_rolling_mau" -> (q144RollingMau _),
-    "q145_cohort_matrix" -> (q145CohortMatrix _))
+    "q145_cohort_matrix" -> (q145CohortMatrix _),
+    "q146_conversion_lag" -> (q146ConversionLag _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4694,7 +4713,27 @@ object SparkEntry {
         |FROM cells
         |JOIN cs USING (cohort)
         |LEFT JOIN r ON r.cohort = cells.cohort AND r.week_offset = cells.week_offset
-        |ORDER BY cells.cohort, cells.week_offset""".stripMargin)
+        |ORDER BY cells.cohort, cells.week_offset""".stripMargin,
+    // q146: the q84 strict-min chaining CTEs carried through to times —
+    // lags in exact integer microseconds, quantile_cont percentiles
+    "q146_conversion_lag" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, ts FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, min(e.ts) AS t2, min(a.t1) AS t1
+        |      FROM e JOIN a USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t3, min(b.t1) AS t1
+        |      FROM e JOIN b USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1),
+        |d AS (SELECT epoch_us(t3) - epoch_us(t1) AS lag_us FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converters,
+        | round(quantile_cont(lag_us, 0.5), 6) AS p50_us,
+        | round(quantile_cont(lag_us, 0.9), 6) AS p90_us,
+        | CAST(max(lag_us) AS BIGINT) AS max_us
+        |FROM d""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -147,6 +147,51 @@ object Funnel {
       col("n_transitions") / sum(col("n_transitions")).over(fromTotal))
   }
 
+  /** Conversion-lag distribution: for every user whose events contain a
+    * strictly-time-increasing chain through `steps` (the
+    * [[conversionFunnel]] greedy-earliest matching — t₁ = first step-1
+    * event, tₖ = first step-k event after tₖ₋₁), the time from chain
+    * start to completion, summarized as exact percentiles — the
+    * "how long does signup→activation→purchase take" question that
+    * turns a funnel COUNT into an SLA.
+    *
+    * The chain is computed as k sequential user-keyed min-aggregates
+    * (filter to step k, join the previous frontier, keep events after
+    * it, take the min) — one shuffle per step on the user key, no
+    * k-way event self-join, and the frontier tables are
+    * converter-sized, shrinking monotonically. Greedy-earliest is
+    * optimal for chain containment (the [[conversionFunnel]] exchange
+    * argument), so "converted" here agrees with the funnel's last
+    * stage exactly.
+    *
+    * Output: one row — (n_converters, p50_us, p90_us, max_us), lags in
+    * exact integer microseconds (`tsNanosCol` diffs are µs-precise by
+    * the §8.2 events contract), percentiles exact-interpolated.
+    */
+  def conversionLag(events: DataFrame, userCol: String, tsNanosCol: String,
+                    typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsNanosCol).as("__ts"))
+    val first = ev.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__start"))
+      .withColumn("__frontier", col("__start"))
+    val last = steps.tail.foldLeft(first) { (prev, step) =>
+      ev.filter(col("__t") === step)
+        .join(prev, Seq("__u"))
+        .filter(col("__ts") > col("__frontier"))
+        .groupBy(col("__u"))
+        .agg(min(col("__ts")).as("__next"), min(col("__start")).as("__start"))
+        .withColumnRenamed("__next", "__frontier")
+    }
+    last
+      .select(expr("(__frontier - __start) div 1000").as("__lag_us"))
+      .agg(count(lit(1)).as("n_converters"),
+        percentile(col("__lag_us"), lit(0.5)).as("p50_us"),
+        percentile(col("__lag_us"), lit(0.9)).as("p90_us"),
+        max(col("__lag_us")).as("max_us"))
+  }
+
   /** Session-path mining: split each key's event stream into sessions
     * at inactivity gaps > `gapNanos` (the gaps-and-islands running-sum
     * construction, [[Intervals]]' precedent — lag flags a boundary, a

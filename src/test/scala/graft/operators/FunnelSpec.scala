@@ -188,6 +188,27 @@ class FunnelSpec extends SparkSpec {
     assert(pathsOf(rows, gapNs = 500L).toSet == Set(("x>y", 1L), ("z", 1L)))
   }
 
+  test("conversionLag: greedy-earliest chain times, exact percentiles, non-converters excluded") {
+    import spark.implicits._
+    val us = 1000L // ns per µs
+    val rows = Seq(
+      // u1 converts: view@0, click@10µs, purchase@30µs → lag 30
+      (1L, 0L, "view"), (1L, 10 * us, "click"), (1L, 30 * us, "purchase"),
+      // u2 converts: view@0 (an earlier purchase@-5 must NOT count),
+      // click@20µs, purchase@50µs → lag 50
+      (2L, -5 * us, "purchase"), (2L, 0L, "view"), (2L, 20 * us, "click"),
+      (2L, 50 * us, "purchase"),
+      // u3: view then purchase BEFORE click — no chain
+      (3L, 0L, "view"), (3L, 5 * us, "purchase"), (3L, 9 * us, "click"))
+      .toDF("user", "ts", "tp")
+    val r = Funnel.conversionLag(rows, "user", "ts", "tp",
+      Seq("view", "click", "purchase")).head()
+    assert(r.getAs[Long]("n_converters") == 2L)
+    assert(r.getAs[Double]("p50_us") == 40.0, "exact interpolation between 30 and 50")
+    assert(r.getAs[Double]("p90_us") == 48.0)
+    assert(r.getAs[Long]("max_us") == 50L)
+  }
+
   test("sessionPaths: topK caps with count-then-path ordering") {
     val rows = Seq(
       (1L, 0L, 1L, "a"), (2L, 0L, 2L, "a"),
