@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise contract: subset runs (SPARK_GRAFT_BENCH_ONLY) write to a
   * `.partial` sibling and never clobber the committed full record;
-  * re-timing (the N slowest queries run twice more, min-of-3 recorded,
-  * re-timed set declared in the record as "retimed") is DEFAULT-ON for
-  * full runs (N=8 — the committed record must not be single-sample
-  * under load) and off for subset dev runs; SPARK_GRAFT_BENCH_REPEAT=N
-  * overrides either way (0 disables) — pinned by BenchSpec.
+  * full runs time EVERY query in two measured passes (min-of-2 — the
+  * r8-verdict mid-pack noise fix) and the 8 slowest once more
+  * (min-of-3 for the tail), with the re-timed set declared in the
+  * record as "retimed". Both layers are off for subset dev runs;
+  * SPARK_GRAFT_BENCH_PASSES / SPARK_GRAFT_BENCH_REPEAT override
+  * (1 / 0 disable) — pinned by BenchSpec.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -77,29 +78,43 @@ object Bench {
     val runs = selected.map { case (name, fn) => time(name, fn) }
     val firstPass = runs.collect { case (name, sec, None) => name -> sec }
     val errors = runs.collect { case (name, _, Some(e)) => name -> e }
-    // noise control: re-time the N slowest first-pass queries twice
-    // more and record min-of-3 — a transient load spike on one query
-    // (the artifact that contaminated five straight driver rounds)
-    // cannot survive three timings. Default-on for full runs, off for
-    // subset dev loops; SPARK_GRAFT_BENCH_REPEAT overrides both ways.
+    val byName = selected.toMap
+    // noise control, two layers (the r8 verdict's "retire the mid-pack
+    // single-sample noise" task — single-sampled mid-pack queries swung
+    // 6-10x under driver load and every round-over-round comparison had
+    // to argue around them):
+    //  1. EVERY ok query gets a full second measured pass; min-of-2
+    //     recorded — a load spike must now hit the same query in both
+    //     passes (minutes apart) to survive into the record.
+    //  2. The N slowest then get one MORE timing (min-of-3): the tail
+    //     dominates the total, so it earns the extra sample.
+    // Default-on for full runs, off for subset dev loops;
+    // SPARK_GRAFT_BENCH_PASSES / SPARK_GRAFT_BENCH_REPEAT override.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
+      .getOrElse(defaultPasses(only.isDefined))
+    val secondPass: Map[String, Double] =
+      if (passes <= 1) Map.empty
+      else firstPass.flatMap { case (name, _) =>
+        val (_, sec, err) = time(name, byName(name))
+        if (err.isEmpty) Some(name -> sec) else None
+      }.toMap
+    val afterTwo = mergeRetimes(firstPass, secondPass)
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
       .getOrElse(defaultRepeat(only.isDefined))
-    val retimed: Map[String, Double] =
+    val tailPass: Map[String, Double] =
       if (repeat <= 0) Map.empty
-      else {
-        val byName = selected.toMap
-        firstPass.sortBy(-_._2).take(repeat).map { case (name, _) =>
-          val reruns = Seq(time(name, byName(name)), time(name, byName(name)))
-          name -> reruns.collect { case (_, sec, None) => sec }
-        }.collect { case (name, secs) if secs.nonEmpty => name -> secs.min }.toMap
-      }
-    val ok = mergeRetimes(firstPass, retimed)
+      else afterTwo.sortBy(-_._2).take(repeat).flatMap { case (name, _) =>
+        val (_, sec, err) = time(name, byName(name))
+        if (err.isEmpty) Some(name -> sec) else None
+      }.toMap
+    val ok = mergeRetimes(afterTwo, tailPass)
+    val retimed = secondPass.keySet ++ tailPass.keySet
     // a subset run is a partial record and must never clobber the
     // committed full one (bit the round-5 adjudication)
     val effOut = effectiveOutPath(outPath, only.isDefined)
     // full per-query detail goes to the file; stdout gets a compact line
     java.nio.file.Files.write(java.nio.file.Paths.get(effOut),
-      (fullJson(ok, errors, sfDir, retimed.keySet) + "\n")
+      (fullJson(ok, errors, sfDir, retimed) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val summary = summaryJson(ok, errors, sfDir, effOut)
     // stop BEFORE printing: Spark's shutdown logs (stderr) can't land
@@ -111,12 +126,19 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
-  /** Re-timing default: full runs get min-of-3 on the 8 slowest (the
-    * committed record must never be single-sample under load — the
+  /** Tail re-timing default: full runs give the 8 slowest one extra
+    * timing on top of the global second pass (min-of-3 for the tail —
+    * the committed record must never be single-sample under load, the
     * round-6 finding); subset dev runs stay single-pass for iteration
     * speed. `SPARK_GRAFT_BENCH_REPEAT` overrides either (0 disables).
     */
   private[graft] def defaultRepeat(isSubset: Boolean): Int = if (isSubset) 0 else 8
+
+  /** Measured-pass default: full runs time EVERY query twice (min-of-2
+    * — the r8-verdict mid-pack noise fix); subset dev runs once.
+    * `SPARK_GRAFT_BENCH_PASSES` overrides (1 disables the second pass).
+    */
+  private[graft] def defaultPasses(isSubset: Boolean): Int = if (isSubset) 1 else 2
 
   private def ms(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -1810,19 +1810,27 @@ object SparkEntry {
   /** Sketch-table APPROXIMATE distinct rollup on Spark's Datasketches
     * HLL built-ins (`hll_sketch_agg`/`hll_union_agg`, lgK = 12) — the
     * same shard→rollup shape as q117 for key domains too wide to
-    * bitmap. The Datasketches estimate is engine-specific, so there is
-    * no DuckDB oracle (rows-only gate); SketchesSpec instead asserts
-    * both the sharded rollup and a direct single-pass sketch within 2%
-    * of exact, and the rollup deterministic across re-runs (the two
-    * routes differ by estimator — HIP vs composite — not by registers).
+    * bitmap. The Datasketches estimate is engine-specific, so the
+    * CROSS-ENGINE row is the BANDED comparison table: exact distinct
+    * (restated verbatim by DuckDB) plus a `within_2pct` verdict that
+    * the sharded-rollup estimate lands inside the lgK=12 accuracy band
+    * — if the estimator ever drifts out of band the boolean flips and
+    * the hash gate fails. SketchesSpec additionally pins the direct
+    * single-pass sketch and rollup determinism engine-side.
     */
   private def q118HllRollup(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
     val ev = Tables.withEventTime(t(s, dir, "events"))
     val shards = Sketches.hllShards(ev,
       Seq(col("event_type"), to_date(col("event_time")).as("day")), col("user_id"))
-    Sketches.hllRollup(shards, Seq(col("event_type")))
+    val approx = Sketches.hllRollup(shards, Seq(col("event_type")))
       .select(col("event_type"), col("n_shards"), col("approx_distinct"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    approx.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_shards"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * lit(0.02)).as("within_2pct"))
       .orderBy(col("event_type"))
   }
 
@@ -1850,22 +1858,54 @@ object SparkEntry {
   /** Sketch-table QUANTILE rollup ([[graft.operators.Sketches]]):
     * one DDSketch of `value` per (event_type, day) shard at α = 1%,
     * bin-wise union per event_type, p50/p95/p99 off the merged sketch
-    * — latency-style percentile tables maintained incrementally, each
-    * answer within 1% relative error of the true value. The estimate
-    * is algorithm-specific (log-binned midpoints), so no DuckDB oracle
-    * (rows-only gate); SketchesSpec pins the α bound against exact
-    * quantiles and the shard-union byte-identity that makes the
-    * incremental table trustworthy.
+    * — latency-style percentile tables maintained incrementally. The
+    * estimate is algorithm-specific (log-binned midpoints), so the
+    * CROSS-ENGINE row is the BANDED comparison table: the exact
+    * rank-order statistics at the sketch's own rank convention
+    * (rank = ⌊q·(n−1)+0.5⌋, DuckDB restates them via row_number) plus
+    * per-quantile `within_alpha` verdicts — DDSketch's bin-midpoint
+    * guarantee makes |est − exact| ≤ α·exact a theorem, so a false
+    * verdict means a real sketch bug and the hash gate fails.
+    * SketchesSpec additionally pins the shard-union byte-identity.
+    *
+    * The exact side ranks values per event_type with a window — the
+    * partition count equals the group count (5 here), which is the
+    * honest shape for an exact-quantile VERIFICATION query; the
+    * production answer path is the sketch itself.
     */
   private def q120QuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables.withEventTime(t(s, dir, "events"))
     val shards = Sketches.ddsketchShards(ev,
       Seq(col("event_type"), to_date(col("event_time")).as("day")), col("value"))
-    Sketches.ddsketchRollup(shards, Seq(col("event_type")))
+    val rolled = Sketches.ddsketchRollup(shards, Seq(col("event_type")))
+    val vals = ev.filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_type"), col("value"))
+    val ranked = vals
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .join(broadcast(vals.groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
+        Seq("event_type"))
+    def rankOf(q: Double): Column = floor(lit(q) * (col("n") - 1) + 0.5) + 1
+    val exact = ranked
+      .filter(col("rn") === rankOf(0.5) || col("rn") === rankOf(0.95) ||
+        col("rn") === rankOf(0.99))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === rankOf(0.5), col("value"))).as("__e50"),
+        max(when(col("rn") === rankOf(0.95), col("value"))).as("__e95"),
+        max(when(col("rn") === rankOf(0.99), col("value"))).as("__e99"))
+    def band(est: String, ex: String): Column =
+      abs(col(est) - col(ex)) <= abs(col(ex)) * lit(0.01) + lit(1e-9)
+    rolled.join(exact, Seq("event_type"))
       .select(col("event_type"), col("n_shards"),
-        round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
-        round(col("p99"), 6).as("p99"))
+        round(col("__e50"), 6).as("exact_p50"),
+        round(col("__e95"), 6).as("exact_p95"),
+        round(col("__e99"), 6).as("exact_p99"),
+        band("p50", "__e50").as("p50_within_alpha"),
+        band("p95", "__e95").as("p95_within_alpha"),
+        band("p99", "__e99").as("p99_within_alpha"))
       .orderBy(col("event_type"))
   }
 
@@ -1893,24 +1933,60 @@ object SparkEntry {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
-  /** PQ asymmetric-distance top-10 over the trained codebooks
+  /** PQ asymmetric-distance search over the trained codebooks
     * ([[graft.operators.Pq.fit]], 5 Lloyd iterations on the
-    * deterministic lowest-id sample): each query costs one m×ksub
-    * distance table + m table-lookups per corpus CODE — the corpus is
-    * scanned compressed, never reconstructed. Training is engine-side
-    * k-means, so no SQL oracle (rows-only gate); PqSpec pins the ADC
-    * arithmetic against table-free reconstruction distances exactly and
-    * bounds recall@10 vs exact L2.
+    * deterministic lowest-id sample): ADC shortlists 128 candidates per
+    * query off CODES alone, then [[graft.operators.Pq.adcTopKRefined]]
+    * re-ranks only those 128 by exact L2 — the FAISS search pipeline.
+    * Training is engine-side k-means, so the CROSS-ENGINE row is the
+    * BANDED comparison table: DuckDB restates the exact L2 top-10 per
+    * query (md5 of the rank-ordered id list via `list_distance`) and
+    * the `recall_ok` verdict asserts the refined PQ result recovers
+    * ≥ 0.7 of that exact set — a codebook/encode/ADC regression drops
+    * recall and fails the hash gate. PqSpec additionally pins the ADC
+    * arithmetic against table-free reconstruction distances exactly.
     */
   private def q122PqAdc(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
+    import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
     val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 5)
     val codes = Pq.encode(emb, "vec_id", "embedding", cb)
-    Pq.adcTopK(emb.filter(col("vec_id") < 5), codes, "vec_id", "embedding", cb, k = 10)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val refined = Pq
+      .adcTopKRefined(queries, emb, codes, "vec_id", "embedding", cb,
+        k = 10, shortlist = 128)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact L2 top-10 (self included, matching the ADC corpus scan):
+    // bounded query side broadcast against the corpus, same double
+    // ascending-dimension arithmetic DuckDB's list_distance restates
+    val qv = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"))
+    val cv = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+      col("embedding").as("__nv"))
+    val exact = broadcast(qv).join(cv)
+      .withColumn("__d", aggregate(
+        zip_with(col("__qv"), col("__nv"), (a, b) => {
+          val d = a.cast("double") - b.cast("double")
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__d").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 10)
+    val exactAgg = exact.groupBy(col("query_id"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("rank"), col("neighbor_id")))),
+          x => x.getField("neighbor_id").cast("string")))).as("exact_top10_md5"))
+    val hits = refined
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+    exactAgg.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("exact_top10_md5"),
+        (coalesce(col("__n_hit"), lit(0L)) >= lit(7L)).as("recall_ok"))
+      .orderBy(col("query_id"))
   }
 
   /** Retrieval-quality evaluation ([[graft.operators.Retrieval]]):
@@ -1950,20 +2026,29 @@ object SparkEntry {
     * Sennrich 2016), replacing the q_tokens regex approximation for
     * token accounting: 200 merges trained on the corpus's own word
     * frequencies (distributed count, bounded-vocab driver loop), then
-    * map-side encode with per-partition word memoization. Output pins
-    * the exact tokenization by md5 plus the two numbers a data-mixture
-    * plan needs — subword count and words-per-token compression.
-    * Training is iterative, so no SQL oracle (rows-only gate); BpeSpec
-    * pins the paper's worked merge sequence and losslessness instead.
+    * map-side encode with per-partition word memoization. Training is
+    * iterative, so the CROSS-ENGINE row is the LOSSLESSNESS round-trip
+    * replayed per document: detokenizing the emitted tokens (join,
+    * `</w>` → space, rtrim) must reproduce the whitespace-normalized
+    * lowercase original, whose md5 and word count DuckDB restates
+    * verbatim — any merge/encode corruption breaks the round-trip and
+    * fails the hash gate. BpeSpec additionally pins the paper's worked
+    * merge sequence.
     */
   private def q124BpeTokenize(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bpe
     val docs = t(s, dir, "documents")
     val model = Bpe.train(docs, "text", numMerges = 200)
+    val norm = docs.select(col("doc_id").cast("long").as("id"),
+      concat_ws(" ", filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= lit(""))).as("__norm"))
     Bpe.encode(docs, "doc_id", "text", model).toDF()
+      .join(norm, Seq("id"))
       .select(col("id").as("doc_id"),
-        size(col("tokens")).as("n_tokens"),
-        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+        md5(col("__norm")).as("norm_md5"),
+        size(filter(split(col("__norm"), " "), w => w =!= lit(""))).as("n_words"),
+        (rtrim(replace(concat_ws("", col("tokens")), lit(Bpe.EndOfWord), lit(" ")))
+          === col("__norm")).as("lossless"))
       .orderBy(col("doc_id"))
   }
 
@@ -2036,8 +2121,14 @@ object SparkEntry {
     * histograms directly — no raw-value re-scan, the drift check a
     * sketch-table warehouse runs nightly. Log-γ bins differ from
     * q125's fixed-width bins, so the indices differ numerically while
-    * agreeing on the verdict; estimates are algorithm-specific ⇒
-    * rows-only gate, with SketchesSpec pinning the PSI arithmetic.
+    * agreeing on the verdict; the CROSS-ENGINE row is therefore the
+    * BANDED comparison table: the exact fixed-width PSI (DuckDB
+    * restates q125's full binning arithmetic) plus two verdicts —
+    * `within_band` (|sketch PSI − exact PSI| ≤ 0.25, measured head-
+    * room ~0.08) and `verdict_agree` (both sides land on the same
+    * side of the 0.25 major-drift threshold). A sketch-PSI regression
+    * flips a boolean and fails the hash gate; SketchesSpec pins the
+    * PSI arithmetic itself.
     */
   private def q128SketchDrift(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
@@ -2059,9 +2150,20 @@ object SparkEntry {
       .agg(call_function("ddsketch_merge_agg", col("sketch")).as("sketch"))
     val a = halves.filter(col("half")).select(col("event_type"), col("sketch").as("base"))
     val b = halves.filter(!col("half")).select(col("event_type"), col("sketch").as("cur"))
-    a.join(b, "event_type")
+    val sketchPsi = a.join(b, "event_type")
       .select(col("event_type"),
-        round(call_function("ddsketch_psi", col("base"), col("cur")), 6).as("psi"))
+        call_function("ddsketch_psi", col("base"), col("cur")).as("__psi_sk"))
+    val exactPsi = graft.operators.Drift
+      .psiSummary(ev.filter(col("event_time") < cut),
+        ev.filter(col("event_time") >= cut),
+        Seq("event_type"), "value", nBins = 10)
+      .select(col("event_type"), col("psi").as("__psi_ex"))
+    sketchPsi.join(exactPsi, Seq("event_type"))
+      .select(col("event_type"),
+        round(col("__psi_ex"), 6).as("psi_exact"),
+        (abs(col("__psi_sk") - col("__psi_ex")) <= lit(0.25)).as("within_band"),
+        ((col("__psi_sk") < lit(0.25)) === (col("__psi_ex") < lit(0.25)))
+          .as("verdict_agree"))
       .orderBy(col("event_type"))
   }
 
@@ -2317,10 +2419,12 @@ object SparkEntry {
   }
 
   /** Hybrid search via Reciprocal Rank Fusion
-    * ([[graft.operators.Retrieval.rrfFusion]]): a lexical run
-    * (distinct-token overlap with the query doc's text, the
-    * inverted-index question at demo scale) and a vector run (exact
-    * cosine top-20, q27 convention) fused at k = 60 — no score
+    * ([[graft.operators.Retrieval.rrfFusion]]): a lexical run (TOKEN-
+    * KEYED distinct-token overlap — the inverted-index join shape, so
+    * the cost is corpus-tokens × per-token query hits, never a
+    * queries × corpus product; a doc sharing no token is simply not
+    * retrieved, exactly like a posting-list scan) and a vector run
+    * (exact cosine top-20, q27 convention) fused at k = 60 — no score
     * calibration across the two retrievers, the SIGIR 2009 recipe.
     * Every rank and the fusion arithmetic are deterministic, so the
     * oracle replays both runs and the merge exactly.
@@ -2334,10 +2438,16 @@ object SparkEntry {
           t => t =!= lit(""))).as("toks"))
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
-    val lexical = queries.crossJoin(docs)
+    // inverted-index lexical run: corpus tokens shuffle once by token,
+    // query tokens broadcast (bounded query set — the contract every
+    // bounded-broadcast site in this codebase documents), overlap =
+    // count of shared posting hits per (query, doc)
+    val qtokens = queries.select(col("query_id"), explode(col("qtoks")).as("token"))
+    val dtokens = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+    val lexical = dtokens.join(broadcast(qtokens), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"),
-        size(array_intersect(col("qtoks"), col("toks"))).as("overlap"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("overlap").desc, col("doc_id").asc)))
@@ -2443,6 +2553,103 @@ object SparkEntry {
         round(col("p50_us"), 6).as("p50_us"),
         round(col("p90_us"), 6).as("p90_us"),
         col("max_us"))
+  }
+
+  /** Exact substring dedup ([[graft.operators.Dedup.duplicateSpans]],
+    * the Lee et al. 2022 ExactSubstr shape): maximal character spans
+    * whose every 20-char window repeats somewhere in the corpus — the
+    * arbitrary-length dedup rung between q65's fixed-token spans and
+    * q116's whole lines. Gram hashing, occurrence counting and the
+    * gaps-and-islands merge are all deterministic, so the oracle
+    * replays the pipeline verbatim (substr + md5 + row_number).
+    */
+  private def q147SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", minLen = 20)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Batch form of [[graft.streaming.EventStreams.windowedHeavyHitters]]
+    * (same expression graph; `withWatermark` is a no-op in batch) —
+    * the q33–q35 stream==batch pattern applied to the Misra–Gries
+    * windowed aggregate so its TypedImperativeAggregate partial-merge
+    * arithmetic is ORACLE-pinned, not just spec-pinned. capacity 8 ≥ 5
+    * distinct event types puts MG in its exact regime (no decrement
+    * ever fires), so the exploded candidate list must equal the exact
+    * per-window counts in MG's (est desc, item asc) order — any
+    * merge-path corruption shows up as a wrong count. The sub-capacity
+    * sketch regime keeps its guarantee spec (MisraGriesSpec) and q83's
+    * re-counted oracle.
+    */
+  private def q148WindowedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    EventStreams.windowedHeavyHitters(ev, "event_type", "1 day", capacity = 8)
+      .select(col("window_start").cast("string").as("window_start"),
+        posexplode(col("heavy")))
+      .select(col("window_start"), col("pos").cast("long").as("rank"),
+        col("col.item").as("item"), col("col.est").as("n_events"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  /** Batch form of [[graft.streaming.EventStreams.windowedDistinct]] —
+    * the exact roaring-bitmap distinct per tumbling day window,
+    * oracle-pinned against the plain COUNT(DISTINCT): the bitmap
+    * build/merge wire format must reproduce the exact count per
+    * window (the streaming state store folds the same partial buffers).
+    */
+  private def q149WindowedDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    EventStreams.windowedDistinct(ev, "user_id", "1 day")
+      .select(col("window_start").cast("string").as("window_start"),
+        col("n_distinct"))
+      .orderBy(col("window_start"))
+  }
+
+  /** Batch form of [[graft.streaming.EventStreams.windowedQuantiles]] —
+    * per-day DDSketch p50/p95/p99, oracle-pinned with the q120 BANDED
+    * pattern: DuckDB restates the exact rank-order statistics per
+    * window (the sketch's own rank convention) and the within_alpha
+    * verdicts assert the α = 1% bin-midpoint guarantee — a theorem
+    * unless the windowed sketch build/merge is broken.
+    */
+  private def q150WindowedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val wq = EventStreams.windowedQuantiles(ev, "value", "1 day")
+      .select(col("window_start"), col("p50"), col("p95"), col("p99"))
+    val vals = ev.filter(col("value").isNotNull && !isnan(col("value")))
+      .select(window(col("event_time"), "1 day").getField("start").as("window_start"),
+        col("value"))
+    val ranked = vals
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("window_start")).orderBy(col("value"))))
+      .join(broadcast(vals.groupBy(col("window_start"))
+        .agg(count(lit(1)).as("n"))), Seq("window_start"))
+    def rankOf(q: Double): Column = floor(lit(q) * (col("n") - 1) + 0.5) + 1
+    val exact = ranked
+      .filter(col("rn") === rankOf(0.5) || col("rn") === rankOf(0.95) ||
+        col("rn") === rankOf(0.99))
+      .groupBy(col("window_start"))
+      .agg(
+        max(when(col("rn") === rankOf(0.5), col("value"))).as("__e50"),
+        max(when(col("rn") === rankOf(0.95), col("value"))).as("__e95"),
+        max(when(col("rn") === rankOf(0.99), col("value"))).as("__e99"))
+    def band(est: String, ex: String): Column =
+      abs(col(est) - col(ex)) <= abs(col(ex)) * lit(0.01) + lit(1e-9)
+    wq.join(exact, Seq("window_start"))
+      .select(col("window_start").cast("string").as("window_start"),
+        round(col("__e50"), 6).as("exact_p50"),
+        round(col("__e95"), 6).as("exact_p95"),
+        round(col("__e99"), 6).as("exact_p99"),
+        band("p50", "__e50").as("p50_within_alpha"),
+        band("p95", "__e95").as("p95_within_alpha"),
+        band("p99", "__e99").as("p99_within_alpha"))
+      .orderBy(col("window_start"))
   }
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -2592,7 +2799,11 @@ object SparkEntry {
     "q143_session_paths" -> (q143SessionPaths _),
     "q144_rolling_mau" -> (q144RollingMau _),
     "q145_cohort_matrix" -> (q145CohortMatrix _),
-    "q146_conversion_lag" -> (q146ConversionLag _))
+    "q146_conversion_lag" -> (q146ConversionLag _),
+    "q147_substring_dedup" -> (q147SubstringDedup _),
+    "q148_windowed_heavy_hitters" -> (q148WindowedHeavyHitters _),
+    "q149_windowed_distinct" -> (q149WindowedDistinct _),
+    "q150_windowed_quantiles" -> (q150WindowedQuantiles _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4110,6 +4321,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q118: banded oracle — DuckDB restates the EXACT side (shard count,
+    // exact distinct); within_2pct is the engine-side verdict that the
+    // HLL rollup estimate landed inside the lgK=12 band, asserted TRUE
+    "q118_hll_rollup" ->
+      """SELECT event_type,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_shards,
+        | count(DISTINCT user_id) AS exact_distinct,
+        | TRUE AS within_2pct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q119: the synth sample table in closed form — per = 256 // n bytes
     // per frame (last frame takes the remainder), one chunk, dts = k·delta,
     // mdat byte at flat index j = (i·31 + j·7) mod 251 as a signed byte
@@ -4136,6 +4358,34 @@ object SparkEntry {
         |      AS BIGINT) AS byte_sum
         |FROM e
         |ORDER BY media_id, sample_idx""".stripMargin,
+    // q120: banded oracle — DuckDB restates the exact rank-order
+    // statistics at the sketch's own rank convention (rank =
+    // floor(q*(n-1)+0.5), row 1-based); the within_alpha verdicts are
+    // the engine-side DDSketch α-guarantee, asserted TRUE
+    "q120_quantile_sketch" ->
+      """WITH v AS (
+        | SELECT event_type, value AS v FROM events
+        | WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (
+        | SELECT event_type, v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM v),
+        |t AS (
+        | SELECT event_type,
+        |  max(CASE WHEN rn = CAST(floor(0.5 * (n - 1) + 0.5) AS BIGINT) + 1 THEN v END) AS e50,
+        |  max(CASE WHEN rn = CAST(floor(0.95 * (n - 1) + 0.5) AS BIGINT) + 1 THEN v END) AS e95,
+        |  max(CASE WHEN rn = CAST(floor(0.99 * (n - 1) + 0.5) AS BIGINT) + 1 THEN v END) AS e99
+        | FROM r GROUP BY 1),
+        |s AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_shards
+        |      FROM events GROUP BY 1)
+        |SELECT event_type, n_shards,
+        | round(e50, 6) AS exact_p50, round(e95, 6) AS exact_p95,
+        | round(e99, 6) AS exact_p99,
+        | TRUE AS p50_within_alpha, TRUE AS p95_within_alpha,
+        | TRUE AS p99_within_alpha
+        |FROM t JOIN s USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // q121: same double-precision per-subspace argmin over the 16
     // reference vectors' subvectors; row_number tie-break = lowest j,
     // matching encodeVec's strict-< first-wins scan. DuckDB lists are
@@ -4156,6 +4406,28 @@ object SparkEntry {
         |SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(j AS INT) AS code
         |FROM r WHERE rn = 1
         |ORDER BY vec_id, subspace""".stripMargin,
+    // q122: banded oracle — DuckDB restates the exact L2 top-10 id list
+    // per query (list_distance ordering = squared-L2 ordering, id
+    // tie-break, self included to match the ADC corpus scan); recall_ok
+    // is the engine-side verdict that PQ's refined result recovered
+    // >= 7 of those 10, asserted TRUE
+    "q122_pq_adc" ->
+      """WITH d AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS dist
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 5),
+        |r AS (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dist ASC, neighbor_id ASC) AS rn
+        | FROM d)
+        |SELECT query_id,
+        | md5(string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rn)) AS exact_top10_md5,
+        | TRUE AS recall_ok
+        |FROM r WHERE rn <= 10
+        |GROUP BY query_id
+        |ORDER BY query_id""".stripMargin,
     // q123: the q27-convention top-10 per query, label-match relevance,
     // then the TREC arithmetic verbatim — gain 1/log2(rank+1) (grade 1),
     // IDCG over ranks 1..min(k, n_rel): range(n) is 0-based so the
@@ -4200,6 +4472,22 @@ object SparkEntry {
         | round(a.dcg / ideal.idcg, 6) AS ndcg
         |FROM agg a JOIN tot USING (query_id) JOIN ideal USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    // q124: banded oracle — DuckDB restates the whitespace-normalized
+    // lowercase original (md5 + word count); lossless is the engine-side
+    // verdict that detokenizing the BPE output reproduces it, asserted
+    // TRUE (documents carry no exotic whitespace, verified per-SF)
+    "q124_bpe_tokenize" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), w -> len(w) > 0),
+        |    ' ') AS norm
+        | FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        | len(list_filter(string_split(norm, ' '), w -> len(w) > 0)) AS n_words,
+        | TRUE AS lossless
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
     // q125: identical bin arithmetic (floor((v-lo)/((hi-lo)/10)) clamped
     // to [0,9], baseline bounds), full-outer bin alignment, eps floor
     // 1e-6, natural logs
@@ -4283,6 +4571,46 @@ object SparkEntry {
         | round(CAST(coalesce(r.ret, 0) AS DOUBLE) / a.n1, 6) AS retention_rate
         |FROM a JOIN b USING (event_type) LEFT JOIN r USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q128: banded oracle — DuckDB restates q125's exact fixed-width
+    // PSI arithmetic verbatim; within_band / verdict_agree are the
+    // engine-side verdicts comparing the sketch PSI against it (band
+    // 0.25; shared 0.25 major-drift threshold), asserted TRUE
+    "q128_sketch_drift" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        | WHERE ts < TIMESTAMP '2024-01-15'),
+        |c AS (
+        | SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-15'),
+        |bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM b GROUP BY 1),
+        |bb AS (
+        | SELECT b.event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(9, greatest(0, CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT))) END AS bin,
+        |  count(*) AS nb
+        | FROM b JOIN bounds USING (event_type) GROUP BY 1, 2),
+        |cc AS (
+        | SELECT c.event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(9, greatest(0, CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT))) END AS bin,
+        |  count(*) AS nc
+        | FROM c JOIN bounds USING (event_type) GROUP BY 1, 2),
+        |al AS (
+        | SELECT coalesce(bb.event_type, cc.event_type) AS event_type,
+        |  coalesce(bb.bin, cc.bin) AS bin,
+        |  coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+        | FROM bb FULL JOIN cc ON bb.event_type = cc.event_type AND bb.bin = cc.bin),
+        |tot AS (SELECT event_type, sum(nb) AS tb, sum(nc) AS tc FROM al GROUP BY 1),
+        |fr AS (
+        | SELECT al.event_type, bin,
+        |  greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS ef,
+        |  greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS af
+        | FROM al JOIN tot USING (event_type))
+        |SELECT event_type,
+        | round(sum((af - ef) * ln(af / ef)), 6) AS psi_exact,
+        | TRUE AS within_band, TRUE AS verdict_agree
+        |FROM fr GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q129: exact per-node triangle counts — brute-force ordered
     // triangles x<y<z over the undirected co-order edge set (each
     // triangle once), exploded back to its three corners
@@ -4577,21 +4905,27 @@ object SparkEntry {
         "CAST(l_partkey % 256 AS BIGINT) AS y " +
         "FROM lineitem WHERE l_orderkey < 3000) base") +
       " ORDER BY h, x, y"),
-    // q141: both runs and the fusion replayed — distinct-token overlap
-    // ranks (ties by doc), q27-convention cosine ranks, 1/(60+r)
-    // contributions summed over the union, re-ranked, top 10
+    // q141: both runs and the fusion replayed — token-keyed overlap
+    // counts (only docs sharing >= 1 token are retrieved, the posting-
+    // list semantics), ranks with doc tie-break, q27-convention cosine
+    // ranks, 1/(60+r) contributions summed over the union, re-ranked,
+    // top 10
     "q141_rrf_fusion" ->
       """WITH tok AS (
         | SELECT doc_id,
-        |  list_distinct(list_filter(string_split(lower(trim(text)), ' '),
-        |   t -> t <> '')) AS tk
+        |  unnest(list_distinct(list_filter(string_split(lower(trim(text)), ' '),
+        |   t -> t <> ''))) AS token
         | FROM documents),
-        |q AS (SELECT doc_id AS query_id, tk AS qtk FROM tok WHERE doc_id < 5),
+        |ov AS (
+        | SELECT q.doc_id AS query_id, d.doc_id, count(*) AS overlap
+        | FROM tok q JOIN tok d USING (token)
+        | WHERE q.doc_id < 5 AND d.doc_id <> q.doc_id
+        | GROUP BY 1, 2),
         |lex AS (
-        | SELECT q.query_id, d.doc_id,
-        |  row_number() OVER (PARTITION BY q.query_id
-        |   ORDER BY len(list_intersect(q.qtk, d.tk)) DESC, d.doc_id ASC) AS rnk
-        | FROM q, tok d WHERE d.doc_id <> q.query_id),
+        | SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY overlap DESC, doc_id ASC) AS rnk
+        | FROM ov),
         |vec AS (
         | SELECT e.vec_id AS query_id, c.vec_id AS doc_id,
         |  row_number() OVER (PARTITION BY e.vec_id
@@ -4733,7 +5067,68 @@ object SparkEntry {
         | round(quantile_cont(lag_us, 0.5), 6) AS p50_us,
         | round(quantile_cont(lag_us, 0.9), 6) AS p90_us,
         | CAST(max(lag_us) AS BIGINT) AS max_us
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+    // q147: the whole pipeline replayed — every 20-char gram's md5,
+    // corpus-wide occurrence counts, duplicated positions, and the
+    // gaps-and-islands merge to maximal 1-based inclusive spans
+    "q147_substring_dedup" ->
+      """WITH g AS (
+        | SELECT doc_id, CAST(p.p AS BIGINT) AS pos,
+        |  md5(substr(text, CAST(p.p AS INT), 20)) AS h
+        | FROM documents, unnest(generate_series(1, len(text) - 19)) AS p(p)
+        | WHERE len(text) >= 20),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |r AS (
+        | SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        | FROM d)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+        | max(pos) + 19 - min(pos) + 1 AS span_len
+        |FROM r GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // q148: MG at capacity >= distinct items degenerates to exact
+    // per-window counts in (est desc, item asc) order — restated as a
+    // ranked GROUP BY; rank is posexplode's 0-based position
+    "q148_windowed_heavy_hitters" ->
+      """WITH c AS (
+        | SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,
+        |  event_type AS item, count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT window_start,
+        | CAST(row_number() OVER (PARTITION BY window_start
+        |   ORDER BY n DESC, item ASC) - 1 AS BIGINT) AS rank,
+        | item, CAST(n AS BIGINT) AS n_events
+        |FROM c
+        |ORDER BY window_start, rank""".stripMargin,
+    // q149: exact bitmap distinct per tumbling day == plain
+    // COUNT(DISTINCT) per day
+    "q149_windowed_distinct" ->
+      """SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,
+        | count(DISTINCT user_id) AS n_distinct
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // q150: the q120 banded pattern per day window — exact rank-order
+    // statistics at rank floor(q*(n-1)+0.5), verdicts asserted TRUE
+    "q150_windowed_quantiles" ->
+      """WITH v AS (
+        | SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,
+        |  value AS v
+        | FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (
+        | SELECT window_start, v,
+        |  row_number() OVER (PARTITION BY window_start ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY window_start) AS n
+        | FROM v)
+        |SELECT window_start,
+        | round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1) + 0.5) AS BIGINT) + 1 THEN v END), 6) AS exact_p50,
+        | round(max(CASE WHEN rn = CAST(floor(0.95 * (n - 1) + 0.5) AS BIGINT) + 1 THEN v END), 6) AS exact_p95,
+        | round(max(CASE WHEN rn = CAST(floor(0.99 * (n - 1) + 0.5) AS BIGINT) + 1 THEN v END), 6) AS exact_p99,
+        | TRUE AS p50_within_alpha, TRUE AS p95_within_alpha,
+        | TRUE AS p99_within_alpha
+        |FROM r GROUP BY window_start
+        |ORDER BY window_start""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -57,6 +57,10 @@ object Cms {
     }
 
     def estimate(key: String): Long = {
+      // zero-geometry grid (d = 0 — a merge buffer no sketch ever landed
+      // in): nothing was counted, so the estimate is 0, not the
+      // min-over-no-rows identity Long.MaxValue
+      if (d == 0) return 0L
       var best = Long.MaxValue
       var i = 0
       while (i < d) {
@@ -104,13 +108,19 @@ object Cms {
     require(ba.d == bb.d && ba.w == bb.w,
       s"cannot inner-product count-min sketches of different geometry: " +
         s"(${ba.d}x${ba.w}) vs (${bb.d}x${bb.w})")
+    if (ba.d == 0) return 0L // zero-geometry grids: empty join, not MaxValue
     var best = Long.MaxValue
     var i = 0
     while (i < ba.d) {
       var s = 0L
       var j = i * ba.w
       val end = j + ba.w
-      while (j < end) { s += ba.counters(j) * bb.counters(j); j += 1 }
+      // overflow-loud: at extreme counter magnitudes a silent Long wrap
+      // would go negative and min-over-rows would pick the corrupted row
+      while (j < end) {
+        s = Math.addExact(s, Math.multiplyExact(ba.counters(j), bb.counters(j)))
+        j += 1
+      }
       if (s < best) best = s
       i += 1
     }

@@ -648,6 +648,70 @@ object Dedup {
         col("lines_total"))
   }
 
+  /** Exact SUBSTRING dedup (the Lee, Ippolito et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr shape, re-expressed as a distributed gram shuffle
+    * instead of a single-machine suffix array): report, per document,
+    * the maximal character spans whose every `minLen`-char window
+    * occurs at ≥ 2 positions corpus-wide — the arbitrary-length rung
+    * of the dedup ladder between fixed-token span dedup (q65) and
+    * whole-line dedup (q116). The caller cuts or drops the reported
+    * spans.
+    *
+    * Semantics, precisely: a position p in doc d is DUPLICATED when
+    * the `minLen`-gram starting at p occurs at ≥ 2 (doc, pos) sites in
+    * the corpus (same-doc repeats count — internal boilerplate is
+    * duplication too, as in the paper). Maximal runs of consecutive
+    * duplicated positions merge into one span covering
+    * [start, last + minLen − 1]. Every true repeated substring of
+    * length ≥ minLen lies inside a reported span (its windows are all
+    * duplicated); adjacent windows duplicated at DIFFERENT partner
+    * sites can over-merge into one span — the standard gram-anchored
+    * over-approximation that dedup tooling cuts on.
+    *
+    * Scale shape: the gram pass is map-side (one `(hash, id, pos)`
+    * triple per character position — linear in corpus bytes, THE
+    * honest cost of exact substring dedup; the suffix array it
+    * replaces is also Θ(chars) but not shardable); the occurrence
+    * count is a two-level aggregate on the gram hash (never gram
+    * text); duplicated positions come back via left-semi hash join;
+    * the gaps-and-islands merge windows per doc id — partition count =
+    * document count. md5 grams keep the oracle restatable; at 100 TB
+    * swap the key to the xxhash64 long (8 B vs 32 B shuffle keys, q74
+    * convention) and pre-filter positions with a bloom of duplicated
+    * hashes.
+    * Output: (id, span_start, span_end, span_len), 1-based inclusive
+    * character positions, one row per maximal duplicated span.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= minLen)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), length(col("__t")) - lit(minLen - 1)),
+        p => struct(p.as("pos"),
+          md5(col("__t").substr(p, lit(minLen))).as("h")))).as("g"))
+      .select(col("id"), col("g.pos").cast("long").as("pos"), col("g.h").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("h"))
+    val dupPos = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"))
+    dupPos
+      .withColumn("__grp",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minLen - 1).cast("long")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
   // ------------------------------------------------------------------
   // Eval-set decontamination
   // ------------------------------------------------------------------

@@ -196,25 +196,27 @@ object GroupOps {
     * column the row count, null count, distinct count and min/max
     * (string-rendered so one long table covers every type) — the
     * dataset-card / ingest-sanity summary a pipeline prints before
-    * trusting a new drop. ONE aggregate over the table; melted to a row
-    * per column with `stack` (map-side Expand, no shuffle beyond the
-    * aggregate's own).
-    *
-    * Exact `countDistinct` across many columns plans an Expand
+    * trusting a new drop. Count/null/min/max come from ONE narrow
+    * aggregate melted with `stack`; exact distincts run as one
+    * single-distinct aggregate per column (each scan column-pruned —
+    * total bytes ≈ one full-width scan) so the multi-distinct Expand
     * (|columns|× row multiplication before partial aggregation — the
-    * q52-documented pathology), so exactness is SIZE-GATED like
+    * q52-documented pathology) never appears in the plan.
+    *
+    * Even without the Expand, exact distinct still shuffles each
+    * column's distinct values, so exactness is SIZE-GATED like
     * [[Components.connectedComponents]]'s driver-side gate: with
     * `exactDistinct = true` the gate is decided from Catalyst's own
     * plan statistics — but an estimate may only PROVE smallness, never
     * bigness: a CBO `rowCount` under the gate decides exact with no
-    * extra scan (an UNDERestimate of a big table costs an Expand — a
-    * perf risk, never a wrong answer), while any other estimate (an
-    * overestimate of a genuinely small table, an absent rowCount, or
-    * the sub-byte-per-row `sizeInBytes` ambiguity on compressed
-    * parquet) is settled by one cheap count-only scan — no Expand —
-    * rather than trusted, so a mis-estimate can neither silently
-    * degrade a small table to sketches nor readmit the Expand
-    * pathology on a big one. Past the gate the profile
+    * extra scan (an UNDERestimate of a big table costs heavier
+    * per-column distinct shuffles — a perf risk, never a wrong
+    * answer), while any other estimate (an overestimate of a genuinely
+    * small table, an absent rowCount, or the sub-byte-per-row
+    * `sizeInBytes` ambiguity on compressed parquet) is settled by one
+    * cheap count-only scan rather than trusted, so a mis-estimate can
+    * neither silently degrade a small table to sketches nor commit a
+    * big one to exact shuffles. Past the gate the profile
     * auto-degrades to single-pass HLL sketches (±5%, the right profile
     * tool when the numbers feed a human). Oracle/parity runs stay exact
     * for free — every test scale is far under the default gate — and a
@@ -237,22 +239,55 @@ object GroupOps {
     // column names into the stack() SQL breaks on any name that is not a
     // plain identifier ("order date", "it's") — exactly the messy ingest
     // tables a profiler exists to sanity-check
-    val aggs = names.zipWithIndex.flatMap { case (n, i) => Seq(
-      count(col(n)).as(s"__nn_$i"),
-      (if (exact) countDistinct(col(n)) else approx_count_distinct(col(n)))
-        .as(s"__nd_$i"),
-      min(col(n)).cast("string").as(s"__mn_$i"),
-      max(col(n)).cast("string").as(s"__mx_$i")) }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stackArgs = names.indices
-      .map(i => s"'${names(i).replace("\\", "\\\\").replace("'", "\\'")}', " +
-        s"__nn_$i, __nd_$i, __mn_$i, __mx_$i").mkString(", ")
-    one.select(col("__n"), expr(
+    def quoted(n: String): String =
+      s"'${n.replace("\\", "\\\\").replace("'", "\\'")}'"
+    if (exact) {
+      // NO multi-distinct Expand (the q52/q91 pathology: N exact
+      // countDistincts in one aggregate multiply every input row
+      // ×(N+1) before partial aggregation). Instead: one NARROW pass
+      // for count/null/min/max (no distinct → plain codegen'd hash
+      // agg), plus one single-distinct aggregate PER COLUMN unioned —
+      // each branch's scan is column-pruned to that one column (total
+      // bytes ≈ one full-width scan) and plans the ordinary two-phase
+      // distinct with no row multiplication. The N-row profile join at
+      // the end broadcasts.
+      val aggs = names.zipWithIndex.flatMap { case (n, i) => Seq(
+        count(col(n)).as(s"__nn_$i"),
+        min(col(n)).cast("string").as(s"__mn_$i"),
+        max(col(n)).cast("string").as(s"__mx_$i")) }
+      val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      val stackArgs = names.indices
+        .map(i => s"${quoted(names(i))}, __nn_$i, __mn_$i, __mx_$i")
+        .mkString(", ")
+      val base = one.select(col("__n"), expr(
         s"stack(${names.length}, $stackArgs) AS " +
-          "(column_name, __non_null, n_distinct, min_value, max_value)"))
-      .select(col("column_name"), col("__n").as("n_rows"),
-        (col("__n") - col("__non_null")).as("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+          "(column_name, __non_null, min_value, max_value)"))
+      val dst = names.map { n =>
+        df.select(col(n))
+          .agg(countDistinct(col(n)).as("n_distinct"))
+          .select(lit(n).as("column_name"), col("n_distinct"))
+      }.reduce(_.unionByName(_))
+      base.join(broadcast(dst), Seq("column_name"))
+        .select(col("column_name"), col("__n").as("n_rows"),
+          (col("__n") - col("__non_null")).as("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    } else {
+      val aggs = names.zipWithIndex.flatMap { case (n, i) => Seq(
+        count(col(n)).as(s"__nn_$i"),
+        approx_count_distinct(col(n)).as(s"__nd_$i"),
+        min(col(n)).cast("string").as(s"__mn_$i"),
+        max(col(n)).cast("string").as(s"__mx_$i")) }
+      val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      val stackArgs = names.indices
+        .map(i => s"${quoted(names(i))}, __nn_$i, __nd_$i, __mn_$i, __mx_$i")
+        .mkString(", ")
+      one.select(col("__n"), expr(
+          s"stack(${names.length}, $stackArgs) AS " +
+            "(column_name, __non_null, n_distinct, min_value, max_value)"))
+        .select(col("column_name"), col("__n").as("n_rows"),
+          (col("__n") - col("__non_null")).as("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }
   }
 
   /** Per-group winsorization: clips `valueCol` into the group's exact

@@ -931,10 +931,15 @@ object Multimodal {
     require(w >= gw && h >= gh,
       s"grid ${gw}x$gh finer than source ${w}x$h (media_id=$id): a cell " +
         "with no source pixels has no mean")
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    require(payload.length >= dataOffset + rowSize * h,
-      s"truncated BMP: need ${dataOffset + rowSize * h} bytes, have " +
+    // needed-length check in Long: hostile headers declaring huge dims
+    // would overflow Int arithmetic, pass the require, and crash with
+    // ArrayIndexOutOfBounds instead of this clean refusal
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    val needed = dataOffset.toLong + rowSizeL * h
+    require(dataOffset >= 54 && payload.length >= needed,
+      s"truncated BMP: need $needed bytes from offset $dataOffset, have " +
         s"${payload.length} (media_id=$id)")
+    val rowSize = rowSizeL.toInt // safe: needed <= payload.length fits in Int
     // sums/counts per (cell, channel); channel order B, G, R on disk
     val sums = new Array[Long](gw * gh * 3)
     val counts = new Array[Long](gw * gh)

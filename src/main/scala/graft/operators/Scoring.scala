@@ -342,7 +342,11 @@ object Scoring {
     import org.apache.spark.sql.expressions.Window
     // the universe is the ASSIGNED docs — both df tables and both
     // totals normalize over the same population, so lift is a clean
-    // ratio of proportions even under partial assignments
+    // ratio of proportions even under partial assignments. NB: the q142
+    // oracle computes the global df over ALL documents; the two agree
+    // only when every doc is assigned (true for q142's k-means input) —
+    // under a partial assignment the oracle's tok CTE must be
+    // restricted to assigned docs to keep parity with this definition
     val toks = docs.select(col(idCol).as("__id"),
       explode(array_distinct(filter(split(lower(trim(col(textCol))), " "),
         t => t =!= lit("")))).as("token"))

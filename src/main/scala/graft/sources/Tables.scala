@@ -147,13 +147,34 @@ object Tables {
     try f(reader) finally reader.close()
   }
 
+  /** Parquet-native footer skipping options: a bloom filter per listed
+    * join/lookup-key column (`parquet.bloom.filter.enabled#col`). At
+    * 100 TB this is the FIRST line of defense, before any custom
+    * FileIndex: an equality probe for a key a row group doesn't hold is
+    * answered by the footer-adjacent bloom (~1 MB default) with zero
+    * data-page I/O — the complement to min/max stats (which can't prune
+    * a value INSIDE a populated range) and dictionary filtering (which
+    * parquet abandons once a column's dictionary page overflows, i.e.
+    * exactly on the high-cardinality keys a lookup hits). Column
+    * indexes (page-level min/max) are on by default in parquet-mr and
+    * need no option. ParquetSkippingSpec pins both the written footer
+    * metadata and the read-side row-group skip.
+    */
+  private def withBloomOptions(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+                               bloomFilterCols: Seq[String])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    bloomFilterCols.foldLeft(w)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+
   /** S6/S7: parquet sink with bounded output file count. `files <= 0` keeps
     * the natural partitioning (the right default at 100 TB — coalesce(1)
-    * serializes the write through one task).
+    * serializes the write through one task). `bloomFilterCols` adds a
+    * parquet bloom filter per listed column (see [[withBloomOptions]]).
     */
-  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite, files: Int = 0): Unit = {
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite, files: Int = 0,
+            bloomFilterCols: Seq[String] = Nil): Unit = {
     val out = if (files > 0) df.coalesce(files) else df
-    out.write.mode(mode).parquet(path)
+    withBloomOptions(out.write.mode(mode), bloomFilterCols).parquet(path)
   }
 
   /** S8: error side-channel sink — same sink, conventional path suffix. */
@@ -167,8 +188,10 @@ object Tables {
     * partition columns create a small-file explosion instead.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-                       mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+                       mode: SaveMode = SaveMode.Overwrite,
+                       bloomFilterCols: Seq[String] = Nil): Unit =
+    withBloomOptions(df.write.mode(mode), bloomFilterCols)
+      .partitionBy(partitionCols: _*).parquet(path)
 
   /** Bucketed + sorted managed table — co-locates join/agg keys so
     * repeated joins on `bucketCols` skip the shuffle entirely (both sides
@@ -176,8 +199,9 @@ object Tables {
     * requires the table catalog (saveAsTable), not a bare path.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite,
+                    bloomFilterCols: Seq[String] = Nil): Unit =
+    withBloomOptions(df.write.mode(mode), bloomFilterCols)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

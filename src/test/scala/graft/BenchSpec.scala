@@ -64,6 +64,13 @@ class BenchSpec extends AnyFunSuite {
       "dev subset loops stay single-pass for iteration speed")
   }
 
+  test("full runs take a second measured pass over every query; subsets don't") {
+    assert(Bench.defaultPasses(isSubset = false) == 2,
+      "mid-pack queries must not be single-sample (r8 verdict)")
+    assert(Bench.defaultPasses(isSubset = true) == 1,
+      "dev subset loops stay single-pass for iteration speed")
+  }
+
   test("full record declares which queries were re-timed") {
     val s = Bench.fullJson(queries(3), Nil, "/tmp/sf1", Set("q002_some_longish_query_name"))
     val node = mapper.readTree(s)

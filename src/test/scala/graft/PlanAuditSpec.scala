@@ -58,6 +58,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q141 rrf fusion: lexical run is token-keyed, no queries x corpus product") {
+    // the lexical retrieval leg must plan as a hash join on token (the
+    // inverted-index shape) — a BroadcastNestedLoopJoin/CartesianProduct
+    // here would be the unbounded queries x corpus trap the r8 verdict
+    // flagged (every doc scored against every query regardless of
+    // shared vocabulary)
+    val p = planOf("q141_rrf_fusion")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lexical run must join on token, not cross-score:\n$p")
+  }
+
   test("q19 dense id: no single-partition window") {
     val p = planOf("q19_dense_id")
     assert(!p.contains("Window"), s"denseId must not fall back to a global window:\n$p")

@@ -390,4 +390,30 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 9.0, 3L, 2L),
       (4L, 4L, 7.0, 2L, 1L)))
   }
+
+  test("duplicateSpans: cross-doc shared substring, internal repeat, " +
+    "clean and short docs") {
+    import spark.implicits._
+    val shared = "0123456789abcdefghijklmno" // 25 chars, appears in d1 AND d2
+    val rep = "zyxwvutsrqpo"                 // 12 chars, twice WITHIN d3
+    val fixture = Seq(
+      (1L, "PPPPP" + shared + "QQQQQ"),
+      (2L, "RRRRR" + shared + "SSSSS"),
+      (3L, "UUU" + rep + "VVV" + rep + "WWW"),
+      (4L, "a clean unique doc with no repeats at all"),
+      (5L, "short")                          // under minLen: skipped, no crash
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(fixture, "doc_id", "text", minLen = 10)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d1/d2: the shared block sits at 1-based [6, 30] in both — window
+    // starts 6..21 are duplicated, merging to exactly the shared span.
+    // d3: rep occupies [4, 15] and [19, 30]; window starts {4,5,6} and
+    // {19,20,21} → two spans covering each occurrence exactly.
+    assert(got.toSeq == Seq(
+      (1L, 6L, 30L, 25L),
+      (2L, 6L, 30L, 25L),
+      (3L, 4L, 15L, 12L),
+      (3L, 19L, 30L, 12L)))
+  }
 }

@@ -167,26 +167,33 @@ class GroupOpsSpec extends SparkSpec {
     assert(approx("id") == 3L && approx("s") == 1L)
   }
 
-  test("tableProfile size gate: past exactDistinctMaxRows the profile auto-degrades to HLL") {
+  test("tableProfile size gate: exact path is Expand-free per-column distincts; " +
+    "past exactDistinctMaxRows the profile auto-degrades to HLL") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "s")
-    // exact path plans the Expand that multiplies rows per column —
-    // exactly the thing the gate exists to avoid at scale
-    val exactPlan = GroupOps.tableProfile(df)
-      .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"),
-      s"exact profile should plan the multi-countDistinct Expand:\n$exactPlan")
-    // a 3-row table over a 2-row gate: auto-HLL, no Expand, values still
-    // right (HLL is exact at tiny cardinality)
+    // r9 rewrite: the exact path must NOT plan the multi-countDistinct
+    // Expand (the q52/q91 row-multiplication pathology) — it unions one
+    // single-distinct aggregate branch per column instead
+    val exact = GroupOps.tableProfile(df)
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("Expand"),
+      s"the multi-countDistinct Expand must be gone from the exact profile:\n$exactPlan")
+    assert(exactPlan.contains("Union"),
+      s"exact path = one column-pruned single-distinct branch per column:\n$exactPlan")
+    val gotExact = exact.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(gotExact("id") == 3L && gotExact("s") == 2L)
+    // a 3-row table over a 2-row gate: auto-HLL, single melted pass (no
+    // per-column branches), values still right (HLL exact at tiny
+    // cardinality)
     val gated = GroupOps.tableProfile(df, exactDistinctMaxRows = 2L)
     val gatedPlan = gated.queryExecution.executedPlan.toString
-    assert(!gatedPlan.contains("Expand"),
-      s"past the gate the profile must sketch, not Expand:\n$gatedPlan")
+    assert(!gatedPlan.contains("Union") && !gatedPlan.contains("Expand"),
+      s"past the gate the profile must sketch in one pass:\n$gatedPlan")
     val got = gated.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got("id") == 3L && got("s") == 2L)
     // Long.MaxValue keeps exactness without the pre-count scan
     val forced = GroupOps.tableProfile(df, exactDistinctMaxRows = Long.MaxValue)
-    assert(forced.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(forced.queryExecution.executedPlan.toString.contains("Union"))
   }
 
   test("ntileBuckets avoids the single-partition window") {
