@@ -2571,6 +2571,23 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** The ExactSubstr CUT step ([[graft.operators.Dedup.cutSpans]]) over
+    * q147's duplicated spans with the drop-all-copies policy — the
+    * decontamination-grade surgery that turns the span REPORT into a
+    * cleaned corpus. Splice arithmetic is deterministic, so the oracle
+    * replays span detection, the gap/tail reconstruction, and both
+    * accounting columns exactly.
+    */
+  private def q151SubstringCut(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", minLen = 20)
+    Dedup.cutSpans(docs, "doc_id", "text", spans)
+      .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+        col("n_spans"), col("chars_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.windowedHeavyHitters]]
     * (same expression graph; `withWatermark` is a no-op in batch) —
     * the q33–q35 stream==batch pattern applied to the Misra–Gries
@@ -2803,7 +2820,8 @@ object SparkEntry {
     "q147_substring_dedup" -> (q147SubstringDedup _),
     "q148_windowed_heavy_hitters" -> (q148WindowedHeavyHitters _),
     "q149_windowed_distinct" -> (q149WindowedDistinct _),
-    "q150_windowed_quantiles" -> (q150WindowedQuantiles _))
+    "q150_windowed_quantiles" -> (q150WindowedQuantiles _),
+    "q151_substring_cut" -> (q151SubstringCut _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5082,10 +5100,24 @@ object SparkEntry {
         |r AS (
         | SELECT doc_id, pos,
         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        | FROM d)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
-        | max(pos) + 19 - min(pos) + 1 AS span_len
-        |FROM r GROUP BY doc_id, grp
+        | FROM d),
+        |sp0 AS (
+        | SELECT doc_id, min(pos) AS s0, max(pos) + 19 AS e0
+        | FROM r GROUP BY doc_id, grp),
+        |pm AS (
+        | SELECT doc_id, s0, e0,
+        |  max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        | FROM sp0),
+        |isl AS (
+        | SELECT doc_id, s0, e0,
+        |  sum(CASE WHEN prev_max IS NULL OR s0 > prev_max THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        | FROM pm)
+        |SELECT doc_id, min(s0) AS span_start, max(e0) AS span_end,
+        | max(e0) - min(s0) + 1 AS span_len
+        |FROM isl GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin,
     // q148: MG at capacity >= distinct items degenerates to exact
     // per-window counts in (est desc, item asc) order — restated as a
@@ -5128,7 +5160,58 @@ object SparkEntry {
         | TRUE AS p50_within_alpha, TRUE AS p95_within_alpha,
         | TRUE AS p99_within_alpha
         |FROM r GROUP BY window_start
-        |ORDER BY window_start""".stripMargin)
+        |ORDER BY window_start""".stripMargin,
+    // q151: q147's spans re-derived, then the splice replayed — each
+    // span contributes the gap before it (lag over span starts), the
+    // tail follows the last span; docs without spans pass through
+    "q151_substring_cut" ->
+      """WITH g AS (
+        | SELECT doc_id, CAST(p.p AS BIGINT) AS pos,
+        |  md5(substr(text, CAST(p.p AS INT), 20)) AS h
+        | FROM documents, unnest(generate_series(1, len(text) - 19)) AS p(p)
+        | WHERE len(text) >= 20),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |r AS (
+        | SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        | FROM d),
+        |sp0 AS (
+        | SELECT doc_id, min(pos) AS s0, max(pos) + 19 AS e0
+        | FROM r GROUP BY doc_id, grp),
+        |pm AS (
+        | SELECT doc_id, s0, e0,
+        |  max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        | FROM sp0),
+        |isl AS (
+        | SELECT doc_id, s0, e0,
+        |  sum(CASE WHEN prev_max IS NULL OR s0 > prev_max THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        | FROM pm),
+        |sp AS (
+        | SELECT doc_id, min(s0) AS s, max(e0) AS e
+        | FROM isl GROUP BY doc_id, isl),
+        |seg AS (
+        | SELECT doc_id, s, e,
+        |  lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+        | FROM sp),
+        |kept AS (
+        | SELECT doc.doc_id,
+        |  coalesce(string_agg(
+        |    substr(doc.text, CAST(seg.prev_e + 1 AS INT),
+        |           CAST(seg.s - seg.prev_e - 1 AS INT)),
+        |    '' ORDER BY seg.s), '')
+        |  || substr(doc.text, CAST(coalesce(max(seg.e), 0) + 1 AS INT)) AS clean,
+        |  CAST(count(seg.s) AS BIGINT) AS n_spans,
+        |  len(doc.text) AS orig_len
+        | FROM documents doc LEFT JOIN seg ON seg.doc_id = doc.doc_id
+        | GROUP BY doc.doc_id, doc.text)
+        |SELECT doc_id, md5(clean) AS clean_md5, n_spans,
+        | CAST(orig_len - len(clean) AS BIGINT) AS chars_removed
+        |FROM kept
+        |ORDER BY doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -663,7 +663,10 @@ object Dedup {
     * the corpus (same-doc repeats count — internal boilerplate is
     * duplication too, as in the paper). Maximal runs of consecutive
     * duplicated positions merge into one span covering
-    * [start, last + minLen − 1]. Every true repeated substring of
+    * [start, last + minLen − 1], and spans that still overlap (two
+    * islands closer than minLen) coalesce into one maximal covered
+    * region ([[Intervals.coalesce]]) — output spans are DISJOINT per
+    * doc. Every true repeated substring of
     * length ≥ minLen lies inside a reported span (its windows are all
     * duplicated); adjacent windows duplicated at DIFFERENT partner
     * sites can over-merge into one span — the standard gram-anchored
@@ -701,15 +704,77 @@ object Dedup {
       .select(col("h"))
     val dupPos = grams.join(dup, Seq("h"), "left_semi")
       .select(col("id"), col("pos"))
-    dupPos
+    val islands = dupPos
       .withColumn("__grp",
         col("pos") - row_number().over(
           Window.partitionBy(col("id")).orderBy(col("pos"))))
       .groupBy(col("id"), col("__grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(minLen - 1).cast("long")).as("span_end"))
+    // second merge level: two position islands closer than minLen yield
+    // OVERLAPPING character spans (each span extends minLen−1 past its
+    // last window start) — coalesce them so the output is a set of
+    // disjoint maximal covered regions, the contract [[cutSpans]] and
+    // any drop policy need
+    Intervals.coalesce(islands.select(col("id"), col("span_start"), col("span_end")),
+        Seq("id"), "span_start", "span_end")
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** The CUT step completing [[duplicateSpans]]'s ExactSubstr pipeline:
+    * surgically remove the given character spans from each document's
+    * text — kept segments concatenate in order, nothing else moves.
+    * Mechanical by design: WHICH spans to cut is the dedup policy and
+    * stays with the caller (pass every span for the drop-all-copies
+    * decontamination policy; filter to non-canonical docs for a
+    * keep-one policy — the span table carries (id, start, end), which
+    * is exactly the metadata such a filter needs).
+    *
+    * Scale shape: spans collapse to one array per doc (`collect_list`
+    * — span counts per doc are bounded by text length), the splice is
+    * a map-side `aggregate` fold over that sorted array, and docs
+    * without spans pass through via the left join. One shuffle (the
+    * span groupBy), no window, no driver state.
+    *
+    * Contract: spans must be 1-based inclusive, within the text, and
+    * non-overlapping per doc ([[duplicateSpans]] output satisfies all
+    * three — its final [[Intervals.coalesce]] level exists exactly to
+    * guarantee disjointness).
+    * Output: (id, text_clean, n_spans, chars_removed) for EVERY input
+    * document.
+    */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+               spans: DataFrame): DataFrame = {
+    val byDoc = spans
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__sp"))
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(byDoc, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__sp").isNull, col("__t")).otherwise(
+          // fold: carry (last cut end, accumulated kept text); each span
+          // appends the gap before it, the finisher appends the tail
+          aggregate(col("__sp"),
+            struct(lit(0L).as("last"), lit("").as("acc")),
+            (st, sp) => struct(
+              sp.getField("e").as("last"),
+              concat(st.getField("acc"),
+                col("__t").substr(
+                  (st.getField("last") + 1).cast("int"),
+                  (sp.getField("s") - st.getField("last") - 1).cast("int")))
+                .as("acc")),
+            st => concat(st.getField("acc"),
+              col("__t").substr(
+                (st.getField("last") + 1).cast("int"),
+                (length(col("__t")).cast("long") - st.getField("last"))
+                  .cast("int"))))).as("text_clean"),
+        coalesce(size(col("__sp")), lit(0)).cast("long").as("n_spans"),
+        col("__t"))
+      .select(col("id"), col("text_clean"), col("n_spans"),
+        (length(col("__t")) - length(col("text_clean"))).cast("long")
+          .as("chars_removed"))
   }
 
   // ------------------------------------------------------------------

@@ -416,4 +416,60 @@ class DedupSpec extends SparkSpec {
       (3L, 4L, 15L, 12L),
       (3L, 19L, 30L, 12L)))
   }
+
+  test("duplicateSpans: islands closer than minLen coalesce into one disjoint span") {
+    import spark.implicits._
+    // d8's windows at pos 3,4 (shared with d9) and pos 6 (shared with
+    // d10) are duplicated; pos 5 is not. Raw islands {3,4} and {6} give
+    // spans [3,13] and [6,15] — OVERLAPPING — which must coalesce to
+    // one [3,15] region (the cutSpans disjointness contract).
+    val fixture = Seq(
+      (8L, "qq" + "ABCDEFGHIJKLM" + "nn"),
+      (9L, "xx" + "ABCDEFGHIJK" + "yy"),
+      (10L, "zz" + "DEFGHIJKLM" + "ww")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(fixture, "doc_id", "text", minLen = 10)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (8L, 3L, 15L, 13L),
+      (9L, 3L, 13L, 11L),
+      (10L, 3L, 12L, 10L)))
+  }
+
+  test("cutSpans: splices out exactly the listed spans; no-span and edge spans survive") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "PPPPP0123456789abcdefghijklmnoQQQQQ"), // span [6,30] = the shared block
+      (3L, "UUUzyxwvutsrqpoVVVzyxwvutsrqpoWWW"),    // spans [4,15], [19,30]
+      (4L, "untouched"),
+      (6L, "HEADtail")                              // spans at both string edges
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 6L, 30L), (3L, 4L, 15L), (3L, 19L, 30L),
+      (6L, 1L, 4L), (6L, 5L, 8L)
+    ).toDF("id", "span_start", "span_end")
+    val got = Dedup.cutSpans(fixture, "doc_id", "text", spans)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "PPPPPQQQQQ", 1L, 25L),
+      (3L, "UUUVVVWWW", 2L, 24L),
+      (4L, "untouched", 0L, 0L),
+      (6L, "", 2L, 8L)))
+  }
+
+  test("duplicateSpans then cutSpans: the full ExactSubstr pipeline deduplicates the fixture") {
+    import spark.implicits._
+    val shared = "0123456789abcdefghijklmno"
+    val fixture = Seq(
+      (1L, "PPPPP" + shared + "QQQQQ"),
+      (2L, "RRRRR" + shared + "SSSSS")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(fixture, "doc_id", "text", minLen = 10)
+    val clean = Dedup.cutSpans(fixture, "doc_id", "text", spans)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(clean.toSeq == Seq((1L, "PPPPPQQQQQ"), (2L, "RRRRRSSSSS")),
+      "drop-all policy removes the shared block from both docs")
+  }
 }
