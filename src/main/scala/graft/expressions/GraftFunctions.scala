@@ -53,6 +53,12 @@ object GraftFunctions {
         require(children.length == 1, "md5_hashes64 takes exactly 1 argument")
         Md5Hashes64(children.head)
       }),
+    (FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "char_gram_hashes takes exactly 2 arguments")
+        CharGramHashes(children.head, children(1))
+      }),
     (FunctionIdentifier("normalize_nfc"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "normalize_nfc"),
       (children: Seq[Expression]) => {

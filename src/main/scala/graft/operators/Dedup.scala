@@ -690,14 +690,22 @@ object Dedup {
                      minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     import org.apache.spark.sql.expressions.Window
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    // 16-byte BINARY md5 as the shuffle key: the full 128-bit identity
+    // (collision-free at any corpus size, unlike a 64-bit hash at 10^14
+    // grams) at half the bytes of the hex rendering; the oracle
+    // recomputes duplicated POSITIONS with its own md5, so only the
+    // identity semantics must agree, not the encoding. The fused
+    // [[graft.expressions.CharGramHashes]] kernel computes all windows
+    // in one JIT'd pass with a reused digest — the declarative
+    // transform/substr/md5 lambda ran interpreted and built a fresh
+    // MessageDigest per gram (~4 µs/gram, the dominant q147 cost).
     val grams = df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= minLen)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), length(col("__t")) - lit(minLen - 1)),
-        p => struct(p.as("pos"),
-          md5(col("__t").substr(p, lit(minLen))).as("h")))).as("g"))
-      .select(col("id"), col("g.pos").cast("long").as("pos"), col("g.h").as("h"))
+      .select(col("id"),
+        posexplode(call_function("char_gram_hashes", col("__t"), lit(minLen))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
     val dup = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)

@@ -417,6 +417,25 @@ class DedupSpec extends SparkSpec {
       (3L, 19L, 30L, 12L)))
   }
 
+  test("char_gram_hashes kernel == declarative unhex(md5(substr)) pipeline, incl. multibyte") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    // multibyte chars make code-point windows differ from byte windows —
+    // the kernel's offset table must slice on code points like substr
+    val df = Seq("hello world repeated text", "héllo wörld ünïcode",
+      "ab", "", "exact len").toDF("t")
+    val n = 3
+    val kernel = df.select(call_function("char_gram_hashes", col("t"), lit(n)).as("k"))
+      .collect().map(_.getSeq[Array[Byte]](0).map(_.toSeq))
+    val decl = df.select(
+      when(length(col("t")) >= n, transform(
+        sequence(lit(1), length(col("t")) - lit(n - 1)),
+        p => unhex(md5(col("t").substr(p, lit(n))))))
+        .otherwise(array().cast("array<binary>")).as("d"))
+      .collect().map(_.getSeq[Array[Byte]](0).map(_.toSeq))
+    assert(kernel.toSeq == decl.toSeq)
+  }
+
   test("duplicateSpans: islands closer than minLen coalesce into one disjoint span") {
     import spark.implicits._
     // d8's windows at pos 3,4 (shared with d9) and pos 6 (shared with
