@@ -1948,7 +1948,6 @@ object SparkEntry {
     */
   private def q122PqAdc(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
-    import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
     val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 5)
     val codes = Pq.encode(emb, "vec_id", "embedding", cb)
@@ -1957,9 +1956,18 @@ object SparkEntry {
       .adcTopKRefined(queries, emb, codes, "vec_id", "embedding", cb,
         k = 10, shortlist = 128)
       .select(col("query_id"), col("neighbor_id"))
-    // exact L2 top-10 (self included, matching the ADC corpus scan):
-    // bounded query side broadcast against the corpus, same double
-    // ascending-dimension arithmetic DuckDB's list_distance restates
+    bandedRecallVsExactL2(emb, queries, refined, hitFloor = 7)
+  }
+
+  /** The banded-recall comparison table shared by q122/q152: DuckDB
+    * restates the exact L2 top-10 per query (self included, matching
+    * the ADC corpus scans; same double ascending-dimension arithmetic
+    * as `list_distance`); `recall_ok` asserts the approximate result
+    * recovered ≥ `hitFloor` of those 10.
+    */
+  private def bandedRecallVsExactL2(emb: DataFrame, queries: DataFrame,
+                                    approx: DataFrame, hitFloor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qv = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("__qv"))
     val cv = emb.select(col("vec_id").cast("long").as("neighbor_id"),
@@ -1979,13 +1987,13 @@ object SparkEntry {
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct(col("rank"), col("neighbor_id")))),
           x => x.getField("neighbor_id").cast("string")))).as("exact_top10_md5"))
-    val hits = refined
+    val hits = approx
       .join(exact.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
     exactAgg.join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("exact_top10_md5"),
-        (coalesce(col("__n_hit"), lit(0L)) >= lit(7L)).as("recall_ok"))
+        (coalesce(col("__n_hit"), lit(0L)) >= lit(hitFloor.toLong)).as("recall_ok"))
       .orderBy(col("query_id"))
   }
 
@@ -2588,6 +2596,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The full FAISS IVFPQ search pipeline
+    * ([[graft.operators.Pq.ivfPqTopK]]): coarse cells (the q142
+    * lowest-id centroid convention), RESIDUAL PQ codes per member,
+    * ADC over only the 4 probed cells' codes per query, exact re-rank
+    * of the 128 survivors — the architecture that at 100 TB scans a
+    * compressed fraction of the corpus instead of raw vectors.
+    * Training is engine-side, so the q122 banded pattern applies:
+    * DuckDB restates the exact L2 top-10 id-list md5, `recall_ok`
+    * asserts ≥ 0.7 recall through BOTH approximation layers (cell
+    * probing and PQ), asserted TRUE.
+    */
+  private def q152IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val hits = Pq.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", m = 8, ksub = 16, iters = 5,
+        k = 10, nProbe = 4, shortlist = 128)
+      .select(col("query_id"), col("neighbor_id"))
+    bandedRecallVsExactL2(emb, queries, hits, hitFloor = 7)
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.windowedHeavyHitters]]
     * (same expression graph; `withWatermark` is a no-op in batch) —
     * the q33–q35 stream==batch pattern applied to the Misra–Gries
@@ -2821,7 +2853,8 @@ object SparkEntry {
     "q148_windowed_heavy_hitters" -> (q148WindowedHeavyHitters _),
     "q149_windowed_distinct" -> (q149WindowedDistinct _),
     "q150_windowed_quantiles" -> (q150WindowedQuantiles _),
-    "q151_substring_cut" -> (q151SubstringCut _))
+    "q151_substring_cut" -> (q151SubstringCut _),
+    "q152_ivfpq" -> (q152IvfPq _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5211,7 +5244,27 @@ object SparkEntry {
         |SELECT doc_id, md5(clean) AS clean_md5, n_spans,
         | CAST(orig_len - len(clean) AS BIGINT) AS chars_removed
         |FROM kept
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q152: the q122 banded pattern — exact L2 top-10 restated, the
+    // recall_ok verdict covers both approximation layers (cell probe +
+    // residual PQ), asserted TRUE
+    "q152_ivfpq" ->
+      """WITH d AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS dist
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 5),
+        |r AS (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dist ASC, neighbor_id ASC) AS rn
+        | FROM d)
+        |SELECT query_id,
+        | md5(string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rn)) AS exact_top10_md5,
+        | TRUE AS recall_ok
+        |FROM r WHERE rn <= 10
+        |GROUP BY query_id
+        |ORDER BY query_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -233,9 +233,19 @@ object Pq {
                      idCol: String, vecCol: String, cb: Codebooks, k: Int,
                      shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
-    import org.apache.spark.sql.expressions.Window
     val short = adcTopK(queries, codes, idCol, vecCol, cb, shortlist)
       .select(col("query_id"), col("neighbor_id"))
+    refineExact(short, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Exact double-L2 re-rank of a bounded candidate list: only the
+    * shortlisted corpus rows' raw vectors are fetched (broadcast join),
+    * ties break (dist asc, id asc). Shared by [[adcTopKRefined]] and
+    * [[ivfPqTopK]].
+    */
+  private def refineExact(short: DataFrame, queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val corpusVec = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("__nv"))
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
@@ -253,5 +263,138 @@ object Pq {
           .orderBy(col("exact_dist").asc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("exact_dist"), col("rank"))
+  }
+
+  private def sqDistFull(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var t = 0
+    while (t < a.length) {
+      val diff = a(t).toDouble - b(t).toDouble
+      d += diff * diff
+      t += 1
+    }
+    d
+  }
+
+  /** The full FAISS IVFPQ search shape — the 100 TB ANN architecture
+    * this file's pieces compose into: the corpus partitions into coarse
+    * centroid cells ONCE ([[Similarity.ivfAssign]]), each vector is PQ-
+    * encoded as the RESIDUAL v − c(cell) (residuals cluster far tighter
+    * than raw vectors, so the same ksub buys more accuracy — the reason
+    * FAISS encodes residuals), and a query touches only its `nProbe`
+    * nearest cells' CODES: per probed cell one m×ksub ADC table on the
+    * query's own residual, m lookups per member code, per-partition
+    * bounded heaps, then exact re-rank of the `shortlist` survivors.
+    *
+    * Cost per query: nProbe·(m·ksub·dsub) table arithmetic +
+    * |corpus|·nProbe/|cells| code lookups + `shortlist` exact
+    * distances — the corpus is scanned compressed AND partially, never
+    * raw or fully. Recall is bounded by cell probing (raise nProbe)
+    * then shortlist membership (raise shortlist); nProbe = |cells| and
+    * shortlist = |corpus| recovers exact search.
+    *
+    * Queries, centroids and codebooks are bounded broadcast state (the
+    * documented contract of every ANN entry point here); the corpus
+    * moves once for assignment+encode and once more keyed by nothing —
+    * the probe scan is map-side against the broadcast tables.
+    * Ties: adcDist asc, id asc (the file-wide convention).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, centroids: DataFrame, centroidId: String,
+                centroidVec: String, m: Int, ksub: Int, iters: Int,
+                k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && shortlist >= k,
+      s"need k >= 1, nProbe >= 1, shortlist >= k; got k=$k nProbe=$nProbe shortlist=$shortlist")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(centroidId).cast("long"), col(centroidVec))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val bCents = spark.sparkContext.broadcast(cents.toMap)
+    // corpus → cells, residual-encode (one pass; vectors never shuffle
+    // beyond the assignment's own scan)
+    val assigned = Similarity
+      .ivfAssign(corpus, idCol, vecCol, centroids, centroidId, centroidVec)
+      .filter(col("cell").isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col("cell").cast("long").as("__cell"))
+    val resDf = assigned.as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val cm = bCents.value
+        it.map { case (id, v, cell) =>
+          val c = cm(cell)
+          require(c.length == v.length,
+            s"dim mismatch vs centroid $cell (id=$id)")
+          (id, Array.tabulate(v.length)(t => v(t) - c(t)), cell)
+        }
+      }.toDF("__id", "__res", "__cell")
+    val cb = fit(resDf, "__id", "__res", m, ksub, iters)
+    val codes = resDf.as[(Long, Array[Float], Long)]
+      .mapPartitions(_.map { case (id, r, cell) => (id, encodeVec(r, cb), cell) })
+      .toDF("id", "code", "cell").as[(Long, Array[Int], Long)]
+    // per (query, probed cell): one ADC table over the QUERY residual
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val probes: Map[Long, Array[(Long, Array[Double])]] = qs.flatMap { case (qid, qv) =>
+      cents.filter(_._2.length == qv.length)
+        .map { case (cid, cv) => (sqDistFull(qv, cv), cid, cv) }
+        .sortBy { case (d, cid, _) => (d, cid) }
+        .take(nProbe)
+        .map { case (_, cid, cv) =>
+          val res = Array.tabulate(qv.length)(t => qv(t) - cv(t))
+          val table = new Array[Double](cb.m * cb.ksub)
+          var s = 0
+          while (s < cb.m) {
+            var j = 0
+            while (j < cb.ksub) {
+              table(s * cb.ksub + j) = sqDistD(res, s * cb.dsub, cb.cents(s)(j))
+              j += 1
+            }
+            s += 1
+          }
+          (cid, (qid, table))
+        }
+    }.groupBy(_._1).map { case (cid, arr) => cid -> arr.map(_._2) }
+    val bProbes = spark.sparkContext.broadcast(probes)
+    val qIndex = qs.map(_._1).zipWithIndex.toMap
+    val bQIndex = spark.sparkContext.broadcast(qIndex)
+    val mSub = cb.m
+    val ksubN = cb.ksub
+    val partials = codes.mapPartitions { it =>
+      val byCell = bProbes.value
+      val qi = bQIndex.value
+      val heaps = Array.fill(qi.size)(
+        new java.util.PriorityQueue[(Double, Long)](shortlist + 1,
+          (a: (Double, Long), b: (Double, Long)) =>
+            java.lang.Double.compare(b._1, a._1) match {
+              case 0 => java.lang.Long.compare(b._2, a._2)
+              case c => c
+            }))
+      it.foreach { case (id, code, cell) =>
+        byCell.get(cell).foreach(_.foreach { case (qid, t) =>
+          var d = 0.0
+          var s = 0
+          while (s < mSub) { d += t(s * ksubN + code(s)); s += 1 }
+          val h = heaps(qi(qid))
+          if (h.size < shortlist) h.add((d, id))
+          else if (d < h.peek()._1 || (d == h.peek()._1 && id < h.peek()._2)) {
+            h.poll(); h.add((d, id))
+          }
+        })
+      }
+      import scala.jdk.CollectionConverters._
+      qi.iterator.flatMap { case (qid, qx) =>
+        heaps(qx).iterator().asScala.map { case (d, id) => PqHit(qid, id, d) }
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    val short = partials.toDF()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("queryId"))
+          .orderBy(col("adcDist").asc, col("neighborId").asc)))
+      .filter(col("rn") <= shortlist)
+      .select(col("queryId").as("query_id"), col("neighborId").as("neighbor_id"))
+    refineExact(short, queries, corpus, idCol, vecCol, k)
   }
 }

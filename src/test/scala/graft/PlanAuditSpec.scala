@@ -69,6 +69,18 @@ class PlanAuditSpec extends SparkSpec {
       s"lexical run must join on token, not cross-score:\n$p")
   }
 
+  test("q147/q151 substring dedup: no cartesian, gram count partial-aggregates") {
+    for (name <- Seq("q147_substring_dedup", "q151_substring_cut")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay join-keyed:\n$p")
+      // the corpus-sized occurrence count must map-side combine before
+      // its exchange (partial_count below the shuffle)
+      assert(p.contains("partial_count") || p.contains("Partial"),
+        s"$name gram count should partial-aggregate:\n$p")
+    }
+  }
+
   test("q19 dense id: no single-partition window") {
     val p = planOf("q19_dense_id")
     assert(!p.contains("Window"), s"denseId must not fall back to a global window:\n$p")

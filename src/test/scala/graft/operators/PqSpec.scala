@@ -137,4 +137,44 @@ class PqSpec extends SparkSpec {
         s"shortlist=corpus must equal exact search (q=$qid)")
     }
   }
+
+  test("ivfPqTopK: full probe + full shortlist == exact search; partial probe keeps recall") {
+    import spark.implicits._
+    val n = embeddings.count().toInt
+    val centroids = embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = embeddings.filter(col("vec_id") < 5)
+    // ground truth: exact double-L2 top-10 per query, self included
+    // (matching the cell scan), ties (dist, id)
+    val vecs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def exact10(qid: Long): Seq[Long] = {
+      val qv = vecs(qid)
+      vecs.toSeq.map { case (id, v) =>
+        val d = (0 until qv.length).map { t =>
+          val x = qv(t).toDouble - v(t).toDouble; x * x
+        }.sum
+        (d, id)
+      }.sortBy { case (d, id) => (d, id) }.take(10).map(_._2)
+    }
+    // exactness limit: probe every cell, shortlist the whole corpus —
+    // residual encoding and cell routing must drop out entirely
+    val full = Pq.ivfPqTopK(queries, embeddings, "vec_id", "embedding",
+      centroids, "cid", "cvec", m = 8, ksub = 16, iters = 5,
+      k = 10, nProbe = 8, shortlist = n).collect()
+    full.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq == exact10(qid),
+        s"full probe + full shortlist must equal exact search (q=$qid)")
+    }
+    // the production regime: half the cells, bounded shortlist — recall
+    // floor through BOTH approximation layers (deterministic pipeline)
+    val part = Pq.ivfPqTopK(queries, embeddings, "vec_id", "embedding",
+      centroids, "cid", "cvec", m = 8, ksub = 16, iters = 5,
+      k = 10, nProbe = 4, shortlist = 64).collect()
+    val recalls = part.groupBy(_.getLong(0)).map { case (qid, rs) =>
+      (rs.map(_.getLong(1)).toSet intersect exact10(qid).toSet).size.toDouble / 10
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"ivfpq recall@10 too low at nProbe=4: $mean")
+  }
 }
