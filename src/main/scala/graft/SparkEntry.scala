@@ -2620,6 +2620,45 @@ object SparkEntry {
     bandedRecallVsExactL2(emb, queries, hits, hitFloor = 7)
   }
 
+  /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
+    * the mapGroupsWithState escape hatch run in batch mode (state
+    * starts empty, each group folds once), so the custom state-fold
+    * arithmetic and encoders are ORACLE-pinned against the plain
+    * GROUP BY restatement; the cross-micro-batch state RESUME behavior
+    * stays pinned by EventStreamsSpec's fold tests.
+    */
+  private def q153StatefulAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    EventStreams.statefulUserAgg(ev)
+      .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+        round(col("maxValue"), 6).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Schema-drift ingest gate ([[graft.operators.GroupOps.profileDiff]]):
+    * the first-half events profile diffed against a second half whose
+    * upstream "changed their export" — `props` dropped, a derived
+    * `value2` added — classifying added/removed columns and per-column
+    * null-rate / distinct movement. Both profiles and the
+    * classification are exact arithmetic, so the oracle restates the
+    * per-column UNION ALL profiles and the full-outer classification
+    * verbatim.
+    */
+  private def q154ProfileDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GroupOps
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+    val cut = lit("2024-01-15").cast("timestamp")
+    val oldS = ev.filter(col("event_time") < cut)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val newS = ev.filter(col("event_time") >= cut)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("value2", round(col("value") * 2, 2))
+    GroupOps.profileDiff(oldS, newS)
+      .orderBy(col("column_name"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.windowedHeavyHitters]]
     * (same expression graph; `withWatermark` is a no-op in batch) —
     * the q33–q35 stream==batch pattern applied to the Misra–Gries
@@ -2854,7 +2893,9 @@ object SparkEntry {
     "q149_windowed_distinct" -> (q149WindowedDistinct _),
     "q150_windowed_quantiles" -> (q150WindowedQuantiles _),
     "q151_substring_cut" -> (q151SubstringCut _),
-    "q152_ivfpq" -> (q152IvfPq _))
+    "q152_ivfpq" -> (q152IvfPq _),
+    "q153_stateful_agg" -> (q153StatefulAgg _),
+    "q154_profile_diff" -> (q154ProfileDiff _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5264,7 +5305,54 @@ object SparkEntry {
         | TRUE AS recall_ok
         |FROM r WHERE rn <= 10
         |GROUP BY query_id
-        |ORDER BY query_id""".stripMargin)
+        |ORDER BY query_id""".stripMargin,
+    // q153: the mapGroupsWithState fold in batch mode == plain GROUP BY
+    "q153_stateful_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | round(max(value), 6) AS max_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // q154: both per-column profiles as UNION ALL rows, full-outer
+    // classification (added/removed/common), null rates + distincts
+    "q154_profile_diff" ->
+      """WITH o AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        |nw AS (
+        | SELECT event_id, user_id, event_type, value,
+        |  round(value * 2, 2) AS value2
+        | FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+        |po AS (
+        | SELECT 'event_id' AS column_name, count(*) - count(event_id) AS nn,
+        |  count(DISTINCT event_id) AS nd, count(*) AS n FROM o
+        | UNION ALL SELECT 'user_id', count(*) - count(user_id),
+        |  count(DISTINCT user_id), count(*) FROM o
+        | UNION ALL SELECT 'event_type', count(*) - count(event_type),
+        |  count(DISTINCT event_type), count(*) FROM o
+        | UNION ALL SELECT 'value', count(*) - count(value),
+        |  count(DISTINCT value), count(*) FROM o
+        | UNION ALL SELECT 'props', count(*) - count(props),
+        |  count(DISTINCT props), count(*) FROM o),
+        |pn AS (
+        | SELECT 'event_id' AS column_name, count(*) - count(event_id) AS nn,
+        |  count(DISTINCT event_id) AS nd, count(*) AS n FROM nw
+        | UNION ALL SELECT 'user_id', count(*) - count(user_id),
+        |  count(DISTINCT user_id), count(*) FROM nw
+        | UNION ALL SELECT 'event_type', count(*) - count(event_type),
+        |  count(DISTINCT event_type), count(*) FROM nw
+        | UNION ALL SELECT 'value', count(*) - count(value),
+        |  count(DISTINCT value), count(*) FROM nw
+        | UNION ALL SELECT 'value2', count(*) - count(value2),
+        |  count(DISTINCT value2), count(*) FROM nw)
+        |SELECT coalesce(po.column_name, pn.column_name) AS column_name,
+        | CASE WHEN po.column_name IS NULL THEN 'added'
+        |      WHEN pn.column_name IS NULL THEN 'removed'
+        |      ELSE 'common' END AS status,
+        | round(CAST(po.nn AS DOUBLE) / po.n, 6) AS null_rate_old,
+        | round(CAST(pn.nn AS DOUBLE) / pn.n, 6) AS null_rate_new,
+        | CAST(po.nd AS BIGINT) AS distinct_old,
+        | CAST(pn.nd AS BIGINT) AS distinct_new
+        |FROM po FULL JOIN pn ON po.column_name = pn.column_name
+        |ORDER BY column_name""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

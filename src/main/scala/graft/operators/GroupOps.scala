@@ -290,6 +290,41 @@ object GroupOps {
     }
   }
 
+  /** Snapshot-over-snapshot PROFILE diff — the schema-drift half of the
+    * ingest gate ([[graft.operators.Drift]] covers value distributions;
+    * this covers the catalog): [[tableProfile]] both snapshots, full-
+    * outer join per column, and classify — `added` / `removed` columns
+    * plus per-common-column null-rate and distinct-count movement, the
+    * numbers a "did the upstream change their export?" check reads
+    * first. Costs two profiles (each one narrow pass + per-column
+    * distincts, see [[tableProfile]]) and a |columns|-sized join —
+    * nothing beyond the profiles themselves.
+    * Output: (column_name, status, null_rate_old, null_rate_new,
+    * distinct_old, distinct_new), added/removed rows carry nulls on
+    * their absent side.
+    */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+                  exactDistinct: Boolean = true,
+                  exactDistinctMaxRows: Long = 10000000L): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      tableProfile(df, exactDistinct, exactDistinctMaxRows)
+        .select(col("column_name"),
+          // explicit presence marker: a null_rate can be legitimately
+          // null on an empty snapshot, so it must not double as the
+          // added/removed signal
+          lit(true).as(s"present_$tag"),
+          round(col("n_nulls").cast("double") / col("n_rows"), 6)
+            .as(s"null_rate_$tag"),
+          col("n_distinct").as(s"distinct_$tag"))
+    side(oldDf, "old").join(side(newDf, "new"), Seq("column_name"), "full_outer")
+      .select(col("column_name"),
+        when(col("present_old").isNull, "added")
+          .when(col("present_new").isNull, "removed")
+          .otherwise("common").as("status"),
+        col("null_rate_old"), col("null_rate_new"),
+        col("distinct_old"), col("distinct_new"))
+  }
+
   /** Per-group winsorization: clips `valueCol` into the group's exact
     * [pLo, pHi] percentile band (linear-interpolation percentiles, the
     * SQL-standard `percentile_cont` semantics) — the robust-scaling step

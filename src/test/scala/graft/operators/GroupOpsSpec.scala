@@ -196,6 +196,23 @@ class GroupOpsSpec extends SparkSpec {
     assert(forced.queryExecution.executedPlan.toString.contains("Union"))
   }
 
+  test("profileDiff: added/removed/common classification with null-rate and distinct movement") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Some("a"), 1.0), (2L, None, 2.0), (3L, Some("b"), 2.0))
+      .toDF("id", "s", "v")
+    val newDf = Seq((1L, 1.0, true), (2L, 1.0, true))
+      .toDF("id", "v", "flag") // s removed, flag added
+    val got = GroupOps.profileDiff(oldDf, newDf)
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+    assert(got.toSeq == Seq(
+      ("flag", "added", None, Some(0.0), None, Some(1L)),
+      ("id", "common", Some(0.0), Some(0.0), Some(3L), Some(2L)),
+      ("s", "removed", Some(math.round(1.0 / 3 * 1e6) / 1e6), None, Some(2L), None),
+      ("v", "common", Some(0.0), Some(0.0), Some(2L), Some(1L))))
+  }
+
   test("ntileBuckets avoids the single-partition window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, i % 7)).toDF("id", "v")
