@@ -2659,6 +2659,29 @@ object SparkEntry {
       .orderBy(col("column_name"))
   }
 
+  /** Seasonal-baseline anomaly rows
+    * ([[graft.operators.Drift.seasonalAnomalies]]): first-half events
+    * define a per-(event_type, hour-of-day) normal band, second-half
+    * rows outside 3 sample deviations are flagged — the per-row alert
+    * complement to q125's distribution gate, seasonally conditioned so
+    * 3 a.m. is judged against 3 a.m. history. Mean/stddev_samp/z are
+    * exact arithmetic DuckDB restates (q82's stddev parity precedent).
+    */
+  private def q155SeasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .withColumn("hour_of_day", hour(col("event_time")).cast("long"))
+    val cut = lit("2024-01-15").cast("timestamp")
+    Drift.seasonalAnomalies(
+        ev.filter(col("event_time") < cut),
+        ev.filter(col("event_time") >= cut),
+        idCols = Seq("event_id"), groupCols = Seq("event_type"),
+        seasonCol = "hour_of_day", valueCol = "value", zThreshold = 3.0)
+      .select(col("event_id"), col("event_type"), col("hour_of_day"),
+        col("value"), round(col("z"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.windowedHeavyHitters]]
     * (same expression graph; `withWatermark` is a no-op in batch) —
     * the q33–q35 stream==batch pattern applied to the Misra–Gries
@@ -2895,7 +2918,8 @@ object SparkEntry {
     "q151_substring_cut" -> (q151SubstringCut _),
     "q152_ivfpq" -> (q152IvfPq _),
     "q153_stateful_agg" -> (q153StatefulAgg _),
-    "q154_profile_diff" -> (q154ProfileDiff _))
+    "q154_profile_diff" -> (q154ProfileDiff _),
+    "q155_seasonal_anomalies" -> (q155SeasonalAnomalies _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5352,7 +5376,28 @@ object SparkEntry {
         | CAST(po.nd AS BIGINT) AS distinct_old,
         | CAST(pn.nd AS BIGINT) AS distinct_new
         |FROM po FULL JOIN pn ON po.column_name = pn.column_name
-        |ORDER BY column_name""".stripMargin)
+        |ORDER BY column_name""".stripMargin,
+    // q155: per-(event_type, hour) baseline mean/stddev_samp from the
+    // first half, |z| >= 3 rows from the second; degenerate baselines
+    // (n < 2 or zero variance) never flag
+    "q155_seasonal_anomalies" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+        |  value
+        | FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        |c AS (
+        | SELECT event_id, event_type,
+        |  CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day, value
+        | FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+        |st AS (
+        | SELECT event_type, hour_of_day, avg(value) AS m,
+        |  stddev_samp(value) AS s, count(value) AS n
+        | FROM b GROUP BY 1, 2)
+        |SELECT event_id, c.event_type, c.hour_of_day, value,
+        | round((value - m) / s, 6) AS z
+        |FROM c JOIN st USING (event_type, hour_of_day)
+        |WHERE n >= 2 AND s > 0 AND abs((value - m) / s) >= 3
+        |ORDER BY event_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

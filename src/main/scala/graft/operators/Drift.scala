@@ -75,4 +75,42 @@ object Drift {
           log(greatest(col("actual_frac"), lit(eps)) /
             greatest(col("expected_frac"), lit(eps)))).as("kl"))
   }
+
+  /** Seasonal-baseline anomaly detection — the per-ROW complement to
+    * [[psiSummary]]'s distribution gate: the baseline snapshot defines
+    * a (group × season) normal band (mean ± z·stddev_samp, e.g. season
+    * = hour-of-day so 3 a.m. traffic is judged against 3 a.m. history),
+    * and current rows outside `zThreshold` sample deviations are
+    * flagged with their z-score. The seasonal conditioning is what
+    * separates "this value is normal at peak but pathological at 3
+    * a.m." from a global z-test.
+    *
+    * Shape: the baseline collapses to a (group × season)-sized stats
+    * table broadcast back over the current snapshot — each snapshot is
+    * scanned once, map-side scoring, no row-to-row join. Seasons with
+    * a degenerate baseline (n < 2 or zero variance) score NULL and are
+    * NOT flagged — a band of width zero is a missing baseline, not an
+    * alert (the caller's schema-drift gate catches genuinely new
+    * seasons).
+    *
+    * Output: the flagged current rows (`idCols`, group, season, value,
+    * z) with `z` signed — callers alert on the sign pattern too.
+    */
+  def seasonalAnomalies(baseline: DataFrame, current: DataFrame,
+                        idCols: Seq[String], groupCols: Seq[String],
+                        seasonCol: String, valueCol: String,
+                        zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val keys = groupCols :+ seasonCol
+    val stats = baseline.groupBy(keys.map(col): _*)
+      .agg(avg(col(valueCol).cast("double")).as("__m"),
+        stddev_samp(col(valueCol).cast("double")).as("__s"),
+        count(col(valueCol)).as("__n"))
+    current.join(broadcast(stats), keys)
+      .withColumn("z",
+        when(col("__n") >= 2 && col("__s") > 0,
+          (col(valueCol).cast("double") - col("__m")) / col("__s")))
+      .filter(abs(col("z")) >= zThreshold)
+      .select((idCols ++ keys).map(col) :+ col(valueCol) :+ col("z"): _*)
+  }
 }

@@ -49,6 +49,31 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bins") == 1L) // hi == lo -> one occupied bin
   }
 
+  test("seasonalAnomalies: seasonal band flags by season, degenerate baselines never flag") {
+    import spark.implicits._
+    // season "a": baseline {10, 12, 14} -> mean 12, s = 2; season "b":
+    // baseline {100, 100} -> zero variance (degenerate); season "c":
+    // single point (n < 2, degenerate)
+    val base = Seq(
+      (1L, "g", "a", 10.0), (2L, "g", "a", 12.0), (3L, "g", "a", 14.0),
+      (4L, "g", "b", 100.0), (5L, "g", "b", 100.0),
+      (6L, "g", "c", 7.0)
+    ).toDF("id", "grp", "season", "v")
+    val cur = Seq(
+      (11L, "g", "a", 12.0),   // z = 0, not flagged
+      (12L, "g", "a", 19.0),   // z = 3.5, flagged
+      (13L, "g", "a", 5.0),    // z = -3.5, flagged (signed)
+      (14L, "g", "b", 999.0),  // zero-variance baseline: NOT flagged
+      (15L, "g", "c", 999.0),  // n < 2 baseline: NOT flagged
+      (16L, "g", "d", 1.0)     // unseen season: no baseline row, dropped
+    ).toDF("id", "grp", "season", "v")
+    val got = Drift.seasonalAnomalies(base, cur, Seq("id"), Seq("grp"),
+        "season", "v", zThreshold = 3.0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), math.round(r.getAs[Double]("z") * 10) / 10.0))
+    assert(got.toSeq == Seq((12L, 3.5), (13L, -3.5)))
+  }
+
   test("groups bin independently: a drifted group does not contaminate a stable one") {
     import spark.implicits._
     val base = ((0 until 10).map(d => ("a", d.toDouble)) ++
