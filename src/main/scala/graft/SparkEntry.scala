@@ -2620,6 +2620,24 @@ object SparkEntry {
     bandedRecallVsExactL2(emb, queries, hits, hitFloor = 7)
   }
 
+  /** Outer purchase attribution — q48's interval join as LEFT OUTER
+    * ([[graft.streaming.EventStreams.purchaseAttribution]] with
+    * `left_outer`): every purchase, attributed view or not; null
+    * `view_id` rows are the conversions with no marketing touch in the
+    * lookback, the number a channel-mix dashboard reads next to q48's
+    * attributed set. Same streaming-legal shape (both sides
+    * watermarked; outer rows emit when the watermark closes the
+    * window); the batch oracle is the plain LEFT JOIN restatement.
+    */
+  private def q156UnattributedPurchases(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val ev = EventStreams.withEventTime(t(s, dir, "events"))
+    EventStreams.purchaseAttribution(ev, "30 minutes", "left_outer")
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        round(col("value"), 4).as("purchase_value"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -2919,7 +2937,8 @@ object SparkEntry {
     "q152_ivfpq" -> (q152IvfPq _),
     "q153_stateful_agg" -> (q153StatefulAgg _),
     "q154_profile_diff" -> (q154ProfileDiff _),
-    "q155_seasonal_anomalies" -> (q155SeasonalAnomalies _))
+    "q155_seasonal_anomalies" -> (q155SeasonalAnomalies _),
+    "q156_unattributed" -> (q156UnattributedPurchases _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5397,7 +5416,23 @@ object SparkEntry {
         | round((value - m) / s, 6) AS z
         |FROM c JOIN st USING (event_type, hour_of_day)
         |WHERE n >= 2 AND s > 0 AND abs((value - m) / s) >= 3
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // q156: q48's interval join as LEFT OUTER — unattributed purchases
+    // keep a row with null view_id
+    "q156_unattributed" ->
+      """WITH v AS (
+        | SELECT user_id AS v_user, ts AS view_time, event_id AS view_id
+        | FROM events WHERE event_type = 'view'),
+        |p AS (
+        | SELECT user_id AS p_user, ts AS purchase_time,
+        |  event_id AS purchase_id, value
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, view_id, p_user AS user_id,
+        | round(value, 4) AS purchase_value
+        |FROM p LEFT JOIN v
+        | ON p_user = v_user AND view_time <= purchase_time
+        | AND view_time >= purchase_time - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

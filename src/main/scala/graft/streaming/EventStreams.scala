@@ -91,7 +91,14 @@ object EventStreams {
     * user_id is the equality key), which is what the DuckDB oracle
     * replays (q48). Output: one row per (purchase, view-in-window) pair.
     */
-  def purchaseAttribution(events: DataFrame, lookback: String = "30 minutes"): DataFrame = {
+  /** `joinType = "left_outer"` keeps UNattributed purchases as rows
+    * with a null `view_id` — the conversion-WITHOUT-marketing-touch
+    * question attribution dashboards ask next; streaming outer interval
+    * joins emit the null side once the watermark closes the lookback
+    * window (both sides are watermarked here for exactly that).
+    */
+  def purchaseAttribution(events: DataFrame, lookback: String = "30 minutes",
+                          joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_time").as("view_time"),
         col("event_id").as("view_id"))
@@ -103,7 +110,8 @@ object EventStreams {
     purchases.join(views,
         col("p_user") === col("v_user") &&
           col("view_time") <= col("purchase_time") &&
-          col("view_time") >= col("purchase_time") - expr(s"INTERVAL $lookback"))
+          col("view_time") >= col("purchase_time") - expr(s"INTERVAL $lookback"),
+        joinType)
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
         col("value"))
   }

@@ -50,6 +50,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.count() > 0, "attribution must produce pairs on testdata")
   }
 
+  test("left-outer interval join keeps unattributed purchases with null view_id") {
+    val outer = EventStreams.purchaseAttribution(batchEvents,
+      "30 minutes", "left_outer")
+    val inner = EventStreams.purchaseAttribution(batchEvents)
+    val nPurchases = batchEvents.filter(col("event_type") === "purchase").count()
+    // every purchase appears; the attributed subset equals the inner join
+    assert(outer.select("purchase_id").distinct().count() == nPurchases)
+    assert(rowsOf(outer.filter(col("view_id").isNotNull)) == rowsOf(inner))
+    assert(outer.filter(col("view_id").isNull).count() > 0,
+      "testdata must contain at least one purchase with no view in the lookback")
+  }
+
   test("stateful per-user aggregation (mapGroupsWithState) in update mode") {
     val streamed = EventStreams.runToMemory(spark,
       EventStreams.statefulUserAgg(EventStreams.readEventStream(spark, dir)),
