@@ -2638,6 +2638,25 @@ object SparkEntry {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  /** Content-defined chunking
+    * ([[graft.operators.Chunking.contentDefinedChunks]], the
+    * FastCDC/gear-hash base form, window 8 / modulus 64 ⇒ ~64-char
+    * expected chunks): boundaries fall where windowed content hashes
+    * hit the modulus condition, so edits shift ONE chunk instead of
+    * re-aligning every fixed-width chunk after them — the chunk
+    * fingerprints downstream chunk-level dedup joins on. Hash rule and
+    * segment assembly are exact arithmetic the oracle replays verbatim
+    * (q130's hash-prefix convention).
+    */
+  private def q157CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Chunking
+    Chunking.contentDefinedChunks(t(s, dir, "documents"), "doc_id", "text",
+        window = 8, modulus = 64)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"), col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -2938,7 +2957,8 @@ object SparkEntry {
     "q153_stateful_agg" -> (q153StatefulAgg _),
     "q154_profile_diff" -> (q154ProfileDiff _),
     "q155_seasonal_anomalies" -> (q155SeasonalAnomalies _),
-    "q156_unattributed" -> (q156UnattributedPurchases _))
+    "q156_unattributed" -> (q156UnattributedPurchases _),
+    "q157_cdc_chunks" -> (q157CdcChunks _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5432,7 +5452,34 @@ object SparkEntry {
         |FROM p LEFT JOIN v
         | ON p_user = v_user AND view_time <= purchase_time
         | AND view_time >= purchase_time - INTERVAL 30 MINUTE
-        |ORDER BY purchase_id, view_id""".stripMargin)
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    // q157: gear-hash boundary rule (first 8 md5 hex chars as unsigned
+    // int, mod 64) + segment assembly replayed — cuts, the non-empty
+    // tail, lag-based starts, chunk md5s
+    "q157_cdc_chunks" ->
+      """WITH cuts AS (
+        | SELECT doc_id, CAST(p.p + 7 AS BIGINT) AS e
+        | FROM documents, unnest(generate_series(1, len(text) - 7)) AS p(p)
+        | WHERE len(text) >= 8
+        |  AND CAST(('0x' || substring(md5(substr(text, CAST(p.p AS INT), 8)), 1, 8)) AS BIGINT) % 64 = 0),
+        |allends AS (
+        | SELECT doc_id, e FROM cuts
+        | UNION ALL
+        | SELECT d.doc_id, CAST(len(d.text) AS BIGINT) FROM documents d
+        | WHERE len(d.text) > 0 AND NOT EXISTS (
+        |  SELECT 1 FROM cuts c
+        |  WHERE c.doc_id = d.doc_id AND c.e = len(d.text))),
+        |seg AS (
+        | SELECT doc_id, e,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+        | FROM allends)
+        |SELECT seg.doc_id, chunk_idx, s AS chunk_start,
+        | e - s + 1 AS chunk_len,
+        | md5(substr(d.text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
+        |FROM seg JOIN documents d ON d.doc_id = seg.doc_id
+        |WHERE e >= s
+        |ORDER BY seg.doc_id, chunk_idx""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -92,4 +92,75 @@ object Chunking {
             struct(col("chunk_id").as("cid"), col("chunk_text").as("txt"))))),
           s => s.getField("txt")), " ").as("text"))
   }
+
+  /** Content-defined chunking (the FastCDC/gear-hash base form):
+    * documents split at positions where the rolling window's content
+    * hash hits a boundary condition — so an insertion early in a doc
+    * shifts ONE chunk's boundary instead of re-aligning every
+    * fixed-width chunk after it, which is the whole point: chunk
+    * fingerprints stay stable under edits, making chunk-level dedup
+    * (and incremental storage) possible. [[chunkTokens]] is the
+    * context-WINDOW chunker (fixed token geometry for model input);
+    * this is the dedup-layout chunker.
+    *
+    * Boundary rule, precisely: a cut falls AFTER character c (1-based)
+    * iff c ≥ `window` and the first 4 bytes of md5 of the `window`-char
+    * gram ENDING at c, read as an unsigned big-endian int, are ≡ 0
+    * (mod `modulus`) — expected chunk length ≈ `modulus` chars. The
+    * rule is windowed-content-local (the CDC property) and replays
+    * verbatim in SQL (`('0x' || substring(md5(...), 1, 8))::BIGINT`,
+    * the q130 hash-prefix convention). Production CDC adds min/max
+    * chunk clamps; those make boundaries sequentially dependent
+    * (greedy), so the base form here stays per-position-local — cap
+    * oversized chunks downstream with [[chunkTokens]]-style fixed
+    * splitting if a hard max matters.
+    *
+    * Scale shape: gram hashes via the fused
+    * [[graft.expressions.CharGramHashes]] kernel (one JIT'd pass per
+    * doc), boundary selection map-side, chunk assembly one per-doc
+    * sort of its own boundary list (`array_sort(collect_list)` — the
+    * q116 no-window pattern). Output: (id, chunk_idx 0-based,
+    * chunk_start 1-based, chunk_len, chunk_md5) — the fingerprint
+    * column is what chunk-level dedup joins on.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           window: Int, modulus: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    // cut positions: gram at window-start p (1-based) covers chars
+    // [p, p+window-1] — the cut lands after its LAST char
+    val cuts = base
+      .filter(length(col("__t")) >= window)
+      .select(col("id"),
+        posexplode(call_function("char_gram_hashes", col("__t"), lit(window))))
+      .filter(
+        conv(hex(substring(col("col"), 1, 4)), 16, 10).cast("long") % modulus === 0)
+      .select(col("id"), (col("pos") + window).cast("long").as("cut_after"))
+    val cutLists = cuts.groupBy(col("id"))
+      .agg(array_sort(collect_list(col("cut_after"))).as("__cuts"))
+    base.join(cutLists, Seq("id"), "left")
+      .select(col("id"), col("__t"),
+        // segment end positions: every cut, plus the doc tail when the
+        // last cut is not already at len (no empty tail chunk)
+        concat(coalesce(col("__cuts"), array().cast("array<long>")),
+          when(coalesce(element_at(col("__cuts"), -1), lit(-1L)) =!=
+              length(col("__t")).cast("long"),
+            array(length(col("__t")).cast("long")))
+            .otherwise(array().cast("array<long>"))).as("__ends"))
+      // segments from the ends array alone (previous end + 1 .. end) —
+      // indexed transform, no window
+      .select(col("id"), col("__t"), explode(transform(col("__ends"),
+        (e, i) => struct(i.cast("long").as("idx"),
+          (when(i === 0, lit(0L))
+            .otherwise(element_at(col("__ends"), i)) + 1).as("start"),
+          e.as("end")))).as("seg"))
+      .filter(col("seg.end") >= col("seg.start")) // empty doc → no chunk
+      .select(col("id"), col("seg.idx").as("chunk_idx"),
+        col("seg.start").as("chunk_start"),
+        (col("seg.end") - col("seg.start") + 1).as("chunk_len"),
+        md5(col("__t").substr(col("seg.start").cast("int"),
+          (col("seg.end") - col("seg.start") + 1).cast("int"))).as("chunk_md5"))
+  }
 }

@@ -75,6 +75,39 @@ class ChunkingSpec extends SparkSpec {
     assert(e.getMessage.contains("spanDedup"), e.getMessage)
   }
 
+  test("contentDefinedChunks: lossless cover, and edits shift ONE chunk (the CDC property)") {
+    import spark.implicits._
+    val base = new scala.util.Random(42).alphanumeric.take(400).mkString
+    val edited = "INSERTED!!" + base // 10-char prefix insertion
+    val docs = Seq((1L, base), (2L, edited), (3L, ""), (4L, "tiny")).toDF("doc_id", "text")
+    val chunks = Chunking.contentDefinedChunks(docs, "doc_id", "text",
+        window = 8, modulus = 16)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // lossless cover: chunks tile [1, len] contiguously per doc
+    for ((id, txt) <- Seq((1L, base), (2L, edited), (4L, "tiny"))) {
+      val cs = chunks.filter(_._1 == id)
+      assert(cs.head._3 == 1L && cs.map(_._4).sum == txt.length,
+        s"doc $id chunks must cover the text exactly")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"doc $id gap at ${b._2}")
+        case _ =>
+      }
+    }
+    assert(!chunks.exists(_._1 == 3L), "empty doc yields no chunks")
+    // CDC edit locality: every boundary whose window clears the
+    // insertion survives the shift, so at most the FIRST base chunk is
+    // re-fingerprinted — the edited doc must end with base's chunks
+    // 2..n verbatim (here the insertion even lands on a boundary, so
+    // ALL base fingerprints survive with two new leading chunks)
+    val a = chunks.filter(_._1 == 1L).map(_._5).toSeq
+    val b = chunks.filter(_._1 == 2L).map(_._5).toSeq
+    assert(a.size >= 3, s"fixture must produce several chunks, got ${a.size}")
+    assert(b.takeRight(a.size - 1) == a.drop(1),
+      "a prefix edit must leave every post-edit chunk fingerprint intact")
+    assert(b.size >= a.size, "the insertion cannot reduce the chunk count here")
+  }
+
   test("spanDedup of an all-unique corpus is the identity (modulo tail chunking)") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, (1 to 17).map(j => s"w${i}_$j").mkString(" ")))
