@@ -2657,6 +2657,53 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Record linkage under transposition noise
+    * ([[graft.operators.FuzzyJoin.jaroWinklerLinkage]]): every customer
+    * name deterministically corrupted by an adjacent-digit swap at
+    * position `10 + key % 8` (the typo/OCR error model Jaro's
+    * transposition term exists for), then matched back to the clean
+    * roster — sorted-character blocking (provably lossless for swap
+    * noise), codegen'd DuckDB-parity [[graft.expressions.JaroWinkler]]
+    * scoring, top-1 per dirty record by ppm-quantized score with id
+    * tie-break. Anagram customers (same digit multiset) make real
+    * ambiguity: when the swap lands on the last two digits the corrupt
+    * form IS another customer's clean name and linkage correctly
+    * prefers the exact hit — the oracle replays blocking, DuckDB's own
+    * `jaro_winkler_similarity`, quantization, and the tie-break.
+    */
+  private def q158RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FuzzyJoin
+    val cust = t(s, dir, "customer")
+    val dirty = cust.select(col("c_custkey").as("dirty_id"),
+      expr("""concat(substr(c_name, 1, cast(10 + c_custkey % 8 as int) - 1),
+             |       substr(c_name, cast(10 + c_custkey % 8 as int) + 1, 1),
+             |       substr(c_name, cast(10 + c_custkey % 8 as int), 1),
+             |       substr(c_name, cast(10 + c_custkey % 8 as int) + 2))""".stripMargin)
+        .as("dirty_name"))
+    FuzzyJoin.jaroWinklerLinkage(dirty, "dirty_id", "dirty_name",
+        cust, "c_custkey", "c_name", minScorePpm = 850000L)
+      .orderBy(col("dirty_id"))
+  }
+
+  /** Leakage-safe train/val/test split
+    * ([[graft.operators.Sampling.leakageSafeSplit]]): near-dup clusters
+    * (q49's classed-Jaccard components) assign splits by cluster
+    * REPRESENTATIVE, so no near-duplicate pair ever straddles
+    * train/test — the contamination a plain per-doc hash split (q45)
+    * silently permits. Doc-level output pins every assignment; the
+    * oracle recomputes components via recursive SQL and replays the
+    * md5 bucket arithmetic on the representative.
+    */
+  private def q159LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Sampling}
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.dedupClustersClassed(docs, "doc_id", "text", "lang", 0.8)
+    Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("rep_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -2958,7 +3005,9 @@ object SparkEntry {
     "q154_profile_diff" -> (q154ProfileDiff _),
     "q155_seasonal_anomalies" -> (q155SeasonalAnomalies _),
     "q156_unattributed" -> (q156UnattributedPurchases _),
-    "q157_cdc_chunks" -> (q157CdcChunks _))
+    "q157_cdc_chunks" -> (q157CdcChunks _),
+    "q158_record_linkage" -> (q158RecordLinkage _),
+    "q159_leakage_safe_split" -> (q159LeakageSafeSplit _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5479,7 +5528,61 @@ object SparkEntry {
         | md5(substr(d.text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
         |FROM seg JOIN documents d ON d.doc_id = seg.doc_id
         |WHERE e >= s
-        |ORDER BY seg.doc_id, chunk_idx""".stripMargin)
+        |ORDER BY seg.doc_id, chunk_idx""".stripMargin,
+    // q158: the whole linkage replayed in DuckDB — same corruption,
+    // same sorted-character blocking (keys never cross engines; they
+    // only have to induce the same blocks), DuckDB's OWN
+    // jaro_winkler_similarity (the parity target the expression is
+    // pinned to), same ppm quantization, same (score desc, id) top-1.
+    "q158_record_linkage" ->
+      """WITH dirty AS (
+        | SELECT c_custkey AS dirty_id,
+        |  substr(c_name, 1, p - 1) || substr(c_name, p + 1, 1) ||
+        |  substr(c_name, p, 1) || substr(c_name, p + 2) AS dirty_name
+        | FROM (SELECT c_custkey, c_name,
+        |        CAST(10 + c_custkey % 8 AS INT) AS p FROM customer)),
+        |kd AS (
+        | SELECT dirty_id, dirty_name,
+        |  array_to_string(list_sort(string_split_regex(dirty_name, '')), '') AS k
+        | FROM dirty),
+        |kc AS (
+        | SELECT c_custkey AS match_id, c_name,
+        |  array_to_string(list_sort(string_split_regex(c_name, '')), '') AS k
+        | FROM customer),
+        |scored AS (
+        | SELECT dirty_id, match_id,
+        |  CAST(floor(jaro_winkler_similarity(dirty_name, c_name) * 1e6) AS BIGINT) AS score_ppm
+        | FROM kd JOIN kc USING (k))
+        |SELECT dirty_id, match_id, score_ppm
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY dirty_id ORDER BY score_ppm DESC, match_id) AS rn
+        |      FROM scored WHERE score_ppm >= 850000)
+        |WHERE rn = 1
+        |ORDER BY dirty_id""".stripMargin,
+    // q159: components via recursive SQL (q49's oracle shape), then the
+    // q45 bucket replay applied to the representative id
+    "q159_leakage_safe_split" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsSql("0.8")}),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |rep AS (
+         | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep_id
+         | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, rep_id,
+         | CASE WHEN b < 8000 THEN 'train'
+         |      WHEN b < 9000 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, rep_id,
+         |       CAST(('0x' || substring(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+         |      FROM rep) t
+         |ORDER BY doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

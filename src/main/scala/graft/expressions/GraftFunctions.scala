@@ -53,6 +53,12 @@ object GraftFunctions {
         require(children.length == 1, "md5_hashes64 takes exactly 1 argument")
         Md5Hashes64(children.head)
       }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
+      }),
     (FunctionIdentifier("char_gram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
       (children: Seq[Expression]) => {

@@ -67,6 +67,38 @@ object Sampling {
   def split(df: DataFrame, keyCol: String, weights: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), weights))
 
+  /** Leakage-safe split: like [[split]], but near-duplicate documents
+    * NEVER straddle a split boundary — a plain per-doc hash split puts
+    * one member of a near-dup cluster in train and another in test,
+    * and the model is then evaluated on (a trivial perturbation of)
+    * its own training data. The standard fix (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §6
+    * discusses exactly this train/test leakage) is to assign splits by
+    * CLUSTER: every doc hashes its cluster representative, so the
+    * whole near-dup class lands together by construction.
+    *
+    * `clusters` is the [[graft.operators.Dedup.dedupClustersClassed]]
+    * shape — `(keep_id, member_ids)`, multi-member clusters only; docs
+    * absent from any cluster are their own representative. Output: df
+    * + `rep_id` + `split`.
+    *
+    * Scale shape: membership explodes to one row per DUPLICATE (far
+    * smaller than the corpus), the left join shuffles on the id (or
+    * broadcasts when the dup set is small — AQE's call), and the
+    * label is the same map-side [[splitLabel]] expression over
+    * `rep_id`. The leakage guarantee is structural: the label depends
+    * only on the representative, which is constant across a cluster.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       weights: Seq[(String, Double)]): DataFrame = {
+    val membership = clusters.select(col("keep_id").as("__rep"),
+      explode(col("member_ids")).as(idCol))
+    df.join(membership, Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("__rep"), col(idCol)))
+      .withColumn("split", splitLabel(col("rep_id"), weights))
+      .drop("__rep")
+  }
+
   /** Stratified deterministic sample: fraction `p` within every value of
     * `strataCol`, by hashing (stratum, key) together so per-stratum
     * selections are independent. Still a pure map-side filter.

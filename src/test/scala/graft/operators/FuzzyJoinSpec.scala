@@ -85,4 +85,38 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.editDistancePairs(Seq((1L, "x")).toDF("id", "s"), "id", "s", 3)
     }
   }
+
+  test("jaroWinklerLinkage: exact recall under swap noise, quantized tie-break") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "jonathan smith"), (2L, "maria garcia"), (3L, "wei zhang"),
+      (4L, "amelia jones"), (5L, "aemlia jones") // anagram competitor of 4
+    ).toDF("id", "name")
+    // dirty = adjacent swaps (the noise model anagramKey is lossless for)
+    val dirty = Seq(
+      (101L, "jnoathan smith"), // swap at 2
+      (102L, "maria gracia"),   // swap inside surname
+      (103L, "wei zhnag"),
+      (104L, "aemlia jones")    // swap of 4 that IS clean name 5: exact hit must win
+    ).toDF("id", "name")
+    val got = FuzzyJoin.jaroWinklerLinkage(dirty, "id", "name",
+        clean, "id", "name", minScorePpm = 800000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(101L)._1 == 1L)
+    assert(got(102L)._1 == 2L)
+    assert(got(103L)._1 == 3L)
+    // ambiguity: 104 matches clean 5 EXACTLY (score 1e6) over its true
+    // source 4 — exact hits outrank transposed ones, deterministically
+    assert(got(104L) == (5L, 1000000L))
+    // every dirty row linked: sorted-char blocking lost nothing
+    assert(got.size == 4)
+  }
+
+  test("jaroWinklerLinkage top-1 plans as WindowGroupLimit, not a full sort") {
+    import spark.implicits._
+    val df = Seq((1L, "abcd"), (2L, "abdc")).toDF("id", "name")
+    val plan = FuzzyJoin.jaroWinklerLinkage(df, "id", "name", df, "id", "name", 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }

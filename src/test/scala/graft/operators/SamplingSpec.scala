@@ -178,4 +178,35 @@ class SamplingSpec extends SparkSpec {
       df.repartition(7).sortWithinPartitions(desc("id")), "id", "g", 0.1, 500L)
     assert(rowsOf(kept) == rowsOf(again))
   }
+
+  test("leakageSafeSplit: clusters never straddle splits; singletons match plain split") {
+    import spark.implicits._
+    val docs = (1L to 400L).toDF("doc_id")
+    // three synthetic near-dup clusters in dedupClustersClassed shape
+    val clusters = Seq(
+      (10L, Seq(10L, 11L, 12L)),
+      (20L, Seq(20L, 21L)),
+      (30L, Seq(30L, 31L, 32L, 33L))).toDF("keep_id", "member_ids")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", clusters, weights)
+    // every cluster is wholly inside ONE split (the leakage guarantee)
+    val perCluster = out.filter(col("rep_id") =!= col("doc_id") || col("doc_id").isin(10L, 20L, 30L))
+      .groupBy("rep_id").agg(countDistinct("split").as("n")).collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_.getLong(1) == 1L))
+    // members inherit the representative's label exactly
+    val label10 = out.filter(col("doc_id") === 10L).select("split").collect()(0).getString(0)
+    Seq(11L, 12L).foreach { m =>
+      assert(out.filter(col("doc_id") === m).select("split").collect()(0).getString(0) == label10)
+    }
+    // docs outside any cluster get the same label a plain split gives
+    val plain = Sampling.split(docs, "doc_id", weights)
+      .withColumnRenamed("split", "plain_split")
+    val joined = out.filter(col("rep_id") === col("doc_id"))
+      .filter(!col("doc_id").isin(10L, 11L, 12L, 20L, 21L, 30L, 31L, 32L, 33L))
+      .join(plain, "doc_id")
+    assert(joined.filter(col("split") =!= col("plain_split")).count() == 0)
+    // total coverage: every doc labeled exactly once
+    assert(out.count() == 400L)
+    assert(out.filter(col("split").isNull).count() == 0)
+  }
 }
