@@ -2704,6 +2704,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Key-skew profile over the events stream's user key
+    * ([[graft.operators.SkewJoins.keySkewProfile]]) — the top-50
+    * heaviest keys with row share and the salt factor a salted join
+    * would need. All integer arithmetic (ppm shares and ceil via `div`)
+    * restated verbatim by the oracle.
+    */
+  private def q160KeySkewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoins.keySkewProfile(t(s, dir, "events"), "user_id", 50)
+
+  /** Stupid Backoff trigram scoring
+    * ([[graft.operators.Scoring.stupidBackoff]]): model fit on the 90%
+    * hash-train partition, the held-out 10% scored with real backoff
+    * traffic (unseen trigrams fall to α-discounted bigrams, unigrams,
+    * then the OOV floor). The oracle rebuilds all three count tables
+    * and replays the backoff CASE, the α arithmetic (explicit DOUBLE
+    * casts so DuckDB's decimal literals don't diverge from JVM
+    * doubles), and the mean negative log2.
+    */
+  private def q161StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling, Scoring}
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(Sampling.hashBucket(col("doc_id")) < 9000)
+    val heldOut = docs.filter(Sampling.hashBucket(col("doc_id")) >= 9000)
+    Scoring.stupidBackoff(train, heldOut, "doc_id", "text")
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("sb_cost"), 6).as("sb_cost"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3007,7 +3036,9 @@ object SparkEntry {
     "q156_unattributed" -> (q156UnattributedPurchases _),
     "q157_cdc_chunks" -> (q157CdcChunks _),
     "q158_record_linkage" -> (q158RecordLinkage _),
-    "q159_leakage_safe_split" -> (q159LeakageSafeSplit _))
+    "q159_leakage_safe_split" -> (q159LeakageSafeSplit _),
+    "q160_key_skew_profile" -> (q160KeySkewProfile _),
+    "q161_stupid_backoff" -> (q161StupidBackoff _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5582,7 +5613,53 @@ object SparkEntry {
          |FROM (SELECT doc_id, rep_id,
          |       CAST(('0x' || substring(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
          |      FROM rep) t
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    // q160: counts, ppm shares and ceil-salt restated in the same
+    // integer arithmetic (DuckDB // == Spark div on bigints)
+    "q160_key_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS N, count(*) AS D FROM c)
+        |SELECT user_id, cnt, cnt * 1000000 // N AS share_ppm,
+        | (cnt * D + N - 1) // N AS salt_factor
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id
+        |LIMIT 50""".stripMargin,
+    // q161: the three count tables rebuilt from the same hash-train
+    // partition, the backoff CASE replayed with explicit DOUBLE casts
+    // (DuckDB 0.4 is DECIMAL; JVM alpha is double — cast before
+    // multiplying so both engines run the identical IEEE ops)
+    "q161_stupid_backoff" ->
+      """WITH docs AS (
+        | SELECT doc_id, text,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        | FROM documents),
+        |tr AS (SELECT string_split(lower(trim(text)), ' ') AS t FROM docs WHERE b < 9000),
+        |te AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM docs WHERE b >= 9000),
+        |c3 AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, count(*) AS c3
+        |       FROM tr, unnest(range(1, len(t) - 1)) AS u(i) GROUP BY 1, 2, 3),
+        |c2 AS (SELECT t[i] AS wa, t[i+1] AS wb, count(*) AS c2
+        |       FROM tr, unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2),
+        |c1 AS (SELECT t[i] AS w, count(*) AS c1
+        |       FROM tr, unnest(range(1, len(t) + 1)) AS u(i) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS T FROM c1),
+        |trows AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, count(*) AS m
+        |          FROM te, unnest(range(1, len(t) - 1)) AS u(i) GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT r.doc_id, r.m,
+        |        CASE WHEN g3.c3 IS NOT NULL THEN g3.c3::DOUBLE / g2c.c2
+        |             WHEN g2b.c2 IS NOT NULL
+        |              THEN CAST(0.4 AS DOUBLE) * g2b.c2::DOUBLE / g1c.c1
+        |             ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+        |                  coalesce(g1t.c1, 1)::DOUBLE / tot.T END AS s
+        |       FROM trows r
+        |       LEFT JOIN c3 g3 ON r.w1 = g3.w1 AND r.w2 = g3.w2 AND r.w3 = g3.w3
+        |       LEFT JOIN c2 g2c ON r.w1 = g2c.wa AND r.w2 = g2c.wb
+        |       LEFT JOIN c2 g2b ON r.w2 = g2b.wa AND r.w3 = g2b.wb
+        |       LEFT JOIN c1 g1c ON r.w2 = g1c.w
+        |       LEFT JOIN c1 g1t ON r.w3 = g1t.w
+        |       CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+        | round(-sum(m * log2(s)) / sum(m), 6) AS sb_cost
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -316,6 +316,81 @@ object Scoring {
         (-sum(col("__m") * col("__logp")) / sum(col("__m"))).as("cross_entropy"))
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE web-scale
+    * distributed-LM recipe: no discounting, no normalization, just
+    * relative frequencies with a fixed backoff penalty, chosen
+    * precisely because it MapReduces):
+    *
+    *   S(w3 | w1 w2) = c3(w1w2w3)/c2(w1w2)        if the trigram is in the model
+    *                 = α · c2(w2w3)/c1(w2)         else if the bigram is
+    *                 = α² · c1(w3)/T               else (OOV w3: α² · 1/T —
+    *                                                the paper stops at the
+    *                                                unigram MLE; a 1-pseudo-
+    *                                                count keeps OOV finite
+    *                                                and SQL-restatable)
+    *
+    * fit on `train` and applied to `score` (a perplexity-style quality
+    * filter needs held-out scoring — fit on the corpus itself, every
+    * trigram has support and backoff is dead code; [[bigramCrossEntropy]]
+    * is that in-corpus variant). Output per scored doc: `(id,
+    * n_trigrams, sb_cost)` where `sb_cost` = mean negative log2 S —
+    * docs under 3 tokens yield no row.
+    *
+    * Scale shape: the three model tables are VOCAB-sized aggregates
+    * (map-side combined); the scored side collapses per-doc trigram
+    * multiplicities before any join, then meets the model in
+    * token-keyed left joins AQE broadcasts when the model fits. T
+    * rides in as a broadcast scalar. The backoff CASE never needs a
+    * guard join: a trigram hit implies its context bigram is in c2,
+    * a bigram hit implies w2 is in c1 — containment by construction.
+    */
+  def stupidBackoff(train: DataFrame, scored: DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.4): DataFrame = {
+    val tok = graft.functions.TextFunctions.tokens _
+    def grams(df: DataFrame, n: Int, names: Seq[String]): DataFrame = {
+      val t = df.select(tok(col(textCol)).as("__t"))
+      val width = greatest(size(col("__t")) - (n - 1), lit(0))
+      t.select(explode(arrays_zip(
+          (0 until n).map(i => slice(col("__t"), lit(i + 1), width)): _*)).as("__g"))
+        .select((0 until n).map(i => col(s"__g.$i").as(names(i))): _*)
+    }
+    val c3 = grams(train, 3, Seq("w1", "w2", "w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c2 = grams(train, 2, Seq("wa", "wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("c2"))
+    val c1 = grams(train, 1, Seq("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("__T"))
+
+    val toks = scored.select(col(idCol).as("__id"), tok(col(textCol)).as("__t"))
+    val width = greatest(size(col("__t")) - 2, lit(0))
+    val trows = toks.select(col("__id"), explode(arrays_zip(
+        slice(col("__t"), lit(1), width), slice(col("__t"), lit(2), width),
+        slice(col("__t"), lit(3), width))).as("__g"))
+      .select(col("__id"), col("__g.0").as("w1"), col("__g.1").as("w2"),
+        col("__g.2").as("w3"))
+      .groupBy("__id", "w1", "w2", "w3").agg(count(lit(1)).as("__m"))
+
+    val a = lit(alpha)
+    val s = trows
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("wa").as("w1"), col("wb").as("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("wa").as("w2"), col("wb").as("w3"), col("c2").as("c2b")),
+        Seq("w2", "w3"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1ctx")), Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1t")), Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__s",
+        when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
+          .when(col("c2b").isNotNull, a * col("c2b").cast("double") / col("c1ctx"))
+          .otherwise(a * a * coalesce(col("c1t"), lit(1L)).cast("double") / col("__T")))
+    s.groupBy(col("__id").as(idCol))
+      .agg(sum(col("__m")).as("n_trigrams"),
+        (-sum(col("__m") * log2(col("__s"))) / sum(col("__m"))).as("sb_cost"))
+  }
+
   /** Cluster labeling by document-frequency lift: for every cluster of
     * an assignment table, the tokens that are discriminatively
     * OVER-represented there — `lift(t, c) = (df_c(t)/n_c) / (df(t)/n)`

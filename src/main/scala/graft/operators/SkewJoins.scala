@@ -132,4 +132,31 @@ object SkewJoins {
       s"more than $maxHotKeys hot keys detected — raise hotThreshold or maxHotKeys")
     hot.map(_.getString(0)).toSet
   }
+
+  /** Key-skew profile — the diagnostic that decides WHICH of the skew
+    * strategies above (plain AQE, salted, hot-key-only) a join needs,
+    * turned into a first-class queryable table instead of a one-off
+    * `ps`-and-squint. For the `topK` heaviest keys: the row count, the
+    * share of all rows in parts-per-million, and the salt factor a
+    * [[saltedJoin]] would need to level that key down to the average —
+    * `ceil(cnt · D / N)` (how many average-sized keys the hot key
+    * weighs). All integer arithmetic, so an oracle restates it
+    * verbatim.
+    *
+    * Scale shape: one partial-aggregable count per key (map-side
+    * combine — the corpus never shuffles, only (key, count) pairs),
+    * two broadcast scalars (N, D) from the same aggregate, and a
+    * global top-K that plans as TakeOrderedAndProject — no full sort.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__N"),
+      count(lit(1)).as("__D"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        expr("cnt * 1000000 div __N").as("share_ppm"),
+        expr("(cnt * __D + __N - 1) div __N").as("salt_factor"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topK)
+  }
 }

@@ -249,4 +249,48 @@ class ScoringSpec extends SparkSpec {
       .collect().map(r => r.getString(0)).toSet
     assert(partial == Set("A"))
   }
+
+  test("stupidBackoff: all three backoff rungs plus the OOV floor, hand-checked") {
+    import spark.implicits._
+    // model: "a b c" x2 and "b c d" — T = 9 tokens
+    val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b c d")).toDF("id", "text")
+    // scored doc hits every rung:
+    //   (a b c): trigram in model        -> c3/c2(a,b) = 2/2 = 1
+    //   (b c d): trigram in model        -> c3/c2(b,c) = 1/3
+    //   (c d a): unseen trigram, bigram (d,a) unseen, unigram a seen
+    //            -> 0.4^2 * c1(a)/T = 0.16 * 2/9
+    //   (d a zz): everything unseen, zz OOV -> 0.16 * 1/9
+    val scored = Seq((10L, "a b c d a zz")).toDF("id", "text")
+    val got = Scoring.stupidBackoff(train, scored, "id", "text")
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(1) == 4L, "4 trigrams scored")
+    val expect = -(math.log(1.0) / math.log(2) + math.log(1.0 / 3.0) / math.log(2) +
+      math.log(0.4 * 0.4 * 2.0 / 9.0) / math.log(2) +
+      math.log(0.4 * 0.4 * 1.0 / 9.0) / math.log(2)) / 4.0
+    assert(math.abs(r.getDouble(2) - expect) < 1e-9, s"sb_cost ${r.getDouble(2)} vs $expect")
+  }
+
+  test("stupidBackoff: bigram rung fires when trigram misses but bigram hits") {
+    import spark.implicits._
+    val train = Seq((1L, "x a b"), (2L, "y a b")).toDF("id", "text")
+    // (z a b): trigram (z,a,b) unseen; bigram (a,b) count 2; c1(a) = 2
+    //          -> 0.4 * 2/2 = 0.4
+    val scored = Seq((10L, "z a b")).toDF("id", "text")
+    val r = Scoring.stupidBackoff(train, scored, "id", "text").collect()(0)
+    assert(r.getLong(1) == 1L)
+    val expect = -math.log(0.4) / math.log(2)
+    assert(math.abs(r.getDouble(2) - expect) < 1e-9)
+  }
+
+  test("stupidBackoff: docs under three tokens yield no row") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c")).toDF("id", "text")
+    val scored = Seq((10L, "a b"), (11L, "a"), (12L, "a b c")).toDF("id", "text")
+    val ids = Scoring.stupidBackoff(train, scored, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(12L))
+  }
 }

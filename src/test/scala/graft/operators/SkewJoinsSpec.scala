@@ -103,4 +103,25 @@ class SkewJoinsSpec extends SparkSpec {
         salt = 2, hotThreshold = 1, sampleFraction = 1.0, maxHotKeys = 50)
     }
   }
+
+  test("keySkewProfile: counts, ppm shares, ceil salt factor, top-K order") {
+    import spark.implicits._
+    // N = 100 rows over D = 4 keys: 70 / 20 / 6 / 4
+    val df = (Seq.fill(70)(1L) ++ Seq.fill(20)(2L) ++ Seq.fill(6)(3L) ++ Seq.fill(4)(4L))
+      .toDF("k")
+    val got = SkewJoins.keySkewProfile(df, "k", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // salt = ceil(cnt * D / N): 70*4/100 -> 2.8 -> 3; 20*4/100 -> 0.8 -> 1
+    assert(got.toSeq == Seq(
+      (1L, 70L, 700000L, 3L),
+      (2L, 20L, 200000L, 1L),
+      (3L, 6L, 60000L, 1L)))
+  }
+
+  test("keySkewProfile plans a take-ordered top-K, not a global sort") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("k")
+    val plan = SkewJoins.keySkewProfile(df, "k", 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }
