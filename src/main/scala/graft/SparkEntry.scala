@@ -2733,6 +2733,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Explicit language-mixture rebalance
+    * ([[graft.operators.Sampling.mixtureRebalance]]): the corpus
+    * re-mixed to stated ppm shares (en 40%, zh 25%, de 15%, fr 12%,
+    * es 8%) at constant total size — zh upsamples (n_copies ≥ 1 with
+    * hash-spread extras), en downsamples (n_copies ∈ {0,1}). Row-level
+    * output pins every copy count; integer arithmetic restated
+    * verbatim by the oracle.
+    */
+  private def q162MixtureRebalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureRebalance(t(s, dir, "documents"),
+        "doc_id", "lang",
+        Seq("en" -> 400000L, "zh" -> 250000L, "de" -> 150000L,
+          "fr" -> 120000L, "es" -> 80000L))
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3038,7 +3054,8 @@ object SparkEntry {
     "q158_record_linkage" -> (q158RecordLinkage _),
     "q159_leakage_safe_split" -> (q159LeakageSafeSplit _),
     "q160_key_skew_profile" -> (q160KeySkewProfile _),
-    "q161_stupid_backoff" -> (q161StupidBackoff _))
+    "q161_stupid_backoff" -> (q161StupidBackoff _),
+    "q162_mixture_rebalance" -> (q162MixtureRebalance _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5659,7 +5676,27 @@ object SparkEntry {
         |       CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
         | round(-sum(m * log2(s)) / sum(m), 6) AS sb_cost
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q162: the integer mixture plan (desired = ppm*total div 1e6,
+    // base = desired div n, threshold = rem*1e4 div n) and the per-row
+    // hash spread restated verbatim
+    "q162_mixture_rebalance" ->
+      """WITH tgt(dom, ppm) AS (VALUES
+        |  ('en', 400000), ('zh', 250000), ('de', 150000),
+        |  ('fr', 120000), ('es', 80000)),
+        |c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+        |g AS (SELECT count(*) AS total FROM documents),
+        |plan AS (
+        | SELECT lang, (ppm * total) // 1000000 AS desired, n_d
+        | FROM c JOIN tgt ON c.lang = tgt.dom CROSS JOIN g),
+        |p2 AS (SELECT lang, desired // n_d AS copies_base,
+        |        ((desired % n_d) * 10000) // n_d AS extra_thr FROM plan)
+        |SELECT d.doc_id, d.lang,
+        | copies_base + CASE WHEN
+        |   CAST(('0x' || substring(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |   < extra_thr THEN 1 ELSE 0 END AS n_copies
+        |FROM documents d JOIN p2 ON d.lang = p2.lang
+        |ORDER BY d.doc_id""".stripMargin)
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -99,6 +99,58 @@ object Sampling {
       .drop("__rep")
   }
 
+  /** Explicit-weight domain mixture (the Pile/LLaMA training-mixture
+    * shape: each domain gets a TARGET share of the output, stated in
+    * ppm, not derived from its natural frequency the way
+    * [[temperatureRebalance]]'s α-power is). Under-represented domains
+    * UPSAMPLE — every row gets an integer `n_copies` (epochs over that
+    * domain), over-represented domains downsample (`n_copies` ∈ {0,1})
+    * — the trainer materializes `n_copies` repetitions.
+    *
+    * Per domain d with natural count n_d and output budget
+    * `totalRows` (defaults to the corpus size — a pure re-mix):
+    * desired_d = ppm_d·total/1e6, every row gets
+    * `desired_d div n_d` copies, and the remainder
+    * `desired_d mod n_d` is spread by a deterministic per-row hash
+    * threshold (expected-exact, row-level deterministic — the same
+    * contract as every hash-membership sampler here; an exactly-`rem`
+    * pick would need a per-domain global rank, a sort the 100 TB
+    * pipeline shouldn't pay for a ±√n counting error). Domains absent
+    * from `targetsPpm` are dropped — an explicit mixture is a
+    * whitelist. All arithmetic is integer, so an oracle restates it
+    * verbatim.
+    *
+    * Scale shape: one map-side-combined count per domain, a broadcast
+    * plan join back onto the corpus, and a map-side hash per row. The
+    * corpus shuffles zero times.
+    */
+  def mixtureRebalance(df: DataFrame, idCol: String, domainCol: String,
+                       targetsPpm: Seq[(String, Long)],
+                       totalRows: Option[Long] = None): DataFrame = {
+    require(targetsPpm.nonEmpty && targetsPpm.forall(_._2 > 0),
+      "target ppm weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toDF("__dom", "__ppm")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+    val grand = totalRows match {
+      case Some(n) => df.sparkSession.range(1).select(lit(n).as("__total"))
+      case None => df.agg(count(lit(1)).as("__total"))
+    }
+    val plan = counts.join(targets, "__dom")
+      .crossJoin(broadcast(grand))
+      .withColumn("__desired", expr("__ppm * __total div 1000000"))
+      .select(col("__dom").as(domainCol),
+        expr("__desired div __n").as("__base"),
+        expr("((__desired % __n) * 10000) div __n").as("__thr"))
+    df.join(broadcast(plan), Seq(domainCol))
+      .withColumn("n_copies", col("__base") +
+        when(hashBucket(concat(col(domainCol), lit(":"), col(idCol).cast("string")))
+          < col("__thr"), lit(1L)).otherwise(lit(0L)))
+      .drop("__base", "__thr")
+  }
+
   /** Stratified deterministic sample: fraction `p` within every value of
     * `strataCol`, by hashing (stratum, key) together so per-stratum
     * selections are independent. Still a pure map-side filter.

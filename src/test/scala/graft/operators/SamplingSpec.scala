@@ -209,4 +209,38 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == 400L)
     assert(out.filter(col("split").isNull).count() == 0)
   }
+
+  test("mixtureRebalance: integer plan arithmetic, upsample and downsample, whitelist") {
+    import spark.implicits._
+    // 100 'a' rows, 20 'b' rows, 30 'c' rows (c not in the mixture)
+    val df = ((1L to 100L).map((_, "a")) ++ (101L to 120L).map((_, "b")) ++
+      (121L to 150L).map((_, "c"))).toDF("id", "dom")
+    // total budget = corpus (150): a -> 40% = 60 rows (downsample from 100),
+    // b -> 60% = 90 rows (upsample from 20: base 4, rem 10)
+    val out = Sampling.mixtureRebalance(df, "id", "dom",
+      Seq("a" -> 400000L, "b" -> 600000L))
+    val byDom = out.groupBy("dom")
+      .agg(min("n_copies").as("lo"), max("n_copies").as("hi"),
+        sum("n_copies").as("rows_out"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // whitelist: 'c' never appears
+    assert(byDom.keySet == Set("a", "b"))
+    // a: desired 60 of 100 -> base 0, thr 6000 -> copies in {0,1}
+    assert(byDom("a")._1 == 0L && byDom("a")._2 == 1L && byDom("a")._4 == 100L)
+    // b: desired 90 of 20 -> base 4, rem 10, thr 5000 -> copies in {4,5}
+    assert(byDom("b")._1 == 4L && byDom("b")._2 == 5L && byDom("b")._4 == 20L)
+    // achieved totals land near targets (hash spread is expected-exact)
+    assert(math.abs(byDom("a")._3 - 60L) <= 15L, s"a rows_out ${byDom("a")._3}")
+    assert(math.abs(byDom("b")._3 - 90L) <= 8L, s"b rows_out ${byDom("b")._3}")
+    // pure function of (domain, id): partitioning cannot change copies
+    val again = Sampling.mixtureRebalance(
+      df.repartition(7).sortWithinPartitions(desc("id")), "id", "dom",
+      Seq("a" -> 400000L, "b" -> 600000L))
+    assert(rowsOf(out.select("id", "n_copies")) == rowsOf(again.select("id", "n_copies")))
+    // explicit budget overrides corpus size: double it, b's base doubles
+    val big = Sampling.mixtureRebalance(df, "id", "dom",
+      Seq("a" -> 400000L, "b" -> 600000L), totalRows = Some(300L))
+    val bigB = big.filter(col("dom") === "b").agg(min("n_copies")).collect()(0).getLong(0)
+    assert(bigB == 9L) // desired 180 of 20 -> base 9
+  }
 }
