@@ -2749,6 +2749,40 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** Perceptual dHash over the synthetic BMP corpus
+    * ([[graft.operators.Multimodal.imageDHash]]): real 24-bit BMP
+    * decode → 9×8 integer-luma grid → 64 difference bits, rendered as
+    * hex. Everything is integer arithmetic over the known pixel
+    * generator, so the oracle reconstructs every bit from the closed
+    * form (the q134 pattern, hardened from means to exact bits).
+    */
+  private def q163ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.imageDHash(Multimodal.synthesize(s, 300))
+      .orderBy(col("media_id"))
+  }
+
+  /** dHash brightness invariance ([[graft.operators.Multimodal]]):
+    * every image hashed twice — raw and channel-shifted by +24
+    * (clamped at 255) — and the per-image hamming distance between the
+    * two hashes. The difference structure cancels a constant shift, so
+    * hamming is 0 except where clamping at white actually bends a
+    * comparison; the oracle replays the clamp and recounts differing
+    * bits directly.
+    */
+  private def q164DhashInvariance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(s, 300)
+    val a = Multimodal.imageDHashRaw(media, delta = 0)
+      .withColumnRenamed("dhash64", "h0")
+    val b = Multimodal.imageDHashRaw(media, delta = 24)
+      .withColumnRenamed("dhash64", "h24")
+    a.join(b, "media_id")
+      .select(col("media_id"),
+        expr("bit_count(h0 ^ h24)").cast("long").as("hamming"))
+      .orderBy(col("media_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3055,7 +3089,9 @@ object SparkEntry {
     "q159_leakage_safe_split" -> (q159LeakageSafeSplit _),
     "q160_key_skew_profile" -> (q160KeySkewProfile _),
     "q161_stupid_backoff" -> (q161StupidBackoff _),
-    "q162_mixture_rebalance" -> (q162MixtureRebalance _))
+    "q162_mixture_rebalance" -> (q162MixtureRebalance _),
+    "q163_image_dhash" -> (q163ImageDhash _),
+    "q164_dhash_invariance" -> (q164DhashInvariance _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5696,7 +5732,55 @@ object SparkEntry {
         |   CAST(('0x' || substring(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
         |   < extra_thr THEN 1 ELSE 0 END AS n_copies
         |FROM documents d JOIN p2 ON d.lang = p2.lang
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q163: every dHash bit reconstructed from the closed-form pixel
+    // generator — integer luma, cross-multiplied cell comparison, hex
+    // nibbles assembled most-significant-first
+    "q163_image_dhash" ->
+      s"""WITH ${dhashBitCtes("", 0)},
+         |nib AS (SELECT media_id, (cy * 8 + cx) // 4 AS ni,
+         |         CAST(sum(bit << ((cy * 8 + cx) % 4)) AS INT) AS v
+         |        FROM bits GROUP BY 1, 2)
+         |SELECT media_id,
+         | string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY ni DESC) AS dhash
+         |FROM nib GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q164: both bit grids rebuilt (raw and +24-clamped), hamming =
+    // count of differing bits — no sign-bit arithmetic anywhere
+    "q164_dhash_invariance" ->
+      s"""WITH ${dhashBitCtes("", 0)},
+         |${dhashBitCtes("s_", 24)}
+         |SELECT a.media_id,
+         | CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |FROM bits a JOIN s_bits b
+         |  ON a.media_id = b.media_id AND a.cy = b.cy AND a.cx = b.cx
+         |GROUP BY a.media_id
+         |ORDER BY a.media_id""".stripMargin)
+
+  /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
+    * / <p>bits` reconstructing the 9×8 dHash bit grid from the
+    * synthetic-BMP pixel generator with channel bytes shifted by
+    * `delta` (clamped at 255) — all integer arithmetic.
+    */
+  private def dhashBitCtes(p: String, delta: Int): String =
+    s"""${p}m AS (
+       | SELECT r.i AS media_id, CAST(16 + (r.i % 6) * 8 AS INT) AS w,
+       |  CAST(16 + (r.i % 5) * 8 AS INT) AS h
+       | FROM range(300) r(i) WHERE r.i % 3 = 0),
+       |${p}px AS (
+       | SELECT m.media_id, (xx.x * 9) // m.w AS cx, (yy.y * 8) // m.h AS cy,
+       |    299 * least((m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 2)) % 251 + $delta, 255)
+       |  + 587 * least((m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 1)) % 251 + $delta, 255)
+       |  + 114 * least((m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3)) % 251 + $delta, 255) AS luma
+       | FROM ${p}m m, unnest(range(0, m.w)) xx(x), unnest(range(0, m.h)) yy(y)),
+       |${p}cells AS (
+       | SELECT media_id, cx, cy, CAST(sum(luma) AS BIGINT) AS s, count(*) AS n
+       | FROM ${p}px GROUP BY 1, 2, 3),
+       |${p}bits AS (
+       | SELECT a.media_id, a.cy, a.cx,
+       |  CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+       | FROM ${p}cells a JOIN ${p}cells b
+       |   ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+       | WHERE a.cx < 8)""".stripMargin
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.

@@ -967,4 +967,100 @@ object Multimodal {
         sums(cell * 3 + 2) / n, sums(cell * 3 + 1) / n, sums(cell * 3) / n)
     })
   }
+
+  /** 64-bit perceptual difference hash (dHash — Krawetz's "kind of like
+    * a hash" 2013 writeup; the standard cheap near-dup signature for
+    * images): pool to a 9-wide × 8-tall luma grid, bit (x,y) = 1 iff
+    * cell (x+1,y) is brighter than cell (x,y). Brightness- and
+    * scale-robust BY CONSTRUCTION (a constant shift cancels in the
+    * difference; pooling absorbs resizes) — q164 pins the invariance.
+    *
+    * Arithmetic is ALL integer so an oracle can restate every bit:
+    * luma = 299r + 587g + 114b (the BT.601 weights ×1000, no float),
+    * cell means compared by cross-multiplication
+    * (sumA·nB > sumB·nA), and the hash renders as 16 lowercase hex
+    * chars — bit 63 never meets a signed overflow in either engine.
+    * `delta` pre-shifts every channel byte by `min(v + delta, 255)`
+    * (clamped), the q164 perturbation.
+    *
+    * Scale shape: one flatMap-side decode+reduce per payload — pixels
+    * never shuffle; output is 8 bytes per image.
+    */
+  def imageDHash(media: DataFrame, delta: Int = 0): DataFrame =
+    imageDHashRaw(media, delta)
+      .withColumn("dhash", lower(lpad(hex(col("dhash64")), 16, "0")))
+      .drop("dhash64")
+
+  /** [[imageDHash]] with the hash as a raw signed long (`dhash64`) —
+    * the joinable/XOR-able form hamming comparisons want.
+    */
+  def imageDHashRaw(media: DataFrame, delta: Int = 0): DataFrame = {
+    require(delta >= 0 && delta <= 255, s"delta must be in [0,255], got $delta")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, dHashBmp(id, p, delta)) }
+      .toDF("media_id", "dhash64")
+  }
+
+  private[operators] def dHashBmp(id: Long, payload: Array[Byte], delta: Int): Long = {
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"not a BMP payload (media_id=$id)")
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bitCount = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bitCount == 24 && compression == 0,
+      s"imageDHash supports 24-bit uncompressed BI_RGB only, got bpp=$bitCount " +
+        s"compression=$compression (media_id=$id)")
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(w >= 9 && h >= 8,
+      s"dHash needs at least 9x8 source pixels, got ${w}x$h (media_id=$id)")
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    val needed = dataOffset.toLong + rowSizeL * h
+    require(dataOffset >= 54 && payload.length >= needed,
+      s"truncated BMP: need $needed bytes from offset $dataOffset, have " +
+        s"${payload.length} (media_id=$id)")
+    val rowSize = rowSizeL.toInt
+    val sums = new Array[Long](9 * 8)
+    val counts = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val base = dataOffset + srcRow * rowSize
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * 9 + x * 9 / w
+        val o = base + x * 3
+        val b = math.min((payload(o) & 0xff) + delta, 255).toLong
+        val g = math.min((payload(o + 1) & 0xff) + delta, 255).toLong
+        val r = math.min((payload(o + 2) & 0xff) + delta, 255).toLong
+        sums(cell) += 299L * r + 587L * g + 114L * b
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val a = cy * 9 + cx
+        val b = a + 1
+        // mean(b) > mean(a) without division: cross-multiply the sums
+        if (sums(b) * counts(a) > sums(a) * counts(b))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
 }

@@ -326,4 +326,68 @@ class MultimodalSpec extends SparkSpec {
       s"payload must be pruned from the scan:\n$plan")
     assert(profile.count() == 3)
   }
+
+  /** 9x8 BMP whose luma is a pure function of x — the dHash identity
+    * fixtures. `step` > 0 makes a rising gradient, < 0 a falling one.
+    */
+  private def bmpGradient(step: Int): Array[Byte] = {
+    val w = 9; val h = 8
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + rowSize * h).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = buf.array()
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (step > 0) x * step else (w - 1 - x) * -step
+      val base = 54 + (h - 1 - y) * rowSize + x * 3
+      arr(base) = v.toByte; arr(base + 1) = v.toByte; arr(base + 2) = v.toByte
+    }
+    arr
+  }
+
+  test("dHashBmp: rising gradient sets all 64 bits, falling gradient none") {
+    assert(Multimodal.dHashBmp(1L, bmpGradient(20), 0) == -1L)
+    assert(Multimodal.dHashBmp(1L, bmpGradient(-20), 0) == 0L)
+  }
+
+  test("dHashBmp: exact brightness invariance when no channel clamps") {
+    // gradient tops out at 8*20 = 160; +delta 40 stays under 255
+    val img = bmpGradient(20)
+    assert(Multimodal.dHashBmp(1L, img, 0) == Multimodal.dHashBmp(1L, img, 40))
+    // synth corpus: bytes reach 250, +24 clamps — hamming stays small
+    val m = Multimodal.synthesize(spark, 30)
+    val a = Multimodal.imageDHashRaw(m, 0).withColumnRenamed("dhash64", "h0")
+    val b = Multimodal.imageDHashRaw(m, 24).withColumnRenamed("dhash64", "h24")
+    val hd = a.join(b, "media_id")
+      .select(org.apache.spark.sql.functions.expr("bit_count(h0 ^ h24)"))
+      .collect().map(_.getInt(0))
+    assert(hd.forall(_ <= 8), s"clamp distortion should stay tiny, got ${hd.toSeq}")
+  }
+
+  test("dHash hex rendering is 16 lowercase chars and round-trips the long") {
+    val m = Multimodal.synthesize(spark, 30)
+    val hexed = Multimodal.imageDHash(m).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val raw = Multimodal.imageDHashRaw(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hexed.nonEmpty && hexed.keySet == raw.keySet)
+    hexed.foreach { case (id, s) =>
+      assert(s.length == 16 && s == s.toLowerCase)
+      assert(java.lang.Long.parseUnsignedLong(s, 16) == raw(id))
+    }
+  }
+
+  test("dHashBmp refuses undersized and truncated payloads loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashBmp(1L, bmp2x2(topDown = false), 0) // 2x2 < 9x8
+    }
+    val img = bmpGradient(20)
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashBmp(1L, img.take(100), 0)
+    }
+  }
 }
