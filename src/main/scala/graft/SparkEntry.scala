@@ -2783,6 +2783,72 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** ORC round-trip ([[graft.sources.Tables.writeOrc]]/`orc`): orders
+    * written to ORC and read back through Spark's vectorized ORC
+    * reader, then aggregated — the oracle computes the same aggregate
+    * straight from the PARQUET table, so a hash match pins cross-FORMAT
+    * content equality (types, nulls, row set), not just that the write
+    * didn't crash. The sink path is per-SF so Verify and Bench never
+    * collide.
+    */
+  private def q165OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val path = s"/tmp/graft_orc_rt/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}/orders"
+    Tables.writeOrc(t(s, dir, "orders"), path)
+    Tables.orc(s, path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Bot-rate gate over the event stream: per user, the peak number of
+    * events inside ANY sliding 24-hour window (RANGE frame over epoch
+    * seconds — the q76 rolling machinery pointed at abuse detection)
+    * plus the total event count, flagged when the burst exceeds the
+    * rate threshold (9/day trips 11 of 150 users at sf0.01 — both flag
+    * values carry real population). The oracle replays the identical
+    * RANGE window in DuckDB over integer epoch seconds.
+    */
+  private def q166BotRateGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // `div`, not `/`: ns magnitudes overflow double-precision exactness
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-86399, Window.currentRow)
+    ev.withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("burst").as("max_burst_24h"))
+      .withColumn("bot_flag", (col("max_burst_24h") >= 9).cast("boolean"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Matryoshka truncation evaluation: exact cosine top-10 under the
+    * full 64-dim embedding vs exact top-10 under the first 16 dims
+    * (the MRL deployment question — how much recall does a 4×-cheaper
+    * prefix keep?). Output: per query, the overlap count of the two
+    * neighbour sets — pure integers once both exact top-10s are fixed,
+    * and the oracle recomputes both rankings with DuckDB list slicing.
+    */
+  private def q167MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val full = Similarity.bruteForceTopKAtScale(queries, emb, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbour_id"))
+    val trunc = Similarity.bruteForceTopKAtScale(
+        queries.withColumn("embedding", slice(col("embedding"), 1, 16)),
+        emb.withColumn("embedding", slice(col("embedding"), 1, 16)),
+        "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbour_id"))
+    full.join(trunc, Seq("query_id", "neighbour_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3091,7 +3157,10 @@ object SparkEntry {
     "q161_stupid_backoff" -> (q161StupidBackoff _),
     "q162_mixture_rebalance" -> (q162MixtureRebalance _),
     "q163_image_dhash" -> (q163ImageDhash _),
-    "q164_dhash_invariance" -> (q164DhashInvariance _))
+    "q164_dhash_invariance" -> (q164DhashInvariance _),
+    "q165_orc_roundtrip" -> (q165OrcRoundtrip _),
+    "q166_bot_rate_gate" -> (q166BotRateGate _),
+    "q167_matryoshka_recall" -> (q167MatryoshkaRecall _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5754,7 +5823,43 @@ object SparkEntry {
          |FROM bits a JOIN s_bits b
          |  ON a.media_id = b.media_id AND a.cy = b.cy AND a.cx = b.cx
          |GROUP BY a.media_id
-         |ORDER BY a.media_id""".stripMargin)
+         |ORDER BY a.media_id""".stripMargin,
+    // q165: the SAME aggregate straight off the parquet table — a hash
+    // match means the ORC write+read preserved every row, type, and null
+    "q165_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price,
+        | count(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // q166: identical RANGE window over integer epoch seconds
+    // (epoch_us // 1e6 — integer micros, no double rounding)
+    "q166_bot_rate_gate" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+        |b AS (
+        | SELECT user_id, count(*) OVER (
+        |   PARTITION BY user_id ORDER BY sec
+        |   RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS burst
+        | FROM ev)
+        |SELECT user_id, count(*) AS n_events, max(burst) AS max_burst_24h,
+        | max(burst) >= 9 AS bot_flag
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q167: both exact rankings recomputed with list slicing; overlap
+    // count is pure integers once the two top-10 sets are fixed
+    "q167_matryoshka_recall" ->
+      s"""WITH qf AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         |            FROM embeddings WHERE vec_id < 20),
+         |cf AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |fr AS (${matryoshkaRankSql("")}),
+         |tr AS (${matryoshkaRankSql("[1:16]")})
+         |SELECT f.query_id, count(*) AS hits_at_10
+         |FROM (SELECT query_id, neighbour_id FROM fr WHERE rn <= 10) f
+         |JOIN (SELECT query_id, neighbour_id FROM tr WHERE rn <= 10) t2
+         |  ON f.query_id = t2.query_id AND f.neighbour_id = t2.neighbour_id
+         |GROUP BY f.query_id
+         |ORDER BY f.query_id""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the
@@ -5781,6 +5886,14 @@ object SparkEntry {
        | FROM ${p}cells a JOIN ${p}cells b
        |   ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
        | WHERE a.cx < 8)""".stripMargin
+
+  /** q167's exact-ranking CTE body over an optional list slice. */
+  private def matryoshkaRankSql(sliceExpr: String): String =
+    s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(q.e$sliceExpr, c.e$sliceExpr) DESC,
+       |             c.vec_id ASC) AS rn
+       | FROM qf q JOIN cf c ON q.vec_id <> c.vec_id""".stripMargin
 
   /** Shared brute-force oracle for q23 (exact) and q24 (MinHash LSH +
     * exact verify): both must produce the identical pair set.
