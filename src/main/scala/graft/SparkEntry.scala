@@ -2849,6 +2849,53 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Time travel ([[graft.sources.VersionedTable]]): orders committed as
+    * two snapshots (v0 = sub-100k orders, v1 = everything), then BOTH
+    * read back — v0 by pinned version, v1 as latest — and aggregated.
+    * The oracle recomputes both aggregates straight from parquet, so a
+    * hash match pins the whole commit/marker/resolve protocol end to
+    * end: staging rename, marker visibility, version resolution. The
+    * table root is wiped first so reruns are idempotent.
+    */
+  private def q168TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val path = s"/tmp/graft_vtable/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}/orders"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val orders = t(s, dir, "orders")
+    VersionedTable.write(s, orders.filter(col("o_totalprice") < 100000), path)
+    VersionedTable.write(s, orders, path)
+    def snap(df: DataFrame, v: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .select(lit(v.toLong).as("version"), col("n_orders"), col("total_price"))
+    snap(VersionedTable.read(s, path, Some(0L)), 0)
+      .unionByName(snap(VersionedTable.read(s, path), 1))
+      .orderBy(col("version"))
+  }
+
+  /** k-anonymity audit ([[graft.operators.Validation.kAnonymityAudit]])
+    * over customer quasi-identifiers (nation, market segment): every
+    * equivalence class with its size and the k=5 violation flag — the
+    * release-gating table. Trivial SQL by design; the operator's value
+    * is the generic policy surface.
+    */
+  private def q169KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validation.kAnonymityAudit(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** Hashing-trick features ([[graft.operators.Scoring.hashedFeatures]]):
+    * signed 256-bucket token features over the q50 doc slice — the
+    * vocabulary-free featurizer, every bucket and sign restated by the
+    * oracle from the same md5 arithmetic.
+    */
+  private def q170HashedFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scoring.hashedFeatures(
+        t(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id", "text", 256)
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3160,7 +3207,10 @@ object SparkEntry {
     "q164_dhash_invariance" -> (q164DhashInvariance _),
     "q165_orc_roundtrip" -> (q165OrcRoundtrip _),
     "q166_bot_rate_gate" -> (q166BotRateGate _),
-    "q167_matryoshka_recall" -> (q167MatryoshkaRecall _))
+    "q167_matryoshka_recall" -> (q167MatryoshkaRecall _),
+    "q168_time_travel" -> (q168TimeTravel _),
+    "q169_k_anonymity" -> (q169KAnonymity _),
+    "q170_hashed_features" -> (q170HashedFeatures _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5859,7 +5909,39 @@ object SparkEntry {
          |JOIN (SELECT query_id, neighbour_id FROM tr WHERE rn <= 10) t2
          |  ON f.query_id = t2.query_id AND f.neighbour_id = t2.neighbour_id
          |GROUP BY f.query_id
-         |ORDER BY f.query_id""".stripMargin)
+         |ORDER BY f.query_id""".stripMargin,
+    // q168: both snapshots restated from parquet — the hash match pins
+    // the commit/marker/resolve protocol, not just the aggregates
+    "q168_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders WHERE o_totalprice < 100000
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY version""".stripMargin,
+    "q169_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        | count(*) < 5 AS k_violation
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // q170: same md5 bucket/sign arithmetic over token occurrences;
+    // zero-sum (fully cancelled) buckets dropped on both sides
+    "q170_hashed_features" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        | FROM documents WHERE doc_id < 2000),
+        |h AS (
+        | SELECT doc_id,
+        |  CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+        |  CASE WHEN CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) % 2 = 0
+        |       THEN 1 ELSE -1 END AS sign
+        | FROM tok)
+        |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS feat
+        |FROM h GROUP BY doc_id, bucket
+        |HAVING CAST(sum(sign) AS BIGINT) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

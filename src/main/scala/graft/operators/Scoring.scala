@@ -391,6 +391,44 @@ object Scoring {
         (-sum(col("__m") * log2(col("__s"))) / sum(col("__m"))).as("sb_cost"))
   }
 
+  /** Hashing-trick featurizer (Weinberger et al. 2009, "Feature Hashing
+    * for Large Scale Multitask Learning"): tokens map to a fixed
+    * `nBuckets`-dim space by hash, with a second hash choosing the SIGN
+    * so collisions cancel in expectation instead of biasing upward —
+    * the unbounded-vocabulary-to-fixed-width step a linear quality
+    * model or any online learner needs, with no vocabulary table at
+    * all.
+    *
+    * Hashes are the engine's portable md5-bucket primitive
+    * ([[graft.operators.Sampling.hashBucket]] arithmetic): bucket =
+    * first-8-hex-chars-of-md5 mod nBuckets, sign from the SECOND 8 hex
+    * chars' parity — both restatable in any engine with md5. Output:
+    * `(id, bucket, feat)` where feat = Σ sign over token OCCURRENCES
+    * (signed term frequency), zero-sum buckets dropped (they ARE the
+    * cancelled collisions — emitting 0-weight features defeats the
+    * sparsity the trick exists for).
+    *
+    * Scale shape: one explode + map-side hash; per-doc buckets collapse
+    * with a partial-aggregable sum. Feature width is a constant the
+    * caller picks; the corpus shuffles only (id, bucket) partials.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
+    val toks = df.select(col(idCol).as("__id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__w"))
+    val h = md5(col("__w"))
+    toks
+      .withColumn("__bucket",
+        conv(substring(h, 1, 8), 16, 10).cast("long") % nBuckets)
+      .withColumn("__sign",
+        when(conv(substring(h, 9, 8), 16, 10).cast("long") % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy(col("__id").as(idCol), col("__bucket").as("bucket"))
+      .agg(sum(col("__sign")).as("feat"))
+      .filter(col("feat") =!= 0L)
+  }
+
   /** Cluster labeling by document-frequency lift: for every cluster of
     * an assignment table, the tokens that are discriminatively
     * OVER-represented there — `lift(t, c) = (df_c(t)/n_c) / (df(t)/n)`

@@ -81,4 +81,24 @@ object Validation {
     val want = expected.toSet
     ((want -- have).toSeq.sorted, (have -- want).toSeq.sorted) // (missing, extra)
   }
+
+  /** k-anonymity audit (Sweeney 2002): every combination of the
+    * quasi-identifier columns is an EQUIVALENCE CLASS; a class smaller
+    * than k re-identifies its members by linkage. Output: one row per
+    * class — the quasi-identifier values, `class_size`, and
+    * `k_violation` — the table a release-gating policy reads (ship
+    * only if `count(k_violation) == 0`, or generalize/suppress the
+    * flagged classes first).
+    *
+    * Scale shape: one partial-aggregable groupBy over the
+    * quasi-identifier tuple — the corpus shuffles only (class, count)
+    * pairs. Null quasi-identifier values form their own class (null is
+    * a linkable value too — Spark groupBy already treats it as one).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi-identifiers and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_violation", col("class_size") < k)
+  }
 }

@@ -293,4 +293,36 @@ class ScoringSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(12L))
   }
+
+  test("hashedFeatures matches a local md5 reference, drops zero-sum buckets") {
+    import spark.implicits._
+    def bucketSign(w: String, n: Int): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hx.substring(0, 8), 16) % n,
+        if (java.lang.Long.parseLong(hx.substring(8, 16), 16) % 2 == 0) 1L else -1L)
+    }
+    val docs = Seq((1L, "spark scan merge spark spark"), (2L, "merge row")).toDF("id", "text")
+    val got = Scoring.hashedFeatures(docs, "id", "text", nBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // local reference: signed tf per (doc, bucket), zero-sums removed
+    val want = Seq(
+      1L -> Seq("spark", "scan", "merge", "spark", "spark"),
+      2L -> Seq("merge", "row"))
+      .flatMap { case (id, ws) => ws.map { w =>
+        val (b, s) = bucketSign(w, 64); ((id, b), s) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0L).toMap
+    assert(got == want)
+    // a token pair colliding with opposite signs cancels out entirely
+    val canceller = (0 to 5000).map(i => s"t$i").find { cand =>
+      val (b0, s0) = bucketSign("spark", 64)
+      val (b1, s1) = bucketSign(cand, 64)
+      b0 == b1 && s1 == -s0 && cand != "spark"
+    }
+    assert(canceller.isDefined, "search space should contain an opposite-sign collision")
+    val cdf = Seq((9L, s"spark ${canceller.get}")).toDF("id", "text")
+    val cancelled = Scoring.hashedFeatures(cdf, "id", "text", nBuckets = 64)
+      .filter(col("bucket") === bucketSign("spark", 64)._1)
+    assert(cancelled.count() == 0L, "fully-cancelled bucket must be dropped")
+  }
 }

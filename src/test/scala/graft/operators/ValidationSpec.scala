@@ -59,4 +59,24 @@ class ValidationSpec extends SparkSpec {
     val (missing, extra) = Validation.strictColumnCheck(fixture, Seq("id", "h", "bmi"))
     assert(missing == Seq("bmi") && extra == Seq("w"))
   }
+
+  test("kAnonymityAudit: class sizes, violations, and null-as-a-class") {
+    import spark.implicits._
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"), // class of 3: violates k=5
+      ("DE", "B"), ("DE", "B"), ("DE", "B"), ("DE", "B"), ("DE", "B"),
+      (null.asInstanceOf[String], "A"), (null, "A") // null region IS a class
+    ).toDF("region", "seg")
+    val got = Validation.kAnonymityAudit(df, Seq("region", "seg"), k = 5)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (Some("US"), "A", 3L, true),
+      (Some("DE"), "B", 5L, false),
+      (None, "A", 2L, true)))
+    intercept[IllegalArgumentException] {
+      Validation.kAnonymityAudit(df, Seq.empty, 5)
+    }
+  }
 }
