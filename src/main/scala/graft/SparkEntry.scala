@@ -2896,6 +2896,60 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id", "text", 256)
       .orderBy(col("doc_id"), col("bucket"))
 
+  /** Corpus datacard ([[graft.pipeline.CorpusCuration.dataCard]]): the
+    * per-language release summary — volume, shape, and near-dup
+    * hygiene in one exact-aggregate table, every cell restated by the
+    * oracle (token stats in SQL, dup membership via the recursive q49
+    * component machinery's pair set).
+    */
+  private def q171Datacard(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusCuration.dataCard(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy(col("lang"))
+
+  /** Referential-integrity audit
+    * ([[graft.operators.Validation.refIntegrityAudit]]) over the star
+    * schema's FK spine plus the events→customer linkage: child counts,
+    * orphan counts, pass flags. The generator is consistent, so every
+    * row reads ok=true — the AUDIT's arithmetic is what the oracle
+    * pins; ValidationSpec wires a fixture with real orphans.
+    */
+  private def q172RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validation.{RefCheck, refIntegrityAudit}
+    refIntegrityAudit(Seq(
+      RefCheck("customer.c_nationkey->nation", t(s, dir, "customer"),
+        "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+      RefCheck("events.user_id->customer", t(s, dir, "events"),
+        "user_id", t(s, dir, "customer"), "c_custkey"),
+      RefCheck("lineitem.l_orderkey->orders", t(s, dir, "lineitem"),
+        "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      RefCheck("orders.o_custkey->customer", t(s, dir, "orders"),
+        "o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .orderBy(col("fk"))
+  }
+
+  /** GDPR erasure ([[graft.pipeline.Erasure.erase]]): every customer
+    * whose key ends in 07 exercises the right to be forgotten; customer
+    * and orders are rewritten without them as committed
+    * [[graft.sources.VersionedTable]] snapshots and the audit table —
+    * before/erased/after/version per table — is the query output. The
+    * oracle restates the erasure arithmetic; the versioned commit is
+    * deterministic (version 0 on a clean root).
+    */
+  private def q173GdprErase(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Erasure
+    val path = s"/tmp/graft_gdpr/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cust = t(s, dir, "customer")
+    val subjects = cust.filter(col("c_custkey") % 100 === 7)
+    Erasure.erase(s, subjects, "c_custkey", Seq(
+        Erasure.Scope("customer", cust, "c_custkey"),
+        Erasure.Scope("orders", t(s, dir, "orders"), "o_custkey")), path)
+      .orderBy(col("table_name"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3210,7 +3264,10 @@ object SparkEntry {
     "q167_matryoshka_recall" -> (q167MatryoshkaRecall _),
     "q168_time_travel" -> (q168TimeTravel _),
     "q169_k_anonymity" -> (q169KAnonymity _),
-    "q170_hashed_features" -> (q170HashedFeatures _))
+    "q170_hashed_features" -> (q170HashedFeatures _),
+    "q171_datacard" -> (q171Datacard _),
+    "q172_ref_integrity" -> (q172RefIntegrity _),
+    "q173_gdpr_erase" -> (q173GdprErase _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5941,7 +5998,66 @@ object SparkEntry {
         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS feat
         |FROM h GROUP BY doc_id, bucket
         |HAVING CAST(sum(sign) AS BIGINT) <> 0
-        |ORDER BY doc_id, bucket""".stripMargin)
+        |ORDER BY doc_id, bucket""".stripMargin,
+    // q171: every datacard cell restated — token stats in plain SQL,
+    // dup membership = distinct ids of the recursive pair set
+    "q171_datacard" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsSql("0.8")}),
+         |d AS (
+         | SELECT doc_id, lang, len(text) AS chars,
+         |  len(string_split(lower(trim(text)), ' ')) AS toks
+         | FROM documents),
+         |dup AS (
+         | SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs) u),
+         |dl AS (
+         | SELECT lang, count(*) AS dup_docs
+         | FROM dup JOIN documents ON doc_id = id GROUP BY lang)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+         | round(avg(chars), 2) AS avg_chars, round(median(toks), 1) AS median_tokens,
+         | CAST(coalesce(dl.dup_docs, 0) AS BIGINT) AS dup_docs,
+         | coalesce(dl.dup_docs, 0) * 1000000 // count(*) AS dup_ppm
+         |FROM d LEFT JOIN dl ON d.lang = dl.lang
+         |GROUP BY d.lang, dl.dup_docs
+         |ORDER BY d.lang""".stripMargin,
+    // q172: each relationship restated as a filtered count + NOT IN
+    "q172_ref_integrity" ->
+      """SELECT 'customer.c_nationkey->nation' AS fk, count(*) AS n_child,
+        | count(*) FILTER (c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans,
+        | count(*) FILTER (c_nationkey NOT IN (SELECT n_nationkey FROM nation)) = 0 AS ok
+        |FROM customer WHERE c_nationkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'events.user_id->customer', count(*),
+        | count(*) FILTER (user_id NOT IN (SELECT c_custkey FROM customer)),
+        | count(*) FILTER (user_id NOT IN (SELECT c_custkey FROM customer)) = 0
+        |FROM events WHERE user_id IS NOT NULL
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders', count(*),
+        | count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        | count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        |FROM lineitem WHERE l_orderkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', count(*),
+        | count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        | count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        |FROM orders WHERE o_custkey IS NOT NULL
+        |ORDER BY fk""".stripMargin,
+    // q173: the erasure arithmetic restated; version 0 is deterministic
+    // on the freshly-wiped root
+    "q173_gdpr_erase" ->
+      """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 7)
+        |SELECT 'customer' AS table_name,
+        | (SELECT count(*) FROM customer) AS n_before,
+        | (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT c_custkey FROM subj)) AS n_erased,
+        | (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM subj)) AS n_after,
+        | CAST(0 AS BIGINT) AS version
+        |UNION ALL
+        |SELECT 'orders',
+        | (SELECT count(*) FROM orders),
+        | (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM subj)),
+        | (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM subj)),
+        | CAST(0 AS BIGINT)
+        |ORDER BY table_name""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

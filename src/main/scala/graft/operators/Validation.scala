@@ -101,4 +101,32 @@ object Validation {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("k_violation", col("class_size") < k)
   }
+
+  /** One foreign-key relationship for [[refIntegrityAudit]]. */
+  case class RefCheck(name: String, child: DataFrame, fkCol: String,
+                      parent: DataFrame, pkCol: String)
+
+  /** Referential-integrity audit: for every declared FK relationship,
+    * the child row count and the ORPHAN count (child rows whose
+    * non-null FK has no parent — the silent join-loss a star schema's
+    * inner joins would swallow without a trace). Null FKs are not
+    * orphans — they're the C5 non-null rules' jurisdiction.
+    *
+    * Scale shape: per relationship one left-anti join against the
+    * DISTINCT parent keys (key-sized build side, broadcast when small)
+    * feeding a scalar aggregate; relationships union as one-row frames.
+    */
+  def refIntegrityAudit(checks: Seq[RefCheck]): DataFrame = {
+    require(checks.nonEmpty, "declare at least one relationship")
+    checks.map { c =>
+      val child = c.child.filter(col(c.fkCol).isNotNull)
+      val orphans = child.join(
+        c.parent.select(col(c.pkCol).as(c.fkCol)).distinct(),
+        Seq(c.fkCol), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(c.name).as("fk"), col("n_child"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+    }.reduce(_.unionByName(_))
+  }
 }

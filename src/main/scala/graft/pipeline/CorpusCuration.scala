@@ -105,4 +105,40 @@ object CorpusCuration {
   def funnel(df: DataFrame, idCol: String, textCol: String,
              lang: String = "en"): DataFrame =
     funnelWithCorpus(df, idCol, textCol, lang)._1
+
+  /** Dataset datacard: the per-language summary table a corpus RELEASE
+    * ships with (the "Datasheets for Datasets" / model-card practice
+    * applied to training corpora): volume (docs, tokens), shape
+    * (mean chars, exact median tokens), and hygiene (near-duplicate
+    * membership from the same classed-Jaccard clustering the dedup
+    * pipeline runs, as ppm). One queryable artifact instead of five
+    * ad-hoc notebook cells — and because every column is an exact
+    * aggregate, the whole card is oracle-checkable.
+    *
+    * Scale shape: one token-stat pass (map-side lengths, no explode),
+    * one exact-median aggregate per language, and the dedup cluster
+    * membership (duplicate-sized) joined back — all partial-aggregable
+    * or bounded; the corpus text never shuffles.
+    */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+               langCol: String, jaccardThreshold: Double = 0.8): DataFrame = {
+    import graft.functions.TextFunctions
+    val stats = df.select(col(idCol).as("__id"), col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("__chars"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"))
+    val base = stats.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        round(avg(col("__chars")), 2).as("avg_chars"),
+        round(expr("percentile(__toks, 0.5)"), 1).as("median_tokens"))
+    val dupDocs = graft.operators.Dedup
+      .dedupClustersClassed(df, idCol, textCol, langCol, jaccardThreshold)
+      .select(explode(col("member_ids")).as("__id"))
+      .distinct()
+      .join(stats.select(col("__id"), col("lang")), "__id")
+      .groupBy("lang").agg(count(lit(1)).as("dup_docs"))
+    base.join(dupDocs, Seq("lang"), "left")
+      .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+      .withColumn("dup_ppm", expr("dup_docs * 1000000 div n_docs"))
+  }
 }

@@ -79,4 +79,17 @@ class ValidationSpec extends SparkSpec {
       Validation.kAnonymityAudit(df, Seq.empty, 5)
     }
   }
+
+  test("refIntegrityAudit: orphans counted, null FKs exempt, consistent pair passes") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(8L), None)
+      .toDF("fk") // two orphans (9, 8); the null is not an orphan
+    val got = Validation.refIntegrityAudit(Seq(
+        Validation.RefCheck("bad", child, "fk", parent, "pk"),
+        Validation.RefCheck("good", parent, "pk", parent, "pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("bad") == (4L, 2L, false))
+    assert(got("good") == (3L, 0L, true))
+  }
 }
