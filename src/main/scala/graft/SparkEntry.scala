@@ -2950,6 +2950,40 @@ object SparkEntry {
       .orderBy(col("table_name"))
   }
 
+  /** Asymmetric containment pairs
+    * ([[graft.operators.Dedup.containmentPairs]]): both directional
+    * containments over distinct word-2-gram shingles, blocked by lang,
+    * kept where either direction ≥ 0.4 — Broder '97's second measure,
+    * the one that catches a short document embedded verbatim in a long
+    * one (resemblance misses it; MinHash cannot estimate it). The
+    * oracle restates the shingle inverted index and both ratios in SQL.
+    */
+  private def q174ContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        "lang", n = 2, threshold = 0.4)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Containment-dedup survivor set
+    * ([[graft.operators.Dedup.containmentDedup]]): documents whose
+    * 2-gram shingle set is ≥ 0.4 contained in a larger document are
+    * dropped per qualifying edge (containment is not transitive — no
+    * component collapse), exact-size ties dropping the larger id. The
+    * oracle replays the edge-side drop rule over the q174 pair SQL.
+    */
+  private def q175ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.containmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        "lang", n = 2, threshold = 0.4)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3267,7 +3301,9 @@ object SparkEntry {
     "q170_hashed_features" -> (q170HashedFeatures _),
     "q171_datacard" -> (q171Datacard _),
     "q172_ref_integrity" -> (q172RefIntegrity _),
-    "q173_gdpr_erase" -> (q173GdprErase _))
+    "q173_gdpr_erase" -> (q173GdprErase _),
+    "q174_containment_pairs" -> (q174ContainmentPairs _),
+    "q175_containment_dedup" -> (q175ContainmentDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6057,7 +6093,27 @@ object SparkEntry {
         | (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM subj)),
         | (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM subj)),
         | CAST(0 AS BIGINT)
-        |ORDER BY table_name""".stripMargin)
+        |ORDER BY table_name""".stripMargin,
+
+    // q174/q175: containment restated from the same 2-gram inverted
+    // index as the q44 oracle, both directional ratios per pair
+    "q174_containment_pairs" ->
+      s"""$containmentPairsSql
+        |SELECT id_a, id_b, round(ca, 6) AS cont_a, round(cb, 6) AS cont_b,
+        | round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+        |FROM qual
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q175_containment_dedup" ->
+      s"""$containmentPairsSql,
+        |drops AS (
+        | SELECT DISTINCT CASE WHEN ca > cb THEN id_a
+        |                      WHEN cb > ca THEN id_b
+        |                      ELSE greatest(id_a, id_b) END AS doc_id
+        | FROM qual)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the
@@ -6104,6 +6160,26 @@ object SparkEntry {
     * shared oracle for q44 (autoBanding) and q114 (selectiveBanding):
     * banding must never change the verified pair set.
     */
+  /** Shared CTE prefix for the q174/q175 oracles: the 2-gram shingle
+    * inverted index (q44's oracle shape) extended with both directional
+    * containment ratios, `qual` = pairs where either direction ≥ 0.4.
+    */
+  private val containmentPairsSql: String =
+    """WITH g AS (
+      | SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+      | FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks FROM documents) t
+      |), tok AS (SELECT doc_id, lang, unnest(grams) AS g2 FROM g),
+      |sz AS (SELECT doc_id, len(grams) AS n FROM g),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |          FROM tok a JOIN tok b ON a.g2 = b.g2 AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |qual AS (
+      | SELECT id_a, id_b, shared, sa.n AS na, sb.n AS nb,
+      |  shared * 1.0 / sa.n AS ca, shared * 1.0 / sb.n AS cb
+      | FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      | WHERE greatest(shared * 1.0 / sa.n, shared * 1.0 / sb.n) >= 0.4)""".stripMargin
+
   private val ngramJaccardOracle: String =
     """WITH g AS (
       | SELECT doc_id, lang,

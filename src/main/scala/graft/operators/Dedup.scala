@@ -140,6 +140,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pair mining: for each candidate pair the two
+    * directional containments C(A⊆B) = |S(A)∩S(B)| / |S(A)| and C(B⊆A)
+    * over distinct word n-gram shingles, keeping pairs where either
+    * direction ≥ threshold. This is Broder '97's SECOND similarity
+    * measure — resemblance (Jaccard) misses a short document embedded
+    * verbatim in a long one (the intersection is tiny relative to the
+    * union but equals the short side), which is exactly the quote/
+    * boilerplate-inclusion shape LLM corpora are full of. MinHash cannot
+    * estimate containment (it is a resemblance-LSH); the scale path for
+    * candidates is the same blocked inverted index as [[jaccardPairs]]
+    * (drop top-document-frequency shingles first at 100 TB — they carry
+    * no signal and cause the quadratic fanout), with verification
+    * candidate-sized.
+    * Output: (id_a, id_b, cont_a, cont_b, jaccard), id_a < id_b, where
+    * cont_a = shared/|S(A)| (how much of A lies inside B).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      explode(shingles(col(textCol), n)).as("g"))
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = tok.as("a")
+      .join(tok.as("b"),
+        col("a.g") === col("b.g") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .withColumn("cont_a", col("shared").cast("double") / col("na"))
+      .withColumn("cont_b", col("shared").cast("double") / col("nb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"), col("jaccard"))
+  }
+
+  /** Containment-based dedup filter: drops every document whose shingle
+    * set is ≥ threshold contained in a LARGER document (larger shingle
+    * set; doc-id ascending breaks exact-size ties, so mutual-containment
+    * groups keep their minimum id — the [[exactDedupGroups]] convention).
+    * Containment is not transitive, so the drop decision is per-edge
+    * (inner side of any qualifying pair), not a connected-component
+    * collapse: a doc contained in a dropped doc is still dropped (its
+    * content survives inside the transitive container).
+    */
+  def containmentDedup(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, blockCol, n, threshold)
+    // inner side of each qualifying edge: the one whose containment met
+    // the threshold; ties on both directions drop the larger id
+    val drops = pairs.select(
+      when(col("cont_a") >= col("cont_b"),
+        when(col("cont_a") === col("cont_b"), greatest(col("id_a"), col("id_b")))
+          .otherwise(col("id_a")))
+        .otherwise(col("id_b")).as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard pair mining via equivalence-class collapse — the scale
     * path for corpora with repeated content (exactly what LLM training
     * data looks like): group documents by identical token SET first

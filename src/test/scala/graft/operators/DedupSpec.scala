@@ -491,4 +491,37 @@ class DedupSpec extends SparkSpec {
     assert(clean.toSeq == Seq((1L, "PPPPPQQQQQ"), (2L, "RRRRRSSSSS")),
       "drop-all policy removes the shared block from both docs")
   }
+
+  private def contDocs = {
+    import spark.implicits._
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en"), // container
+      (11L, "beta gamma delta", "en"),                    // phrase fully inside 10
+      (12L, "completely unrelated content here now", "en"),
+      (20L, "one two three four", "en"),                  // exact dup pair
+      (21L, "one two three four", "en")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("containmentPairs: short doc embedded in long doc found where jaccard misses it") {
+    val pairs = Dedup.containmentPairs(contDocs, "doc_id", "text", "lang", 2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).sortBy(p => (p._1, p._2))
+    // 11's shingles {beta gamma, gamma delta} are a strict subset of 10's
+    // five shingles: cont_b = 1.0 but jaccard only 2/5 — below any
+    // resemblance threshold that would find it
+    assert(pairs.toSeq == Seq(
+      (10L, 11L, 0.4, 1.0, 0.4),
+      (20L, 21L, 1.0, 1.0, 1.0)))
+    val resemblance = Dedup.jaccardPairs(contDocs, "doc_id", "text", "lang", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!resemblance.contains((10L, 11L)),
+      "the asymmetric pair must be invisible to the jaccard miner at the same bar")
+  }
+
+  test("containmentDedup: drops the contained side; exact-size tie drops the larger id") {
+    val kept = Dedup.containmentDedup(contDocs, "doc_id", "text", "lang", 2, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L, 20L))
+  }
 }
