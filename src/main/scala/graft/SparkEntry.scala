@@ -2984,6 +2984,89 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Leave-one-out target encoding
+    * ([[graft.operators.Features.targetEncodeLoo]]): each order's
+    * priority encoded as the mean total price of the OTHER orders with
+    * that priority — the leakage-safe target statistic. The target is
+    * pre-scaled to integer cents so the category sums are exact longs
+    * (order-independent, bit-identical across engines); the oracle
+    * restates the window-sum form of the same arithmetic.
+    */
+  private def q176TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Features
+    val orders = t(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    Features.targetEncodeLoo(orders, "o_orderkey", "o_orderpriority", "cents")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("loo_enc") / 100.0, 6).as("loo_enc"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Fitted equi-depth binning
+    * ([[graft.operators.Features.quantileBins]]): 8 bins over order
+    * total price — the K−1 breakpoints fit once (exact interpolated
+    * percentiles, the q09 quantile_cont parity precedent), broadcast,
+    * and applied map-side; the per-bin histogram pins both the fit and
+    * the (lo, hi] boundary convention against DuckDB.
+    */
+  private def q177QuantileBins(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Features
+    Features.quantileBins(t(s, dir, "orders"), "o_totalprice", 8)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("bin"))
+  }
+
+  /** Mutual information between order priority and status
+    * ([[graft.operators.Scoring.mutualInformation]]): the contingency
+    * table is cell-sized (15 cells) whatever the corpus size; the
+    * oracle restates the Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) sum exactly.
+    */
+  private def q178MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scoring
+    Scoring.mutualInformation(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")
+      .select(col("n"), col("n_cells"), round(col("mi"), 6).as("mi"))
+  }
+
+  /** Benford first-digit audit ([[graft.operators.Drift.benfordAudit]])
+    * of order totals: leading digit of the integer part (string route —
+    * engine-portable, no float formatting or log-near-integer boundary)
+    * vs log10(1 + 1/d), with per-digit chi-square contributions.
+    */
+  private def q179BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift
+    Drift.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+      .select(col("digit"), col("n"),
+        round(col("observed_p"), 6).as("observed_p"),
+        round(col("expected_p"), 6).as("expected_p"),
+        round(col("chi2_term"), 6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** A/B gate ([[graft.operators.Funnel.abTestGate]]): users hash-split
+    * into two variants by user_id parity, the experiment unit is the
+    * USER-DAY (daily exposure; converts if that day saw a purchase —
+    * per-user "ever purchased" saturates to pool = 1 on this corpus and
+    * has no variance to test); the pooled two-proportion z-test as one
+    * row of exact arithmetic the oracle restates verbatim.
+    */
+  private def q180AbTest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .filter(col("user_id").isNotNull)
+      .withColumn("unit",
+        concat_ws("|", col("user_id"), to_date(col("event_time"))))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    Funnel.abTestGate(ev, "unit", "variant", "event_type", "purchase")
+      .select(col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("z"), 6).as("z"), col("significant"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3303,7 +3386,12 @@ object SparkEntry {
     "q172_ref_integrity" -> (q172RefIntegrity _),
     "q173_gdpr_erase" -> (q173GdprErase _),
     "q174_containment_pairs" -> (q174ContainmentPairs _),
-    "q175_containment_dedup" -> (q175ContainmentDedup _))
+    "q175_containment_dedup" -> (q175ContainmentDedup _),
+    "q176_target_encoding" -> (q176TargetEncoding _),
+    "q177_quantile_bins" -> (q177QuantileBins _),
+    "q178_mutual_info" -> (q178MutualInfo _),
+    "q179_benford_audit" -> (q179BenfordAudit _),
+    "q180_ab_test" -> (q180AbTest _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6113,7 +6201,84 @@ object SparkEntry {
         | FROM qual)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q176: window-sum restatement of the leave-one-out target
+    // statistic over exact integer cents (order-independent sums)
+    "q176_target_encoding" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        | round((CASE WHEN count(*) OVER (PARTITION BY o_orderpriority) > 1
+        |   THEN (sum(cents) OVER (PARTITION BY o_orderpriority) - cents) * 1.0
+        |        / (count(*) OVER (PARTITION BY o_orderpriority) - 1)
+        |   ELSE (sum(cents) OVER () - cents) * 1.0 / (count(*) OVER () - 1)
+        |  END) / 100.0, 6) AS loo_enc
+        |FROM o
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q177_quantile_bins" ->
+      """WITH b AS (
+        | SELECT quantile_cont(o_totalprice,
+        |   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bps
+        | FROM orders),
+        |binned AS (
+        | SELECT o_totalprice AS v,
+        |  1 + len(list_filter((SELECT bps FROM b), bp -> o_totalprice > bp)) AS bin
+        | FROM orders)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        | round(min(v), 2) AS min_price, round(max(v), 2) AS max_price
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q178_mutual_info" ->
+      """WITH cells AS (
+        | SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS nxy
+        | FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells)
+        |SELECT max(tot.n) AS n, count(*) AS n_cells,
+        | round(sum((nxy / tot.n) * ln((nxy * tot.n) / (nx * ny))), 6) AS mi
+        |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot""".stripMargin,
+
+    "q179_benford_audit" ->
+      """WITH d AS (
+        | SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        | FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n,
+        | round(n / total, 6) AS observed_p,
+        | round(log10(1 + 1.0 / digit), 6) AS expected_p,
+        | round(pow(n / total - log10(1 + 1.0 / digit), 2) / log10(1 + 1.0 / digit) * total, 6) AS chi2_term
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // q180: the pooled two-proportion z restated with the engine's
+    // exact operation order so every double is bit-identical
+    "q180_ab_test" ->
+      """WITH units AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day, user_id % 2 AS v,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+        |bv AS (SELECT v, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |       FROM units GROUP BY 1),
+        |a AS (SELECT n, c FROM bv WHERE v = (SELECT min(v) FROM bv)),
+        |b AS (SELECT n, c FROM bv WHERE v = (SELECT max(v) FROM bv)),
+        |z AS (SELECT
+        |  (a.c / a.n - b.c / b.n) /
+        |  sqrt(((a.c + b.c) / (a.n + b.n)) * (1 - (a.c + b.c) / (a.n + b.n))
+        |       * (1.0 / a.n + 1.0 / b.n)) AS zval,
+        |  a.n AS n_a, b.n AS n_b, a.c AS conv_a, b.c AS conv_b
+        | FROM a CROSS JOIN b)
+        |SELECT (SELECT min(v) FROM bv) AS variant_a,
+        | (SELECT max(v) FROM bv) AS variant_b,
+        | n_a, n_b, conv_a, conv_b,
+        | round(conv_a / n_a, 6) AS p_a, round(conv_b / n_b, 6) AS p_b,
+        | round(zval, 6) AS z,
+        | abs(zval) > 1.959963984540054 AS significant
+        |FROM z""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

@@ -113,4 +113,33 @@ object Drift {
       .filter(abs(col("z")) >= zThreshold)
       .select((idCols ++ keys).map(col) :+ col(valueCol) :+ col("z"): _*)
   }
+
+  /** Benford first-digit audit of a positive numeric column: observed
+    * leading-digit distribution vs the Benford expectation
+    * log10(1 + 1/d) — the classic fabricated-data / broken-upstream
+    * smoke test for naturally-spanning magnitudes (Newcomb 1881,
+    * Benford 1938). The digit is taken from the INTEGER part rendered
+    * as a string (values < 1 are excluded), which is engine-portable —
+    * no float formatting, no log-near-integer boundary.
+    *
+    * Scale: one map-side digit projection + a 9-row aggregate;
+    * chi-square contributions are 9-row arithmetic.
+    * Output per digit 1–9: (digit, n, observed_p, expected_p, chi2_term).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol).cast("double") >= 1)
+      .select(substring(floor(col(valueCol).cast("double")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("observed_p", col("n") / col("__total"))
+      .withColumn("expected_p", log10(lit(1) + lit(1.0) / col("digit")))
+      .withColumn("chi2_term",
+        pow(col("observed_p") - col("expected_p"), 2) / col("expected_p") *
+          col("__total"))
+      .select(col("digit"), col("n"), col("observed_p"),
+        col("expected_p"), col("chi2_term"))
+  }
 }

@@ -238,4 +238,56 @@ object Funnel {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(topK)
   }
+
+  /** Two-proportion z-test gate for an A/B experiment: per unit (user),
+    * exposure = any event at all, conversion = any `convType` event;
+    * variants come from `variantCol` (caller-assigned — e.g. a
+    * deterministic hash bucket). z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a+1/n_b))
+    * with p̂ the pooled rate — the standard large-sample test (Casella &
+    * Berger §8.3). Exactly two variants required.
+    *
+    * Scale: one user-level aggregate (corpus → distinct units), then a
+    * 2-row variant aggregate pivoted driver-free into a single row of
+    * arithmetic. Output: one row (n_a, n_b, conv_a, conv_b, p_a, p_b,
+    * z, significant) — `significant` at the two-sided 5% level.
+    */
+  def abTestGate(events: DataFrame, unitCol: String, variantCol: String,
+                 typeCol: String, convType: String): DataFrame = {
+    val units = events
+      .groupBy(col(unitCol), col(variantCol).as("__v"))
+      .agg(max(when(col(typeCol) === convType, 1).otherwise(0)).as("__conv"))
+    val byVariant = units.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__c"))
+    val va = byVariant.agg(min(col("__v")).as("__va"))
+    val wide = byVariant.crossJoin(broadcast(va)).agg(
+      min(col("__va")).as("variant_a"),
+      max(when(col("__v") =!= col("__va"), col("__v"))).as("variant_b"),
+      count(lit(1)).as("__n_variants"),
+      max(when(col("__v") === col("__va"), col("__n"))).as("n_a"),
+      max(when(col("__v") =!= col("__va"), col("__n"))).as("n_b"),
+      max(when(col("__v") === col("__va"), col("__c"))).as("conv_a"),
+      max(when(col("__v") =!= col("__va"), col("__c"))).as("conv_b"))
+    wide
+      // exactly-two-variants contract, enforced in-plan: assert_true is
+      // folded INTO variant_a (null on success) so column pruning can't
+      // drop it — fails loudly at execution, no driver-side action
+      .withColumn("variant_a",
+        when(assert_true(col("__n_variants") === 2,
+          lit("abTestGate requires exactly 2 variants")).isNull,
+          col("variant_a")))
+      .withColumn("p_a", col("conv_a") / col("n_a"))
+      .withColumn("p_b", col("conv_b") / col("n_b"))
+      .withColumn("__pool", (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+      // degenerate pools (nobody / everybody converts) have zero pooled
+      // variance — no test statistic exists; null z, not a 0/0 error
+      .withColumn("z",
+        when(col("__pool") > 0 && col("__pool") < 1,
+          (col("p_a") - col("p_b")) /
+            sqrt(col("__pool") * (lit(1) - col("__pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .withColumn("significant", abs(col("z")) > 1.959963984540054)
+      .select(col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"), col("p_a"), col("p_b"),
+        col("z"), col("significant"))
+  }
 }

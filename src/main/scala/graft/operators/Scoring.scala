@@ -485,4 +485,35 @@ object Scoring {
       .filter(col("lift_rank") <= topN)
       .select(col("cluster"), col("lift_rank"), col("token"), col("df_c"), col("lift"))
   }
+
+  /** Mutual information between two categorical columns,
+    * MI = Σ_xy p(x,y) · ln(p(x,y) / (p(x)·p(y))) in nats — the
+    * feature-selection / redundancy measure (Cover & Thomas ch.2).
+    * Null categories count as their own level (consistent with GROUP BY
+    * null semantics in both engines).
+    *
+    * Scale: one pass builds the CELL-sized contingency table (at most
+    * |X|·|Y| rows — for real categorical columns, kilobytes regardless
+    * of corpus size); marginals derive from it by re-aggregation, so
+    * the corpus is scanned exactly once and everything downstream is
+    * cell-sized broadcast arithmetic.
+    * Output: one row (n, n_cells, mi).
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__x"), col(colB).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val n = cells.agg(sum(col("__nxy")).as("__n"))
+    cells
+      .join(broadcast(mx), Seq("__x"))
+      .join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(n))
+      .agg(
+        max(col("__n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum((col("__nxy") / col("__n")) *
+          log((col("__nxy") * col("__n")) / (col("__nx") * col("__ny"))))
+          .as("mi"))
+  }
 }

@@ -85,4 +85,21 @@ class DriftSpec extends SparkSpec {
     assert(rows("a") == 0.0)
     assert(rows("b") > 5)
   }
+
+  test("benfordAudit: digits from the integer part; sub-1 values excluded; " +
+    "a perfect Benford sample has zero chi-square") {
+    import spark.implicits._
+    // counts proportional to log10(1+1/d) over 1000 rows would not be
+    // integral; instead pin the mechanics: digit extraction + exclusion
+    val df = Seq(0.5, 1.2, 19.0, 193.4, 2.0, 29.9, 911.0).map(Tuple1(_)).toDF("v")
+    val got = Drift.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 3, 2 -> 2, 9 -> 1), s"0.5 excluded, got $got")
+    // expected_p sums to 1 across digits 1..9
+    val exp = Drift.benfordAudit(
+        (1 to 9).map(d => Tuple1(d.toDouble)).toDF("v"), "v")
+      .agg(org.apache.spark.sql.functions.sum("expected_p"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(exp - 1.0) < 1e-12)
+  }
 }

@@ -215,4 +215,33 @@ class FunnelSpec extends SparkSpec {
       (3L, 0L, 3L, "b"), (4L, 0L, 4L, "c"))
     assert(pathsOf(rows, gapNs = 10L, topK = 2) == Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("abTestGate: hand-computed pooled z; unit-level conversion, not event-level") {
+    import spark.implicits._
+    // variant 0: users 0,2 (user 0 converts — twice, must count once);
+    // variant 1: users 1,3 (none convert)
+    val ev = Seq(
+      (0L, 0L, "purchase"), (0L, 0L, "purchase"), (0L, 0L, "view"),
+      (2L, 0L, "view"),
+      (1L, 1L, "view"), (3L, 1L, "click")
+    ).toDF("user_id", "variant", "event_type")
+    val r = Funnel.abTestGate(ev, "user_id", "variant", "event_type", "purchase")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("conv_a") == 1 && r.getAs[Long]("conv_b") == 0)
+    val pool = 0.25
+    val z = (0.5 - 0.0) / math.sqrt(pool * (1 - pool) * (1.0 / 2 + 1.0 / 2))
+    assert(r.getAs[Double]("z") == z)
+    assert(!r.getAs[Boolean]("significant"), s"z=$z is under 1.96")
+  }
+
+  test("abTestGate: more than two variants fails loudly") {
+    import spark.implicits._
+    val ev = Seq((0L, 0L, "view"), (1L, 1L, "view"), (2L, 2L, "view"))
+      .toDF("user_id", "variant", "event_type")
+    val ex = intercept[Exception] {
+      Funnel.abTestGate(ev, "user_id", "variant", "event_type", "purchase").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

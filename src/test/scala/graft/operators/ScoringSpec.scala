@@ -325,4 +325,18 @@ class ScoringSpec extends SparkSpec {
       .filter(col("bucket") === bucketSign("spark", 64)._1)
     assert(cancelled.count() == 0L, "fully-cancelled bucket must be dropped")
   }
+
+  test("mutualInformation: independent columns → 0; identical columns → entropy") {
+    import spark.implicits._
+    // perfectly independent 2x2 design, uniform
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "v")
+    val mi0 = Scoring.mutualInformation(ind, "u", "v").collect()(0)
+    assert(mi0.getAs[Long]("n") == 4 && mi0.getAs[Long]("n_cells") == 4)
+    assert(math.abs(mi0.getAs[Double]("mi")) < 1e-12)
+    // y == x: MI equals the entropy of x = ln 2 for a uniform binary column
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("u", "v")
+    val mi1 = Scoring.mutualInformation(dep, "u", "v")
+      .collect()(0).getAs[Double]("mi")
+    assert(math.abs(mi1 - math.log(2)) < 1e-12, s"got $mi1")
+  }
 }
