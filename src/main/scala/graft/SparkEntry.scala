@@ -3067,6 +3067,77 @@ object SparkEntry {
         round(col("z"), 6).as("z"), col("significant"))
   }
 
+  /** Chao1 unseen-vocabulary estimate
+    * ([[graft.operators.CorpusStats.chao1]]): observed types plus the
+    * bias-corrected singleton/doubleton estimator — "does more crawling
+    * still buy new vocabulary". One tokenize+aggregate pass to a
+    * vocabulary-sized table, then constant arithmetic.
+    */
+  private def q181Chao1(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStats
+    CorpusStats.chao1(t(s, dir, "documents"), "text")
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("chao1"), 6).as("chao1"))
+  }
+
+  /** Zipf power-law fit ([[graft.operators.CorpusStats.zipfSlope]]):
+    * OLS slope of ln freq on ln rank over the top-100 ranks — natural
+    * text sits near −1; template corpora go flat. Top-k via
+    * TakeOrdered (distributed), rank window over 100 rows only.
+    */
+  private def q182ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStats
+    CorpusStats.zipfSlope(t(s, dir, "documents"), "text", topN = 100)
+      .select(col("n_ranks"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+  }
+
+  /** Gini concentration of corpus volume over sources
+    * ([[graft.operators.CorpusStats.giniConcentration]]): the
+    * diversity-risk number the mixture-rebalance family acts on;
+    * rank-form Gini over the group-sized share table.
+    */
+  private def q183GiniSources(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStats
+    CorpusStats.giniConcentration(t(s, dir, "documents"), "source")
+      .select(col("n_groups"), col("total"), round(col("gini"), 6).as("gini"))
+  }
+
+  /** Poisson-bootstrap CI of mean order value
+    * ([[graft.operators.Stats.poissonBootstrapCI]]): 200 deterministic
+    * Poisson(1)-weighted replicates (Chamandy '12 — the bootstrap that
+    * needs no global coordination), percentile CI over the replicate
+    * means. The target is pre-scaled to integer cents so every
+    * replicate sum is exact (order-independent); the oracle replays
+    * the md5 CDF-ladder draws and both percentiles.
+    */
+  private def q184BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val orders = t(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    Stats.poissonBootstrapCI(orders, "o_orderkey", "cents", nReplicates = 200)
+      .select(col("n"), round(col("point_mean") / 100.0, 6).as("point_mean"),
+        col("n_replicates"),
+        round(col("ci_lo") / 100.0, 6).as("ci_lo"),
+        round(col("ci_hi") / 100.0, 6).as("ci_hi"))
+  }
+
+  /** Cohen's kappa ([[graft.operators.Stats.cohensKappa]]): agreement
+    * between the order status and a deterministically perturbed second
+    * annotator (every 10th key relabeled 'O') — the label-quality gate;
+    * κ from one cell-sized contingency aggregate.
+    */
+  private def q185CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val labeled = t(s, dir, "orders")
+      .withColumn("rater_b",
+        when(col("o_orderkey") % 10 === 0, lit("O"))
+          .otherwise(col("o_orderstatus")))
+    Stats.cohensKappa(labeled, "o_orderstatus", "rater_b")
+      .select(col("n"), round(col("po"), 6).as("po"),
+        round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3391,7 +3462,12 @@ object SparkEntry {
     "q177_quantile_bins" -> (q177QuantileBins _),
     "q178_mutual_info" -> (q178MutualInfo _),
     "q179_benford_audit" -> (q179BenfordAudit _),
-    "q180_ab_test" -> (q180AbTest _))
+    "q180_ab_test" -> (q180AbTest _),
+    "q181_chao1" -> (q181Chao1 _),
+    "q182_zipf_slope" -> (q182ZipfSlope _),
+    "q183_gini_sources" -> (q183GiniSources _),
+    "q184_bootstrap_ci" -> (q184BootstrapCi _),
+    "q185_cohens_kappa" -> (q185CohensKappa _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6278,7 +6354,96 @@ object SparkEntry {
         | round(conv_a / n_a, 6) AS p_a, round(conv_b / n_b, 6) AS p_b,
         | round(zval, 6) AS z,
         | abs(zval) > 1.959963984540054 AS significant
-        |FROM z""".stripMargin)
+        |FROM z""".stripMargin,
+
+    "q181_chao1" ->
+      """WITH tf AS (
+        | SELECT tok AS token, count(*) AS freq
+        | FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+        |                     t -> t <> '')) AS tok FROM documents)
+        | GROUP BY 1)
+        |SELECT CAST(sum(freq) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        | CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        | CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        | round(count(*) +
+        |  (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) - 1))
+        |   / (2.0 * (sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) + 1)), 6) AS chao1
+        |FROM tf""".stripMargin,
+
+    "q182_zipf_slope" ->
+      """WITH tf AS (
+        | SELECT tok AS token, count(*) AS freq
+        | FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+        |                     t -> t <> '')) AS tok FROM documents)
+        | GROUP BY 1),
+        |top AS (SELECT token, freq FROM tf ORDER BY freq DESC, token ASC LIMIT 100),
+        |r AS (SELECT ln(row_number() OVER (ORDER BY freq DESC, token ASC)) AS x,
+        |             ln(freq) AS y FROM top),
+        |s AS (SELECT count(*) AS n_ranks, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |SELECT n_ranks,
+        | round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) AS slope,
+        | round((sy - ((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)) * sx)
+        |       / n_ranks, 6) AS intercept
+        |FROM s""".stripMargin,
+
+    "q183_gini_sources" ->
+      """WITH sz AS (SELECT source, count(*) AS x FROM documents GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i FROM sz),
+        |s AS (SELECT count(*) AS n_groups, CAST(sum(x) AS BIGINT) AS total,
+        |             CAST(sum(i * x) AS BIGINT) AS ix FROM r)
+        |SELECT n_groups, total,
+        | round(2.0 * ix / (n_groups * total)
+        |       - (n_groups + 1) / CAST(n_groups AS DOUBLE), 6) AS gini
+        |FROM s""".stripMargin,
+
+    // q184: the md5 CDF-ladder Poisson draws replayed verbatim —
+    // weights, exact integer replicate sums, both percentiles
+    "q184_bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |reps AS (SELECT b FROM generate_series(1, 200) t(b)),
+        |w AS (SELECT cents, b,
+        |  CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        | FROM o CROSS JOIN reps),
+        |wt AS (SELECT b, cents,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       WHEN u < 0.9994058151824183 THEN 5
+        |       WHEN u < 0.9999167588507119 THEN 6
+        |       ELSE 7 END AS wgt
+        | FROM w),
+        |m AS (SELECT b, sum(wgt * cents) * 1.0 / sum(wgt) AS mean_b
+        |      FROM wt GROUP BY 1),
+        |p AS (SELECT count(*) AS n_replicates,
+        |             quantile_cont(mean_b, 0.025) AS lo,
+        |             quantile_cont(mean_b, 0.975) AS hi FROM m),
+        |pt AS (SELECT count(*) AS n, avg(cents) AS pm FROM o)
+        |SELECT n, round(pm / 100.0, 6) AS point_mean, n_replicates,
+        | round(lo / 100.0, 6) AS ci_lo, round(hi / 100.0, 6) AS ci_hi
+        |FROM p CROSS JOIN pt""".stripMargin,
+
+    "q185_cohens_kappa" ->
+      """WITH l AS (SELECT o_orderstatus AS a,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'O' ELSE o_orderstatus END AS b
+        | FROM orders),
+        |cells AS (SELECT a, b, count(*) AS nab FROM l GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |ag AS (SELECT CAST(sum(nab) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN a = b THEN nab ELSE 0 END) AS BIGINT) AS agree
+        | FROM cells),
+        |pe AS (SELECT CAST(sum(na * nb) AS BIGINT) AS ee
+        |       FROM ma JOIN mb ON ma.a = mb.b)
+        |SELECT n, round(agree * 1.0 / n, 6) AS po,
+        | round(ee * 1.0 / (n * n), 6) AS pe,
+        | round((agree * 1.0 / n - ee * 1.0 / (n * n))
+        |       / (1 - ee * 1.0 / (n * n)), 6) AS kappa
+        |FROM ag CROSS JOIN pe""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

@@ -158,19 +158,26 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      explode(shingles(col(textCol), n)).as("g"))
-    val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
-    val shared = tok.as("a")
+    // shingles as sorted distinct xxhash64 longs via the fused kernel
+    // (no intermediate gram strings; the join key is a long, not a
+    // string) — the minhash-family representation; a 64-bit collision
+    // would need ~|S|²/2⁶⁴ luck per pair, negligible at any real |S|.
+    // Set sizes ride THROUGH the join (constant per id, max-folded in
+    // the pair aggregate) instead of two joins back to a size table.
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        hashedShingleSet(df, col(textCol), n, removeEmpty = n == 1).as("grams"))
+      .withColumn("n", size(col("grams")))
+      .filter(col("n") > 0)
+    val tok = base.select(col("id"), col("blk"), col("n"),
+      explode(col("grams")).as("g"))
+    tok.as("a")
       .join(tok.as("b"),
         col("a.g") === col("b.g") &&
           col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .withColumn("cont_a", col("shared").cast("double") / col("na"))
       .withColumn("cont_b", col("shared").cast("double") / col("nb"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical inference over corpus-scale data — resampling confidence
+  * intervals and inter-annotator agreement. No reference implementation
+  * exists (SURVEY.md §7.4 extension family; methods from the published
+  * literature — Chamandy et al. "Estimating Uncertainty for Massive
+  * Data Streams" (Google TR '12) Poisson bootstrap, Cohen '60 kappa).
+  */
+object Stats {
+
+  /** Cumulative Poisson(1) CDF ladder, P(X ≤ k) for k = 0..6 — enough
+    * mass (1 − 8.1e-5 at k=6) that the tail clamp at 7 is negligible.
+    * Fixed literals so an external SQL engine restates them exactly.
+    */
+  private val poissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** Deterministic Poisson(1) weight for (unit, replicate): uniform
+    * u ∈ [0,1) from the first 8 md5 hex chars of "unit|b", inverted
+    * through the CDF ladder. Pure column arithmetic — portable to any
+    * engine with md5.
+    */
+  def poissonWeight(unit: Column, b: Column): Column = {
+    val u = conv(substring(md5(concat_ws("|", unit, b)), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    // ascending first-match CASE ladder: when(u<cdf0, 0).otherwise(
+    // when(u<cdf1, 1). …, built from the tail up
+    poissonCdf1.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (tail, (p, k)) =>
+        when(u < p, lit(k.toLong)).otherwise(tail)
+      }
+  }
+
+  /** Poisson bootstrap of a mean (Chamandy '12): each of `nReplicates`
+    * resamples weights every row by an independent Poisson(1) draw —
+    * the distributed bootstrap, since true multinomial resampling needs
+    * global coordination but Poisson weights are per-row independent.
+    * Draws are deterministic in (idCol, replicate), so reruns and
+    * engine replays agree exactly.
+    *
+    * Scale: one corpus pass explodes B replicate ids per row and
+    * partially aggregates map-side into a B-row table — B× CPU, but
+    * the shuffle is B cells, never the corpus. Output: one row per
+    * replicate (b, n_eff, mean_b).
+    */
+  def poissonBootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                            nReplicates: Int): DataFrame = {
+    require(nReplicates >= 1, s"need >= 1 replicates, got $nReplicates")
+    df.select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+      .withColumn("b", explode(sequence(lit(1), lit(nReplicates))))
+      .withColumn("__w", poissonWeight(col("__id"), col("b")))
+      .groupBy(col("b").cast("long").as("b"))
+      .agg(sum(col("__w")).as("n_eff"),
+        (sum(col("__w") * col("__v")) / sum(col("__w"))).as("mean_b"))
+  }
+
+  /** Percentile confidence interval from the replicate means, plus the
+    * plain point estimate: one row (n, point_mean, n_replicates,
+    * ci_lo, ci_hi) at the given two-sided level (exact interpolated
+    * percentiles over the B-row table).
+    */
+  def poissonBootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                         nReplicates: Int, alpha: Double = 0.05): DataFrame = {
+    val means = poissonBootstrapMeans(df, idCol, valueCol, nReplicates)
+    val point = df.agg(count(col(valueCol)).as("n"),
+      avg(col(valueCol).cast("double")).as("point_mean"))
+    means.agg(
+        count(lit(1)).as("n_replicates"),
+        percentile(col("mean_b"), lit(alpha / 2)).as("ci_lo"),
+        percentile(col("mean_b"), lit(1 - alpha / 2)).as("ci_hi"))
+      .crossJoin(broadcast(point))
+      .select(col("n"), col("point_mean"), col("n_replicates"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Cohen's kappa between two categorical label columns (two
+    * annotators over the same rows): κ = (p_o − p_e)/(1 − p_e) with
+    * p_o the observed agreement and p_e the chance agreement from the
+    * marginals (Cohen '60) — the label-quality gate a crowdsourced
+    * annotation pipeline releases on.
+    *
+    * Scale: the agreement count and both marginals reduce from one
+    * cell-sized contingency aggregate (the [[Scoring.mutualInformation]]
+    * pattern); everything downstream is cell-count arithmetic.
+    * Output: one row (n, po, pe, kappa).
+    */
+  def cohensKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__nab")).as("__nb"))
+    val agree = cells.agg(
+      sum(col("__nab")).as("__n"),
+      sum(when(col("__a") <=> col("__b"), col("__nab")).otherwise(0L))
+        .as("__agree"))
+    val pe = ma.join(mb, col("__a") <=> col("__b"))
+      .agg(sum(col("__na") * col("__nb")).as("__ee"))
+    broadcast(agree).crossJoin(broadcast(pe))
+      .withColumn("po", col("__agree") / col("__n"))
+      .withColumn("pe", col("__ee") / (col("__n") * col("__n")))
+      .withColumn("kappa", (col("po") - col("pe")) / (lit(1) - col("pe")))
+      .select(col("__n").as("n"), col("po"), col("pe"), col("kappa"))
+  }
+}

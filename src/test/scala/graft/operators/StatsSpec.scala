@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  test("poissonWeight: deterministic, bounded 0..7, mean ≈ 1 over many draws") {
+    import spark.implicits._
+    val units = (1 to 5000).map(i => Tuple1(i.toLong)).toDF("id")
+    val w = units.select(Stats.poissonWeight(col("id"), lit(1)).as("w"))
+    val stats = w.agg(min("w"), max("w"), avg("w")).collect()(0)
+    assert(stats.getLong(0) >= 0 && stats.getLong(1) <= 7)
+    val mean = stats.getDouble(2)
+    assert(mean > 0.93 && mean < 1.07, s"Poisson(1) mean should be ~1, got $mean")
+    // identical (unit, b) → identical weight on a fresh evaluation
+    val again = units.select(Stats.poissonWeight(col("id"), lit(1)).as("w"))
+    assert(w.except(again).count() == 0 && again.except(w).count() == 0)
+  }
+
+  test("poissonBootstrapMeans: constant column → every replicate mean is the constant") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val means = Stats.poissonBootstrapMeans(df, "id", "v", nReplicates = 20)
+      .collect()
+    assert(means.length == 20)
+    assert(means.forall(_.getAs[Double]("mean_b") == 5.0))
+  }
+
+  test("poissonBootstrapCI brackets the point estimate and narrows with n") {
+    import spark.implicits._
+    val small = (1 to 40).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val big = (1 to 4000).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    def ci(df: org.apache.spark.sql.DataFrame) = {
+      val r = Stats.poissonBootstrapCI(df, "id", "v", nReplicates = 100).collect()(0)
+      (r.getAs[Double]("ci_lo"), r.getAs[Double]("point_mean"), r.getAs[Double]("ci_hi"))
+    }
+    val (lo1, pt1, hi1) = ci(small)
+    val (lo2, pt2, hi2) = ci(big)
+    assert(lo1 <= pt1 && pt1 <= hi1, s"CI must bracket the mean: $lo1 $pt1 $hi1")
+    assert(lo2 <= pt2 && pt2 <= hi2)
+    assert(hi2 - lo2 < hi1 - lo1, "100x more data → tighter interval")
+  }
+
+  test("cohensKappa: perfect agreement → 1; hand-computed 2x2 case → 0.5") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Stats.cohensKappa(perfect, "a", "b")
+      .collect()(0).getAs[Double]("kappa") == 1.0)
+    // agree 3/4; marginals A(x2,y2) B(x1,y3): pe = (2*1+2*3)/16 = 0.5
+    val mixed = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val r = Stats.cohensKappa(mixed, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("po") == 0.75 && r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.5)
+  }
+
+  test("cohensKappa counts null labels as a level (null-safe agreement)") {
+    import spark.implicits._
+    val df = Seq((Some("x"), Some("x")), (None, None), (Some("y"), None))
+      .toDF("a", "b")
+    val r = Stats.cohensKappa(df, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") == 3)
+    assert(r.getAs[Double]("po") == 2.0 / 3)
+  }
+}
