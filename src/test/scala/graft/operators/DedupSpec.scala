@@ -524,4 +524,47 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L, 12L, 20L))
   }
+
+  private def checkContainmentExact(texts: Int => String, nDocs: Int,
+                                    threshold: Double): Unit = {
+    import spark.implicits._
+    val docs = (0 until nDocs).map(i => (i.toLong, texts(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", "lang", 2, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val local = (0 until nDocs).flatMap { i => (i + 1 until nDocs).map(j => (i, j)) }
+      .flatMap { case (i, j) =>
+        val (a, b) = (sh(texts(i)), sh(texts(j)))
+        val shared = (a intersect b).size
+        val cont = math.max(shared.toDouble / a.size, shared.toDouble / b.size)
+        if (cont >= threshold) Some((i.toLong, j.toLong)) else None
+      }.toSet
+    assert(local.nonEmpty, "fixture must produce qualifying pairs")
+    assert(got == local, s"candidate strategy lost or invented pairs: " +
+      s"missing=${local -- got} extra=${got -- local}")
+  }
+
+  test("containmentPairs is EXACT on a dense small-vocab corpus (block-join path)") {
+    // 60 docs over a 12-token universe: every gram is common, so
+    // Σ|block|² < Σdf² and the cost model must pick the block join
+    val vocab = "v w x y z p q r s t u k".split(" ")
+    checkContainmentExact(i =>
+      (0 until 4 + i % 5).map(j => vocab((i * 7 + j * 3) % vocab.length)).mkString(" "),
+      nDocs = 60, threshold = 0.5)
+  }
+
+  test("containmentPairs is EXACT on a sparse unique-vocab corpus (prefix-filter path)") {
+    // per-doc-unique tokens (df ≈ 1) except every 4th doc embeds a
+    // slice of its predecessor — Σdf² ≪ Σ|block|² picks the inverted
+    // index, and the asymmetric small-prefix→full-postings rule must
+    // still find the embedded (short ⊆ long) pairs exactly
+    def text(i: Int): String =
+      if (i % 4 == 1) {
+        val prev = (0 until 8).map(j => s"t${i - 1}x$j").mkString(" ")
+        prev.split(" ").slice(2, 6).mkString(" ")
+      } else (0 until 8).map(j => s"t${i}x$j").mkString(" ")
+    checkContainmentExact(text, nDocs = 60, threshold = 0.8)
+  }
 }
