@@ -3138,6 +3138,41 @@ object SparkEntry {
         round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
   }
 
+  /** Exact-k weighted sample without replacement
+    * ([[graft.operators.Sampling.weightedSampleExactK]], Efraimidis-
+    * Spirakis A-Res): exactly 50 documents drawn with probability
+    * tracking n_chars — deterministic md5 uniforms, ln(u)/w order
+    * statistic quantized to 10 dp, one TakeOrdered; the corpus never
+    * shuffles. The oracle replays the draw and the top-k.
+    */
+  private def q186WeightedTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.weightedSampleExactK(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), k = 50)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-segment metric trend ([[graft.operators.GroupOps.trendSlopes]]):
+    * OLS slope of event value on day index per event type — "is this
+    * metric drifting, how fast, where". x is centered at 2024-01-01:
+    * epoch-day magnitudes would make n·Σx²−(Σx)² catastrophically
+    * cancel and no 6-dp cross-engine parity could survive; centered,
+    * the sums are benign and DuckDB restates them exactly.
+    */
+  private def q187TrendSlopes(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GroupOps
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .filter(col("value").isNotNull)
+      .withColumn("day_idx",
+        datediff(to_date(col("event_time")), lit("2024-01-01").cast("date")))
+    GroupOps.trendSlopes(ev, Seq("event_type"), "day_idx", "value")
+      .select(col("event_type"), col("n"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3467,7 +3502,9 @@ object SparkEntry {
     "q182_zipf_slope" -> (q182ZipfSlope _),
     "q183_gini_sources" -> (q183GiniSources _),
     "q184_bootstrap_ci" -> (q184BootstrapCi _),
-    "q185_cohens_kappa" -> (q185CohensKappa _))
+    "q185_cohens_kappa" -> (q185CohensKappa _),
+    "q186_weighted_topk" -> (q186WeightedTopK _),
+    "q187_trend_slopes" -> (q187TrendSlopes _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6443,7 +6480,37 @@ object SparkEntry {
         | round(ee * 1.0 / (n * n), 6) AS pe,
         | round((agree * 1.0 / n - ee * 1.0 / (n * n))
         |       / (1 - ee * 1.0 / (n * n)), 6) AS kappa
-        |FROM ag CROSS JOIN pe""".stripMargin)
+        |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // q186: the A-Res order statistic replayed — md5 uniform, ln(u)/w
+    // key quantized to 10 dp, top-50, ties by id
+    "q186_weighted_topk" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |           / 4294967296.0) / n_chars, 10) AS k
+        | FROM documents WHERE n_chars > 0
+        | ORDER BY k DESC, doc_id ASC LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q187_trend_slopes" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |  value AS y
+        | FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(x AS DOUBLE)) AS sx, sum(y) AS sy,
+        |  sum(CAST(x AS DOUBLE) * y) AS sxy,
+        |  sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+        | FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        | round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        |   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        | round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        |   THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |  END, 6) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

@@ -476,4 +476,32 @@ object GroupOps {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** Per-group OLS trend: slope/intercept of y on x from the closed-form
+    * sums, one aggregation pass — "is this metric drifting, and how
+    * fast, per segment" (the regression complement to Drift's
+    * distribution gates). Degenerate groups (n < 2 or zero x-variance)
+    * return null slope/intercept rather than a 0/0.
+    *
+    * Scale: map-side partial sums into a GROUP-sized table; no window,
+    * no second pass.
+    * Output: (group cols, n, slope, intercept).
+    */
+  def trendSlopes(df: DataFrame, groupCols: Seq[String],
+                  xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+      .withColumn("__den", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("n") >= 2 && col("__den") =!= 0,
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")) / col("__den")))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (col("__sy") - col("slope") * col("__sx")) / col("n")))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("slope"), col("intercept")): _*)
+  }
 }

@@ -276,4 +276,35 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis IPL '06, A-Res): every row draws a deterministic uniform
+    * u from md5(key) and ranks by key = ln(u)/w — taking the TOP-k by
+    * that key (least negative) samples k rows where inclusion
+    * probability tracks the weights, with no replacement and no global
+    * coordination (the reservoir form of the same order statistic).
+    * [[weightedSample]] keeps a weighted FRACTION; this keeps an exact
+    * COUNT — "pick exactly 1000 docs, quality-weighted".
+    *
+    * Rows with weight ≤ 0 or null never qualify. The rank key is
+    * quantized to 10 dp (ties → key order) so a last-ulp ln/pow
+    * divergence between engines can't reorder the boundary — the
+    * inclusion-probability distortion of 1e-10-wide ties is nil.
+    *
+    * Scale: pure map-side key arithmetic + one TakeOrdered top-k —
+    * the corpus never shuffles.
+    */
+  def weightedSampleExactK(df: DataFrame, keyCol: String, weight: Column,
+                           k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(coalesce(col(keyCol).cast("string"),
+        lit(NullKeyMarker))), 1, 8), 16, 10).cast("double") + 0.5) /
+      4294967296.0 // (hash+0.5)/2³² ∈ (0,1): never ln(0)
+    val key = round(log(u) / weight.cast("double"), 10)
+    df.filter(weight.cast("double") > 0)
+      .withColumn("__es_key", key)
+      .orderBy(col("__es_key").desc, col(keyCol).asc)
+      .limit(k)
+      .drop("__es_key")
+  }
 }

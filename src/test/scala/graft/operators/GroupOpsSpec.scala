@@ -287,4 +287,21 @@ class GroupOpsSpec extends SparkSpec {
     assert(math.abs(got("sym")) < 1e-12)
     assert(got("skew") > 1.0, s"right-tailed group must skew positive: $got")
   }
+
+  test("trendSlopes recovers an exact line per group; degenerate groups go null") {
+    import spark.implicits._
+    val rows =
+      (0 until 10).map(x => ("up", x, 3.0 * x + 7)) ++     // slope 3, icpt 7
+      (0 until 10).map(x => ("down", x, -0.5 * x + 2)) ++  // slope -0.5
+      Seq(("single", 0, 5.0), ("flatx", 4, 1.0), ("flatx", 4, 9.0))
+    val got = GroupOps.trendSlopes(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => r.getAs[String]("g") ->
+        (Option(r.getAs[java.lang.Double]("slope")),
+         Option(r.getAs[java.lang.Double]("intercept")))).toMap
+    assert(got("up")._1.exists(s => math.abs(s - 3.0) < 1e-12))
+    assert(got("up")._2.exists(i => math.abs(i - 7.0) < 1e-12))
+    assert(got("down")._1.exists(s => math.abs(s + 0.5) < 1e-12))
+    assert(got("single")._1.isEmpty, "n < 2 has no trend")
+    assert(got("flatx")._1.isEmpty, "zero x-variance has no defined slope")
+  }
 }

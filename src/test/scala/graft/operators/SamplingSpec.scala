@@ -243,4 +243,28 @@ class SamplingSpec extends SparkSpec {
     val bigB = big.filter(col("dom") === "b").agg(min("n_copies")).collect()(0).getLong(0)
     assert(bigB == 9L) // desired 180 of 20 -> base 9
   }
+
+  test("weightedSampleExactK: exactly k rows, deterministic, non-positive weights never drawn") {
+    import spark.implicits._
+    val df = (1 to 500).map(i =>
+      (i.toLong, if (i % 7 == 0) 0L else (i % 10 + 1).toLong)).toDF("id", "w")
+    val s1 = Sampling.weightedSampleExactK(df, "id", col("w"), 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSampleExactK(df.repartition(7), "id", col("w"), 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1.size == 40 && s1 == s2, "pure function of (key, weight)")
+    assert(s1.forall(_ % 7 != 0), "zero-weight rows must never qualify")
+  }
+
+  test("weightedSampleExactK: inclusion tracks weight (heavy rows oversampled)") {
+    import spark.implicits._
+    // half the rows weight 10, half weight 1 — expect the heavy half to
+    // dominate a k = 100 draw from 1000 rows
+    val df = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 500) 10L else 1L)).toDF("id", "w")
+    val drawn = Sampling.weightedSampleExactK(df, "id", col("w"), 100)
+      .select("id").collect().map(_.getLong(0))
+    val heavy = drawn.count(_ <= 500)
+    assert(heavy > 75, s"10:1 weights should dominate the sample, got $heavy/100")
+  }
 }
