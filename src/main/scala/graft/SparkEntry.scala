@@ -3173,6 +3173,31 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** MMR diversification ([[graft.operators.Retrieval.mmrDiversify]],
+    * Carbonell-Goldstein '98): exact top-10 cosine candidates per query
+    * (5 queries), greedily re-ranked to 5 diverse results at λ = 0.7.
+    * The greedy rounds are pure max/compare over 6-dp-quantized cosines
+    * (q26's parity bound) with 9-dp score quantization, so the oracle
+    * unrolls the same five argmax rounds in SQL and hash-matches.
+    */
+  private def q188MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Retrieval, Similarity}
+    val emb = t(s, dir, "embeddings")
+    val cands = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+      .join(emb.select(col("vec_id").as("neighbour_id"), col("embedding")),
+        Seq("neighbour_id"))
+    // mmr_score stays at the operator's 9-dp quantization: re-rounding
+    // a quantized decimal to fewer places parks ~10% of values exactly
+    // on the half boundary, where engines' round implementations
+    // legitimately disagree (double-rounding hazard)
+    Retrieval.mmrDiversify(cands, "query_id", "neighbour_id", "cosine_sim",
+        "embedding", lambda = 0.7, k = 5)
+      .select(col("query_id"), col("mmr_rank"),
+        col("neighbour_id").as("doc_id"), col("mmr_score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3504,7 +3529,8 @@ object SparkEntry {
     "q184_bootstrap_ci" -> (q184BootstrapCi _),
     "q185_cohens_kappa" -> (q185CohensKappa _),
     "q186_weighted_topk" -> (q186WeightedTopK _),
-    "q187_trend_slopes" -> (q187TrendSlopes _))
+    "q187_trend_slopes" -> (q187TrendSlopes _),
+    "q188_mmr_diversify" -> (q188MmrDiversify _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6510,7 +6536,9 @@ object SparkEntry {
         | round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
         |   THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
         |  END, 6) AS intercept
-        |FROM s ORDER BY event_type""".stripMargin)
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q188_mmr_diversify" -> mmrOracle)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the
@@ -6557,6 +6585,58 @@ object SparkEntry {
     * shared oracle for q44 (autoBanding) and q114 (selectiveBanding):
     * banding must never change the verified pair set.
     */
+  /** q188's oracle: the five greedy MMR argmax rounds unrolled as SQL
+    * CTEs — same λ literal, same IEEE (1 − λ), same 6-dp cosine / 9-dp
+    * score quantization, same doc-id tie-break as the engine.
+    */
+  private val mmrOracle: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val mu = s"(1 - $lam)"
+    val head =
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         |cand AS (SELECT qid, did, rel FROM (
+         | SELECT q.vec_id AS qid, c.vec_id AS did,
+         |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS rel,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |             c.vec_id ASC) AS rn
+         | FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) t WHERE rn <= 10),
+         |sims AS (SELECT a.qid, a.did, b.did AS db,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+         | FROM cand a JOIN cand b ON a.qid = b.qid AND a.did <> b.did
+         | JOIN embeddings ea ON ea.vec_id = a.did
+         | JOIN embeddings eb ON eb.vec_id = b.did),
+         |p1 AS (SELECT qid, did, round($lam * rel - $mu * 0.0, 9) AS score,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY round($lam * rel - $mu * 0.0, 9) DESC, did ASC) AS rn FROM cand),
+         |s1 AS (SELECT qid, did, 1 AS mmr_rank, score FROM p1 WHERE rn = 1),
+         |sel1 AS (SELECT qid, did FROM s1)""".stripMargin
+    val rounds = (2 to 5).map { i =>
+      s"""r$i AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM sel${i - 1} s WHERE s.qid = c.qid AND s.did = c.did)),
+         |pen$i AS (SELECT s.qid, s.did, max(s.sim) AS pen
+         |  FROM sims s JOIN sel${i - 1} x ON s.qid = x.qid AND s.db = x.did
+         |  GROUP BY 1, 2),
+         |p$i AS (SELECT r.qid, r.did,
+         |  round($lam * r.rel - $mu * coalesce(p.pen, 0.0), 9) AS score,
+         |  row_number() OVER (PARTITION BY r.qid
+         |    ORDER BY round($lam * r.rel - $mu * coalesce(p.pen, 0.0), 9) DESC,
+         |             r.did ASC) AS rn
+         |  FROM r$i r LEFT JOIN pen$i p ON r.qid = p.qid AND r.did = p.did),
+         |s$i AS (SELECT qid, did, $i AS mmr_rank, score FROM p$i WHERE rn = 1),
+         |sel$i AS (SELECT qid, did FROM sel${i - 1} UNION ALL SELECT qid, did FROM s$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      """
+        |SELECT qid AS query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+        | did AS doc_id, score AS mmr_score
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+        |      SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL
+        |      SELECT * FROM s5) u
+        |ORDER BY query_id, mmr_rank""".stripMargin
+    head + rounds + tail
+  }
+
   /** Shared CTE prefix for the q174/q175 oracles: the 2-gram shingle
     * inverted index (q44's oracle shape) extended with both directional
     * containment ratios, `qual` = pairs where either direction ≥ 0.4.

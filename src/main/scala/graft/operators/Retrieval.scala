@@ -138,4 +138,65 @@ object Retrieval {
       .filter(col("neg_rank") <= n)
       .drop(rankCol)
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * SIGIR '98): from each query's CANDIDATE pool (a bounded top-N from
+    * a first-stage retriever — the caller's contract, like every
+    * bounded-broadcast site here), greedily select k results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — relevance traded
+    * against redundancy, the standard diversification pass between
+    * retrieval and a context window.
+    *
+    * Engineering shape: pairwise candidate similarities are
+    * precomputed ONCE with the codegen'd cosine kernel (N² per query,
+    * bounded by the pool contract), then the k greedy rounds are pure
+    * max/compare DataFrame ops — k keyed joins over evaluation-sized
+    * tables, no driver-side loop over data, no per-row lambda
+    * arithmetic outside expressions. rel and sim quantize to 6 dp (the
+    * engine's proven cosine parity bound) and scores to 9 dp before
+    * each argmax, ties by doc id — so the selection is total-ordered
+    * and engine-portable. Picks carry `mmr_rank` 1..k; a query with
+    * fewer than k candidates simply stops early.
+    * Output: (queryCol, mmr_rank, docCol, mmr_score).
+    */
+  def mmrDiversify(cands: DataFrame, queryCol: String, docCol: String,
+                   relCol: String, vecCol: String,
+                   lambda: Double, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    graft.expressions.GraftFunctions.register(cands.sparkSession)
+    val c = cands.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+      round(col(relCol).cast("double"), 6).as("__rel"), col(vecCol).as("__v"))
+    val sims = c.as("a").join(c.as("b"),
+        col("a.__q") === col("b.__q") && col("a.__d") =!= col("b.__d"))
+      .select(col("a.__q").as("__q"), col("a.__d").as("__d"),
+        col("b.__d").as("__db"),
+        round(call_function("cosine_similarity", col("a.__v"), col("b.__v")), 6)
+          .as("__sim"))
+    val mu = lit(1 - lambda) // IEEE 1−λ, restated identically by oracles
+    def pickRound(scored: DataFrame, rank: Int): DataFrame =
+      scored
+        .withColumn("__score",
+          round(lit(lambda) * col("__rel") -
+            mu * coalesce(col("__pen"), lit(0.0)), 9))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__q"))
+            .orderBy(col("__score").desc, col("__d").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("__q"), col("__d"),
+          lit(rank.toLong).as("mmr_rank"), col("__score").as("mmr_score"))
+    var all = pickRound(c.withColumn("__pen", lit(null).cast("double")), 1)
+    for (i <- 2 to k) {
+      val remaining = c.join(all.select(col("__q"), col("__d")),
+        Seq("__q", "__d"), "left_anti")
+      val penalties = sims
+        .join(all.select(col("__q"), col("__d").as("__db")), Seq("__q", "__db"))
+        .groupBy(col("__q"), col("__d"))
+        .agg(max(col("__sim")).as("__pen"))
+      all = all.unionByName(
+        pickRound(remaining.join(penalties, Seq("__q", "__d"), "left"), i))
+    }
+    all.select(col("__q").as(queryCol), col("mmr_rank"),
+      col("__d").as(docCol), col("mmr_score"))
+  }
 }

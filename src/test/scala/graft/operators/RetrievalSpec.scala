@@ -135,4 +135,45 @@ class RetrievalSpec extends SparkSpec {
     assert(out.filter(_._1 == "Q").map(t => (t._2, t._3)) == Seq((1, "aa"), (2, "mm")))
     assert(out.filter(_._1 == "R").map(t => (t._2, t._3)) == Seq((1, "x"), (2, "y")))
   }
+
+  test("mmrDiversify: defers the near-duplicate of the top pick in favor of a diverse doc") {
+    import spark.implicits._
+    // d2 ≈ duplicate of d1 (cosine ≈ 1): pure relevance would rank it
+    // second; MMR's redundancy penalty pushes orthogonal d3 ahead
+    val cands = Seq(
+      (1L, 10L, 0.95, Array(1f, 0f, 0f)),
+      (1L, 11L, 0.90, Array(1f, 0.001f, 0f)),
+      (1L, 12L, 0.50, Array(0f, 1f, 0f))
+    ).toDF("query_id", "doc_id", "rel", "emb")
+    val got = Retrieval.mmrDiversify(cands, "query_id", "doc_id", "rel", "emb",
+        lambda = 0.7, k = 3)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getAs[Long]("mmr_rank"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 12L), (3L, 11L)),
+      s"expected diverse ordering, got ${got.toSeq}")
+  }
+
+  test("mmrDiversify: a query with fewer candidates than k stops early; ranks stay dense") {
+    import spark.implicits._
+    val cands = Seq(
+      (7L, 1L, 0.9, Array(1f, 0f)),
+      (7L, 2L, 0.8, Array(0f, 1f))
+    ).toDF("query_id", "doc_id", "rel", "emb")
+    val got = Retrieval.mmrDiversify(cands, "query_id", "doc_id", "rel", "emb", 0.7, 5)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getAs[Long]("mmr_rank"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("mmrDiversify at lambda = 1 is pure relevance order") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 10L, 0.3, Array(1f, 0f)),
+      (1L, 11L, 0.9, Array(1f, 0.001f)),
+      (1L, 12L, 0.6, Array(0f, 1f))
+    ).toDF("query_id", "doc_id", "rel", "emb")
+    val got = Retrieval.mmrDiversify(cands, "query_id", "doc_id", "rel", "emb", 1.0, 3)
+      .orderBy("mmr_rank").collect().map(_.getAs[Long]("doc_id"))
+    assert(got.toSeq == Seq(11L, 12L, 10L))
+  }
 }
