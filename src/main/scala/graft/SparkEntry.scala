@@ -3198,6 +3198,56 @@ object SparkEntry {
       .orderBy(col("query_id"), col("mmr_rank"))
   }
 
+  /** JSONL round-trip ([[graft.sources.Tables.writeJsonLines]]/
+    * `jsonLines`): documents exported to JSON-lines (the release
+    * interchange format) and read back with a pinned schema, then
+    * aggregated — the oracle aggregates the PARQUET table, so a hash
+    * match pins cross-format content equality (q165's ORC pattern).
+    */
+  private def q189JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = t(s, dir, "documents")
+    val path = s"/tmp/graft_jsonl_rt/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}/documents"
+    Tables.writeJsonLines(base, path)
+    Tables.jsonLines(s, path, base.schema)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** ε-DP count release ([[graft.operators.Validation.dpNoisedCounts]]):
+    * order counts by (priority, status) published with deterministic
+    * Laplace(1/ε) noise — re-releases are byte-identical (an observer
+    * can't average fresh noise away) and the oracle replays the md5
+    * inverse-CDF draw and the noise arithmetic exactly.
+    */
+  private def q190DpCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validation
+    Validation.dpNoisedCounts(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_orderstatus"), epsilon = 1.0)
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  /** Incremental join maintenance
+    * ([[graft.operators.Incremental.joinDelta]]): orders/customer each
+    * split into a 95% snapshot and a 5% append; the operator emits the
+    * join's NEW rows from delta-sized joins only — the oracle derives
+    * the same rows from the FULL join filtered to pairs touching a
+    * delta member, so the algebraic identity itself is what's checked.
+    */
+  private def q191DeltaJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Incremental
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey").as("custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    Incremental.joinDelta(
+        o.filter(col("o_orderkey") % 20 =!= 0), o.filter(col("o_orderkey") % 20 === 0),
+        c.filter(col("custkey") % 25 =!= 0), c.filter(col("custkey") % 25 === 0),
+        Seq("custkey"))
+      .select(col("o_orderkey"), col("custkey"), col("c_nationkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3530,7 +3580,10 @@ object SparkEntry {
     "q185_cohens_kappa" -> (q185CohensKappa _),
     "q186_weighted_topk" -> (q186WeightedTopK _),
     "q187_trend_slopes" -> (q187TrendSlopes _),
-    "q188_mmr_diversify" -> (q188MmrDiversify _))
+    "q188_mmr_diversify" -> (q188MmrDiversify _),
+    "q189_jsonl_roundtrip" -> (q189JsonlRoundtrip _),
+    "q190_dp_counts" -> (q190DpCounts _),
+    "q191_delta_join" -> (q191DeltaJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6538,7 +6591,40 @@ object SparkEntry {
         |  END, 6) AS intercept
         |FROM s ORDER BY event_type""".stripMargin,
 
-    "q188_mmr_diversify" -> mmrOracle)
+    "q188_mmr_diversify" -> mmrOracle,
+
+    // q189: content equality across the JSONL export/import edge,
+    // pinned by aggregating the original parquet
+    "q189_jsonl_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q190: the deterministic Laplace draw replayed — md5 uniform,
+    // inverse CDF, the engine's exact operation order
+    "q190_dp_counts" ->
+      """WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |w AS (SELECT o_orderpriority, o_orderstatus, n,
+        | (CAST(('0x' || substring(md5(coalesce(CAST(o_orderpriority AS VARCHAR), ' null')
+        |    || '|' || coalesce(CAST(o_orderstatus AS VARCHAR), ' null') || '|' || 'dp'), 1, 8)) AS BIGINT) + 0.5)
+        |   / 4294967296.0 AS u
+        | FROM g)
+        |SELECT o_orderpriority, o_orderstatus,
+        | round(n + ((-CAST(1.0 AS DOUBLE))
+        |   * (CASE WHEN u > 0.5 THEN 1.0 WHEN u < 0.5 THEN -1.0 ELSE 0.0 END)
+        |   * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noised_count,
+        | CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM w ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    // q191: the incremental-join identity checked against the full
+    // join filtered to delta-touching pairs
+    "q191_delta_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_nationkey
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE (o.o_orderkey % 20 = 0) OR (c.c_custkey % 25 = 0)
+        |ORDER BY o_orderkey""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

@@ -83,6 +83,14 @@ object Tables {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** JSON-lines sink — the interchange format LLM data releases actually
+    * ship (one JSON object per line, splittable, greppable). Columnar
+    * formats stay the internal layout; this is the export edge.
+    */
+  def writeJsonLines(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
   /** ORC scan/sink — the second columnar format large estates actually
     * hold (Hive-era lakes); same vectorized reader + predicate pushdown
     * machinery as parquet, so every operator runs on it unchanged.

@@ -72,4 +72,24 @@ class IncrementalSpec extends SparkSpec {
     // but never a join, sort, or window
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"))
   }
+
+  test("joinDelta: old join + delta rows == full recompute, delta terms disjoint") {
+    import spark.implicits._
+    val oldA = Seq((1L, "k1"), (2L, "k2"), (3L, "k1")).toDF("aid", "k")
+    val dA = Seq((4L, "k2"), (5L, "k3")).toDF("aid", "k")
+    val oldB = Seq(("k1", 10L), ("k2", 20L)).toDF("k", "bval")
+    val dB = Seq(("k1", 11L), ("k3", 30L)).toDF("k", "bval")
+    val delta = Incremental.joinDelta(oldA, dA, oldB, dB, Seq("k"))
+      .select("aid", "k", "bval")
+    val full = oldA.unionByName(dA).join(oldB.unionByName(dB), Seq("k"))
+      .select("aid", "k", "bval")
+    val oldJoin = oldA.join(oldB, Seq("k")).select("aid", "k", "bval")
+    val rows = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(rows(oldJoin) ++ rows(delta) == rows(oldJoin) ++ rows(delta))
+    assert((rows(oldJoin) ++ rows(delta)).sorted == rows(full),
+      "materialized old join plus the delta must equal the full recompute")
+    // no row of the delta was already in the old join (appends only)
+    assert(rows(delta).toSet.intersect(rows(oldJoin).toSet).isEmpty)
+  }
 }

@@ -92,4 +92,28 @@ class ValidationSpec extends SparkSpec {
     assert(got("bad") == (4L, 2L, false))
     assert(got("good") == (3L, 0L, true))
   }
+
+  test("dpNoisedCounts: deterministic re-release, bounded noise, true count withheld") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => Tuple1(s"g${i % 4}")).toDF("grp")
+    val r1 = Validation.dpNoisedCounts(df, Seq("grp"), epsilon = 1.0)
+    assert(r1.columns.toSeq == Seq("grp", "noised_count", "epsilon"),
+      "the exact count must not leak into the release")
+    val a = r1.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = Validation.dpNoisedCounts(df.repartition(5), Seq("grp"), 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b, "same snapshot must release identical noise")
+    // Laplace(1) tail: |noise| beyond ln(2^31) ≈ 21.5 is impossible
+    // under the md5 inverse-CDF construction
+    a.foreach { case (g, v) =>
+      assert(math.abs(v - 50.0) < 22.0, s"group $g noise out of range: $v")
+    }
+    // higher epsilon → strictly less noise for the same draws
+    val tight = Validation.dpNoisedCounts(df, Seq("grp"), epsilon = 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    tight.foreach { case (g, v) =>
+      assert(math.abs(v - 50.0) <= math.abs(a(g) - 50.0) + 1e-9,
+        s"epsilon=10 must not be noisier than epsilon=1 for $g")
+    }
+  }
 }

@@ -116,4 +116,19 @@ class TablesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)")
       || plan.contains("GreaterThan(id,90)"), s"filter must reach the ORC scan:\n$plan")
   }
+
+  test("JSONL round-trip preserves content, including newlines and unicode in strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain text", 10L),
+      (2L, "line\nbreak\tand \"quotes\"", 20L),
+      (3L, "unicode: héllo wörld ✓", 30L),
+      (4L, null.asInstanceOf[String], 0L)
+    ).toDF("id", "text", "n")
+    val path = java.nio.file.Files.createTempDirectory("jsonl_rt").toString + "/docs"
+    Tables.writeJsonLines(df, path)
+    val back = Tables.jsonLines(spark, path, df.schema)
+    assert(rowsOf(back) == rowsOf(df),
+      "JSON escaping must round-trip newlines, quotes, unicode, nulls")
+  }
 }
