@@ -3248,6 +3248,99 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Rank-Biased Overlap ([[graft.operators.Retrieval.rankBiasedOverlap]],
+    * Webber '10): agreement between the exact cosine run and the
+    * token-overlap lexical run from q141's machinery, truncated at
+    * k = 10, p = 0.9 — top-weighted, unlike set overlap. Exact
+    * geometric arithmetic the oracle restates per depth.
+    */
+  private def q192Rbo(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Retrieval, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val vector = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_sim").desc, col("neighbour_id").asc)))
+      .select(col("query_id"), col("neighbour_id").as("doc_id"), col("rank"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(filter(split(lower(trim(col("text"))), " "),
+          t => t =!= lit(""))).as("toks"))
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("token"))
+    val lexical = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(queries), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("overlap").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+    Retrieval.rankBiasedOverlap(vector, lexical,
+        "query_id", "doc_id", "rank", k = 10, p = 0.9)
+      .select(col("query_id"), round(col("rbo"), 6).as("rbo"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Robust MAD outlier gate ([[graft.operators.GroupOps.madOutliers]],
+    * Hampel '74): event values more than 5 MADs from their type's
+    * median — the gate outliers can't corrupt, unlike mean±kσ. Exact
+    * medians (q09 interpolation parity).
+    */
+  private def q193MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GroupOps
+    GroupOps.madOutliers(Tables.withEventTime(t(s, dir, "events")),
+        Seq("event_type"), "event_id", "value", c = 5.0)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), round(col("robust_z"), 6).as("robust_z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** RFM customer-value features ([[graft.operators.Funnel.rfmTable]]):
+    * recency/frequency/monetary per customer from orders, quintile
+    * scores via FITTED breakpoints (no entity-wide ntile window — the
+    * q177 machinery, scale-correct at a billion entities). Monetary
+    * sums exact integer cents.
+    */
+  private def q194RfmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    Funnel.rfmTable(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice", anchorDate = "1998-08-02")
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Code-identifier tokenization
+    * ([[graft.functions.TextFunctions.codeTokens]]): each document's
+    * alpha tokens (length ≥ 2 — single letters camelCase into
+    * unsplittable capital runs) are camelCased into one identifier and
+    * the tokenizer must recover them exactly — the oracle asserts the
+    * round-trip identity (count + joined md5), so any
+    * boundary-splitting bug breaks the hash.
+    */
+  private def q195CodeTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val alpha = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => t.rlike("^[a-z]{2,}$"))
+    val ident = concat_ws("",
+      transform(alpha, t => initcap(t)))
+    t(s, dir, "documents")
+      .withColumn("__alpha", alpha)
+      .withColumn("recovered", TextFunctions.codeTokens(ident))
+      .select(col("doc_id"),
+        size(col("__alpha")).cast("long").as("n_alpha"),
+        size(col("recovered")).cast("long").as("n_recovered"),
+        (col("recovered") === col("__alpha")).as("ok"),
+        md5(concat_ws(" ", col("recovered"))).as("toks_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3583,7 +3676,11 @@ object SparkEntry {
     "q188_mmr_diversify" -> (q188MmrDiversify _),
     "q189_jsonl_roundtrip" -> (q189JsonlRoundtrip _),
     "q190_dp_counts" -> (q190DpCounts _),
-    "q191_delta_join" -> (q191DeltaJoin _))
+    "q191_delta_join" -> (q191DeltaJoin _),
+    "q192_rbo" -> (q192Rbo _),
+    "q193_mad_outliers" -> (q193MadOutliers _),
+    "q194_rfm_features" -> (q194RfmFeatures _),
+    "q195_code_tokens" -> (q195CodeTokens _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6520,7 +6617,8 @@ object SparkEntry {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
         |reps AS (SELECT b FROM generate_series(1, 200) t(b)),
         |w AS (SELECT cents, b,
-        |  CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST((b - 1) // 4 AS VARCHAR)),
+        |                           1 + 8 * ((b - 1) % 4), 8)) AS BIGINT) + 0.5)
         |    / 4294967296.0 AS u
         | FROM o CROSS JOIN reps),
         |wt AS (SELECT b, cents,
@@ -6624,7 +6722,86 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey AS custkey, c_nationkey
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE (o.o_orderkey % 20 = 0) OR (c.c_custkey % 25 = 0)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q192: RBO terms per depth — a common doc enters every prefix
+    // depth >= max(rank_a, rank_b)
+    "q192_rbo" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |vec AS (SELECT qid, did, rank FROM (
+        | SELECT q.vec_id AS qid, c.vec_id AS did,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rank
+        | FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) t WHERE rank <= 10),
+        |dt AS (SELECT doc_id,
+        |  unnest(list_distinct(list_filter(string_split(lower(trim(text)), ' '),
+        |    x -> x <> ''))) AS token FROM documents),
+        |lexov AS (SELECT a.doc_id AS qid, b.doc_id AS did, count(*) AS ov
+        | FROM dt a JOIN dt b ON a.token = b.token
+        |  AND a.doc_id < 5 AND b.doc_id <> a.doc_id
+        | GROUP BY 1, 2),
+        |lex AS (SELECT qid, did, rank FROM (
+        | SELECT qid, did, row_number() OVER (PARTITION BY qid
+        |   ORDER BY ov DESC, did ASC) AS rank FROM lexov) t WHERE rank <= 10),
+        |common AS (SELECT v.qid, v.did, greatest(v.rank, l.rank) AS mx
+        | FROM vec v JOIN lex l ON v.qid = l.qid AND v.did = l.did),
+        |depths AS (SELECT qid, unnest(range(mx, 11)) AS depth FROM common),
+        |terms AS (SELECT qid, depth, count(*) AS ov FROM depths GROUP BY 1, 2),
+        |rbo AS (SELECT qid,
+        |  sum((1 - CAST(0.9 AS DOUBLE)) * pow(CAST(0.9 AS DOUBLE), depth - 1)
+        |      * ov / depth) AS r
+        | FROM terms GROUP BY 1),
+        |uq AS (SELECT DISTINCT qid FROM vec UNION SELECT DISTINCT qid FROM lex)
+        |SELECT uq.qid AS query_id, round(coalesce(r, 0.0), 6) AS rbo
+        |FROM uq LEFT JOIN rbo ON uq.qid = rbo.qid
+        |ORDER BY query_id""".stripMargin,
+
+    "q193_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |           WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |        FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, event_id, value, med, abs(value - med) AS dev
+        |      FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |        FROM d GROUP BY 1)
+        |SELECT d.event_type, event_id, round(value, 6) AS value,
+        | round(med, 6) AS med, round(mad, 6) AS mad,
+        | round(CASE WHEN mad > 0 THEN dev / mad END, 6) AS robust_z
+        |FROM d JOIN mad USING (event_type)
+        |WHERE dev > 5.0 * mad
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q194_rfm_features" ->
+      """WITH base AS (SELECT o_custkey,
+        |  CAST(datediff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-08-02') AS BIGINT) AS recency_days,
+        |  count(*) AS frequency,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS monetary
+        | FROM orders GROUP BY 1),
+        |rb AS (SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS bps FROM base),
+        |fb AS (SELECT quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS bps FROM base),
+        |mb AS (SELECT quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS bps FROM base)
+        |SELECT o_custkey, recency_days, frequency, round(monetary, 2) AS monetary,
+        | CAST(6 - (1 + len(list_filter((SELECT bps FROM rb), bp -> recency_days > bp))) AS BIGINT) AS r_score,
+        | CAST(1 + len(list_filter((SELECT bps FROM fb), bp -> frequency > bp)) AS BIGINT) AS f_score,
+        | CAST(1 + len(list_filter((SELECT bps FROM mb), bp -> monetary > bp)) AS BIGINT) AS m_score
+        |FROM base ORDER BY o_custkey""".stripMargin,
+
+    // q195: the round-trip identity IS the oracle — codeTokens must
+    // invert camelCasing exactly, so the joined-token md5 pins every
+    // boundary rule
+    "q195_code_tokens" ->
+      """WITH a AS (SELECT doc_id,
+        |  list_filter(string_split(lower(trim(text)), ' '),
+        |    t -> regexp_full_match(t, '[a-z]{2,}')) AS alpha
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(alpha) AS BIGINT) AS n_alpha,
+        | CAST(len(alpha) AS BIGINT) AS n_recovered,
+        | true AS ok,
+        | md5(array_to_string(alpha, ' ')) AS toks_md5
+        |FROM a ORDER BY doc_id""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

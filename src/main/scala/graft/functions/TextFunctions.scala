@@ -154,6 +154,21 @@ object TextFunctions {
   /** Content fingerprint: md5 hex of the whitespace-normalized lowercase
     * text — stable across engines (pure function of bytes).
     */
+  /** Identifier-aware tokenization for CODE corpora: splits camelCase
+    * and PascalCase at lower→upper and letter→digit boundaries, treats
+    * `_ . - #` runs as separators, lowercases — `parseHttpRequest2` →
+    * [parse, http, request, 2]. Whitespace tokenizers leave identifiers
+    * as opaque blobs, inflating code-corpus vocabulary by orders of
+    * magnitude. Regexes avoid lookarounds (RE2-compatible: the same
+    * transform is writable in engines without backtracking).
+    */
+  def codeTokens(text: Column): Column = {
+    val split1 = regexp_replace(text, "([a-z0-9])([A-Z])", "$1 $2")
+    val split2 = regexp_replace(split1, "([A-Za-z])([0-9])", "$1 $2")
+    val sep = regexp_replace(split2, "[_.\\-#]+", " ")
+    array_remove(split(lower(trim(sep)), "\\s+"), "")
+  }
+
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

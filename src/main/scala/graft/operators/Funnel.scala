@@ -239,6 +239,43 @@ object Funnel {
       .limit(topK)
   }
 
+  /** RFM feature table (Hughes '94, the classic customer-value
+    * segmentation): per entity, Recency (days from last activity to
+    * the anchor), Frequency (activity count), Monetary (exact integer
+    * cents, surfaced in currency units) — plus 1–5 quintile scores per
+    * dimension via FITTED equi-depth breakpoints
+    * ([[Features.fitQuantileBins]]) applied map-side. A global ntile
+    * would be the textbook formulation but is a single-partition
+    * window over every entity — fitted breakpoints keep the scoring
+    * shuffle-free at a billion entities (duplicate-heavy metrics make
+    * bucket sizes uneven at the boundaries; that is standard for
+    * quantile binning and deterministic). The anchor date is
+    * caller-fixed, not `current_date` — reruns must not drift.
+    *
+    * Scale: one grouped aggregate to an entity-sized table; three
+    * K-sized fits broadcast back.
+    * Output: (idCol, recency_days, frequency, monetary, r_score,
+    * f_score, m_score); r_score 5 = most recent.
+    */
+  def rfmTable(tx: DataFrame, idCol: String, dateCol: String,
+               amountCol: String, anchorDate: String): DataFrame = {
+    val base = tx.groupBy(col(idCol))
+      .agg(
+        datediff(lit(anchorDate).cast("date"), max(col(dateCol).cast("date")))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        (sum(round(col(amountCol) * 100).cast("long")) / 100.0).as("monetary"))
+    def score(d: DataFrame, metric: String, out: String, invert: Boolean) = {
+      val binned = Features.applyQuantileBins(d, metric,
+        Features.fitQuantileBins(d, metric, 5))
+      val s = if (invert) lit(6) - col("bin") else col("bin")
+      binned.withColumn(out, s.cast("long")).drop("bin")
+    }
+    val r = score(base, "recency_days", "r_score", invert = true)
+    val f = score(r, "frequency", "f_score", invert = false)
+    score(f, "monetary", "m_score", invert = false)
+  }
+
   /** Two-proportion z-test gate for an A/B experiment: per unit (user),
     * exposure = any event at all, conversion = any `convType` event;
     * variants come from `variantCol` (caller-assigned — e.g. a

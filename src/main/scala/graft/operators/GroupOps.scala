@@ -477,6 +477,40 @@ object GroupOps {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** Robust per-group outlier gate via Median Absolute Deviation
+    * (Hampel '74; the robust alternative to mean±kσ, which outliers
+    * themselves corrupt — a single 10⁹ glitch drags a mean gate open,
+    * but moves neither median): rows with |x − median| > c·MAD are
+    * flagged. Exact medians (the q09 interpolation convention).
+    * A zero-MAD group (over half identical values) flags ANY deviation
+    * and reports a null robust score rather than dividing by zero.
+    *
+    * Scale: two grouped exact-percentile aggregations + two broadcast
+    * joins of group-sized stats back onto the corpus; the flag itself
+    * is map-side.
+    * Output: the flagged rows (group cols, idCol, value, med, mad,
+    * robust_z = dev/MAD).
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  valueCol: String, c: Double): DataFrame = {
+    require(c > 0, s"c must be positive, got $c")
+    val x = col(valueCol).cast("double")
+    val rows = df.filter(x.isNotNull)
+      .select(groupCols.map(col) :+ col(idCol) :+ x.as("__x"): _*)
+    val med = rows.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col("__x"), lit(0.5)).as("med"))
+    val withMed = rows.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col("__x") - col("med")))
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .filter(col("__dev") > lit(c) * col("mad"))
+      .withColumn("robust_z", when(col("mad") > 0, col("__dev") / col("mad")))
+      .select(groupCols.map(col) ++
+        Seq(col(idCol), col("__x").as(valueCol), col("med"), col("mad"),
+          col("robust_z")): _*)
+  }
+
   /** Per-group OLS trend: slope/intercept of y on x from the closed-form
     * sums, one aggregation pass — "is this metric drifting, and how
     * fast, per segment" (the regression complement to Drift's

@@ -139,6 +139,51 @@ object Retrieval {
       .drop(rankCol)
   }
 
+  /** Rank-Biased Overlap between two rankings of the same query set
+    * (Webber, Moffat & Zobel TOIS '10), truncated at depth k:
+    * RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_:d ∩ B_:d| / d — the
+    * top-weighted similarity between two runs (index versions, model
+    * candidates) that plain set overlap or Kendall tau get wrong for
+    * rankings, because disagreement at rank 1 should cost more than at
+    * rank 10. p is the persistence parameter (0.9 ≈ "user looks at
+    * ~10 results").
+    *
+    * Scale: runs are evaluation-sized (nQueries·k rows). The per-depth
+    * prefix-overlap table comes from one join on (query, doc) — a doc
+    * in both runs enters every depth d ≥ max(rank_a, rank_b), counted
+    * via an explode over its [max(rank), k] range; everything after is
+    * a per-query aggregate. Exact geometric weights, no iteration.
+    * Output: (queryCol, rbo).
+    */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame,
+                        queryCol: String, docCol: String, rankCol: String,
+                        k: Int, p: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val a = runA.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("int").as("__ra"))
+    val b = runB.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("int").as("__rb"))
+    // common docs enter the prefix intersection at depth max(ra, rb)
+    val weights = a.join(b, Seq("__q", "__d"))
+      .withColumn("__depth",
+        explode(sequence(greatest(col("__ra"), col("__rb")), lit(k))))
+      .groupBy(col("__q"), col("__depth"))
+      .agg(count(lit(1)).as("__overlap"))
+      .withColumn("__term",
+        lit(1 - p) * pow(lit(p), col("__depth") - 1) *
+          col("__overlap") / col("__depth"))
+    // queries present in either run but with zero prefix overlap score 0
+    val universe = a.select(col("__q")).unionByName(b.select(col("__q"))).distinct()
+    universe.join(
+        weights.groupBy(col("__q")).agg(sum(col("__term")).as("__rbo")),
+        Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("__rbo"), lit(0.0)).as("rbo"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * SIGIR '98): from each query's CANDIDATE pool (a bounded top-N from
     * a first-stage retriever — the caller's contract, like every

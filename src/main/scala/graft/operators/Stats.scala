@@ -51,9 +51,31 @@ object Stats {
   def poissonBootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
                             nReplicates: Int): DataFrame = {
     require(nReplicates >= 1, s"need >= 1 replicates, got $nReplicates")
+    // one md5 per (row, BLOCK of 4 replicates): the digest's 128 bits
+    // are four independent 32-bit words, so hashing per replicate would
+    // do 4× the work for the same entropy. Two-level explode keeps the
+    // digest computed once per block row.
+    val nBlocks = (nReplicates + 3) / 4
+    val pos = col("__j") * 8 + 1
+    val u = (conv(col("__md5").substr(pos, lit(8)), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val w = poissonCdf1.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (tail, (p, k)) =>
+        when(u < p, lit(k.toLong)).otherwise(tail)
+      }
     df.select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
-      .withColumn("b", explode(sequence(lit(1), lit(nReplicates))))
-      .withColumn("__w", poissonWeight(col("__id"), col("b")))
+      // pinned fan-out: a single-file input arrives as ONE split, and
+      // this pipeline is pure map-side work into a B-row aggregate —
+      // without the explicit repartition the B× hashing runs on one
+      // task (row-count-proportional work, not input-bytes; same
+      // reasoning as the containment block join)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("__blk", explode(sequence(lit(0), lit(nBlocks - 1))))
+      .withColumn("__md5", md5(concat_ws("|", col("__id"), col("__blk"))))
+      .withColumn("__j", explode(sequence(lit(0), lit(3))))
+      .withColumn("b", col("__blk") * 4 + col("__j") + 1)
+      .filter(col("b") <= nReplicates)
+      .withColumn("__w", w)
       .groupBy(col("b").cast("long").as("b"))
       .agg(sum(col("__w")).as("n_eff"),
         (sum(col("__w") * col("__v")) / sum(col("__w"))).as("mean_b"))

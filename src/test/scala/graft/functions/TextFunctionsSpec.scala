@@ -302,4 +302,23 @@ class TextFunctionsSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("codeTokens: camelCase, PascalCase, snake_case, digits, separators") {
+    import spark.implicits._
+    val cases = Seq(
+      ("parseHttpRequest2", Seq("parse", "http", "request", "2")),
+      ("XMLHttpRequest", Seq("xmlhttp", "request")), // no interior lower→upper cut in all-caps runs
+      ("snake_case_name", Seq("snake", "case", "name")),
+      ("dotted.path-name#id", Seq("dotted", "path", "name", "id")),
+      ("plain words stay", Seq("plain", "words", "stay")),
+      ("v2Engine", Seq("v", "2", "engine")),
+      ("", Seq.empty[String])
+    )
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.codeTokens(col("t")).as("toks"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"codeTokens('$in') = $have, expected $want")
+    }
+  }
 }

@@ -235,6 +235,27 @@ class FunnelSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("significant"), s"z=$z is under 1.96")
   }
 
+  test("rfmTable: hand-computed recency/frequency/monetary; fitted quintiles rank correctly") {
+    import spark.implicits._
+    val tx = Seq(
+      (1L, "2024-01-10", 10.00), (1L, "2024-03-01", 5.50),   // recent, 2 orders
+      (2L, "2023-06-15", 100.00),                            // stale whale
+      (3L, "2024-02-20", 1.25), (3L, "2024-02-21", 1.25), (3L, "2024-02-22", 1.25)
+    ).toDF("cust", "d", "amt")
+    val got = Funnel.rfmTable(tx, "cust", "d", "amt", anchorDate = "2024-03-31")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+         r.getAs[Double]("monetary"), r.getAs[Long]("r_score"),
+         r.getAs[Long]("m_score"))).toMap
+    assert(got(1L)._1 == 30 && got(1L)._2 == 2 && got(1L)._3 == 15.50)
+    assert(got(2L)._1 == 290 && got(2L)._3 == 100.00)
+    assert(got(3L)._1 == 38 && got(3L)._2 == 3 && got(3L)._3 == 3.75)
+    // ordering properties, not absolute bins: most recent ≥ stalest,
+    // whale ≥ everyone on monetary
+    assert(got(1L)._4 >= got(2L)._4, "fresher customer can't score lower on recency")
+    assert(got(2L)._5 >= got(1L)._5 && got(2L)._5 >= got(3L)._5)
+  }
+
   test("abTestGate: more than two variants fails loudly") {
     import spark.implicits._
     val ev = Seq((0L, 0L, "view"), (1L, 1L, "view"), (2L, 2L, "view"))

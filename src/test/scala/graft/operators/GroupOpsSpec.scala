@@ -288,6 +288,23 @@ class GroupOpsSpec extends SparkSpec {
     assert(got("skew") > 1.0, s"right-tailed group must skew positive: $got")
   }
 
+  test("madOutliers: robust to the outlier itself; zero-MAD group flags any deviation") {
+    import spark.implicits._
+    // group g: median 5, MAD 1 — 1e9 glitch flags, 7 does not (dev 2 ≤ 3·1);
+    // the glitch does NOT drag the gate open (a mean±3σ gate would pass 1e9's peers)
+    val rows = Seq(
+      ("g", 1L, 4.0), ("g", 2L, 5.0), ("g", 3L, 6.0), ("g", 4L, 7.0),
+      ("g", 5L, 1e9),
+      ("z", 6L, 2.0), ("z", 7L, 2.0), ("z", 8L, 2.0), ("z", 9L, 99.0)
+    ).toDF("grp", "id", "v")
+    val got = GroupOps.madOutliers(rows, Seq("grp"), "id", "v", c = 3.0)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.getAs[java.lang.Double]("robust_z"))).toMap
+    assert(got.keySet == Set(5L, 9L), s"only the glitches flag: ${got.keySet}")
+    assert(got(5L).exists(_ > 1e8), "robust z is huge for the 1e9 glitch")
+    assert(got(9L).isEmpty, "zero-MAD group flags but has no defined robust z")
+  }
+
   test("trendSlopes recovers an exact line per group; degenerate groups go null") {
     import spark.implicits._
     val rows =

@@ -165,6 +165,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("rankBiasedOverlap: identical → 1−p^k, disjoint → 0, rank-1 swaps cost more than rank-k") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, Int)]) = rows.toDF("q", "d", "r")
+    def rbo(a: Seq[(Long, String, Int)], b: Seq[(Long, String, Int)]) =
+      Retrieval.rankBiasedOverlap(run(a), run(b), "q", "d", "r", k = 3, p = 0.9)
+        .collect()(0).getAs[Double]("rbo")
+    val base = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3))
+    // identical rankings: sum_(d=1..k) (1-p) p^(d-1) = 1 - p^k
+    assert(math.abs(rbo(base, base) - (1 - math.pow(0.9, 3))) < 1e-12)
+    assert(rbo(base, Seq((1L, "x", 1), (1L, "y", 2), (1L, "z", 3))) == 0.0)
+    // swapping rank 1 for a foreign doc hurts more than swapping rank 3
+    val swapTop = Seq((1L, "x", 1), (1L, "b", 2), (1L, "c", 3))
+    val swapBot = Seq((1L, "a", 1), (1L, "b", 2), (1L, "x", 3))
+    assert(rbo(base, swapTop) < rbo(base, swapBot),
+      "top-rank disagreement must cost more")
+  }
+
   test("mmrDiversify at lambda = 1 is pure relevance order") {
     import spark.implicits._
     val cands = Seq(
