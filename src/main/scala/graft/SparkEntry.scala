@@ -3341,6 +3341,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic decontamination
+    * ([[graft.operators.Similarity.semanticDecontaminate]]): training
+    * vectors (vec_id ≥ 20) too close to any held-out eval vector
+    * (vec_id < 20) at cosine ≥ 0.35 — the paraphrase-leakage
+    * complement to q74's n-gram decontamination. Exact cosines, eval
+    * side broadcast, per-train argmax windowed by train id.
+    */
+  private def q196SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", threshold = 0.35)
+      .select(col("vec_id"), col("eval_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** MOSS winnowed-overlap pairs
+    * ([[graft.operators.Dedup.winnowedOverlapPairs]]): documents
+    * sharing ≥ 2 winnowing fingerprints (k = 3, w = 4) — the local
+    * copied-paragraph detector; md5-portable winnowing replayed in
+    * full by the oracle (gram hash, window minima, distinct set,
+    * fingerprint join, pair counts).
+    */
+  private def q197WinnowedPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.winnowedOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        "lang", k = 3, w = 4, minShared = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3680,7 +3711,9 @@ object SparkEntry {
     "q192_rbo" -> (q192Rbo _),
     "q193_mad_outliers" -> (q193MadOutliers _),
     "q194_rfm_features" -> (q194RfmFeatures _),
-    "q195_code_tokens" -> (q195CodeTokens _))
+    "q195_code_tokens" -> (q195CodeTokens _),
+    "q196_semantic_decontam" -> (q196SemanticDecontam _),
+    "q197_winnowed_pairs" -> (q197WinnowedPairs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6801,7 +6834,39 @@ object SparkEntry {
         | CAST(len(alpha) AS BIGINT) AS n_recovered,
         | true AS ok,
         | md5(array_to_string(alpha, ' ')) AS toks_md5
-        |FROM a ORDER BY doc_id""".stripMargin)
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q196_semantic_decontam" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id < 20),
+        |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+        |s AS (SELECT t.vec_id, ev.eval_id,
+        |  list_cosine_similarity(t.embedding::DOUBLE[], ev.embedding::DOUBLE[]) AS c,
+        |  row_number() OVER (PARTITION BY t.vec_id
+        |    ORDER BY list_cosine_similarity(t.embedding::DOUBLE[], ev.embedding::DOUBLE[]) DESC,
+        |             ev.eval_id ASC) AS rn
+        | FROM tr t JOIN ev ON t.vec_id <> ev.eval_id)
+        |SELECT vec_id, eval_id, round(c, 6) AS cosine
+        |FROM s WHERE rn = 1 AND c >= 0.35
+        |ORDER BY vec_id""".stripMargin,
+
+    // q197: the full winnowing pipeline replayed — md5-prefix gram
+    // hashes, w-window minima, distinct fingerprint sets, pair counts
+    "q197_winnowed_pairs" ->
+      """WITH t0 AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
+        |            FROM documents),
+        |t1 AS (SELECT doc_id, lang,
+        |  list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> CAST(('0x' || substring(md5(array_to_string(toks[i+1 : i+3], ' ')), 1, 8)) AS BIGINT)) AS grams
+        | FROM t0),
+        |g AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1),
+        |    j -> list_min(grams[j+1 : j+4]))) AS fps
+        | FROM t1),
+        |fp AS (SELECT doc_id, lang, unnest(fps) AS fp FROM g)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

@@ -189,6 +189,27 @@ object TextFunctions {
     array_sort(array_distinct(windows))
   }
 
+  /** Engine-portable winnowing ([[winnowingFingerprints]] with md5-
+    * prefix gram hashes instead of xxhash64): any engine with md5 can
+    * recompute the fingerprint set, which is what makes a MOSS-style
+    * overlap ORACLE possible ([[graft.operators.Dedup
+    * .winnowedOverlapPairs]]). Same selection semantics: hash every
+    * k-gram, slide a w-window, keep each window's minimum, distinct +
+    * sorted. xxhash64 stays the fast path where portability doesn't
+    * matter.
+    */
+  def winnowingFingerprintsPortable(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => conv(substring(md5(array_join(slice(toks, i + 1, lit(k)), " ")), 1, 8),
+        16, 10).cast("long"))
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    array_sort(array_distinct(windows))
+  }
+
   /** Gopher-style repetition profile (Rae et al. '21 §A1.1 quality
     * heuristics): per document, the fraction of n-gram mass held by the
     * single most frequent n-gram (`top_frac`) and the fraction that is

@@ -275,6 +275,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"), col("jaccard"))
   }
 
+  /** MOSS-style overlap pairs (Schleimer et al. SIGMOD '03 winnowing):
+    * document pairs sharing at least `minShared` winnowed fingerprints
+    * — the plagiarism/local-copy detector. Winnowing guarantees any
+    * shared run of ≥ w+k−1 tokens contributes a shared fingerprint, so
+    * unlike whole-set resemblance this catches a copied PARAGRAPH
+    * inside otherwise-different documents, with a fingerprint set ~1/w
+    * the gram count.
+    *
+    * Scale: fingerprints are window-minima (selective by construction
+    * — high-frequency grams are rarely a window minimum); the pair
+    * join is a fingerprint-keyed inverted index and the count
+    * aggregate is pair-sized. Uses the engine-portable md5 winnowing
+    * so the result is externally checkable.
+    * Output: (id_a, id_b, shared_fps), id_a < id_b.
+    */
+  def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String, k: Int, w: Int,
+                           minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    // Same cost-based strategy as [[containmentPairs]], and for the
+    // same reason: on a small shared vocabulary the window minima
+    // concentrate on the globally smallest hash values, so a
+    // fingerprint-keyed join degenerates past the within-block pair
+    // space itself (measured 430 s vs 2 s at sf0.1 on the synthetic
+    // corpus). Real web corpora are the sparse case; both paths are
+    // exact and share the sorted-intersect verification.
+    // winnowing STAGED through materialized columns: the one-Column
+    // form (winnowingFingerprintsPortable) embeds the gram-array
+    // expression inside the window lambda, and higher-order functions
+    // re-evaluate captured subtrees PER ELEMENT — every window minimum
+    // recomputed all ~L gram md5s, O(L²) md5 per document (measured
+    // 440 s vs ~2 s at sf0.1). Staging each step as its own aliased
+    // column makes the lambdas reference an attribute, evaluated once
+    // per row; CollapseProject keeps the stages separate because the
+    // aliases are non-cheap and multiply referenced.
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(col("__toks")) - k, lit(0))),
+      i => conv(substring(md5(array_join(slice(col("__toks"), i + 1, lit(k)), " ")),
+        1, 8), 16, 10).cast("long"))
+    val windows = transform(
+      sequence(lit(0), greatest(size(col("__grams")) - w, lit(0))),
+      j => array_min(slice(col("__grams"), j + 1, lit(w))))
+    // no emptiness filter: an empty fps set explodes to no postings and
+    // intersects to 0 < minShared — and a filter here would be PUSHED
+    // below the staged projections with the whole winnowing expression
+    // inlined into it, re-paying the quadratic form per row (measured)
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        toks.as("__toks"))
+      .withColumn("__grams", grams)
+      .withColumn("fps", array_sort(array_distinct(windows)))
+      .select(col("id"), col("blk"), col("fps"))
+      .persist()
+    val tok = base.select(col("id"), col("blk"), explode(col("fps")).as("fp"))
+    def pairRows(counts: DataFrame): Long = {
+      val r = counts.agg(sum(col("__d") * col("__d"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val fpPairRows = pairRows(
+      tok.groupBy(col("fp")).agg(count(lit(1)).as("__d")))
+    val blockPairRows = pairRows(
+      base.groupBy(col("blk")).agg(count(lit(1)).as("__d")))
+    val counted =
+      if (blockPairRows <= fpPairRows) {
+        val side = base.select(col("id"), col("blk"), col("fps"))
+        val stream = side.repartition(
+          side.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+        val right =
+          if (base.count() <= 2000000L) broadcast(side) else side
+        stream.as("a").join(right.as("b"),
+            col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            call_function("sorted_intersect_size",
+              col("a.fps"), col("b.fps")).cast("long").as("shared_fps"))
+      } else {
+        tok.as("a")
+          .join(tok.as("b"),
+            col("a.fp") === col("b.fp") &&
+              col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("shared_fps"))
+      }
+    counted.filter(col("shared_fps") >= minShared)
+  }
+
   /** Containment-based dedup filter: drops every document whose shingle
     * set is ≥ threshold contained in a LARGER document (larger shingle
     * set; doc-id ascending breaks exact-size ties, so mutual-containment

@@ -210,14 +210,18 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
     graft.expressions.GraftFunctions.register(cands.sparkSession)
+    // both tables feed every greedy round — persist, or round i
+    // re-derives the candidate pull and the N² cosine pass i times
     val c = cands.select(col(queryCol).as("__q"), col(docCol).as("__d"),
       round(col(relCol).cast("double"), 6).as("__rel"), col(vecCol).as("__v"))
+      .persist()
     val sims = c.as("a").join(c.as("b"),
         col("a.__q") === col("b.__q") && col("a.__d") =!= col("b.__d"))
       .select(col("a.__q").as("__q"), col("a.__d").as("__d"),
         col("b.__d").as("__db"),
         round(call_function("cosine_similarity", col("a.__v"), col("b.__v")), 6)
           .as("__sim"))
+      .persist()
     val mu = lit(1 - lambda) // IEEE 1−λ, restated identically by oracles
     def pickRound(scored: DataFrame, rank: Int): DataFrame =
       scored
@@ -231,6 +235,7 @@ object Retrieval {
         .select(col("__q"), col("__d"),
           lit(rank.toLong).as("mmr_rank"), col("__score").as("mmr_score"))
     var all = pickRound(c.withColumn("__pen", lit(null).cast("double")), 1)
+      .localCheckpoint(false)
     for (i <- 2 to k) {
       val remaining = c.join(all.select(col("__q"), col("__d")),
         Seq("__q", "__d"), "left_anti")
@@ -238,8 +243,12 @@ object Retrieval {
         .join(all.select(col("__q"), col("__d").as("__db")), Seq("__q", "__db"))
         .groupBy(col("__q"), col("__d"))
         .agg(max(col("__sim")).as("__pen"))
+      // checkpoint per round: the accumulated picks feed the NEXT
+      // round's anti-join and penalty join — without lineage
+      // truncation round i replays rounds 1..i−1 (quadratic replans)
       all = all.unionByName(
-        pickRound(remaining.join(penalties, Seq("__q", "__d"), "left"), i))
+          pickRound(remaining.join(penalties, Seq("__q", "__d"), "left"), i))
+        .localCheckpoint(false)
     }
     all.select(col("__q").as(queryCol), col("mmr_rank"),
       col("__d").as(docCol), col("mmr_score"))

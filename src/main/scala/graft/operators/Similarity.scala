@@ -674,4 +674,36 @@ object Similarity {
       .distinct()
     assigned.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /** Semantic decontamination: training rows whose embedding is too
+    * close (cosine ≥ threshold) to ANY held-out evaluation embedding —
+    * the semantic complement to n-gram decontamination
+    * ([[Dedup.ngramContamination]]), catching paraphrased benchmark
+    * leakage that exact token overlap misses. Emits the flagged rows
+    * with their nearest eval neighbour as evidence; the caller
+    * anti-joins to scrub.
+    *
+    * Scale: the eval set is bounded (benchmarks are small) and
+    * broadcasts; the corpus scans once through the codegen'd cosine —
+    * |corpus|·|eval| map-side comparisons, per-train argmax via a
+    * train-keyed window (distributed by train id, never global). For
+    * eval sets too big to broadcast, route through the IVF machinery
+    * ([[ivfTopK]]) instead.
+    * Output: (idCol, eval_id, cosine) — one row per flagged train doc.
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = broadcast(evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("__ev")))
+    train.select(col(idCol), col(vecCol).as("__tv"))
+      .join(ev, col(idCol) =!= col("eval_id"))
+      .withColumn("cosine", cosineNative(train)(col("__tv"), col("__ev")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("cosine").desc, col("eval_id").asc)))
+      .filter(col("__rn") === 1 && col("cosine") >= threshold)
+      .select(col(idCol), col("eval_id"), col("cosine"))
+  }
 }

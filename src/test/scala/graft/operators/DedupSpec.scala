@@ -555,6 +555,44 @@ class DedupSpec extends SparkSpec {
       nDocs = 60, threshold = 0.5)
   }
 
+  test("winnowedOverlapPairs: a copied paragraph between otherwise-different docs is caught") {
+    import spark.implicits._
+    val para = "the winnowing guarantee covers every shared run of tokens"
+    val docs = Seq(
+      (1L, s"totally unrelated opening text here $para and some trailing words", "en"),
+      (2L, s"$para with a different continuation entirely unlike the first", "en"),
+      (3L, "nothing in common with either document at all whatsoever today", "en")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.winnowedOverlapPairs(docs, "doc_id", "text", "lang",
+        k = 3, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"only the copied-paragraph pair qualifies: ${pairs.toSeq}")
+    // winnowing guarantee: a shared run of >= w + k - 1 = 6 tokens
+    // must contribute at least one shared fingerprint — the 9-token
+    // paragraph gives several
+    assert(pairs.head._3 >= 2)
+  }
+
+  test("winnowing portable ≡ xxhash winnowing in SELECTION (same positions picked)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // both variants must select the same NUMBER of fingerprints per doc
+    // (selection is hash-value-dependent, so sets differ, but the
+    // window-minimum structure bounds count identically) and be
+    // deterministic across evaluations
+    val df = Seq(Tuple1("a b c d e f g h i j k l m n o p")).toDF("t")
+    val p1 = df.select(TextFunctions.winnowingFingerprintsPortable(col("t"), 3, 4))
+      .collect()(0).getSeq[Long](0)
+    val p2 = df.select(TextFunctions.winnowingFingerprintsPortable(col("t"), 3, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(p1 == p2 && p1.nonEmpty)
+    val x = df.select(TextFunctions.winnowingFingerprints(col("t"), 3, 4))
+      .collect()(0).getSeq[Long](0)
+    // 14 grams, 11 windows → between ceil(11/4) and 11 distinct minima
+    assert(p1.size >= 3 && p1.size <= 11 && x.size >= 3 && x.size <= 11)
+  }
+
   test("containmentPairs is EXACT on a sparse unique-vocab corpus (prefix-filter path)") {
     // per-doc-unique tokens (df ≈ 1) except every 4th doc embeds a
     // slice of its predecessor — Σdf² ≪ Σ|block|² picks the inverted

@@ -320,4 +320,18 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == Map(30L -> 0L, 31L -> 1L))
   }
+
+  test("semanticDecontaminate flags the paraphrase-close train row with its eval evidence") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f))).toDF("id", "v")
+    val train = Seq(
+      (10L, Array(0.99f, 0.14f, 0f)),   // ~cos 0.99 to eval 1 → leaked
+      (11L, Array(0f, 0f, 1f)),         // orthogonal → clean
+      (12L, Array(0.1f, 0.99f, 0f))     // close to eval 2 → leaked
+    ).toDF("id", "v")
+    val got = Similarity.semanticDecontaminate(train, evalSet, "id", "v", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 12L -> 2L), s"got $got")
+  }
 }
