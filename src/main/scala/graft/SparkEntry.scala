@@ -3372,6 +3372,41 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Sentence BLEU-4 over deterministic adjacent-doc pairs
+    * ([[graft.operators.TextEval.bleu]]): each document scored as a
+    * "candidate" against the next doc id in its source (lead window —
+    * the SQL-replayable pair harness), with clipped n-gram counts
+    * m1..m4 from the one-pass [[graft.expressions.NgramOverlapStats]]
+    * kernel, Lin–Och add-one smoothing for n ≥ 2, and the brevity
+    * penalty on unigram lengths. Map-side per pair — the whole metric
+    * is a projection; the oracle replays grams, clipping, smoothing,
+    * BP and the geometric mean in SQL.
+    */
+  private def q198Bleu(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    val pairs = TextEval.adjacentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+    TextEval.bleu(pairs, "cand_text", "ref_text", maxN = 4)
+      .select(col("cand_id"), col("ref_id"), col("c_len"), col("r_len"),
+        col("m1"), col("m2"), col("m3"), col("m4"), col("bp"), col("bleu"))
+      .orderBy(col("cand_id"))
+  }
+
+  /** ROUGE-1/ROUGE-2 precision/recall/F1 over the same adjacent-doc
+    * pair harness ([[graft.operators.TextEval.rougeN]]): one row per
+    * (pair, n) with the clipped overlap and both denominators — the
+    * summarization-eval complement to q198's precision-side BLEU. Same
+    * map-side kernel, one extra explode over the ≤2 per-order structs.
+    */
+  private def q199Rouge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    val pairs = TextEval.adjacentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+    TextEval.rougeN(pairs, "cand_text", "ref_text", ns = Seq(1, 2))
+      .select(col("cand_id"), col("ref_id"), col("n"), col("overlap"),
+        col("cand_total"), col("ref_total"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy(col("cand_id"), col("n"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3713,7 +3748,9 @@ object SparkEntry {
     "q194_rfm_features" -> (q194RfmFeatures _),
     "q195_code_tokens" -> (q195CodeTokens _),
     "q196_semantic_decontam" -> (q196SemanticDecontam _),
-    "q197_winnowed_pairs" -> (q197WinnowedPairs _))
+    "q197_winnowed_pairs" -> (q197WinnowedPairs _),
+    "q198_bleu" -> (q198Bleu _),
+    "q199_rouge" -> (q199Rouge _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

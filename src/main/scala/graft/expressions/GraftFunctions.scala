@@ -59,6 +59,12 @@ object GraftFunctions {
         require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
         JaroWinkler(children.head, children(1))
       }),
+    (FunctionIdentifier("ngram_overlap_stats"),
+      new ExpressionInfo(classOf[NgramOverlapStats].getName, "ngram_overlap_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "ngram_overlap_stats takes exactly 3 arguments")
+        NgramOverlapStats(children.head, children(1), children(2))
+      }),
     (FunctionIdentifier("char_gram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
       (children: Seq[Expression]) => {

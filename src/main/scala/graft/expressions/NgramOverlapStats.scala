@@ -1,0 +1,137 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass clipped n-gram overlap statistics between a
+  * candidate and a reference token array, for every order n = 1..maxN
+  * at once: `array<struct<n int, clipped bigint, cand_total bigint,
+  * ref_total bigint>>` (element i holds order i+1).
+  *
+  * `clipped` is the BLEU/ROUGE "modified" match count (Papineni et al.
+  * ACL '02 §2.1): for each distinct candidate n-gram g,
+  * `min(count_cand(g), count_ref(g))` — a candidate cannot earn more
+  * credit for g than the reference contains. `cand_total`/`ref_total`
+  * are the plain n-gram counts `max(0, len - n + 1)`, the denominators
+  * of BLEU precision and ROUGE recall respectively.
+  *
+  * Both token arrays live in the SAME row, so the kernel is map-side
+  * and shuffle-free — the alternative (explode both sides to
+  * (pair, n, gram) rows and hash-join per gram) shuffles
+  * O(maxN · corpus tokens) rows to compute a per-row scalar. At 100 TB
+  * the explode-join shape is a full-corpus shuffle per metric; this is
+  * a JIT'd linear scan per pair. O(maxN · (Lc + Lr)) time, one small
+  * hash map per order.
+  *
+  * Null elements inside either array are skipped (split() output never
+  * contains them). Null arrays → null (TernaryExpression contract).
+  * `maxN` must be a foldable positive int.
+  */
+case class NgramOverlapStats(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType)
+          if third.foldable =>
+        val n = third.eval()
+        if (n == null || n.asInstanceOf[Int] < 1)
+          TypeCheckResult.TypeCheckFailure("ngram_overlap_stats maxN must be a positive int literal")
+        else TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_overlap_stats expects (array<string>, array<string>, foldable int), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("clipped", LongType, nullable = false),
+    StructField("cand_total", LongType, nullable = false),
+    StructField("ref_total", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "ngram_overlap_stats"
+
+  @transient private lazy val maxN: Int = third.eval().asInstanceOf[Int]
+
+  /** Collect the non-null tokens once as Strings (gram keys are joined
+    * with '', which split() tokens cannot contain).
+    */
+  private def tokensOf(arr: ArrayData): Array[String] = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[String](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out.add(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size()))
+  }
+
+  private def gramAt(toks: Array[String], start: Int, n: Int): String = {
+    if (n == 1) return toks(start)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append('')
+      sb.append(toks(start + j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Shared by interpreted eval and codegen (the JaroWinkler /
+    * TextArrayStats reference-object pattern — the hash-map loop gains
+    * nothing from being inlined as Java source).
+    */
+  def compute(candArr: ArrayData, refArr: ArrayData): ArrayData = {
+    val cand = tokensOf(candArr)
+    val ref = tokensOf(refArr)
+    val rows = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val candTotal = math.max(0, cand.length - n + 1)
+      val refTotal = math.max(0, ref.length - n + 1)
+      var clipped = 0L
+      if (candTotal > 0 && refTotal > 0) {
+        val refCounts = new java.util.HashMap[String, java.lang.Long](refTotal * 2)
+        var i = 0
+        while (i < refTotal) {
+          val g = gramAt(ref, i, n)
+          val prev = refCounts.get(g)
+          refCounts.put(g, if (prev == null) 1L else prev + 1L)
+          i += 1
+        }
+        i = 0
+        while (i < candTotal) {
+          val g = gramAt(cand, i, n)
+          val left = refCounts.get(g)
+          if (left != null && left > 0L) {
+            clipped += 1L
+            refCounts.put(g, left - 1L)
+          }
+          i += 1
+        }
+      }
+      rows(n - 1) = new GenericInternalRow(
+        Array[Any](n, clipped, candTotal.toLong, refTotal.toLong))
+      n += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngramOverlap", this, classOf[NgramOverlapStats].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, _) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NgramOverlapStats =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generation-quality text metrics — sentence BLEU (Papineni et al.
+  * ACL '02) and ROUGE-N precision/recall/F1 (Lin '04) — as map-side
+  * dataframe operators. No reference implementation (the reference is
+  * an ETL pipeline); spec'd from the papers, with the clipped-count
+  * kernel in [[graft.expressions.NgramOverlapStats]].
+  *
+  * Shape for scale: both metrics are per-(candidate, reference) PAIR
+  * scalars, and the pair's two token arrays are colocated in one row,
+  * so the whole metric family is a projection — no shuffle, no
+  * explode-join per n-gram order, and the corpus is scanned once. The
+  * only shuffle in a full evaluation run is whatever JOIN built the
+  * pair table (and for the adjacent-pair harness below, a single
+  * window over the source partition).
+  */
+object TextEval {
+
+  /** Whitespace tokens, lowercased, empties dropped (split on a
+    * literal space — the DuckDB-replayable form used by the dedup
+    * oracles).
+    */
+  private def toks(text: Column): Column =
+    filter(split(lower(trim(text)), " "), t => t =!= lit(""))
+
+  /** Deterministic evaluation pairs: each document as candidate
+    * against the NEXT doc id within its `partCol` group as reference
+    * (lead over a keyed window — SQL-replayable, SF-independent, and
+    * meaningful on a corpus with shared vocabulary). Last doc of each
+    * group has no reference and is dropped.
+    */
+  def adjacentPairs(docs: DataFrame, idCol: String, textCol: String,
+                    partCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+    docs
+      .select(col(idCol).as("cand_id"), col(textCol).as("cand_text"), col(partCol))
+      .withColumn("ref_id", lead(col("cand_id"), 1).over(w))
+      .withColumn("ref_text", lead(col("cand_text"), 1).over(w))
+      .filter(col("ref_id").isNotNull)
+      .drop(partCol)
+  }
+
+  /** The shared stats column: `array<struct<n, clipped, cand_total,
+    * ref_total>>` for n = 1..maxN, one kernel pass per pair row.
+    * Requires [[graft.expressions.GraftFunctions.register]].
+    */
+  private def overlapStats(candText: Column, refText: Column, maxN: Int): Column =
+    call_function("ngram_overlap_stats", toks(candText), toks(refText), lit(maxN))
+
+  /** Sentence BLEU-maxN with Lin–Och add-one smoothing for n ≥ 2
+    * (NIST '04 smoothing-1: `(clipped+1)/(total+1)` so a missing
+    * higher-order match degrades instead of zeroing the geometric
+    * mean; the unigram term stays unsmoothed, so an empty or fully
+    * disjoint candidate still scores 0). Brevity penalty
+    * `min(1, e^(1 - r/c))` on unigram lengths. Output per pair:
+    * `c_len, r_len, m1..m{maxN} (clipped counts), bp, bleu`.
+    */
+  def bleu(pairs: DataFrame, candTextCol: String, refTextCol: String,
+           maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bleu maxN must be in [1,8], got $maxN")
+    val withStats = pairs.withColumn("__ov",
+      overlapStats(col(candTextCol), col(refTextCol), maxN))
+    val cLen = element_at(col("__ov"), 1).getField("cand_total")
+    val rLen = element_at(col("__ov"), 1).getField("ref_total")
+    // smoothed precision per order: n=1 raw, n>=2 add-one
+    def precN(n: Int): Column = {
+      val st = element_at(col("__ov"), n)
+      if (n == 1) st.getField("clipped").cast("double") / st.getField("cand_total")
+      else (st.getField("clipped") + lit(1)).cast("double") / (st.getField("cand_total") + lit(1))
+    }
+    val logSum = (1 to maxN).map(n => log(precN(n)) / lit(maxN.toDouble))
+      .reduce(_ + _)
+    val bp = when(cLen > rLen, lit(1.0))
+      .otherwise(exp(lit(1.0) - rLen.cast("double") / cLen))
+    val score = when(cLen === 0 || element_at(col("__ov"), 1).getField("clipped") === 0, lit(0.0))
+      .otherwise(bp * exp(logSum))
+    val mCols = (1 to maxN).map(n =>
+      element_at(col("__ov"), n).getField("clipped").as(s"m$n"))
+    withStats.select(
+      (pairs.columns.map(col).toSeq :+ cLen.as("c_len") :+ rLen.as("r_len")) ++
+        mCols :+ round(bp, 6).as("bp") :+ round(score, 6).as("bleu"): _*)
+  }
+
+  /** ROUGE-N precision / recall / F1 per pair for every order in `ns`
+    * — one output row per (pair, n). `recall = clipped / ref_total`
+    * (the headline ROUGE number), `precision = clipped / cand_total`,
+    * `f1` their harmonic mean; all 0 when the denominator is 0.
+    */
+  def rougeN(pairs: DataFrame, candTextCol: String, refTextCol: String,
+             ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8), s"rougeN orders must be in [1,8], got $ns")
+    val maxN = ns.max
+    val withStats = pairs.withColumn("__ov",
+      overlapStats(col(candTextCol), col(refTextCol), maxN))
+      .withColumn("__st", explode(filter(col("__ov"),
+        st => st.getField("n").isInCollection(ns))))
+    val clipped = col("__st").getField("clipped")
+    val cTot = col("__st").getField("cand_total")
+    val rTot = col("__st").getField("ref_total")
+    val prec = when(cTot === 0, lit(0.0)).otherwise(clipped.cast("double") / cTot)
+    val rec = when(rTot === 0, lit(0.0)).otherwise(clipped.cast("double") / rTot)
+    val f1 = when(prec + rec === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * prec * rec / (prec + rec))
+    withStats.select((pairs.columns.map(col).toSeq :+
+      col("__st").getField("n").as("n") :+
+      clipped.as("overlap") :+ cTot.as("cand_total") :+ rTot.as("ref_total") :+
+      round(prec, 6).as("precision") :+ round(rec, 6).as("recall") :+
+      round(f1, 6).as("f1")): _*)
+  }
+}
