@@ -3407,6 +3407,32 @@ object SparkEntry {
       .orderBy(col("cand_id"), col("n"))
   }
 
+  /** Micro-averaged corpus BLEU per source
+    * ([[graft.operators.TextEval.corpusBleu]]): clipped counts and
+    * totals summed across each source's adjacent pairs BEFORE the
+    * precision ratios, corpus brevity penalty on the summed lengths —
+    * the corpus-level number a generation pipeline gates on. All
+    * aggregation over exact longs; the oracle replays sums, smoothing,
+    * BP and the geometric mean.
+    */
+  private def q200CorpusBleu(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    TextEval.corpusBleu(t(s, dir, "documents"), "doc_id", "text", "source", maxN = 4)
+      .orderBy(col("source"))
+  }
+
+  /** Self-BLEU per source ([[graft.operators.TextEval.selfBleu]]):
+    * mean sentence BLEU over each source's adjacent pairs — the
+    * corpus-diversity gauge (lower = more diverse). The mean is over
+    * integer BLEU-micros so it is order-independent and the oracle
+    * replays it exactly.
+    */
+  private def q201SelfBleu(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    TextEval.selfBleu(t(s, dir, "documents"), "doc_id", "text", "source", maxN = 4)
+      .orderBy(col("source"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3750,7 +3776,9 @@ object SparkEntry {
     "q196_semantic_decontam" -> (q196SemanticDecontam _),
     "q197_winnowed_pairs" -> (q197WinnowedPairs _),
     "q198_bleu" -> (q198Bleu _),
-    "q199_rouge" -> (q199Rouge _))
+    "q199_rouge" -> (q199Rouge _),
+    "q200_corpus_bleu" -> (q200CorpusBleu _),
+    "q201_self_bleu" -> (q201SelfBleu _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6903,7 +6931,183 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.lang = b.lang AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q198: BLEU replayed in full — adjacent-pair lead window, per-order
+    // gram lists, clipped counts via least(cand, ref) per distinct gram,
+    // Lin-Och add-one smoothing for n >= 2, BP, geometric mean (same
+    // IEEE op order as the engine: each log term divided by 4, summed
+    // left to right)
+    "q198_bleu" ->
+      s"""WITH $ngramClipCtes,
+        |m AS (
+        | SELECT t.cand_id,
+        |  max(CASE WHEN t.n = 1 THEN t.c_tot END) AS c_len,
+        |  max(CASE WHEN t.n = 1 THEN t.r_tot END) AS r_len,
+        |  max(CASE WHEN t.n = 1 THEN COALESCE(cl.clipped, 0) END) AS m1,
+        |  max(CASE WHEN t.n = 2 THEN COALESCE(cl.clipped, 0) END) AS m2,
+        |  max(CASE WHEN t.n = 3 THEN COALESCE(cl.clipped, 0) END) AS m3,
+        |  max(CASE WHEN t.n = 4 THEN COALESCE(cl.clipped, 0) END) AS m4,
+        |  max(CASE WHEN t.n = 2 THEN t.c_tot END) AS ct2,
+        |  max(CASE WHEN t.n = 3 THEN t.c_tot END) AS ct3,
+        |  max(CASE WHEN t.n = 4 THEN t.c_tot END) AS ct4
+        | FROM tot t LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n
+        | GROUP BY 1),
+        |f AS (
+        | SELECT pp.ref_id, m.*,
+        |  CASE WHEN m.c_len = 0 THEN 0.0
+        |       WHEN m.c_len > m.r_len THEN 1.0
+        |       ELSE exp(1.0 - CAST(m.r_len AS DOUBLE) / m.c_len) END AS bp
+        | FROM m JOIN pp ON m.cand_id = pp.cand_id)
+        |SELECT cand_id, ref_id,
+        | CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
+        | CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+        | CAST(m3 AS BIGINT) AS m3, CAST(m4 AS BIGINT) AS m4,
+        | round(bp, 6) AS bp,
+        | round(CASE WHEN c_len = 0 OR m1 = 0 THEN 0.0
+        |   ELSE bp * exp(ln(CAST(m1 AS DOUBLE) / c_len) / 4
+        |               + ln(CAST(m2 + 1 AS DOUBLE) / (ct2 + 1)) / 4
+        |               + ln(CAST(m3 + 1 AS DOUBLE) / (ct3 + 1)) / 4
+        |               + ln(CAST(m4 + 1 AS DOUBLE) / (ct4 + 1)) / 4) END, 6) AS bleu
+        |FROM f ORDER BY cand_id""".stripMargin,
+
+    // q199: ROUGE-1/2 over the same pair harness and clipped-count CTEs
+    // — one row per (pair, n); f1 from the UNROUNDED precision/recall,
+    // matching the engine
+    "q199_rouge" ->
+      s"""WITH $ngramClipCtes,
+        |j AS (
+        | SELECT t.cand_id, t.n, COALESCE(cl.clipped, 0) AS ov, t.c_tot, t.r_tot,
+        |  CASE WHEN t.c_tot = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(cl.clipped, 0) AS DOUBLE) / t.c_tot END AS prec,
+        |  CASE WHEN t.r_tot = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(cl.clipped, 0) AS DOUBLE) / t.r_tot END AS rec
+        | FROM tot t LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n
+        | WHERE t.n <= 2)
+        |SELECT j.cand_id, pp.ref_id, CAST(j.n AS INTEGER) AS n,
+        | CAST(j.ov AS BIGINT) AS overlap,
+        | CAST(j.c_tot AS BIGINT) AS cand_total, CAST(j.r_tot AS BIGINT) AS ref_total,
+        | round(j.prec, 6) AS "precision",
+        | round(j.rec, 6) AS recall,
+        | round(CASE WHEN j.prec + j.rec = 0.0 THEN 0.0
+        |   ELSE 2.0 * j.prec * j.rec / (j.prec + j.rec) END, 6) AS f1
+        |FROM j JOIN pp ON j.cand_id = pp.cand_id
+        |ORDER BY j.cand_id, j.n""".stripMargin,
+
+    // q200: micro-averaged corpus BLEU — exact long sums per source,
+    // then the same smoothing/BP/geomean IEEE op order as the engine
+    "q200_corpus_bleu" ->
+      s"""WITH $ngramClipCtes,
+        |per AS (
+        | SELECT pp.source, t.cand_id, t.n, t.c_tot, t.r_tot,
+        |  COALESCE(cl.clipped, 0) AS m
+        | FROM tot t
+        | LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n
+        | JOIN pp ON t.cand_id = pp.cand_id),
+        |ag AS (
+        | SELECT source,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN n = 1 THEN c_tot END) AS BIGINT) AS c_len,
+        |  CAST(sum(CASE WHEN n = 1 THEN r_tot END) AS BIGINT) AS r_len,
+        |  CAST(sum(CASE WHEN n = 1 THEN m END) AS BIGINT) AS m1,
+        |  CAST(sum(CASE WHEN n = 2 THEN m END) AS BIGINT) AS m2,
+        |  CAST(sum(CASE WHEN n = 3 THEN m END) AS BIGINT) AS m3,
+        |  CAST(sum(CASE WHEN n = 4 THEN m END) AS BIGINT) AS m4,
+        |  CAST(sum(CASE WHEN n = 2 THEN c_tot END) AS BIGINT) AS ct2,
+        |  CAST(sum(CASE WHEN n = 3 THEN c_tot END) AS BIGINT) AS ct3,
+        |  CAST(sum(CASE WHEN n = 4 THEN c_tot END) AS BIGINT) AS ct4
+        | FROM per GROUP BY source),
+        |f AS (
+        | SELECT *, CASE WHEN c_len = 0 THEN 0.0
+        |   WHEN c_len > r_len THEN 1.0
+        |   ELSE exp(1.0 - CAST(r_len AS DOUBLE) / c_len) END AS bp
+        | FROM ag)
+        |SELECT source, n_pairs, c_len, r_len, m1, m2, m3, m4,
+        | round(bp, 6) AS bp,
+        | round(CASE WHEN c_len = 0 OR m1 = 0 THEN 0.0
+        |   ELSE bp * exp(ln(CAST(m1 AS DOUBLE) / c_len) / 4
+        |               + ln(CAST(m2 + 1 AS DOUBLE) / (ct2 + 1)) / 4
+        |               + ln(CAST(m3 + 1 AS DOUBLE) / (ct3 + 1)) / 4
+        |               + ln(CAST(m4 + 1 AS DOUBLE) / (ct4 + 1)) / 4) END, 6) AS corpus_bleu
+        |FROM f ORDER BY source""".stripMargin,
+
+    // q201: per-pair BLEU replayed (the q198 pipeline), then the mean
+    // over integer BLEU-micros — exact, order-independent
+    "q201_self_bleu" ->
+      s"""WITH $ngramClipCtes,
+        |m AS (
+        | SELECT t.cand_id,
+        |  max(CASE WHEN t.n = 1 THEN t.c_tot END) AS c_len,
+        |  max(CASE WHEN t.n = 1 THEN t.r_tot END) AS r_len,
+        |  max(CASE WHEN t.n = 1 THEN COALESCE(cl.clipped, 0) END) AS m1,
+        |  max(CASE WHEN t.n = 2 THEN COALESCE(cl.clipped, 0) END) AS m2,
+        |  max(CASE WHEN t.n = 3 THEN COALESCE(cl.clipped, 0) END) AS m3,
+        |  max(CASE WHEN t.n = 4 THEN COALESCE(cl.clipped, 0) END) AS m4,
+        |  max(CASE WHEN t.n = 2 THEN t.c_tot END) AS ct2,
+        |  max(CASE WHEN t.n = 3 THEN t.c_tot END) AS ct3,
+        |  max(CASE WHEN t.n = 4 THEN t.c_tot END) AS ct4
+        | FROM tot t LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n
+        | GROUP BY 1),
+        |f AS (
+        | SELECT pp.source, m.*,
+        |  CASE WHEN m.c_len = 0 THEN 0.0
+        |       WHEN m.c_len > m.r_len THEN 1.0
+        |       ELSE exp(1.0 - CAST(m.r_len AS DOUBLE) / m.c_len) END AS bp
+        | FROM m JOIN pp ON m.cand_id = pp.cand_id),
+        |b AS (
+        | SELECT source,
+        |  round(CASE WHEN c_len = 0 OR m1 = 0 THEN 0.0
+        |    ELSE bp * exp(ln(CAST(m1 AS DOUBLE) / c_len) / 4
+        |                + ln(CAST(m2 + 1 AS DOUBLE) / (ct2 + 1)) / 4
+        |                + ln(CAST(m3 + 1 AS DOUBLE) / (ct3 + 1)) / 4
+        |                + ln(CAST(m4 + 1 AS DOUBLE) / (ct4 + 1)) / 4) END, 6) AS bleu
+        | FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(CAST(sum(CAST(round(bleu * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS self_bleu
+        |FROM b GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Shared CTE block for the q198/q199 oracles: adjacent-pair harness
+    * (lead over doc_id within source — exactly
+    * [[graft.operators.TextEval.adjacentPairs]]) and per-order clipped
+    * n-gram counts for n = 1..4 (grams keyed by space-joined token
+    * slices — unambiguous in the oracle because the tokens come from a
+    * split on ' '; the engine's kernel uses length-prefixed keys for
+    * the same sequence-equality semantics on arbitrary tokens).
+    */
+  private def ngramClipCtes: String =
+    """d AS (
+      | SELECT doc_id, source,
+      |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id AS cand_id, source, toks AS ct,
+      |  lead(doc_id) OVER w AS ref_id, lead(toks) OVER w AS rt
+      | FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      |pp AS (SELECT * FROM p WHERE ref_id IS NOT NULL),
+      |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+      |tot AS (
+      | SELECT cand_id, n,
+      |  greatest(len(ct) - n + 1, 0) AS c_tot,
+      |  greatest(len(rt) - n + 1, 0) AS r_tot
+      | FROM pp, ns),
+      |cg AS (
+      | SELECT cand_id, n, g, count(*) AS cc FROM (
+      |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(ct) - n + 1, 0)),
+      |   i -> array_to_string(ct[i+1 : i+n], ' '))) AS g
+      |  FROM pp, ns)
+      | GROUP BY 1, 2, 3),
+      |rg AS (
+      | SELECT cand_id, n, g, count(*) AS rc FROM (
+      |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(rt) - n + 1, 0)),
+      |   i -> array_to_string(rt[i+1 : i+n], ' '))) AS g
+      |  FROM pp, ns)
+      | GROUP BY 1, 2, 3),
+      |cl AS (
+      | SELECT cand_id, n, COALESCE(sum(least(cc, COALESCE(rc, 0))), 0) AS clipped
+      | FROM cg LEFT JOIN rg USING (cand_id, n, g)
+      | GROUP BY 1, 2)""".stripMargin
+
 
   /** The q163/q164 oracle building block: CTEs `<p>m / <p>px / <p>cells
     * / <p>bits` reconstructing the 9×8 dHash bit grid from the

@@ -57,9 +57,7 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
 
   @transient private lazy val maxN: Int = third.eval().asInstanceOf[Int]
 
-  /** Collect the non-null tokens once as Strings (gram keys are joined
-    * with '', which split() tokens cannot contain).
-    */
+  /** Collect the non-null tokens once as Strings. */
   private def tokensOf(arr: ArrayData): Array[String] = {
     val n = arr.numElements()
     val out = new java.util.ArrayList[String](n)
@@ -71,13 +69,20 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
     out.toArray(new Array[String](out.size()))
   }
 
+  /** Unambiguous gram key: each token length-prefixed (`len ':' tok`),
+    * a prefix-free encoding, so key equality is token-SEQUENCE equality
+    * even when tokens contain any would-be separator character (the
+    * upstream tokenizer splits only on ' ', so e.g. U+0001 CAN occur
+    * inside a token; a fixed join character would make same-order
+    * grams like ("a","b<SEP>c") and ("a<SEP>b","c") collide).
+    */
   private def gramAt(toks: Array[String], start: Int, n: Int): String = {
     if (n == 1) return toks(start)
     val sb = new java.lang.StringBuilder()
     var j = 0
     while (j < n) {
-      if (j > 0) sb.append('')
-      sb.append(toks(start + j))
+      val t = toks(start + j)
+      sb.append(t.length).append(':').append(t)
       j += 1
     }
     sb.toString

@@ -34,14 +34,22 @@ object TextEval {
     * group has no reference and is dropped.
     */
   def adjacentPairs(docs: DataFrame, idCol: String, textCol: String,
-                    partCol: String): DataFrame = {
-    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+                    partCol: String): DataFrame =
+    adjacentPairsKeep(docs, idCol, textCol, partCol).drop(partCol)
+
+  /** [[adjacentPairs]] retaining the grouping column — the form the
+    * corpus-level aggregates ([[corpusBleu]], [[selfBleu]]) group by.
+    */
+  private def adjacentPairsKeep(docs: DataFrame, idCol: String, textCol: String,
+                                partCol: String): DataFrame = {
+    // the window must order by the POST-rename id — idCol no longer
+    // exists after the select below
+    val w = Window.partitionBy(col(partCol)).orderBy(col("cand_id"))
     docs
       .select(col(idCol).as("cand_id"), col(textCol).as("cand_text"), col(partCol))
       .withColumn("ref_id", lead(col("cand_id"), 1).over(w))
       .withColumn("ref_text", lead(col("cand_text"), 1).over(w))
       .filter(col("ref_id").isNotNull)
-      .drop(partCol)
   }
 
   /** The shared stats column: `array<struct<n, clipped, cand_total,
@@ -62,6 +70,7 @@ object TextEval {
   def bleu(pairs: DataFrame, candTextCol: String, refTextCol: String,
            maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"bleu maxN must be in [1,8], got $maxN")
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
     val withStats = pairs.withColumn("__ov",
       overlapStats(col(candTextCol), col(refTextCol), maxN))
     val cLen = element_at(col("__ov"), 1).getField("cand_total")
@@ -74,7 +83,10 @@ object TextEval {
     }
     val logSum = (1 to maxN).map(n => log(precN(n)) / lit(maxN.toDouble))
       .reduce(_ + _)
-    val bp = when(cLen > rLen, lit(1.0))
+    // cLen = 0 guard first: ANSI mode (Spark 4 default) makes the
+    // unguarded division throw DIVIDE_BY_ZERO on an empty candidate
+    val bp = when(cLen === 0, lit(0.0))
+      .when(cLen > rLen, lit(1.0))
       .otherwise(exp(lit(1.0) - rLen.cast("double") / cLen))
     val score = when(cLen === 0 || element_at(col("__ov"), 1).getField("clipped") === 0, lit(0.0))
       .otherwise(bp * exp(logSum))
@@ -85,6 +97,69 @@ object TextEval {
         mCols :+ round(bp, 6).as("bp") :+ round(score, 6).as("bleu"): _*)
   }
 
+  /** Micro-averaged corpus BLEU (Papineni et al. ACL '02 §2.2, the
+    * number an LLM-data pipeline actually gates on) per `partCol`
+    * group: clipped counts and totals SUMMED across the group's
+    * adjacent pairs before the precision ratios, corpus brevity
+    * penalty on the summed lengths. Smoothing convention matches the
+    * sentence form: unigram raw, add-one for n ≥ 2 (at corpus scale
+    * the +1 is negligible; at smoke scale it keeps tiny groups from
+    * zeroing). All aggregation is over exact LONG counts — order-
+    * independent, so the DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape: one map-side kernel pass per pair, then a partial-agg
+    * groupBy on `partCol` moving 10 longs per pair — the only shuffle.
+    */
+  def corpusBleu(docs: DataFrame, idCol: String, textCol: String,
+                 partCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"corpusBleu maxN must be in [1,8], got $maxN")
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val pairs = adjacentPairsKeep(docs, idCol, textCol, partCol)
+    val withStats = pairs.withColumn("__ov",
+      overlapStats(col("cand_text"), col("ref_text"), maxN))
+    def st(n: Int): Column = element_at(col("__ov"), n)
+    val aggs =
+      Seq(count(lit(1)).as("n_pairs"),
+        sum(st(1).getField("cand_total")).as("c_len"),
+        sum(st(1).getField("ref_total")).as("r_len")) ++
+      (1 to maxN).map(n => sum(st(n).getField("clipped")).as(s"m$n")) ++
+      (2 to maxN).map(n => sum(st(n).getField("cand_total")).as(s"__ct$n"))
+    val g = withStats.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+    def precN(n: Int): Column =
+      if (n == 1) col("m1").cast("double") / col("c_len")
+      else (col(s"m$n") + lit(1)).cast("double") / (col(s"__ct$n") + lit(1))
+    val logSum = (1 to maxN).map(n => log(precN(n)) / lit(maxN.toDouble))
+      .reduce(_ + _)
+    val bp = when(col("c_len") === 0, lit(0.0))
+      .when(col("c_len") > col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("r_len").cast("double") / col("c_len")))
+    val score = when(col("c_len") === 0 || col("m1") === 0, lit(0.0))
+      .otherwise(bp * exp(logSum))
+    g.select((col(partCol) +: col("n_pairs") +: col("c_len") +: col("r_len") +:
+      (1 to maxN).map(n => col(s"m$n"))) :+
+      round(bp, 6).as("bp") :+ round(score, 6).as("corpus_bleu"): _*)
+  }
+
+  /** Self-BLEU (Zhu et al. '18 "Texygen" §4.2 — LOWER = more diverse
+    * corpus; 1.0 = every document repeats its neighbour) per `partCol`
+    * group: the mean sentence BLEU over the group's adjacent pairs.
+    * The mean is taken over integer BLEU-micros (each pair's 6-dp
+    * score ×1e6 as a LONG) so the sum is exact and order-independent —
+    * a plain double avg would be partition-order-dependent in the last
+    * ulp and could flip the rounded digit vs the oracle.
+    */
+  def selfBleu(docs: DataFrame, idCol: String, textCol: String,
+               partCol: String, maxN: Int = 4): DataFrame = {
+    val pairs = adjacentPairsKeep(docs, idCol, textCol, partCol)
+    bleu(pairs, "cand_text", "ref_text", maxN)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("bleu") * lit(1e6)).cast("long")).as("__micro"))
+      .select(col(partCol), col("n_pairs"),
+        round(col("__micro").cast("double") /
+          (col("n_pairs").cast("double") * lit(1e6)), 6).as("self_bleu"))
+  }
+
   /** ROUGE-N precision / recall / F1 per pair for every order in `ns`
     * — one output row per (pair, n). `recall = clipped / ref_total`
     * (the headline ROUGE number), `precision = clipped / cand_total`,
@@ -93,6 +168,7 @@ object TextEval {
   def rougeN(pairs: DataFrame, candTextCol: String, refTextCol: String,
              ns: Seq[Int] = Seq(1, 2)): DataFrame = {
     require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8), s"rougeN orders must be in [1,8], got $ns")
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
     val maxN = ns.max
     val withStats = pairs.withColumn("__ov",
       overlapStats(col(candTextCol), col(refTextCol), maxN))

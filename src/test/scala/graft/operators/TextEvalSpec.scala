@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed BLEU / ROUGE-N cases (Papineni et al. ACL '02;
+  * Lin '04) plus the three regressions that shipped q198/q199 broken in
+  * round 9: the adjacentPairs post-rename window, ANSI divide-by-zero
+  * on an empty candidate, and the gram-key separator collision.
+  */
+class TextEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(rows: (String, String)*) =
+    rows.toSeq.toDF("cand_text", "ref_text")
+
+  test("BLEU-4: hand-worked clipped counts, smoothing, BP, geometric mean") {
+    // cand: the cat sat on the mat (6 toks); ref: the cat is on the mat
+    // m1 = 5 (the×2, cat, on, mat), m2 = 3 (the cat / on the / the mat),
+    // m3 = 1 (on the mat), m4 = 0
+    // p1 = 5/6 raw; smoothed p2 = 4/6, p3 = 2/5, p4 = 1/4; bp = 1 (c = r)
+    val out = TextEval.bleu(
+      pairsOf("The cat sat on the mat" -> "the cat is on the mat"),
+      "cand_text", "ref_text", maxN = 4).collect().head
+    assert(out.getAs[Long]("c_len") == 6 && out.getAs[Long]("r_len") == 6)
+    assert(out.getAs[Long]("m1") == 5)
+    assert(out.getAs[Long]("m2") == 3)
+    assert(out.getAs[Long]("m3") == 1)
+    assert(out.getAs[Long]("m4") == 0)
+    assert(out.getAs[Double]("bp") == 1.0)
+    val expected = math.exp(
+      math.log(5.0 / 6) / 4 + math.log(4.0 / 6) / 4 +
+      math.log(2.0 / 5) / 4 + math.log(1.0 / 4) / 4)
+    assert(math.abs(out.getAs[Double]("bleu") - expected) < 1e-6,
+      s"bleu ${out.getAs[Double]("bleu")} vs $expected")
+  }
+
+  test("BLEU: Papineni §2.1 degenerate candidate — clipping caps the(×7) at 2") {
+    val out = TextEval.bleu(
+      pairsOf("the the the the the the the" -> "the cat is on the mat"),
+      "cand_text", "ref_text", maxN = 1).collect().head
+    assert(out.getAs[Long]("m1") == 2, "modified unigram precision numerator is 2, not 7")
+    assert(out.getAs[Long]("c_len") == 7)
+    // p1 = 2/7, c > r so bp = 1
+    assert(math.abs(out.getAs[Double]("bleu") - 2.0 / 7) < 1e-6)
+  }
+
+  test("BLEU: short candidate pays the brevity penalty e^(1 - r/c)") {
+    // cand "the cat" (2), ref "the cat is on the mat" (6): p1 = 1
+    val out = TextEval.bleu(pairsOf("the cat" -> "the cat is on the mat"),
+      "cand_text", "ref_text", maxN = 1).collect().head
+    val bp = math.exp(1.0 - 6.0 / 2.0)
+    assert(math.abs(out.getAs[Double]("bp") - bp) < 1e-6)
+    assert(math.abs(out.getAs[Double]("bleu") - bp) < 1e-6)
+  }
+
+  test("BLEU: empty / whitespace-only candidate scores 0 without DIVIDE_BY_ZERO (ANSI)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "regression only meaningful under ANSI mode — Spark 4 default")
+    val out = TextEval.bleu(pairsOf("   " -> "a b c", "" -> "a"),
+      "cand_text", "ref_text", maxN = 2).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("c_len") == 0)
+      assert(r.getAs[Double]("bp") == 0.0 && r.getAs[Double]("bleu") == 0.0)
+    }
+  }
+
+  test("BLEU: fully disjoint candidate scores exactly 0 (unsmoothed unigram)") {
+    val out = TextEval.bleu(pairsOf("x y z" -> "a b c"),
+      "cand_text", "ref_text", maxN = 4).collect().head
+    assert(out.getAs[Long]("m1") == 0 && out.getAs[Double]("bleu") == 0.0)
+  }
+
+  test("gram keys: a U+0001 inside a token must not collide with a joined bigram") {
+    val SEP = "\u0001"
+    // cand toks [a, b<SEP>c, x] vs ref toks [a<SEP>b, c, x]: only the
+    // unigram "x" matches; a fixed-SEP join would fake a bigram match
+    val out = TextEval.bleu(pairsOf(s"a b${SEP}c x" -> s"a${SEP}b c x"),
+      "cand_text", "ref_text", maxN = 2).collect().head
+    assert(out.getAs[Long]("m1") == 1)
+    assert(out.getAs[Long]("m2") == 0, "length-prefixed keys: no separator collision")
+  }
+
+  test("ROUGE-1/2: hand-worked precision, recall, F1") {
+    // cand "the cat sat" vs ref "the cat is on the mat"
+    val out = TextEval.rougeN(pairsOf("the cat sat" -> "the cat is on the mat"),
+      "cand_text", "ref_text", ns = Seq(1, 2))
+      .orderBy("n").collect()
+    assert(out.length == 2)
+    val r1 = out(0); val r2 = out(1)
+    assert(r1.getAs[Long]("overlap") == 2 && r1.getAs[Long]("cand_total") == 3
+      && r1.getAs[Long]("ref_total") == 6)
+    assert(math.abs(r1.getAs[Double]("precision") - 2.0 / 3) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("recall") - 1.0 / 3) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("f1") - 4.0 / 9) < 1e-6)
+    assert(r2.getAs[Long]("overlap") == 1 && r2.getAs[Long]("cand_total") == 2
+      && r2.getAs[Long]("ref_total") == 5)
+    assert(math.abs(r2.getAs[Double]("precision") - 0.5) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("recall") - 0.2) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("f1") - 0.2 / 0.7) < 1e-6)
+  }
+
+  test("ROUGE: zero denominators yield 0.0, not errors (ANSI)") {
+    val out = TextEval.rougeN(pairsOf("" -> "a b", "a b" -> "", "" -> ""),
+      "cand_text", "ref_text", ns = Seq(1)).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Double]("f1") == 0.0)
+      assert(r.getAs[Double]("precision") == 0.0 || r.getAs[Long]("cand_total") > 0)
+      assert(r.getAs[Double]("recall") == 0.0 || r.getAs[Long]("ref_total") > 0)
+    }
+  }
+
+  test("adjacentPairs: lead over the post-rename id within each group") {
+    val docs = Seq(
+      (3L, "c", "s1"), (1L, "a", "s1"), (2L, "b", "s1"), (9L, "z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextEval.adjacentPairs(docs, "doc_id", "text", "source")
+      .orderBy("cand_id")
+      .select("cand_id", "ref_id", "cand_text", "ref_text")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "a", "b"), (2L, 3L, "b", "c")),
+      "s2's lone doc drops; pairs follow doc_id order within source")
+  }
+
+  test("self-BLEU: duplicated corpus scores 1.0; a shuffled/diverse one scores lower") {
+    val dup = Seq.tabulate(6)(i => (i.toLong, "the cat sat on the mat", "s"))
+      .toDF("doc_id", "text", "source")
+    val dupOut = TextEval.selfBleu(dup, "doc_id", "text", "source").collect().head
+    assert(dupOut.getAs[Long]("n_pairs") == 5)
+    assert(dupOut.getAs[Double]("self_bleu") == 1.0,
+      "every pair identical -> sentence BLEU 1 everywhere -> mean 1")
+    val diverse = Seq(
+      (0L, "alpha beta gamma delta epsilon", "s"),
+      (1L, "zeta eta theta iota kappa", "s"),
+      (2L, "lambda mu nu xi omicron", "s"),
+      (3L, "pi rho sigma tau upsilon", "s")).toDF("doc_id", "text", "source")
+    val divOut = TextEval.selfBleu(diverse, "doc_id", "text", "source").collect().head
+    assert(divOut.getAs[Double]("self_bleu") < 0.1,
+      s"disjoint-vocabulary corpus must score near 0, got ${divOut.getAs[Double]("self_bleu")}")
+  }
+
+  test("corpus BLEU: micro-average over real documents >= the pair minimum, <= the maximum") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = TextEval.corpusBleu(docs, "doc_id", "text", "source")
+      .select("source", "corpus_bleu").as[(String, Double)].collect().toMap
+    val pairs = TextEval.bleu(
+      TextEval.adjacentPairs(docs, "doc_id", "text", "source"),
+      "cand_text", "ref_text")
+      // recover each pair's source for the per-group range
+      .join(docs.select(col("doc_id").as("cand_id"), col("source")), "cand_id")
+      .groupBy("source").agg(min("bleu").as("lo"), max("bleu").as("hi"))
+      .as[(String, Double, Double)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (src, lo, hi) =>
+      corpus(src) >= lo - 1e-6 && corpus(src) <= hi + 1e-6 },
+      s"corpus BLEU outside its group's sentence range: ${pairs.mkString(", ")}")
+  }
+
+  test("corpus BLEU: degenerate group (all-empty candidates) scores 0 without error") {
+    val docs = Seq((0L, " ", "s"), (1L, " ", "s"), (2L, " ", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextEval.corpusBleu(docs, "doc_id", "text", "source").collect().head
+    assert(out.getAs[Long]("c_len") == 0)
+    assert(out.getAs[Double]("bp") == 0.0 && out.getAs[Double]("corpus_bleu") == 0.0)
+  }
+
+  test("standalone session path: bleu() self-registers the kernel function") {
+    // regression: call_function("ngram_overlap_stats") must not depend
+    // on an earlier query having registered GraftFunctions
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    val df = Seq(("a b", "a b")).toDF("cand_text", "ref_text")
+    val out = TextEval.bleu(df, "cand_text", "ref_text", maxN = 2).collect().head
+    assert(out.getAs[Double]("bleu") == 1.0)
+  }
+}
