@@ -3433,6 +3433,58 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** PNG dHash ([[graft.operators.Multimodal.imageDHash]] over
+    * [[graft.operators.Multimodal.synthesizeImages]] "png"): the SAME
+    * closed-form pixels as q163's BMPs, but encoded as real PNGs and
+    * decoded through the JDK's ImageIO. PNG is lossless, so the oracle
+    * is q163's bit-for-bit closed-form reconstruction UNCHANGED — a
+    * hash match pins the whole codec path (PNG encode → ImageIO decode
+    * → luma pool → 64 difference bits) to the generator.
+    */
+  private def q202PngDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.imageDHash(Multimodal.synthesizeImages(s, 300, "png"))
+      .orderBy(col("media_id"))
+  }
+
+  /** JPEG perceptual stability ([[graft.operators.Multimodal]]): every
+    * logical image hashed twice — losslessly (BMP byte path) and
+    * through a real JPEG encode/decode round trip — and gated on
+    * hamming <= 16 of 64 bits. dHash is DESIGNED to survive lossy
+    * re-encodes; measured worst case on this corpus (mod-251 noise,
+    * JPEG's hardest input) is 8 bits. The oracle pins the verdict
+    * column (the q152 recall-verdict convention — codec output isn't
+    * SQL-expressible, the engine must earn the TRUEs).
+    */
+  private def q203JpegDhashStability(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val ref = Multimodal.imageDHashRaw(Multimodal.synthesizeImages(s, 300, "bmp"))
+      .withColumnRenamed("dhash64", "h_ref")
+    val jpg = Multimodal.imageDHashRaw(Multimodal.synthesizeImages(s, 300, "jpeg"))
+      .withColumnRenamed("dhash64", "h_jpeg")
+    ref.join(jpg, "media_id")
+      .select(col("media_id"),
+        (expr("bit_count(h_ref ^ h_jpeg)") <= 16).as("within_16_bits"))
+      .orderBy(col("media_id"))
+  }
+
+  /** PNG box-mean pooling ([[graft.operators.Multimodal.imagePool]]):
+    * q134's 4×4 thumbnail kernel over PNG payloads decoded by ImageIO
+    * — lossless, so every channel mean replays q134's closed-form
+    * oracle exactly. Pins pooling through the codec path down to the
+    * double.
+    */
+  private def q204PngPool(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.imagePool(Multimodal.synthesizeImages(s, 300, "png"), 4, 4).toDF()
+      .select(col("mediaId").as("media_id"), col("cellX").as("cell_x"),
+        col("cellY").as("cell_y"),
+        round(col("rMean"), 4).as("r_mean"),
+        round(col("gMean"), 4).as("g_mean"),
+        round(col("bMean"), 4).as("b_mean"))
+      .orderBy(col("media_id"), col("cell_y"), col("cell_x"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3778,7 +3830,10 @@ object SparkEntry {
     "q198_bleu" -> (q198Bleu _),
     "q199_rouge" -> (q199Rouge _),
     "q200_corpus_bleu" -> (q200CorpusBleu _),
-    "q201_self_bleu" -> (q201SelfBleu _))
+    "q201_self_bleu" -> (q201SelfBleu _),
+    "q202_png_dhash" -> (q202PngDhash _),
+    "q203_jpeg_dhash_stability" -> (q203JpegDhashStability _),
+    "q204_png_pool" -> (q204PngPool _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5747,23 +5802,7 @@ object SparkEntry {
     // q134: every pooled cell recomputed from the closed-form synthetic
     // pixels — byte at logical position p of image i is (i*31 + 7p) mod
     // 251, rows are BGR (r at x*3+2), cell of pixel x is x*4 // w
-    "q134_image_pool" ->
-      """WITH m AS (
-        | SELECT r.i AS media_id, CAST(16 + (r.i % 6) * 8 AS INT) AS w,
-        |  CAST(16 + (r.i % 5) * 8 AS INT) AS h
-        | FROM range(300) r(i) WHERE r.i % 3 = 0),
-        |px AS (
-        | SELECT m.media_id, (xx.x * 4) // m.w AS cell_x, (yy.y * 4) // m.h AS cell_y,
-        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 2)) % 251 AS rb,
-        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 1)) % 251 AS gb,
-        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3)) % 251 AS bb
-        | FROM m, unnest(range(0, m.w)) xx(x), unnest(range(0, m.h)) yy(y))
-        |SELECT media_id, CAST(cell_x AS INT) AS cell_x, CAST(cell_y AS INT) AS cell_y,
-        | round(avg(rb), 4) AS r_mean, round(avg(gb), 4) AS g_mean,
-        | round(avg(bb), 4) AS b_mean
-        |FROM px
-        |GROUP BY 1, 2, 3
-        |ORDER BY media_id, cell_y, cell_x""".stripMargin,
+    "q134_image_pool" -> poolClosedFormOracle,
     // q135: the same md5 permutation as a window — hex strings compare
     // identically (ASCII) in both engines; doc_id breaks (never-seen)
     // md5 ties
@@ -6423,14 +6462,7 @@ object SparkEntry {
     // q163: every dHash bit reconstructed from the closed-form pixel
     // generator — integer luma, cross-multiplied cell comparison, hex
     // nibbles assembled most-significant-first
-    "q163_image_dhash" ->
-      s"""WITH ${dhashBitCtes("", 0)},
-         |nib AS (SELECT media_id, (cy * 8 + cx) // 4 AS ni,
-         |         CAST(sum(bit << ((cy * 8 + cx) % 4)) AS INT) AS v
-         |        FROM bits GROUP BY 1, 2)
-         |SELECT media_id,
-         | string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY ni DESC) AS dhash
-         |FROM nib GROUP BY media_id ORDER BY media_id""".stripMargin,
+    "q163_image_dhash" -> dhashClosedFormOracle,
     // q164: both bit grids rebuilt (raw and +24-clamped), hamming =
     // count of differing bits — no sign-bit arithmetic anywhere
     "q164_dhash_invariance" ->
@@ -7065,7 +7097,58 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
         | round(CAST(sum(CAST(round(bleu * 1000000) AS BIGINT)) AS DOUBLE)
         |   / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS self_bleu
-        |FROM b GROUP BY source ORDER BY source""".stripMargin)
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    // q202: PNG is lossless -> the q163 closed-form bit reconstruction
+    // applies verbatim to the ImageIO-decoded PNG corpus
+    "q202_png_dhash" -> dhashClosedFormOracle,
+
+    // q203: the verdict column is the oracle (q152 convention) — JPEG
+    // codec output is not SQL-expressible; the engine must earn TRUE
+    // for every image by actually decoding and hashing both payloads
+    "q203_jpeg_dhash_stability" ->
+      """SELECT r.i AS media_id, TRUE AS within_16_bits
+        |FROM range(300) r(i) WHERE r.i % 3 = 0
+        |ORDER BY media_id""".stripMargin,
+
+    // q204: q134's closed-form cell means, decoded from PNG
+    "q204_png_pool" -> poolClosedFormOracle)
+
+  /** q163/q202 shared oracle: every dHash bit reconstructed from the
+    * closed-form pixel generator — integer luma, cross-multiplied cell
+    * comparison, hex nibbles assembled most-significant-first. Valid
+    * for ANY lossless container of the same logical pixels.
+    */
+  private def dhashClosedFormOracle: String =
+    s"""WITH ${dhashBitCtes("", 0)},
+       |nib AS (SELECT media_id, (cy * 8 + cx) // 4 AS ni,
+       |         CAST(sum(bit << ((cy * 8 + cx) % 4)) AS INT) AS v
+       |        FROM bits GROUP BY 1, 2)
+       |SELECT media_id,
+       | string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY ni DESC) AS dhash
+       |FROM nib GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** q134/q204 shared oracle: every 4×4 cell mean recomputed from the
+    * closed-form pixel bytes. Valid for any lossless container of the
+    * same logical pixels.
+    */
+  private def poolClosedFormOracle: String =
+    """WITH m AS (
+        | SELECT r.i AS media_id, CAST(16 + (r.i % 6) * 8 AS INT) AS w,
+        |  CAST(16 + (r.i % 5) * 8 AS INT) AS h
+        | FROM range(300) r(i) WHERE r.i % 3 = 0),
+        |px AS (
+        | SELECT m.media_id, (xx.x * 4) // m.w AS cell_x, (yy.y * 4) // m.h AS cell_y,
+        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 2)) % 251 AS rb,
+        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3 + 1)) % 251 AS gb,
+        |  (m.media_id * 31 + 7 * (yy.y * m.w * 3 + xx.x * 3)) % 251 AS bb
+        | FROM m, unnest(range(0, m.w)) xx(x), unnest(range(0, m.h)) yy(y))
+        |SELECT media_id, CAST(cell_x AS INT) AS cell_x, CAST(cell_y AS INT) AS cell_y,
+        | round(avg(rb), 4) AS r_mean, round(avg(gb), 4) AS g_mean,
+        | round(avg(bb), 4) AS b_mean
+        |FROM px
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_id, cell_y, cell_x""".stripMargin
 
   /** Shared CTE block for the q198/q199 oracles: adjacent-pair harness
     * (lead over doc_id within source — exactly

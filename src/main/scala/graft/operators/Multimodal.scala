@@ -300,6 +300,72 @@ object Multimodal {
     }.toDF("media_id", "modality", "width", "height", "n_frames", "payload")
   }
 
+  /** A real PNG whose pixel (x, y) carries EXACTLY the same RGB triple
+    * as [[synthBmp]](i, w, h)'s — logical byte p = y·w·3 + x·3 is B,
+    * p+1 G, p+2 R, each [[synthPixelByte]](i, p). PNG is lossless, so
+    * an ImageIO decode replays the closed form bit-for-bit and the
+    * BMP oracles carry over unchanged (the q202 contract). Encoded
+    * through an explicit in-memory stream — no ImageIO temp-file
+    * cache inside executors.
+    */
+  private[operators] def synthPng(i: Long, w: Int, h: Int): Array[Byte] =
+    encodeSynthImage(i, w, h, "png")
+
+  /** [[synthPng]]'s lossy sibling: the SAME logical pixels through the
+    * JDK JPEG encoder (default quality). Decoded pixels are codec
+    * output — only perceptual claims (pooled means, dHash stability)
+    * hold, never pixel equality.
+    */
+  private[operators] def synthJpeg(i: Long, w: Int, h: Int): Array[Byte] =
+    encodeSynthImage(i, w, h, "jpg")
+
+  private def encodeSynthImage(i: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w * 3 + x * 3
+        val b = synthPixelByte(i, p)
+        val g = synthPixelByte(i, p + 1)
+        val r = synthPixelByte(i, p + 2)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val ok = javax.imageio.ImageIO.write(img, fmt, out)
+      require(ok, s"no ImageIO writer for format $fmt")
+      out.flush()
+    } finally out.close()
+    bos.toByteArray
+  }
+
+  /** Image-only synthetic media in a chosen container format — the
+    * SAME ids and dims as [[synthesize]]'s image rows (every third id
+    * of range(n)), so the closed-form pixel oracles apply to every
+    * format. `format`: "bmp" | "png" | "jpeg".
+    */
+  def synthesizeImages(spark: SparkSession, n: Int, format: String): DataFrame = {
+    require(Set("bmp", "png", "jpeg").contains(format),
+      s"format must be bmp|png|jpeg, got $format")
+    import spark.implicits._
+    spark.range(n.toLong).filter(_ % 3 == 0).map { i =>
+      val w = 16 + (i % 6).toInt * 8
+      val h = 16 + (i % 5).toInt * 8
+      val payload = format match {
+        case "bmp" => synthBmp(i, w, h)
+        case "png" => synthPng(i, w, h)
+        case _ => synthJpeg(i, w, h)
+      }
+      (i, "image", w, h, 1, payload)
+    }.toDF("media_id", "modality", "width", "height", "n_frames", "payload")
+  }
+
   /** Decoded-frame contract produced by [[decodeFeatures]]. */
   case class MediaFeatures(mediaId: Long, modality: String,
                            decodedWidth: Int, decodedHeight: Int,
@@ -883,6 +949,101 @@ object Multimodal {
           .as("log_power"))
   }
 
+  /** Decoded RGB accessor: `w`, `h`, and packed `0xRRGGBB` at logical
+    * TOP-DOWN (x, y) — the format-independent contract the image
+    * kernels ([[imagePool]], [[imageDHash]]) consume.
+    */
+  private[operators] final class RgbImage(val w: Int, val h: Int,
+                                          f: (Int, Int) => Int) {
+    def rgb(x: Int, y: Int): Int = f(x, y)
+  }
+
+  /** Format dispatch by magic bytes: BMP (`BM`, decoded by the pure
+    * byte-arithmetic path below — no codec dependency), PNG
+    * (`\x89PNG`) and JPEG (`\xFF\xD8\xFF`) via the JDK's
+    * `javax.imageio` (public platform API, present in every JRE).
+    * Anything else is refused loudly — a 100 TB corpus WILL contain
+    * garbage rows and they must fail with the media_id, not an
+    * ArrayIndexOutOfBounds three stack frames deep.
+    */
+  private[operators] def decodeRgb(id: Long, payload: Array[Byte],
+                                   what: String): RgbImage = {
+    require(payload != null && payload.length >= 8,
+      s"$what: payload too short to identify a format (media_id=$id)")
+    if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+      decodeBmpRgb(id, payload, what)
+    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+             payload(2) == 'N'.toByte && payload(3) == 'G'.toByte)
+      decodeImageIoRgb(id, payload, what)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+             (payload(2) & 0xff) == 0xff)
+      decodeImageIoRgb(id, payload, what)
+    else throw new IllegalArgumentException(
+      s"$what: unsupported image payload (media_id=$id): magic bytes match none of BMP/PNG/JPEG")
+  }
+
+  /** The BMP side of [[decodeRgb]]: headers parsed by hand (LE data
+    * offset at 10, dims at 18/22, bpp at 28, compression at 30),
+    * bottom-up or top-down row order, rows padded to 4 bytes. All the
+    * hostile-header refusals live HERE so every kernel shares them.
+    */
+  private def decodeBmpRgb(id: Long, payload: Array[Byte], what: String): RgbImage = {
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54,
+      s"$what: truncated BMP header (media_id=$id)")
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bitCount = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bitCount == 24 && compression == 0,
+      s"$what supports 24-bit uncompressed BI_RGB only, got bpp=$bitCount " +
+        s"compression=$compression (media_id=$id)")
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0, s"$what: degenerate BMP dims ${w}x$hRaw (media_id=$id)")
+    // needed-length check in Long: hostile headers declaring huge dims
+    // would overflow Int arithmetic, pass the require, and crash with
+    // ArrayIndexOutOfBounds instead of this clean refusal
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    val needed = dataOffset.toLong + rowSizeL * h
+    require(dataOffset >= 54 && payload.length >= needed,
+      s"truncated BMP: need $needed bytes from offset $dataOffset, have " +
+        s"${payload.length} (media_id=$id)")
+    val rowSize = rowSizeL.toInt // safe: needed <= payload.length fits in Int
+    new RgbImage(w, h, (x, y) => {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val o = dataOffset + srcRow * rowSize + x * 3
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
+    })
+  }
+
+  /** The codec side of [[decodeRgb]]: PNG/JPEG through `ImageIO` with
+    * an explicit in-memory stream (the default path spools through
+    * temp FILES — unacceptable inside an executor flatMap). PNG is
+    * lossless, so decoded pixels replay a closed-form generator
+    * exactly (the q202 oracle); JPEG pixels are codec-output and only
+    * perceptual claims hold. Corrupt/truncated payloads surface as a
+    * clean refusal with the media_id.
+    */
+  private def decodeImageIoRgb(id: Long, payload: Array[Byte], what: String): RgbImage = {
+    val img =
+      try {
+        // NB: unlike the rest of ImageIO, read(ImageInputStream) closes
+        // the stream itself — closing again throws IOException("closed")
+        javax.imageio.ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+      } catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"$what: corrupt image payload (media_id=$id): ${e.getMessage}")
+        case e: RuntimeException => throw new IllegalArgumentException(
+          s"$what: corrupt image payload (media_id=$id): ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    require(img != null,
+      s"$what: undecodable image payload (media_id=$id): ImageIO found no reader")
+    new RgbImage(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y))
+  }
+
   /** One pooled cell of [[imagePool]]: per-channel box means over the
     * cell's source-pixel region, doubles (callers round).
     */
@@ -891,13 +1052,13 @@ object Multimodal {
 
   /** REAL image downsampling — gridW×gridH box-mean pooling (the
     * resize/thumbnail kernel every vision-data pipeline runs before
-    * embedding) over actually-decoded 24-bit BMP pixels, pure byte
-    * arithmetic like [[decodeBmp]]. Source pixel (x, y) pools into
+    * embedding) over actually-decoded pixels: BMP by pure byte
+    * arithmetic, PNG/JPEG via the JDK's ImageIO ([[decodeRgb]]
+    * dispatches on magic bytes). Source pixel (x, y) pools into
     * cell (x·gridW ∕ w, y·gridH ∕ h) — integer floor, the partition
     * that handles non-divisible dims — and each channel's cell mean is
-    * the exact sum÷count double. BMP rows are BGR; output is named
-    * R/G/B. Refuses grids finer than the source (an empty cell has no
-    * mean) and non-BI_RGB payloads, loudly.
+    * the exact sum÷count double. Refuses grids finer than the source
+    * (an empty cell has no mean) and undecodable payloads, loudly.
     *
     * Scale shape: payloads are decoded AND reduced to gridW·gridH·3
     * numbers inside their partition (flatMap) — pixels never shuffle,
@@ -910,51 +1071,30 @@ object Multimodal {
     media.filter(col("modality") === "image")
       .select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, p) => poolBmp(id, p, gridW, gridH) }
+      .flatMap { case (id, p) => poolImage(id, p, gridW, gridH) }
   }
 
-  private[operators] def poolBmp(id: Long, payload: Array[Byte],
-                                 gw: Int, gh: Int): Seq[ImageCell] = {
-    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
-      s"not a BMP payload (media_id=$id)")
-    val dataOffset = buf.getInt(10)
-    val w = buf.getInt(18)
-    val hRaw = buf.getInt(22)
-    val bitCount = buf.getShort(28).toInt
-    val compression = buf.getInt(30)
-    require(bitCount == 24 && compression == 0,
-      s"imagePool supports 24-bit uncompressed BI_RGB only, got bpp=$bitCount " +
-        s"compression=$compression (media_id=$id)")
-    val bottomUp = hRaw > 0
-    val h = math.abs(hRaw)
+  private[operators] def poolImage(id: Long, payload: Array[Byte],
+                                   gw: Int, gh: Int): Seq[ImageCell] = {
+    val img = decodeRgb(id, payload, "imagePool")
+    val w = img.w
+    val h = img.h
     require(w >= gw && h >= gh,
       s"grid ${gw}x$gh finer than source ${w}x$h (media_id=$id): a cell " +
         "with no source pixels has no mean")
-    // needed-length check in Long: hostile headers declaring huge dims
-    // would overflow Int arithmetic, pass the require, and crash with
-    // ArrayIndexOutOfBounds instead of this clean refusal
-    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
-    val needed = dataOffset.toLong + rowSizeL * h
-    require(dataOffset >= 54 && payload.length >= needed,
-      s"truncated BMP: need $needed bytes from offset $dataOffset, have " +
-        s"${payload.length} (media_id=$id)")
-    val rowSize = rowSizeL.toInt // safe: needed <= payload.length fits in Int
-    // sums/counts per (cell, channel); channel order B, G, R on disk
+    // sums/counts per (cell, channel) in R, G, B order
     val sums = new Array[Long](gw * gh * 3)
     val counts = new Array[Long](gw * gh)
     var y = 0
     while (y < h) {
-      val srcRow = if (bottomUp) h - 1 - y else y
-      val base = dataOffset + srcRow * rowSize
       val cy = y * gh / h
       var x = 0
       while (x < w) {
         val cell = cy * gw + x * gw / w
-        val o = base + x * 3
-        sums(cell * 3) += (payload(o) & 0xff).toLong
-        sums(cell * 3 + 1) += (payload(o + 1) & 0xff).toLong
-        sums(cell * 3 + 2) += (payload(o + 2) & 0xff).toLong
+        val rgb = img.rgb(x, y)
+        sums(cell * 3) += ((rgb >> 16) & 0xff).toLong
+        sums(cell * 3 + 1) += ((rgb >> 8) & 0xff).toLong
+        sums(cell * 3 + 2) += (rgb & 0xff).toLong
         counts(cell) += 1
         x += 1
       }
@@ -964,7 +1104,7 @@ object Multimodal {
       val cell = cy * gw + cx
       val n = counts(cell).toDouble
       ImageCell(id, cx, cy,
-        sums(cell * 3 + 2) / n, sums(cell * 3 + 1) / n, sums(cell * 3) / n)
+        sums(cell * 3) / n, sums(cell * 3 + 1) / n, sums(cell * 3 + 2) / n)
     })
   }
 
@@ -975,6 +1115,7 @@ object Multimodal {
     * scale-robust BY CONSTRUCTION (a constant shift cancels in the
     * difference; pooling absorbs resizes) — q164 pins the invariance.
     *
+    * Decodes BMP/PNG/JPEG ([[decodeRgb]]).
     * Arithmetic is ALL integer so an oracle can restate every bit:
     * luma = 299r + 587g + 114b (the BT.601 weights ×1000, no float),
     * cell means compared by cross-multiplication
@@ -1001,46 +1142,28 @@ object Multimodal {
     media.filter(col("modality") === "image")
       .select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (id, p) => (id, dHashBmp(id, p, delta)) }
+      .map { case (id, p) => (id, dHashImage(id, p, delta)) }
       .toDF("media_id", "dhash64")
   }
 
-  private[operators] def dHashBmp(id: Long, payload: Array[Byte], delta: Int): Long = {
-    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
-      s"not a BMP payload (media_id=$id)")
-    val dataOffset = buf.getInt(10)
-    val w = buf.getInt(18)
-    val hRaw = buf.getInt(22)
-    val bitCount = buf.getShort(28).toInt
-    val compression = buf.getInt(30)
-    require(bitCount == 24 && compression == 0,
-      s"imageDHash supports 24-bit uncompressed BI_RGB only, got bpp=$bitCount " +
-        s"compression=$compression (media_id=$id)")
-    val bottomUp = hRaw > 0
-    val h = math.abs(hRaw)
+  private[operators] def dHashImage(id: Long, payload: Array[Byte], delta: Int): Long = {
+    val img = decodeRgb(id, payload, "imageDHash")
+    val w = img.w
+    val h = img.h
     require(w >= 9 && h >= 8,
       s"dHash needs at least 9x8 source pixels, got ${w}x$h (media_id=$id)")
-    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
-    val needed = dataOffset.toLong + rowSizeL * h
-    require(dataOffset >= 54 && payload.length >= needed,
-      s"truncated BMP: need $needed bytes from offset $dataOffset, have " +
-        s"${payload.length} (media_id=$id)")
-    val rowSize = rowSizeL.toInt
     val sums = new Array[Long](9 * 8)
     val counts = new Array[Long](9 * 8)
     var y = 0
     while (y < h) {
-      val srcRow = if (bottomUp) h - 1 - y else y
-      val base = dataOffset + srcRow * rowSize
       val cy = y * 8 / h
       var x = 0
       while (x < w) {
         val cell = cy * 9 + x * 9 / w
-        val o = base + x * 3
-        val b = math.min((payload(o) & 0xff) + delta, 255).toLong
-        val g = math.min((payload(o + 1) & 0xff) + delta, 255).toLong
-        val r = math.min((payload(o + 2) & 0xff) + delta, 255).toLong
+        val rgb = img.rgb(x, y)
+        val r = math.min(((rgb >> 16) & 0xff) + delta, 255).toLong
+        val g = math.min(((rgb >> 8) & 0xff) + delta, 255).toLong
+        val b = math.min((rgb & 0xff) + delta, 255).toLong
         sums(cell) += 299L * r + 587L * g + 114L * b
         counts(cell) += 1
         x += 1

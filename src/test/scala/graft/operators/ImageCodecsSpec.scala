@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PNG/JPEG decode through [[Multimodal.decodeRgb]]: lossless-exactness
+  * for PNG, perceptual bounds for JPEG, and loud refusals for the
+  * garbage a 100 TB corpus will contain (truncated files, lying magic
+  * bytes, unknown formats).
+  */
+class ImageCodecsSpec extends SparkSpec {
+
+  private def dims(i: Long): (Int, Int) =
+    (16 + (i % 6).toInt * 8, 16 + (i % 5).toInt * 8)
+
+  test("PNG round trip is bit-exact: dHash equals the BMP byte path on all 100 images") {
+    (0L until 300L by 3L).foreach { i =>
+      val (w, h) = dims(i)
+      val bmp = Multimodal.dHashImage(i, Multimodal.synthBmp(i, w, h), 0)
+      val png = Multimodal.dHashImage(i, Multimodal.synthPng(i, w, h), 0)
+      assert(bmp == png, s"PNG dHash diverged from lossless BMP at media_id=$i")
+    }
+  }
+
+  test("PNG pooled cell means are exactly the BMP means (lossless codec, same doubles)") {
+    Seq(0L, 3L, 27L, 297L).foreach { i =>
+      val (w, h) = dims(i)
+      val a = Multimodal.poolImage(i, Multimodal.synthBmp(i, w, h), 4, 4)
+      val b = Multimodal.poolImage(i, Multimodal.synthPng(i, w, h), 4, 4)
+      assert(a == b, s"PNG pool diverged at media_id=$i")
+    }
+  }
+
+  test("JPEG round trip stays perceptually close: dHash hamming <= 16, pool delta <= 24") {
+    (0L until 300L by 3L).foreach { i =>
+      val (w, h) = dims(i)
+      val ref = Multimodal.dHashImage(i, Multimodal.synthBmp(i, w, h), 0)
+      val jpg = Multimodal.dHashImage(i, Multimodal.synthJpeg(i, w, h), 0)
+      val ham = java.lang.Long.bitCount(ref ^ jpg)
+      assert(ham <= 16, s"JPEG dHash hamming $ham > 16 at media_id=$i")
+    }
+    Seq(0L, 33L, 144L).foreach { i =>
+      val (w, h) = dims(i)
+      val a = Multimodal.poolImage(i, Multimodal.synthBmp(i, w, h), 4, 4)
+      val b = Multimodal.poolImage(i, Multimodal.synthJpeg(i, w, h), 4, 4)
+      a.zip(b).foreach { case (x, y) =>
+        val d = math.abs(x.rMean - y.rMean)
+          .max(math.abs(x.gMean - y.gMean)).max(math.abs(x.bMean - y.bMean))
+        assert(d <= 24.0, s"JPEG pooled mean drifted $d > 24 gray levels at media_id=$i")
+      }
+    }
+  }
+
+  test("distributed path: imageDHash over a PNG corpus matches the BMP corpus row for row") {
+    val png = Multimodal.imageDHash(Multimodal.synthesizeImages(spark, 30, "png"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bmp = Multimodal.imageDHash(Multimodal.synthesizeImages(spark, 30, "bmp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(png.nonEmpty && png == bmp)
+  }
+
+  test("refusal: truncated PNG fails cleanly with the media_id, not an array crash") {
+    val whole = Multimodal.synthPng(3L, 16, 16)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.dHashImage(3L, whole.take(whole.length / 2), 0)
+    }
+    assert(ex.getMessage.contains("media_id=3"), ex.getMessage)
+  }
+
+  test("refusal: truncated JPEG fails cleanly") {
+    val whole = Multimodal.synthJpeg(3L, 32, 32)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.poolImage(3L, whole.take(whole.length / 3), 4, 4)
+    }
+    assert(ex.getMessage.contains("media_id=3"), ex.getMessage)
+  }
+
+  test("refusal: lying magic bytes (PNG header, garbage body) fail cleanly") {
+    val hostile = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.fill[Byte](64)(0x41)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.dHashImage(9L, hostile, 0)
+    }
+    assert(ex.getMessage.contains("media_id=9"), ex.getMessage)
+  }
+
+  test("refusal: unknown format is named as such") {
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodeRgb(5L, "GIF89a notactuallysupported".getBytes, "imagePool")
+    }
+    assert(ex.getMessage.contains("BMP/PNG/JPEG") && ex.getMessage.contains("media_id=5"))
+  }
+
+  test("refusal: payload too short to even sniff") {
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodeRgb(6L, Array[Byte](1, 2, 3), "imagePool")
+    }
+    assert(ex.getMessage.contains("media_id=6"))
+  }
+}

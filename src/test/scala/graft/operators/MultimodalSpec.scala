@@ -182,25 +182,25 @@ class MultimodalSpec extends SparkSpec {
     buf.array()
   }
 
-  test("poolBmp: 1x1 pool of the hand-built 2x2 BMP is the exact channel mean") {
-    val cells = Multimodal.poolBmp(7L, bmp2x2(topDown = false), 1, 1)
+  test("poolImage: 1x1 pool of the hand-built 2x2 BMP is the exact channel mean") {
+    val cells = Multimodal.poolImage(7L, bmp2x2(topDown = false), 1, 1)
     assert(cells.size == 1)
     val c = cells.head
     // B bytes: 10, 40, 70, 100; G: 20, 50, 80, 110; R: 30, 60, 90, 120
     assert(c == Multimodal.ImageCell(7L, 0, 0, 75.0, 65.0, 55.0))
   }
 
-  test("poolBmp: top-down and bottom-up encodings of the same pixels pool identically") {
-    val a = Multimodal.poolBmp(7L, bmp2x2(topDown = false), 2, 1)
-    val b = Multimodal.poolBmp(7L, bmp2x2(topDown = true), 2, 1)
+  test("poolImage: top-down and bottom-up encodings of the same pixels pool identically") {
+    val a = Multimodal.poolImage(7L, bmp2x2(topDown = false), 2, 1)
+    val b = Multimodal.poolImage(7L, bmp2x2(topDown = true), 2, 1)
     assert(a == b)
     // left column = pixels (0,0)/(0,1): R mean = (30+90)/2
     assert(a.head == Multimodal.ImageCell(7L, 0, 0, 60.0, 50.0, 40.0))
   }
 
-  test("poolBmp: grid == dims returns the raw pixels; cell means re-average to the image mean") {
+  test("poolImage: grid == dims returns the raw pixels; cell means re-average to the image mean") {
     val img = Multimodal.synthBmp(3L, 16, 16)
-    val full = Multimodal.poolBmp(3L, img, 16, 16)
+    val full = Multimodal.poolImage(3L, img, 16, 16)
     assert(full.size == 256)
     // every 1-pixel cell is the exact byte triple
     full.foreach { c =>
@@ -210,7 +210,7 @@ class MultimodalSpec extends SparkSpec {
       assert(c.rMean == ((3L * 31 + 7L * (p + 2)) % 251).toDouble)
     }
     // count-weighted 4x4 cell means collapse to the whole-image mean
-    val pooled = Multimodal.poolBmp(3L, img, 4, 4)
+    val pooled = Multimodal.poolImage(3L, img, 4, 4)
     val wavg = pooled.map(_.rMean).sum / pooled.size // uniform cells: 4x4 over 16x16
     val exact = full.map(_.rMean).sum / full.size
     assert(math.abs(wavg - exact) < 1e-9)
@@ -222,15 +222,15 @@ class MultimodalSpec extends SparkSpec {
       .map(c => (c.mediaId, c.cellX, c.cellY) -> ((c.rMean, c.gMean, c.bMean))).toMap
     val local = media.filter(col("modality") === "image")
       .select("media_id", "payload").collect()
-      .flatMap(r => Multimodal.poolBmp(r.getLong(0), r.getAs[Array[Byte]]("payload"), 4, 4))
+      .flatMap(r => Multimodal.poolImage(r.getLong(0), r.getAs[Array[Byte]]("payload"), 4, 4))
     assert(local.nonEmpty)
     local.foreach(c =>
       assert(dist((c.mediaId, c.cellX, c.cellY)) == ((c.rMean, c.gMean, c.bMean))))
   }
 
-  test("poolBmp refuses a grid finer than the source") {
+  test("poolImage refuses a grid finer than the source") {
     val ex = intercept[IllegalArgumentException] {
-      Multimodal.poolBmp(1L, bmp2x2(topDown = false), 3, 1)
+      Multimodal.poolImage(1L, bmp2x2(topDown = false), 3, 1)
     }
     assert(ex.getMessage.contains("finer than source"))
   }
@@ -350,14 +350,14 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("dHashBmp: rising gradient sets all 64 bits, falling gradient none") {
-    assert(Multimodal.dHashBmp(1L, bmpGradient(20), 0) == -1L)
-    assert(Multimodal.dHashBmp(1L, bmpGradient(-20), 0) == 0L)
+    assert(Multimodal.dHashImage(1L, bmpGradient(20), 0) == -1L)
+    assert(Multimodal.dHashImage(1L, bmpGradient(-20), 0) == 0L)
   }
 
   test("dHashBmp: exact brightness invariance when no channel clamps") {
     // gradient tops out at 8*20 = 160; +delta 40 stays under 255
     val img = bmpGradient(20)
-    assert(Multimodal.dHashBmp(1L, img, 0) == Multimodal.dHashBmp(1L, img, 40))
+    assert(Multimodal.dHashImage(1L, img, 0) == Multimodal.dHashImage(1L, img, 40))
     // synth corpus: bytes reach 250, +24 clamps — hamming stays small
     val m = Multimodal.synthesize(spark, 30)
     val a = Multimodal.imageDHashRaw(m, 0).withColumnRenamed("dhash64", "h0")
@@ -383,11 +383,11 @@ class MultimodalSpec extends SparkSpec {
 
   test("dHashBmp refuses undersized and truncated payloads loudly") {
     intercept[IllegalArgumentException] {
-      Multimodal.dHashBmp(1L, bmp2x2(topDown = false), 0) // 2x2 < 9x8
+      Multimodal.dHashImage(1L, bmp2x2(topDown = false), 0) // 2x2 < 9x8
     }
     val img = bmpGradient(20)
     intercept[IllegalArgumentException] {
-      Multimodal.dHashBmp(1L, img.take(100), 0)
+      Multimodal.dHashImage(1L, img.take(100), 0)
     }
   }
 }
