@@ -50,10 +50,23 @@ object Components {
     * `driverSideLimit = 0`) the distributed label propagation runs; both
     * paths produce identical labels (spec-asserted).
     */
+  /** Hard ceiling on [[connectedComponents]]'s `driverSideLimit`: 50M
+    * symmetrized edges ≈ 800 MB of boxed (Long, Long) on the driver —
+    * beyond this the collect itself is the failure mode. The gate makes
+    * a miscalled 100 TB graph fail with THIS message instead of a
+    * driver OOM half an hour in (the q141/q74 bounded-broadcast
+    * convention).
+    */
+  val MaxDriverSideEdges: Long = 50000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           allIds: DataFrame = null, idCol: String = "id",
                           maxIterations: Int = 20,
                           driverSideLimit: Long = 5000000L): DataFrame = {
+    require(driverSideLimit <= MaxDriverSideEdges,
+      s"driverSideLimit=$driverSideLimit exceeds the $MaxDriverSideEdges-edge " +
+        "driver-collect ceiling; the distributed pointer-jumping path handles " +
+        "any size — lower the limit (or pass 0 to force distributed)")
     val spark = pairs.sparkSession
     // symmetrize once: src -> dst and dst -> src
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))

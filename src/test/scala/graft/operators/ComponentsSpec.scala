@@ -53,6 +53,17 @@ class ComponentsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("refusal: a driverSideLimit past the hard collect ceiling fails loudly, not OOM") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Components.connectedComponents(pairs, "a", "b",
+        driverSideLimit = 1000000000000L)
+    }
+    assert(ex.getMessage.contains("ceiling") && ex.getMessage.contains("distributed"),
+      ex.getMessage)
+  }
+
   test("driver-side union-find == distributed propagation") {
     import spark.implicits._
     // pseudo-random graph with chains, cliques and singletons
@@ -62,7 +73,7 @@ class ComponentsSpec extends SparkSpec {
     def run(limit: Long) = Components.connectedComponents(pairs, "id_a", "id_b",
         allIds = all, idCol = "node", maxIterations = 100, driverSideLimit = limit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val uf = run(Long.MaxValue)
+    val uf = run(Components.MaxDriverSideEdges)
     val dist = run(0L)
     assert(uf == dist)
     graft.Caches.unpersistAll()
