@@ -3485,6 +3485,23 @@ object SparkEntry {
       .orderBy(col("media_id"), col("cell_y"), col("cell_x"))
   }
 
+  /** chrF2 over the adjacent-pair harness
+    * ([[graft.operators.TextEval.chrF]]): character n-gram
+    * precision/recall macro-averaged over orders 1..6, recall-weighted
+    * F (β = 2) — the tokenization-robust MT metric. Same map-side
+    * kernel as BLEU with single characters as tokens; whitespace
+    * stripped first. The oracle replays char grams, clipping, the
+    * all-orders average, and the β-weighted F exactly.
+    */
+  private def q205Chrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    val pairs = TextEval.adjacentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+    TextEval.chrF(pairs, "cand_text", "ref_text", maxN = 6, beta = 2.0)
+      .select(col("cand_id"), col("ref_id"), col("c_chars"), col("r_chars"),
+        col("chr_p"), col("chr_r"), col("chrf"))
+      .orderBy(col("cand_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3833,7 +3850,8 @@ object SparkEntry {
     "q201_self_bleu" -> (q201SelfBleu _),
     "q202_png_dhash" -> (q202PngDhash _),
     "q203_jpeg_dhash_stability" -> (q203JpegDhashStability _),
-    "q204_png_pool" -> (q204PngPool _))
+    "q204_png_pool" -> (q204PngPool _),
+    "q205_chrf" -> (q205Chrf _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7099,6 +7117,36 @@ object SparkEntry {
         |   / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS self_bleu
         |FROM b GROUP BY source ORDER BY source""".stripMargin,
 
+    // q205: chrF2 replayed — char tokens (whitespace stripped), per-order
+    // clipped counts for n=1..6, all-orders macro-average, beta=2 F
+    "q205_chrf" ->
+      s"""WITH $chrClipCtes,
+        |m AS (
+        | SELECT t.cand_id,
+        |  max(CASE WHEN t.n = 1 THEN t.c_tot END) AS c_chars,
+        |  max(CASE WHEN t.n = 1 THEN t.r_tot END) AS r_chars,
+        |  (((((max(CASE WHEN t.n = 1 THEN p END) + max(CASE WHEN t.n = 2 THEN p END))
+        |    + max(CASE WHEN t.n = 3 THEN p END)) + max(CASE WHEN t.n = 4 THEN p END))
+        |    + max(CASE WHEN t.n = 5 THEN p END)) + max(CASE WHEN t.n = 6 THEN p END)) / 6.0 AS chr_p,
+        |  (((((max(CASE WHEN t.n = 1 THEN r END) + max(CASE WHEN t.n = 2 THEN r END))
+        |    + max(CASE WHEN t.n = 3 THEN r END)) + max(CASE WHEN t.n = 4 THEN r END))
+        |    + max(CASE WHEN t.n = 5 THEN r END)) + max(CASE WHEN t.n = 6 THEN r END)) / 6.0 AS chr_r
+        | FROM (
+        |  SELECT t.cand_id, t.n, t.c_tot, t.r_tot,
+        |   CASE WHEN t.c_tot = 0 THEN 0.0
+        |        ELSE CAST(COALESCE(cl.clipped, 0) AS DOUBLE) / t.c_tot END AS p,
+        |   CASE WHEN t.r_tot = 0 THEN 0.0
+        |        ELSE CAST(COALESCE(cl.clipped, 0) AS DOUBLE) / t.r_tot END AS r
+        |  FROM tot t LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n) t
+        | GROUP BY 1)
+        |SELECT m.cand_id, pp.ref_id,
+        | CAST(c_chars AS BIGINT) AS c_chars, CAST(r_chars AS BIGINT) AS r_chars,
+        | round(chr_p, 6) AS chr_p, round(chr_r, 6) AS chr_r,
+        | round(CASE WHEN chr_p + chr_r = 0.0 THEN 0.0
+        |   ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END, 6) AS chrf
+        |FROM m JOIN pp ON m.cand_id = pp.cand_id
+        |ORDER BY m.cand_id""".stripMargin,
+
     // q202: PNG is lossless -> the q163 closed-form bit reconstruction
     // applies verbatim to the ImageIO-decoded PNG corpus
     "q202_png_dhash" -> dhashClosedFormOracle,
@@ -7113,6 +7161,48 @@ object SparkEntry {
 
     // q204: q134's closed-form cell means, decoded from PNG
     "q204_png_pool" -> poolClosedFormOracle)
+
+  /** The q205 CTE block: adjacent pairs over CHARACTER sequences
+    * (whitespace stripped — chars therefore cannot contain ' ', so
+    * space-joined gram keys are unambiguous) and per-order clipped
+    * char-n-gram counts for n = 1..6.
+    */
+  private def chrClipCtes: String =
+    """d AS (
+      | SELECT doc_id, source,
+      |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS cs
+      | FROM documents),
+      |dt AS (
+      | SELECT doc_id, source,
+      |  list_transform(range(1, length(cs) + 1), i -> substring(cs, CAST(i AS INT), 1)) AS toks
+      | FROM d),
+      |p AS (
+      | SELECT doc_id AS cand_id, source, toks AS ct,
+      |  lead(doc_id) OVER w AS ref_id, lead(toks) OVER w AS rt
+      | FROM dt WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      |pp AS (SELECT * FROM p WHERE ref_id IS NOT NULL),
+      |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+      |tot AS (
+      | SELECT cand_id, n,
+      |  greatest(len(ct) - n + 1, 0) AS c_tot,
+      |  greatest(len(rt) - n + 1, 0) AS r_tot
+      | FROM pp, ns),
+      |cg AS (
+      | SELECT cand_id, n, g, count(*) AS cc FROM (
+      |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(ct) - n + 1, 0)),
+      |   i -> array_to_string(ct[i+1 : i+n], ' '))) AS g
+      |  FROM pp, ns)
+      | GROUP BY 1, 2, 3),
+      |rg AS (
+      | SELECT cand_id, n, g, count(*) AS rc FROM (
+      |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(rt) - n + 1, 0)),
+      |   i -> array_to_string(rt[i+1 : i+n], ' '))) AS g
+      |  FROM pp, ns)
+      | GROUP BY 1, 2, 3),
+      |cl AS (
+      | SELECT cand_id, n, COALESCE(sum(least(cc, COALESCE(rc, 0))), 0) AS clipped
+      | FROM cg LEFT JOIN rg USING (cand_id, n, g)
+      | GROUP BY 1, 2)""".stripMargin
 
   /** q163/q202 shared oracle: every dHash bit reconstructed from the
     * closed-form pixel generator — integer luma, cross-multiplied cell

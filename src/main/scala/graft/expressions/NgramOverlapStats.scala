@@ -69,12 +69,13 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
     out.toArray(new Array[String](out.size()))
   }
 
-  /** Unambiguous gram key: each token length-prefixed (`len ':' tok`),
-    * a prefix-free encoding, so key equality is token-SEQUENCE equality
-    * even when tokens contain any would-be separator character (the
-    * upstream tokenizer splits only on ' ', so e.g. U+0001 CAN occur
-    * inside a token; a fixed join character would make same-order
-    * grams like ("a","b<SEP>c") and ("a<SEP>b","c") collide).
+  /** Unambiguous gram key for the STRING fallback path: each token
+    * length-prefixed (`len ':' tok`), a prefix-free encoding, so key
+    * equality is token-SEQUENCE equality even when tokens contain any
+    * would-be separator character (the upstream tokenizer splits only
+    * on ' ', so e.g. U+0001 CAN occur inside a token; a fixed join
+    * character would make same-order grams like ("a","b<SEP>c") and
+    * ("a<SEP>b","c") collide).
     */
   private def gramAt(toks: Array[String], start: Int, n: Int): String = {
     if (n == 1) return toks(start)
@@ -88,6 +89,41 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
     sb.toString
   }
 
+  /** Open-addressed long→count map (linear probing, keys are packed
+    * gram codes ≥ 0, sentinel −1): the clipping inner loop runs
+    * millions of times per row batch and a boxed java.util.HashMap of
+    * gram STRINGS was the hot path (measured on q205's char 6-grams).
+    */
+  private final class LongCounts(expected: Int) {
+    private val cap = Integer.highestOneBit(math.max(8, expected) * 4 - 1) << 1
+    private val mask = cap - 1
+    private val ks = {
+      val a = new Array[Long](cap); java.util.Arrays.fill(a, -1L); a
+    }
+    private val vs = new Array[Long](cap)
+    @inline private def slot(k: Long): Int = {
+      var i = ((k ^ (k >>> 32)) * 0x9E3779B97F4A7C15L >>> 40).toInt & mask
+      while (ks(i) != -1L && ks(i) != k) i = (i + 1) & mask
+      i
+    }
+    def inc(k: Long): Unit = {
+      val i = slot(k)
+      if (ks(i) == -1L) { ks(i) = k; vs(i) = 1L } else vs(i) += 1L
+    }
+    /** true (and decrements) iff the key still has budget — the clip. */
+    def dec(k: Long): Boolean = {
+      val i = slot(k)
+      if (ks(i) == k && vs(i) > 0L) { vs(i) -= 1L; true } else false
+    }
+  }
+
+  @inline private def packAt(ids: Array[Int], start: Int, n: Int, bits: Int): Long = {
+    var k = 0L
+    var j = 0
+    while (j < n) { k = (k << bits) | ids(start + j); j += 1 }
+    k
+  }
+
   /** Shared by interpreted eval and codegen (the JaroWinkler /
     * TextArrayStats reference-object pattern — the hash-map loop gains
     * nothing from being inlined as Java source).
@@ -95,6 +131,29 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
   def compute(candArr: ArrayData, refArr: ArrayData): ArrayData = {
     val cand = tokensOf(candArr)
     val ref = tokensOf(refArr)
+    // intern tokens to dense ids: a gram of n ids packs into one
+    // NON-NEGATIVE long whenever n·bits ≤ 63, and the counting loops
+    // run over primitive longs (no string building, no boxing). The
+    // per-row vocabulary is tiny for char grams (chrF) and small for
+    // word grams, so the packed path covers practically every row; the
+    // length-prefixed string path remains for n·bits > 63.
+    val dict = new java.util.HashMap[String, Integer](
+      (cand.length + ref.length) * 2)
+    def internAll(toks: Array[String]): Array[Int] = {
+      val out = new Array[Int](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        var id = dict.get(toks(i))
+        if (id == null) { id = dict.size; dict.put(toks(i), id) }
+        out(i) = id
+        i += 1
+      }
+      out
+    }
+    val candIds = internAll(cand)
+    val refIds = internAll(ref)
+    val vocab = dict.size
+    val bits = if (vocab <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros((vocab - 1).toLong)
     val rows = new Array[Any](maxN)
     var n = 1
     while (n <= maxN) {
@@ -102,23 +161,34 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
       val refTotal = math.max(0, ref.length - n + 1)
       var clipped = 0L
       if (candTotal > 0 && refTotal > 0) {
-        val refCounts = new java.util.HashMap[String, java.lang.Long](refTotal * 2)
-        var i = 0
-        while (i < refTotal) {
-          val g = gramAt(ref, i, n)
-          val prev = refCounts.get(g)
-          refCounts.put(g, if (prev == null) 1L else prev + 1L)
-          i += 1
-        }
-        i = 0
-        while (i < candTotal) {
-          val g = gramAt(cand, i, n)
-          val left = refCounts.get(g)
-          if (left != null && left > 0L) {
-            clipped += 1L
-            refCounts.put(g, left - 1L)
+        if (n.toLong * bits <= 63L) {
+          val counts = new LongCounts(refTotal)
+          var i = 0
+          while (i < refTotal) { counts.inc(packAt(refIds, i, n, bits)); i += 1 }
+          i = 0
+          while (i < candTotal) {
+            if (counts.dec(packAt(candIds, i, n, bits))) clipped += 1L
+            i += 1
           }
-          i += 1
+        } else {
+          val refCounts = new java.util.HashMap[String, java.lang.Long](refTotal * 2)
+          var i = 0
+          while (i < refTotal) {
+            val g = gramAt(ref, i, n)
+            val prev = refCounts.get(g)
+            refCounts.put(g, if (prev == null) 1L else prev + 1L)
+            i += 1
+          }
+          i = 0
+          while (i < candTotal) {
+            val g = gramAt(cand, i, n)
+            val left = refCounts.get(g)
+            if (left != null && left > 0L) {
+              clipped += 1L
+              refCounts.put(g, left - 1L)
+            }
+            i += 1
+          }
         }
       }
       rows(n - 1) = new GenericInternalRow(

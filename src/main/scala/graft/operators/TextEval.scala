@@ -160,6 +160,51 @@ object TextEval {
           (col("n_pairs").cast("double") * lit(1e6)), 6).as("self_bleu"))
   }
 
+  /** chrF — character n-gram F-score (Popović WMT '15), the MT metric
+    * that survives morphology and tokenization differences BLEU
+    * chokes on: whitespace is stripped, the text becomes a character
+    * sequence, and precision/recall are macro-averaged over char
+    * n-gram orders 1..maxN (an order with a zero denominator
+    * contributes 0 — the paper's all-orders average), then combined
+    * recall-weighted: chrF_β = (1+β²)·P·R ∕ (β²·P + R). β = 2 is the
+    * standard chrF2. Same one-pass kernel as BLEU — the "tokens" are
+    * single characters, so the whole metric stays a map-side
+    * projection.
+    */
+  def chrF(pairs: DataFrame, candTextCol: String, refTextCol: String,
+           maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"chrF maxN must be in [1,8], got $maxN")
+    require(beta > 0, s"chrF beta must be positive, got $beta")
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
+    def chars(c: Column): Column =
+      filter(split(regexp_replace(lower(trim(c)), "\\s+", ""), ""), t => t =!= lit(""))
+    val withStats = pairs.withColumn("__ov",
+      call_function("ngram_overlap_stats",
+        chars(col(candTextCol)), chars(col(refTextCol)), lit(maxN)))
+    def st(n: Int): Column = element_at(col("__ov"), n)
+    def pN(n: Int): Column = {
+      val t = st(n)
+      when(t.getField("cand_total") === 0, lit(0.0))
+        .otherwise(t.getField("clipped").cast("double") / t.getField("cand_total"))
+    }
+    def rN(n: Int): Column = {
+      val t = st(n)
+      when(t.getField("ref_total") === 0, lit(0.0))
+        .otherwise(t.getField("clipped").cast("double") / t.getField("ref_total"))
+    }
+    val chrP = (1 to maxN).map(pN).reduce(_ + _) / lit(maxN.toDouble)
+    val chrR = (1 to maxN).map(rN).reduce(_ + _) / lit(maxN.toDouble)
+    val b2 = beta * beta
+    val score = when(chrP + chrR === 0.0, lit(0.0))
+      .otherwise(lit(1.0 + b2) * chrP * chrR / (lit(b2) * chrP + chrR))
+    withStats.select(
+      (pairs.columns.map(col).toSeq :+
+        st(1).getField("cand_total").as("c_chars") :+
+        st(1).getField("ref_total").as("r_chars") :+
+        round(chrP, 6).as("chr_p") :+ round(chrR, 6).as("chr_r") :+
+        round(score, 6).as("chrf")): _*)
+  }
+
   /** ROUGE-N precision / recall / F1 per pair for every order in `ns`
     * — one output row per (pair, n). `recall = clipped / ref_total`
     * (the headline ROUGE number), `precision = clipped / cand_total`,

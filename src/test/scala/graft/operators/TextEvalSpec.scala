@@ -124,6 +124,38 @@ class TextEvalSpec extends SparkSpec {
       "s2's lone doc drops; pairs follow doc_id order within source")
   }
 
+  test("chrF: hand-worked char-gram precision/recall and the P=R identity") {
+    // chars abcd vs abcf: n=1 clipped 3/4, n=2 clipped 2/3 -> P=R=(0.75+2/3)/2
+    val out = TextEval.chrF(pairsOf("abcd" -> "abcf"),
+      "cand_text", "ref_text", maxN = 2).collect().head
+    val expected = (0.75 + 2.0 / 3) / 2
+    assert(out.getAs[Long]("c_chars") == 4 && out.getAs[Long]("r_chars") == 4)
+    assert(math.abs(out.getAs[Double]("chr_p") - expected) < 1e-6)
+    assert(math.abs(out.getAs[Double]("chr_r") - expected) < 1e-6)
+    assert(math.abs(out.getAs[Double]("chrf") - expected) < 1e-6,
+      "when P = R, chrF collapses to P for any beta")
+  }
+
+  test("chrF: beta=2 weights recall; beta=1 is plain F1") {
+    // cand "ab" vs ref "abcdef", maxN=1: P=1, R=1/3
+    val f2 = TextEval.chrF(pairsOf("ab" -> "abcdef"),
+      "cand_text", "ref_text", maxN = 1, beta = 2.0).collect().head
+    assert(math.abs(f2.getAs[Double]("chrf") - 5.0 / 13) < 1e-6)
+    val f1 = TextEval.chrF(pairsOf("ab" -> "abcdef"),
+      "cand_text", "ref_text", maxN = 1, beta = 1.0).collect().head
+    assert(math.abs(f1.getAs[Double]("chrf") - 0.5) < 1e-6)
+  }
+
+  test("chrF: whitespace is stripped, case folded; empty candidate scores 0 cleanly") {
+    val same = TextEval.chrF(pairsOf("A  b\tC" -> "abc"),
+      "cand_text", "ref_text", maxN = 3).collect().head
+    assert(same.getAs[Double]("chrf") == 1.0, "whitespace/case must not matter")
+    val empty = TextEval.chrF(pairsOf("  " -> "abc", "" -> ""),
+      "cand_text", "ref_text").collect()
+    empty.foreach(r => assert(r.getAs[Double]("chrf") == 0.0
+      && r.getAs[Long]("c_chars") == 0))
+  }
+
   test("self-BLEU: duplicated corpus scores 1.0; a shuffled/diverse one scores lower") {
     val dup = Seq.tabulate(6)(i => (i.toLong, "the cat sat on the mat", "s"))
       .toDF("doc_id", "text", "source")
