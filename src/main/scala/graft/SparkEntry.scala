@@ -3502,6 +3502,24 @@ object SparkEntry {
       .orderBy(col("cand_id"))
   }
 
+  /** ROUGE-L over the adjacent-pair harness
+    * ([[graft.operators.TextEval.rougeL]]): LCS-based precision /
+    * recall / F1 — the in-order skeleton metric completing the
+    * generation-eval family (BLEU q198, ROUGE-N q199, corpus/self
+    * q200/q201, chrF q205). The oracle replays the FULL LCS dynamic
+    * program as a recursive anti-diagonal CTE (each diagonal depends
+    * only on the two before it, so the whole diagonal is one
+    * list_transform) and then the metric arithmetic.
+    */
+  private def q206RougeL(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    val pairs = TextEval.adjacentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+    TextEval.rougeL(pairs, "cand_text", "ref_text", beta = 1.0)
+      .select(col("cand_id"), col("ref_id"), col("c_len"), col("r_len"),
+        col("lcs"), col("precision"), col("recall"), col("rouge_l"))
+      .orderBy(col("cand_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3851,7 +3869,8 @@ object SparkEntry {
     "q202_png_dhash" -> (q202PngDhash _),
     "q203_jpeg_dhash_stability" -> (q203JpegDhashStability _),
     "q204_png_pool" -> (q204PngPool _),
-    "q205_chrf" -> (q205Chrf _))
+    "q205_chrf" -> (q205Chrf _),
+    "q206_rouge_l" -> (q206RougeL _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7146,6 +7165,54 @@ object SparkEntry {
         |   ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END, 6) AS chrf
         |FROM m JOIN pp ON m.cand_id = pp.cand_id
         |ORDER BY m.cand_id""".stripMargin,
+
+    // q206: the LCS dynamic program replayed as a recursive CTE over
+    // anti-diagonals (diagonal d needs only d-1 and d-2, so each step
+    // is one list_transform; dp[n][m] is the single entry of the last
+    // diagonal), then Lin's F arithmetic in the engine's IEEE op order
+    "q206_rouge_l" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id AS cand_id, toks AS ct,
+        |  lead(doc_id) OVER w AS ref_id, lead(toks) OVER w AS rt
+        | FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |pp AS (SELECT cand_id, ref_id, ct, rt, len(ct) AS n, len(rt) AS m
+        |       FROM p WHERE ref_id IS NOT NULL),
+        |rec AS (
+        | SELECT cand_id, n, m, ct, rt, CAST(1 AS BIGINT) AS d,
+        |  list_transform(range(greatest(0, 1 - m), least(n, 1) + 1), x -> CAST(0 AS BIGINT)) AS cur,
+        |  [CAST(0 AS BIGINT)] AS prev
+        | FROM pp WHERE n + m >= 1
+        | UNION ALL
+        | SELECT cand_id, n, m, ct, rt, d + 1,
+        |  list_transform(range(greatest(0, d + 1 - m), least(n, d + 1) + 1),
+        |   i -> CASE
+        |     WHEN i = 0 OR d + 1 - i = 0 THEN CAST(0 AS BIGINT)
+        |     WHEN ct[CAST(i AS INT)] = rt[CAST(d + 1 - i AS INT)]
+        |       THEN prev[CAST(i - 1 - greatest(0, d - 1 - m) + 1 AS INT)] + 1
+        |     ELSE greatest(
+        |       cur[CAST(i - 1 - greatest(0, d - m) + 1 AS INT)],
+        |       cur[CAST(i - greatest(0, d - m) + 1 AS INT)]) END) AS cur,
+        |  cur AS prev
+        | FROM rec WHERE d < n + m),
+        |lcs AS (SELECT cand_id, cur[1] AS lcs FROM rec WHERE d = n + m),
+        |mt AS (
+        | SELECT pp.cand_id, pp.ref_id,
+        |  CAST(pp.n AS BIGINT) AS c_len, CAST(pp.m AS BIGINT) AS r_len,
+        |  CAST(COALESCE(l.lcs, 0) AS BIGINT) AS lcs,
+        |  CASE WHEN pp.n = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(l.lcs, 0) AS DOUBLE) / pp.n END AS p,
+        |  CASE WHEN pp.m = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(l.lcs, 0) AS DOUBLE) / pp.m END AS r
+        | FROM pp LEFT JOIN lcs l ON pp.cand_id = l.cand_id)
+        |SELECT cand_id, ref_id, c_len, r_len, lcs,
+        | round(p, 6) AS "precision", round(r, 6) AS recall,
+        | round(CASE WHEN p + r = 0.0 THEN 0.0
+        |   ELSE 2.0 * p * r / (r + 1.0 * p) END, 6) AS rouge_l
+        |FROM mt ORDER BY cand_id""".stripMargin,
 
     // q202: PNG is lossless -> the q163 closed-form bit reconstruction
     // applies verbatim to the ImageIO-decoded PNG corpus

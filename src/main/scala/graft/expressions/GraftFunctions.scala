@@ -71,6 +71,12 @@ object GraftFunctions {
         require(children.length == 2, "char_gram_hashes takes exactly 2 arguments")
         CharGramHashes(children.head, children(1))
       }),
+    (FunctionIdentifier("lcs_length"),
+      new ExpressionInfo(classOf[LcsLength].getName, "lcs_length"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "lcs_length takes exactly 2 arguments")
+        LcsLength(children.head, children(1))
+      }),
     (FunctionIdentifier("normalize_nfc"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "normalize_nfc"),
       (children: Seq[Expression]) => {

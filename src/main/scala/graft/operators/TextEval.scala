@@ -160,6 +160,37 @@ object TextEval {
           (col("n_pairs").cast("double") * lit(1e6)), 6).as("self_bleu"))
   }
 
+  /** ROUGE-L (Lin '04 §3): longest-common-subsequence recall,
+    * precision, and β-weighted F per pair — the order-sensitive
+    * complement to ROUGE-N (n-grams reward any local overlap; LCS
+    * rewards the longest IN-ORDER common skeleton). The LCS length
+    * comes from the one-pass [[graft.expressions.LcsLength]] kernel
+    * (O(Lc·Lr) two-row DP over interned ids, map-side like every
+    * metric in this family). F = (1+β²)·P·R ∕ (R + β²·P); β = 1 is the
+    * symmetric F1 most eval harnesses report.
+    */
+  def rougeL(pairs: DataFrame, candTextCol: String, refTextCol: String,
+             beta: Double = 1.0): DataFrame = {
+    require(beta > 0, s"rougeL beta must be positive, got $beta")
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
+    val withLcs = pairs
+      .withColumn("__ct", toks(col(candTextCol)))
+      .withColumn("__rt", toks(col(refTextCol)))
+      .withColumn("__lcs", call_function("lcs_length", col("__ct"), col("__rt")))
+    val cLen = size(col("__ct")).cast("long")
+    val rLen = size(col("__rt")).cast("long")
+    val p = when(cLen === 0, lit(0.0)).otherwise(col("__lcs").cast("double") / cLen)
+    val r = when(rLen === 0, lit(0.0)).otherwise(col("__lcs").cast("double") / rLen)
+    val b2 = beta * beta
+    val f = when(p + r === 0.0, lit(0.0))
+      .otherwise(lit(1.0 + b2) * p * r / (r + lit(b2) * p))
+    withLcs.select(
+      (pairs.columns.map(col).toSeq :+
+        cLen.as("c_len") :+ rLen.as("r_len") :+ col("__lcs").as("lcs") :+
+        round(p, 6).as("precision") :+ round(r, 6).as("recall") :+
+        round(f, 6).as("rouge_l")): _*)
+  }
+
   /** chrF — character n-gram F-score (Popović WMT '15), the MT metric
     * that survives morphology and tokenization differences BLEU
     * chokes on: whitespace is stripped, the text becomes a character

@@ -124,6 +124,28 @@ class TextEvalSpec extends SparkSpec {
       "s2's lone doc drops; pairs follow doc_id order within source")
   }
 
+  test("ROUGE-L: hand-worked LCS skeleton; order sensitivity vs ROUGE-1") {
+    // LCS("the cat sat on the mat", "the cat is on the mat") =
+    // [the cat on the mat] = 5; P = R = 5/6, F1 = 5/6
+    val out = TextEval.rougeL(pairsOf("the cat sat on the mat" -> "the cat is on the mat"),
+      "cand_text", "ref_text").collect().head
+    assert(out.getAs[Long]("lcs") == 5)
+    assert(math.abs(out.getAs[Double]("rouge_l") - 5.0 / 6) < 1e-6)
+    // same bag, reversed order: ROUGE-1 would be 1.0; ROUGE-L must drop
+    val rev = TextEval.rougeL(pairsOf("c b a" -> "a b c"),
+      "cand_text", "ref_text").collect().head
+    assert(rev.getAs[Long]("lcs") == 1, "reversal leaves a single-token skeleton")
+    assert(math.abs(rev.getAs[Double]("rouge_l") - 1.0 / 3) < 1e-6)
+  }
+
+  test("ROUGE-L: zero-length sides score 0 cleanly") {
+    val out = TextEval.rougeL(pairsOf("" -> "a b", "a" -> "", "" -> ""),
+      "cand_text", "ref_text").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("lcs") == 0 && r.getAs[Double]("rouge_l") == 0.0)
+    }
+  }
+
   test("chrF: hand-worked char-gram precision/recall and the P=R identity") {
     // chars abcd vs abcf: n=1 clipped 3/4, n=2 clipped 2/3 -> P=R=(0.75+2/3)/2
     val out = TextEval.chrF(pairsOf("abcd" -> "abcf"),
