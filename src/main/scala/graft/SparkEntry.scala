@@ -3520,6 +3520,22 @@ object SparkEntry {
       .orderBy(col("cand_id"))
   }
 
+  /** Word error rate over the adjacent-pair harness
+    * ([[graft.operators.TextEval.wer]]): unit-cost token Levenshtein
+    * distance over reference length — the transcription-quality gate.
+    * The oracle replays the full edit-distance dynamic program with
+    * the same recursive anti-diagonal CTE technique as q206's LCS
+    * (min instead of max, +1 edit costs, j/i base rows).
+    */
+  private def q207Wer(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    val pairs = TextEval.adjacentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+    TextEval.wer(pairs, "cand_text", "ref_text")
+      .select(col("cand_id"), col("ref_id"), col("h_len"), col("r_len"),
+        col("edits"), col("wer"))
+      .orderBy(col("cand_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3870,7 +3886,8 @@ object SparkEntry {
     "q203_jpeg_dhash_stability" -> (q203JpegDhashStability _),
     "q204_png_pool" -> (q204PngPool _),
     "q205_chrf" -> (q205Chrf _),
-    "q206_rouge_l" -> (q206RougeL _))
+    "q206_rouge_l" -> (q206RougeL _),
+    "q207_wer" -> (q207Wer _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7212,6 +7229,50 @@ object SparkEntry {
         | round(p, 6) AS "precision", round(r, 6) AS recall,
         | round(CASE WHEN p + r = 0.0 THEN 0.0
         |   ELSE 2.0 * p * r / (r + 1.0 * p) END, 6) AS rouge_l
+        |FROM mt ORDER BY cand_id""".stripMargin,
+
+    // q207: the edit-distance DP replayed — q206's anti-diagonal
+    // recursion with min/+1 costs and i/j base rows
+    "q207_wer" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id AS cand_id, toks AS ct,
+        |  lead(doc_id) OVER w AS ref_id, lead(toks) OVER w AS rt
+        | FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |pp AS (SELECT cand_id, ref_id, ct, rt, len(ct) AS n, len(rt) AS m
+        |       FROM p WHERE ref_id IS NOT NULL),
+        |rec AS (
+        | SELECT cand_id, n, m, ct, rt, CAST(1 AS BIGINT) AS d,
+        |  list_transform(range(greatest(0, 1 - m), least(n, 1) + 1),
+        |   i -> CASE WHEN i = 0 THEN CAST(1 AS BIGINT) ELSE CAST(i AS BIGINT) END) AS cur,
+        |  [CAST(0 AS BIGINT)] AS prev
+        | FROM pp WHERE n + m >= 1
+        | UNION ALL
+        | SELECT cand_id, n, m, ct, rt, d + 1,
+        |  list_transform(range(greatest(0, d + 1 - m), least(n, d + 1) + 1),
+        |   i -> CASE
+        |     WHEN i = 0 THEN CAST(d + 1 AS BIGINT)
+        |     WHEN d + 1 - i = 0 THEN CAST(i AS BIGINT)
+        |     ELSE least(
+        |       prev[CAST(i - 1 - greatest(0, d - 1 - m) + 1 AS INT)]
+        |         + (CASE WHEN ct[CAST(i AS INT)] = rt[CAST(d + 1 - i AS INT)] THEN 0 ELSE 1 END),
+        |       least(
+        |         cur[CAST(i - 1 - greatest(0, d - m) + 1 AS INT)] + 1,
+        |         cur[CAST(i - greatest(0, d - m) + 1 AS INT)] + 1)) END) AS cur,
+        |  cur AS prev
+        | FROM rec WHERE d < n + m),
+        |ed AS (SELECT cand_id, cur[1] AS edits FROM rec WHERE d = n + m),
+        |mt AS (
+        | SELECT pp.cand_id, pp.ref_id,
+        |  CAST(pp.n AS BIGINT) AS h_len, CAST(pp.m AS BIGINT) AS r_len,
+        |  CAST(CASE WHEN pp.n + pp.m = 0 THEN 0 ELSE e.edits END AS BIGINT) AS edits
+        | FROM pp LEFT JOIN ed e ON pp.cand_id = e.cand_id)
+        |SELECT cand_id, ref_id, h_len, r_len, edits,
+        | round(CASE WHEN r_len > 0 THEN CAST(edits AS DOUBLE) / r_len
+        |   WHEN h_len = 0 THEN 0.0 ELSE 1.0 END, 6) AS wer
         |FROM mt ORDER BY cand_id""".stripMargin,
 
     // q202: PNG is lossless -> the q163 closed-form bit reconstruction

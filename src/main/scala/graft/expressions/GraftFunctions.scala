@@ -77,6 +77,12 @@ object GraftFunctions {
         require(children.length == 2, "lcs_length takes exactly 2 arguments")
         LcsLength(children.head, children(1))
       }),
+    (FunctionIdentifier("token_edit_distance"),
+      new ExpressionInfo(classOf[TokenEditDistance].getName, "token_edit_distance"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "token_edit_distance takes exactly 2 arguments")
+        TokenEditDistance(children.head, children(1))
+      }),
     (FunctionIdentifier("normalize_nfc"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "normalize_nfc"),
       (children: Seq[Expression]) => {

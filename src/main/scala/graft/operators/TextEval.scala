@@ -191,6 +191,32 @@ object TextEval {
         round(f, 6).as("rouge_l")): _*)
   }
 
+  /** Word error rate — `edits ∕ r_len` where `edits` is the unit-cost
+    * token Levenshtein distance ([[graft.expressions.TokenEditDistance]]),
+    * the transcription/ASR quality number a multimodal pipeline gates
+    * speech-derived text on. Empty-reference convention (documented, a
+    * plain 1/0 would divide by zero): 0.0 when the hypothesis is also
+    * empty, 1.0 otherwise — capped, never the unbounded edits∕0. WER
+    * itself is NOT capped at 1 (a long wrong hypothesis can exceed it;
+    * that is standard).
+    */
+  def wer(pairs: DataFrame, hypTextCol: String, refTextCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
+    val withEd = pairs
+      .withColumn("__ht", toks(col(hypTextCol)))
+      .withColumn("__rt", toks(col(refTextCol)))
+      .withColumn("__ed", call_function("token_edit_distance", col("__ht"), col("__rt")))
+    val hLen = size(col("__ht")).cast("long")
+    val rLen = size(col("__rt")).cast("long")
+    val rate = when(rLen > 0, col("__ed").cast("double") / rLen)
+      .when(hLen === 0, lit(0.0))
+      .otherwise(lit(1.0))
+    withEd.select(
+      (pairs.columns.map(col).toSeq :+
+        hLen.as("h_len") :+ rLen.as("r_len") :+ col("__ed").as("edits") :+
+        round(rate, 6).as("wer")): _*)
+  }
+
   /** chrF — character n-gram F-score (Popović WMT '15), the MT metric
     * that survives morphology and tokenization differences BLEU
     * chokes on: whitespace is stripped, the text becomes a character

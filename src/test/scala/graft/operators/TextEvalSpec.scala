@@ -146,6 +146,29 @@ class TextEvalSpec extends SparkSpec {
     }
   }
 
+  test("WER: substitutions, insertions, deletions, and the uncapped >1 case") {
+    val rows = TextEval.wer(pairsOf(
+        "the cat sat" -> "the cat sat",          // 0 edits -> 0.0
+        "the dog sat" -> "the cat sat",          // 1 sub   -> 1/3
+        "the cat" -> "the cat sat",              // 1 del   -> 1/3
+        "oh the cat sat" -> "the cat sat",       // 1 ins   -> 1/3
+        "a b c d e" -> "x"),                     // 5 edits / 1 ref -> 5.0
+      "cand_text", "ref_text").orderBy("cand_text").collect()
+      .map(r => r.getAs[String]("cand_text") -> ((r.getAs[Long]("edits"), r.getAs[Double]("wer")))).toMap
+    assert(rows("the cat sat") == ((0L, 0.0)))
+    assert(rows("the dog sat")._1 == 1L && math.abs(rows("the dog sat")._2 - 1.0 / 3) < 1e-6)
+    assert(rows("the cat")._1 == 1L)
+    assert(rows("oh the cat sat")._1 == 1L)
+    assert(rows("a b c d e") == ((5L, 5.0)), "WER is not capped at 1")
+  }
+
+  test("WER: empty-reference convention — 0 iff hypothesis also empty, else 1") {
+    val out = TextEval.wer(pairsOf("" -> "", "a b" -> "", "" -> "a b"),
+      "cand_text", "ref_text").collect()
+      .map(r => (r.getAs[Long]("h_len"), r.getAs[Long]("r_len"), r.getAs[Double]("wer")))
+    assert(out.toSet == Set((0L, 0L, 0.0), (2L, 0L, 1.0), (0L, 2L, 1.0)))
+  }
+
   test("chrF: hand-worked char-gram precision/recall and the P=R identity") {
     // chars abcd vs abcf: n=1 clipped 3/4, n=2 clipped 2/3 -> P=R=(0.75+2/3)/2
     val out = TextEval.chrF(pairsOf("abcd" -> "abcf"),
