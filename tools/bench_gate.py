@@ -58,6 +58,16 @@ def main(argv):
 
     print(f"gate {gate}x over {committed_p} ({len(common)} common queries, "
           f"min_abs {min_abs}s)")
+    # a UNIFORM shift is the environment, not code (SURVEY 9.6): when the
+    # median itself moved and most queries sit near it, say so up front
+    ratios = sorted(fq[q] / max(cq[q], 1e-9) for q in common)
+    med = ratios[len(ratios) // 2]
+    near_med = sum(1 for r in ratios if med * 0.8 <= r <= med * 1.25)
+    if med > 1.15 and near_med * 2 >= len(ratios):
+        print(f"NOTE: shift looks uniform (median {med:.2f}x, "
+              f"{near_med}/{len(ratios)} queries within 25% of it) — suspect "
+              "the environment; run a same-box A/B (SURVEY 9.6) before "
+              "treating these as code regressions")
     if regressed:
         regressed.sort(reverse=True)
         print(f"{'ratio':>7} {'committed':>10} {'fresh':>8}  query")
