@@ -383,6 +383,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("generation-eval metrics: pure projections over one pair window — no join, two exchanges") {
+    // BLEU/chrF/ROUGE-L/WER are per-pair scalars computed where the pair
+    // row lives: the ONLY exchanges are the lead-window's hash partition
+    // and the final orderBy's range partition. A join or a third
+    // exchange here means the metric stopped being map-side.
+    for (name <- Seq("q198_bleu", "q205_chrf", "q206_rouge_l", "q207_wer")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), name)
+      // tree nodes render as "Exchange (<id>)"; the details section
+      // repeats each as "(<id>) Exchange" — count tree nodes only
+      val exchanges = "Exchange \\(".r.findAllIn(plan).size
+      assert(exchanges <= 2, s"$name has $exchanges Exchange nodes (want <= 2):\n$plan")
+    }
+  }
+
+  test("q200 corpus bleu: kernel stats partial-aggregate before the group shuffle") {
+    val plan = planOf("q200_corpus_bleu")
+    assert(!plan.contains("Join"), plan)
+    // partial -> final hash aggregation: the per-pair longs combine
+    // map-side, so the group shuffle moves ~10 longs per PARTITION,
+    // not per pair
+    assert(plan.contains("HashAggregate"), plan)
+    assert("partial".r.findAllIn(plan.toLowerCase).nonEmpty, plan)
+  }
+
   test("q129 triangles: every join is an equi-join — no cartesian, no nested loop") {
     val p = planOf("q129_triangles")
     // the wedge self-join and the closure join key on (lo) / (y, z);
