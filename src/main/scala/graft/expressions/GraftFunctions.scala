@@ -29,6 +29,12 @@ object GraftFunctions {
         require(children.length == 2, "sorted_intersect_size takes exactly 2 arguments")
         SortedIntersectSize(children.head, children(1))
       }),
+    (FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_intersect takes exactly 2 arguments")
+        SortedIntersect(children.head, children(1))
+      }),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => {

@@ -228,8 +228,22 @@ object Graph {
     * double — callers round for presentation.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+    // integral ids take the sorted-merge intersection kernel (adjacency
+    // lists sorted once per node, per-edge closing is a two-pointer
+    // merge — no per-row hash build); other id types keep the generic
+    // array_intersect. Same results, spec-asserted.
+    val integralIds = edges.schema(srcCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralIds)
+      graft.expressions.GraftFunctions.register(edges.sparkSession)
+    val und0 = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = (if (integralIds)
+      und0.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    else und0)
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
@@ -259,7 +273,11 @@ object Graph {
 
     // oriented out-neighbour lists — ≤ O(√m) entries each by the
     // orientation bound, so collect_list is safe at any graph size
-    val adj = oriented.groupBy(col("lo")).agg(collect_list(col("hi")).as("nb"))
+    val adj =
+      if (integralIds)
+        oriented.groupBy(col("lo")).agg(sort_array(collect_list(col("hi"))).as("nb"))
+      else
+        oriented.groupBy(col("lo")).agg(collect_list(col("hi")).as("nb"))
 
     // edge-iterator: for oriented edge (lo, hi), every common
     // out-neighbour w of lo and hi closes triangle {lo, hi, w} — found
@@ -281,7 +299,10 @@ object Graph {
       .join(attach(adj.select(col("lo"), col("nb").as("__nbu"))), Seq("lo"))
       .join(attach(adj.select(col("lo").as("hi"), col("nb").as("__nbv"))), Seq("hi"))
       .select(col("lo"), col("hi"),
-        array_intersect(col("__nbu"), col("__nbv")).as("__w"))
+        (if (integralIds)
+          call_function("sorted_intersect", col("__nbu"), col("__nbv"))
+        else
+          array_intersect(col("__nbu"), col("__nbv"))).as("__w"))
       .filter(size(col("__w")) > 0)
 
     // per-triangle corner credits: lo and hi once per common neighbour,

@@ -132,6 +132,22 @@ class GraphSpec extends SparkSpec {
     assert(ns.forall(n => t(n) == ((3L, 3L, 1.0))))
   }
 
+  test("triangleCounts: sorted-merge (long ids) and generic (string ids) paths agree") {
+    import spark.implicits._
+    // pseudo-random graph with triangles, chains, hubs
+    val raw = (0L until 400L).map(i => (i % 60, (i * 37 + 11) % 60)) ++
+      (for (a <- 0L until 8L; b <- a + 1 until 8L) yield (a, b)) // K8 kernel
+    val longIds = raw.toDF("s", "d")
+    val strIds = raw.map { case (a, b) => (s"n$a", s"n$b") }.toDF("s", "d")
+    val fast = Graph.triangleCounts(longIds, "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val generic = Graph.triangleCounts(strIds, "s", "d")
+      .collect().map(r => r.getString(0).drop(1).toLong -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fast.nonEmpty && fast == generic)
+    assert(fast.values.map(_._2).sum > 0, "fixture actually contains triangles")
+    graft.Caches.unpersistAll()
+  }
+
   test("triangleCounts: direction, duplicates and self-loops are normalized away") {
     import spark.implicits._
     val clean = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
