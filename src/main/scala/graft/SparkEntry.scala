@@ -3536,6 +3536,22 @@ object SparkEntry {
       .orderBy(col("cand_id"))
   }
 
+  /** One-scan generation-eval datacard
+    * ([[graft.operators.TextEval.generationEvalSummary]]): per source,
+    * the mean sentence BLEU-4, chrF2, ROUGE-L F1 and WER over the
+    * adjacent pairs — all four metrics composed as projections over
+    * the SAME pair row, so the whole datacard costs one corpus scan,
+    * one window shuffle, one aggregate (vs four separate queries).
+    * Means over integer metric-micros (exact, order-independent). The
+    * oracle wraps the four per-pair metric oracles as CTEs and joins
+    * them — every number is replayed end to end.
+    */
+  private def q208EvalRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    TextEval.generationEvalSummary(t(s, dir, "documents"), "doc_id", "text", "source")
+      .orderBy(col("source"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3887,7 +3903,8 @@ object SparkEntry {
     "q204_png_pool" -> (q204PngPool _),
     "q205_chrf" -> (q205Chrf _),
     "q206_rouge_l" -> (q206RougeL _),
-    "q207_wer" -> (q207Wer _))
+    "q207_wer" -> (q207Wer _),
+    "q208_eval_rollup" -> (q208EvalRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7024,38 +7041,7 @@ object SparkEntry {
     // Lin-Och add-one smoothing for n >= 2, BP, geometric mean (same
     // IEEE op order as the engine: each log term divided by 4, summed
     // left to right)
-    "q198_bleu" ->
-      s"""WITH $ngramClipCtes,
-        |m AS (
-        | SELECT t.cand_id,
-        |  max(CASE WHEN t.n = 1 THEN t.c_tot END) AS c_len,
-        |  max(CASE WHEN t.n = 1 THEN t.r_tot END) AS r_len,
-        |  max(CASE WHEN t.n = 1 THEN COALESCE(cl.clipped, 0) END) AS m1,
-        |  max(CASE WHEN t.n = 2 THEN COALESCE(cl.clipped, 0) END) AS m2,
-        |  max(CASE WHEN t.n = 3 THEN COALESCE(cl.clipped, 0) END) AS m3,
-        |  max(CASE WHEN t.n = 4 THEN COALESCE(cl.clipped, 0) END) AS m4,
-        |  max(CASE WHEN t.n = 2 THEN t.c_tot END) AS ct2,
-        |  max(CASE WHEN t.n = 3 THEN t.c_tot END) AS ct3,
-        |  max(CASE WHEN t.n = 4 THEN t.c_tot END) AS ct4
-        | FROM tot t LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n
-        | GROUP BY 1),
-        |f AS (
-        | SELECT pp.ref_id, m.*,
-        |  CASE WHEN m.c_len = 0 THEN 0.0
-        |       WHEN m.c_len > m.r_len THEN 1.0
-        |       ELSE exp(1.0 - CAST(m.r_len AS DOUBLE) / m.c_len) END AS bp
-        | FROM m JOIN pp ON m.cand_id = pp.cand_id)
-        |SELECT cand_id, ref_id,
-        | CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
-        | CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
-        | CAST(m3 AS BIGINT) AS m3, CAST(m4 AS BIGINT) AS m4,
-        | round(bp, 6) AS bp,
-        | round(CASE WHEN c_len = 0 OR m1 = 0 THEN 0.0
-        |   ELSE bp * exp(ln(CAST(m1 AS DOUBLE) / c_len) / 4
-        |               + ln(CAST(m2 + 1 AS DOUBLE) / (ct2 + 1)) / 4
-        |               + ln(CAST(m3 + 1 AS DOUBLE) / (ct3 + 1)) / 4
-        |               + ln(CAST(m4 + 1 AS DOUBLE) / (ct4 + 1)) / 4) END, 6) AS bleu
-        |FROM f ORDER BY cand_id""".stripMargin,
+    "q198_bleu" -> (bleuPairOracle + "\nORDER BY cand_id"),
 
     // q199: ROUGE-1/2 over the same pair harness and clipped-count CTEs
     // — one row per (pair, n); f1 from the UNROUNDED precision/recall,
@@ -7155,8 +7141,94 @@ object SparkEntry {
 
     // q205: chrF2 replayed — char tokens (whitespace stripped), per-order
     // clipped counts for n=1..6, all-orders macro-average, beta=2 F
-    "q205_chrf" ->
-      s"""WITH $chrClipCtes,
+    "q205_chrf" -> (chrfPairOracle + "\nORDER BY m.cand_id"),
+
+    // q206: the LCS dynamic program replayed as a recursive CTE over
+    // anti-diagonals (diagonal d needs only d-1 and d-2, so each step
+    // is one list_transform; dp[n][m] is the single entry of the last
+    // diagonal), then Lin's F arithmetic in the engine's IEEE op order
+    "q206_rouge_l" -> (rougeLPairOracle + "\nORDER BY cand_id"),
+
+    // q207: the edit-distance DP replayed — q206's anti-diagonal
+    // recursion with min/+1 costs and i/j base rows
+    "q207_wer" -> (werPairOracle + "\nORDER BY cand_id"),
+
+    // q208: the four per-pair metric oracles wrapped as CTEs, joined on
+    // cand_id, integer-micro means per source — one replayed datacard
+    "q208_eval_rollup" ->
+      s"""WITH b AS ($bleuPairOracle),
+        |c AS ($chrfPairOracle),
+        |rl AS ($rougeLPairOracle),
+        |w AS ($werPairOracle),
+        |src AS (SELECT doc_id AS cand_id, source FROM documents)
+        |SELECT src.source, CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(CAST(sum(CAST(round(b.bleu * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS bleu_mean,
+        | round(CAST(sum(CAST(round(c.chrf * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS chrf_mean,
+        | round(CAST(sum(CAST(round(rl.rouge_l * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS rouge_l_mean,
+        | round(CAST(sum(CAST(round(w.wer * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS wer_mean
+        |FROM b
+        | JOIN c USING (cand_id) JOIN rl USING (cand_id)
+        | JOIN w USING (cand_id) JOIN src USING (cand_id)
+        |GROUP BY src.source ORDER BY src.source""".stripMargin,
+
+    // q202: PNG is lossless -> the q163 closed-form bit reconstruction
+    // applies verbatim to the ImageIO-decoded PNG corpus
+    "q202_png_dhash" -> dhashClosedFormOracle,
+
+    // q203: the verdict column is the oracle (q152 convention) — JPEG
+    // codec output is not SQL-expressible; the engine must earn TRUE
+    // for every image by actually decoding and hashing both payloads
+    "q203_jpeg_dhash_stability" ->
+      """SELECT r.i AS media_id, TRUE AS within_16_bits
+        |FROM range(300) r(i) WHERE r.i % 3 = 0
+        |ORDER BY media_id""".stripMargin,
+
+    // q204: q134's closed-form cell means, decoded from PNG
+    "q204_png_pool" -> poolClosedFormOracle)
+
+  /** q198's oracle minus the final ORDER BY — composable as a CTE body
+    * (the q208 rollup wraps all four per-pair metric oracles).
+    */
+  private def bleuPairOracle: String =
+    s"""WITH $ngramClipCtes,
+        |m AS (
+        | SELECT t.cand_id,
+        |  max(CASE WHEN t.n = 1 THEN t.c_tot END) AS c_len,
+        |  max(CASE WHEN t.n = 1 THEN t.r_tot END) AS r_len,
+        |  max(CASE WHEN t.n = 1 THEN COALESCE(cl.clipped, 0) END) AS m1,
+        |  max(CASE WHEN t.n = 2 THEN COALESCE(cl.clipped, 0) END) AS m2,
+        |  max(CASE WHEN t.n = 3 THEN COALESCE(cl.clipped, 0) END) AS m3,
+        |  max(CASE WHEN t.n = 4 THEN COALESCE(cl.clipped, 0) END) AS m4,
+        |  max(CASE WHEN t.n = 2 THEN t.c_tot END) AS ct2,
+        |  max(CASE WHEN t.n = 3 THEN t.c_tot END) AS ct3,
+        |  max(CASE WHEN t.n = 4 THEN t.c_tot END) AS ct4
+        | FROM tot t LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n
+        | GROUP BY 1),
+        |f AS (
+        | SELECT pp.ref_id, m.*,
+        |  CASE WHEN m.c_len = 0 THEN 0.0
+        |       WHEN m.c_len > m.r_len THEN 1.0
+        |       ELSE exp(1.0 - CAST(m.r_len AS DOUBLE) / m.c_len) END AS bp
+        | FROM m JOIN pp ON m.cand_id = pp.cand_id)
+        |SELECT cand_id, ref_id,
+        | CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
+        | CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+        | CAST(m3 AS BIGINT) AS m3, CAST(m4 AS BIGINT) AS m4,
+        | round(bp, 6) AS bp,
+        | round(CASE WHEN c_len = 0 OR m1 = 0 THEN 0.0
+        |   ELSE bp * exp(ln(CAST(m1 AS DOUBLE) / c_len) / 4
+        |               + ln(CAST(m2 + 1 AS DOUBLE) / (ct2 + 1)) / 4
+        |               + ln(CAST(m3 + 1 AS DOUBLE) / (ct3 + 1)) / 4
+        |               + ln(CAST(m4 + 1 AS DOUBLE) / (ct4 + 1)) / 4) END, 6) AS bleu
+    |FROM f""".stripMargin
+
+  /** q205's oracle minus the final ORDER BY. */
+  private def chrfPairOracle: String =
+    s"""WITH $chrClipCtes,
         |m AS (
         | SELECT t.cand_id,
         |  max(CASE WHEN t.n = 1 THEN t.c_tot END) AS c_chars,
@@ -7180,15 +7252,11 @@ object SparkEntry {
         | round(chr_p, 6) AS chr_p, round(chr_r, 6) AS chr_r,
         | round(CASE WHEN chr_p + chr_r = 0.0 THEN 0.0
         |   ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END, 6) AS chrf
-        |FROM m JOIN pp ON m.cand_id = pp.cand_id
-        |ORDER BY m.cand_id""".stripMargin,
+        |FROM m JOIN pp ON m.cand_id = pp.cand_id""".stripMargin
 
-    // q206: the LCS dynamic program replayed as a recursive CTE over
-    // anti-diagonals (diagonal d needs only d-1 and d-2, so each step
-    // is one list_transform; dp[n][m] is the single entry of the last
-    // diagonal), then Lin's F arithmetic in the engine's IEEE op order
-    "q206_rouge_l" ->
-      """WITH RECURSIVE d AS (
+  /** q206's oracle minus the final ORDER BY. */
+  private def rougeLPairOracle: String =
+    """WITH RECURSIVE d AS (
         | SELECT doc_id, source,
         |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
         | FROM documents),
@@ -7229,12 +7297,11 @@ object SparkEntry {
         | round(p, 6) AS "precision", round(r, 6) AS recall,
         | round(CASE WHEN p + r = 0.0 THEN 0.0
         |   ELSE 2.0 * p * r / (r + 1.0 * p) END, 6) AS rouge_l
-        |FROM mt ORDER BY cand_id""".stripMargin,
+    |FROM mt""".stripMargin
 
-    // q207: the edit-distance DP replayed — q206's anti-diagonal
-    // recursion with min/+1 costs and i/j base rows
-    "q207_wer" ->
-      """WITH RECURSIVE d AS (
+  /** q207's oracle minus the final ORDER BY. */
+  private def werPairOracle: String =
+    """WITH RECURSIVE d AS (
         | SELECT doc_id, source,
         |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
         | FROM documents),
@@ -7273,22 +7340,7 @@ object SparkEntry {
         |SELECT cand_id, ref_id, h_len, r_len, edits,
         | round(CASE WHEN r_len > 0 THEN CAST(edits AS DOUBLE) / r_len
         |   WHEN h_len = 0 THEN 0.0 ELSE 1.0 END, 6) AS wer
-        |FROM mt ORDER BY cand_id""".stripMargin,
-
-    // q202: PNG is lossless -> the q163 closed-form bit reconstruction
-    // applies verbatim to the ImageIO-decoded PNG corpus
-    "q202_png_dhash" -> dhashClosedFormOracle,
-
-    // q203: the verdict column is the oracle (q152 convention) — JPEG
-    // codec output is not SQL-expressible; the engine must earn TRUE
-    // for every image by actually decoding and hashing both payloads
-    "q203_jpeg_dhash_stability" ->
-      """SELECT r.i AS media_id, TRUE AS within_16_bits
-        |FROM range(300) r(i) WHERE r.i % 3 = 0
-        |ORDER BY media_id""".stripMargin,
-
-    // q204: q134's closed-form cell means, decoded from PNG
-    "q204_png_pool" -> poolClosedFormOracle)
+    |FROM mt""".stripMargin
 
   /** The q205 CTE block: adjacent pairs over CHARACTER sequences
     * (whitespace stripped — chars therefore cannot contain ' ', so

@@ -262,6 +262,41 @@ object TextEval {
         round(score, 6).as("chrf")): _*)
   }
 
+  /** One-scan generation-eval datacard: per `partCol` group, the mean
+    * sentence BLEU-4, chrF2, ROUGE-L F1, and WER over the group's
+    * adjacent pairs. All four metrics are map-side projections over
+    * the SAME pair row, so they compose into a single stage — one
+    * corpus scan, one lead-window shuffle, one group aggregate —
+    * instead of four separate queries re-reading the corpus. Each mean
+    * is over integer metric-micros (the 6-dp score ×1e6 as a LONG), so
+    * the sums are exact and order-independent (the [[selfBleu]]
+    * convention).
+    */
+  def generationEvalSummary(docs: DataFrame, idCol: String, textCol: String,
+                            partCol: String): DataFrame = {
+    val pairs = adjacentPairsKeep(docs, idCol, textCol, partCol)
+    val keep = pairs.columns
+    def trim(df: DataFrame, metric: String): DataFrame =
+      df.select((keep.map(col) :+ col(metric)).toSeq ++
+        (if (df.columns.contains("bleu") && metric != "bleu") Seq(col("bleu")) else Nil) ++
+        (if (df.columns.contains("chrf") && metric != "chrf") Seq(col("chrf")) else Nil) ++
+        (if (df.columns.contains("rouge_l") && metric != "rouge_l") Seq(col("rouge_l")) else Nil): _*)
+    val withBleu = trim(bleu(pairs, "cand_text", "ref_text"), "bleu")
+    val withChrf = trim(chrF(withBleu, "cand_text", "ref_text"), "chrf")
+    val withRl = trim(rougeL(withChrf, "cand_text", "ref_text"), "rouge_l")
+    val scored = trim(wer(withRl, "cand_text", "ref_text"), "wer")
+    def micros(c: String): Column =
+      sum(round(col(c) * lit(1e6)).cast("long")).as(s"__$c")
+    def mean(c: String): Column =
+      round(col(s"__$c").cast("double") /
+        (col("n_pairs").cast("double") * lit(1e6)), 6).as(s"${c}_mean")
+    scored.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        micros("bleu"), micros("chrf"), micros("rouge_l"), micros("wer"))
+      .select(col(partCol), col("n_pairs"),
+        mean("bleu"), mean("chrf"), mean("rouge_l"), mean("wer"))
+  }
+
   /** ROUGE-N precision / recall / F1 per pair for every order in `ns`
     * — one output row per (pair, n). `recall = clipped / ref_total`
     * (the headline ROUGE number), `precision = clipped / cand_total`,

@@ -409,6 +409,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial".r.findAllIn(plan.toLowerCase).nonEmpty, plan)
   }
 
+  test("q208 eval rollup: four metrics in one stage — no join, three exchanges") {
+    // bleu + chrf + rouge_l + wer compose as projections over the same
+    // pair row: window hash partition, group aggregate, final sort —
+    // and nothing else. A join here means a metric fell out of the
+    // single-scan composition.
+    val plan = planOf("q208_eval_rollup")
+    assert(!plan.contains("Join"), s"rollup plans a join:\n$plan")
+    val exchanges = "Exchange \\(".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"rollup has $exchanges Exchange nodes (want <= 3):\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("q129 triangles: every join is an equi-join — no cartesian, no nested loop") {
     val p = planOf("q129_triangles")
     // the wedge self-join and the closure join key on (lo) / (y, z);

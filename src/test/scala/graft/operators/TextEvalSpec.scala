@@ -242,6 +242,24 @@ class TextEvalSpec extends SparkSpec {
     assert(out.getAs[Double]("bp") == 0.0 && out.getAs[Double]("corpus_bleu") == 0.0)
   }
 
+  test("generationEvalSummary: the one-scan rollup equals the per-metric means") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val card = TextEval.generationEvalSummary(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // bleu_mean must equal selfBleu (same integer-micro convention)
+    val self = TextEval.selfBleu(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("self_bleu")).toMap
+    assert(card.nonEmpty && card.keySet == self.keySet)
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Double]("bleu_mean") == self(src),
+        s"$src: rollup bleu_mean != selfBleu")
+      Seq("bleu_mean", "chrf_mean", "rouge_l_mean", "wer_mean").foreach { m =>
+        val v = r.getAs[Double](m)
+        assert(v >= 0.0 && (m == "wer_mean" || v <= 1.0), s"$src.$m = $v out of range")
+      }
+    }
+  }
+
   test("standalone session path: bleu() self-registers the kernel function") {
     // regression: call_function("ngram_overlap_stats") must not depend
     // on an earlier query having registered GraftFunctions
