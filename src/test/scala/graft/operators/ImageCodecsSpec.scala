@@ -58,6 +58,26 @@ class ImageCodecsSpec extends SparkSpec {
     assert(png.nonEmpty && png == bmp)
   }
 
+  test("property: PNG round trip is lossless for random dims and random pixels") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 25) {
+      val w = 9 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y * w + x))
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      javax.imageio.ImageIO.write(img, "png", out); out.flush(); out.close()
+      val dec = Multimodal.decodeRgb(1L, bos.toByteArray, "prop")
+      assert(dec.w == w && dec.h == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((dec.rgb(x, y) & 0xffffff) == px(y * w + x),
+          s"pixel ($x,$y) of ${w}x$h differs")
+    }
+  }
+
   test("refusal: truncated PNG fails cleanly with the media_id, not an array crash") {
     val whole = Multimodal.synthPng(3L, 16, 16)
     val ex = intercept[IllegalArgumentException] {
