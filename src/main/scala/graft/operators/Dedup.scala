@@ -224,8 +224,19 @@ object Dedup {
         // not input-proportional, so the fan-out must be pinned
         val stream = side.repartition(
           side.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+        // broadcast gate in BYTES, not rows: the payload is the gram
+        // arrays, so a row bound lets a long-document corpus smuggle a
+        // multi-GB broadcast past it (caught OOMing at the 10x
+        // scale-up). ~16 B per gram element covers the long + array
+        // overhead; 128 MB estimated keeps the build side a normal
+        // broadcast (one scalar agg over the already-persisted base —
+        // the bounded-collect convention)
+        val totalGrams = {
+          val r = base.agg(sum(col("n"))).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
         val right =
-          if (base.count() <= 2000000L) broadcast(side) else side
+          if (totalGrams * 16L <= 128L * 1024 * 1024) broadcast(side) else side
         stream.as("a").join(right.as("b"),
             col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -343,8 +354,19 @@ object Dedup {
         val side = base.select(col("id"), col("blk"), col("fps"))
         val stream = side.repartition(
           side.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+        // broadcast gate in BYTES, not rows: the payload is the gram
+        // arrays, so a row bound lets a long-document corpus smuggle a
+        // multi-GB broadcast past it (caught OOMing at the 10x
+        // scale-up). ~16 B per gram element covers the long + array
+        // overhead; 128 MB estimated keeps the build side a normal
+        // broadcast (one scalar agg over the already-persisted base —
+        // the bounded-collect convention)
+        val totalGrams = {
+          val r = base.agg(sum(col("n"))).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
         val right =
-          if (base.count() <= 2000000L) broadcast(side) else side
+          if (totalGrams * 16L <= 128L * 1024 * 1024) broadcast(side) else side
         stream.as("a").join(right.as("b"),
             col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
