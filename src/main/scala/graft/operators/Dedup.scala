@@ -362,7 +362,7 @@ object Dedup {
         // broadcast (one scalar agg over the already-persisted base —
         // the bounded-collect convention)
         val totalGrams = {
-          val r = base.agg(sum(col("n"))).collect()(0)
+          val r = base.agg(sum(size(col("fps")).cast("long"))).collect()(0)
           if (r.isNullAt(0)) 0L else r.getLong(0)
         }
         val right =
