@@ -95,7 +95,18 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
     * gram STRINGS was the hot path (measured on q205's char 6-grams).
     */
   private final class LongCounts(expected: Int) {
-    private val cap = Integer.highestOneBit(math.max(8, expected) * 4 - 1) << 1
+    // capacity arithmetic in Long: `expected * 4` overflows Int past
+    // ~536M entries (a degenerate giant per-row gram array), which
+    // would round the capacity to 0 and crash slot() on an empty
+    // table. Clamp to the largest power-of-two long-array the JVM can
+    // hold; past the clamp the table degrades to a higher load factor
+    // instead of failing (memory for the gram array itself gives out
+    // long before the probe chain does).
+    private val cap = {
+      val want = java.lang.Long.highestOneBit(
+        math.max(8L, expected.toLong) * 4L - 1L) << 1
+      math.min(want, 1L << 30).toInt
+    }
     private val mask = cap - 1
     private val ks = {
       val a = new Array[Long](cap); java.util.Arrays.fill(a, -1L); a

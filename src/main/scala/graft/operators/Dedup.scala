@@ -19,6 +19,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Dense-path block self-join shared by [[containmentPairs]] and
+    * [[winnowedOverlapPairs]] (extracted after commit 1688f12 shipped a
+    * column-name drift between the two pasted copies): joins `side` —
+    * a persisted `(id, blk, payload…)` frame — to itself on the block
+    * key with `a.id < b.id`, so the caller projects the verification
+    * kernel over the a/b-aliased result.
+    *
+    * The probe side repartitions to the full shuffle-partition count
+    * with an EXPLICIT count: the corpus often arrives as one file
+    * split and a broadcast join inherits the stream side's
+    * partitioning, while a bare `repartition(col)` is AQE-coalescible
+    * and tiny input bytes would fold it back to one task — but the
+    * work is quadratic in rows per task, not input-proportional, so
+    * the fan-out must be pinned.
+    *
+    * The build side broadcasts only under a BYTES gate, never a row
+    * gate (a row bound let a long-document corpus smuggle a multi-GB
+    * broadcast past it — caught OOMing at the 10× scale-up):
+    * `elemCount`·16 B covers each payload long + array overhead, plus
+    * a 48 B/row fixed term for the row object itself — without it a
+    * corpus of millions of one-element rows passes a pure element
+    * gate yet broadcasts hundreds of MB of row overhead. One scalar
+    * agg over the already-persisted frame — the bounded-collect
+    * convention. Beyond the bound: plain shuffled join, AQE skew
+    * split takes over.
+    */
+  private def denseBlockPairJoin(side: DataFrame, elemCount: Column): DataFrame = {
+    val stream = side.repartition(
+      side.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+    val estBytes = {
+      val r = side.agg(sum(elemCount.cast("long") * 16L + 48L)).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty corpus
+    }
+    val right =
+      if (estBytes <= 128L * 1024 * 1024) broadcast(side) else side
+    stream.as("a").join(right.as("b"),
+      col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+  }
+
   /** Whitespace-token set of a text column (lowercased, trimmed). */
   def tokenSet(text: Column): Column =
     array_distinct(split(lower(trim(text)), "\\s+"))
@@ -209,36 +248,11 @@ object Dedup {
     val verified =
       if (blockPairRows <= iiPairRows) {
         // dense: one self-join on the block key with the intersection
-        // INLINE — no candidate materialization, no array re-join. The
-        // build side broadcasts when it fits (few block keys would
-        // otherwise collapse a shuffled join to |blocks| reducers);
-        // beyond the broadcast bound, AQE's skew split takes over.
-        // repartition the probe side: the corpus often arrives as ONE
-        // file split, and a broadcast join inherits the stream side's
-        // partitioning — without this the whole pair space runs on one
-        // task. Docs-sized shuffle, buys full parallelism.
-        val side = base.select(col("id"), col("blk"), col("n"), col("grams"))
-        // explicit partition count: a bare repartition(col) is
-        // AQE-coalescible and tiny INPUT bytes would fold it back to
-        // one task — but the work here is quadratic in rows per task,
-        // not input-proportional, so the fan-out must be pinned
-        val stream = side.repartition(
-          side.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
-        // broadcast gate in BYTES, not rows: the payload is the gram
-        // arrays, so a row bound lets a long-document corpus smuggle a
-        // multi-GB broadcast past it (caught OOMing at the 10x
-        // scale-up). ~16 B per gram element covers the long + array
-        // overhead; 128 MB estimated keeps the build side a normal
-        // broadcast (one scalar agg over the already-persisted base —
-        // the bounded-collect convention)
-        val totalGrams = {
-          val r = base.agg(sum(col("n"))).collect()(0)
-          if (r.isNullAt(0)) 0L else r.getLong(0)
-        }
-        val right =
-          if (totalGrams * 16L <= 128L * 1024 * 1024) broadcast(side) else side
-        stream.as("a").join(right.as("b"),
-            col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        // INLINE — no candidate materialization, no array re-join
+        // (partitioning + broadcast-gate policy in [[denseBlockPairJoin]])
+        denseBlockPairJoin(
+            base.select(col("id"), col("blk"), col("n"), col("grams")),
+            col("n"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             col("a.n").as("na"), col("b.n").as("nb"),
             call_function("sorted_intersect_size",
@@ -351,24 +365,9 @@ object Dedup {
       base.groupBy(col("blk")).agg(count(lit(1)).as("__d")))
     val counted =
       if (blockPairRows <= fpPairRows) {
-        val side = base.select(col("id"), col("blk"), col("fps"))
-        val stream = side.repartition(
-          side.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
-        // broadcast gate in BYTES, not rows: the payload is the gram
-        // arrays, so a row bound lets a long-document corpus smuggle a
-        // multi-GB broadcast past it (caught OOMing at the 10x
-        // scale-up). ~16 B per gram element covers the long + array
-        // overhead; 128 MB estimated keeps the build side a normal
-        // broadcast (one scalar agg over the already-persisted base —
-        // the bounded-collect convention)
-        val totalGrams = {
-          val r = base.agg(sum(size(col("fps")).cast("long"))).collect()(0)
-          if (r.isNullAt(0)) 0L else r.getLong(0)
-        }
-        val right =
-          if (totalGrams * 16L <= 128L * 1024 * 1024) broadcast(side) else side
-        stream.as("a").join(right.as("b"),
-            col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        denseBlockPairJoin(
+            base.select(col("id"), col("blk"), col("fps")),
+            size(col("fps")))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             call_function("sorted_intersect_size",
               col("a.fps"), col("b.fps")).cast("long").as("shared_fps"))

@@ -231,12 +231,17 @@ object Graph {
     // integral ids take the sorted-merge intersection kernel (adjacency
     // lists sorted once per node, per-edge closing is a two-pointer
     // merge — no per-row hash build); other id types keep the generic
-    // array_intersect. Same results, spec-asserted.
-    val integralIds = edges.schema(srcCol).dataType match {
+    // array_intersect. Same results, spec-asserted. BOTH endpoint
+    // columns must be integral: dispatching on src alone would
+    // cast("long") a string dst to null and silently DROP those edges
+    // via the null filter instead of taking the generic path.
+    def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
+    val integralIds = isIntegral(edges.schema(srcCol).dataType) &&
+      isIntegral(edges.schema(dstCol).dataType)
     if (integralIds)
       graft.expressions.GraftFunctions.register(edges.sparkSession)
     val und0 = edges
@@ -315,8 +320,17 @@ object Graph {
         size(col("__w")).cast("long").as("__t")))
       .groupBy("id").agg(sum(col("__t")).as("triangles"))
 
+    // the integral kernel widened ids to long internally; restore the
+    // input column type so downstream joins back on the original
+    // column see an unchanged schema. Mixed-width integral endpoints
+    // keep the wider long (lossless; the honest common type).
+    val outId =
+      if (integralIds &&
+          edges.schema(srcCol).dataType == edges.schema(dstCol).dataType)
+        col("id").cast(edges.schema(srcCol).dataType)
+      else col("id")
     deg.join(perNode, Seq("id"), "left")
-      .select(col("id"), col("degree"),
+      .select(outId.as("id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("degree") >= 2,
           lit(2.0) * coalesce(col("triangles"), lit(0L)) /
