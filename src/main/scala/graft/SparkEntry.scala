@@ -3552,6 +3552,47 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Unicode tokenizer degradation/round-trip pin
+    * ([[graft.expressions.UnicodeTokens]] behind the
+    * [[graft.functions.Tokenize]] seam): on the oracle corpus (pure
+    * single-space ASCII) the UAX#29 tokenizer must degrade EXACTLY to
+    * whitespace tokens — count, joined-tokens md5, and an engine-side
+    * token-array equality verdict are all replayed by DuckDB, and
+    * character conservation is pinned by md5 over the space-stripped
+    * text. The CJK/Thai segmentation itself is not SQL-expressible;
+    * it is spec-pinned by UnicodeTokensSpec's hand-segmented fixtures
+    * (the q124/q195 oracle convention).
+    */
+  private def q209UnicodeTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Tokenize
+    graft.expressions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .withColumn("__u", Tokenize.tokens(col("text"), Tokenize.Unicode))
+      .select(col("doc_id"),
+        size(col("__u")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__u"))).as("toks_md5"),
+        (col("__u") ===
+          Tokenize.tokensSpaceSplit(col("text"), Tokenize.Whitespace)).as("ws_equal"),
+        md5(concat_ws("", col("__u"))).as("chars_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Chao1 vocabulary estimate through the Unicode tokenizer seam
+    * ([[graft.operators.CorpusStats.chao1]] with
+    * [[graft.functions.Tokenize.Unicode]]): the q181 estimator with
+    * the native UAX#29 tokenizer in place of whitespace split —
+    * DuckDB replays the whole explode+aggregate path, pinning that
+    * the seam is a drop-in (identical vocabulary on ASCII; real
+    * vocabulary instead of whole clauses on CJK/Thai, spec-pinned).
+    */
+  private def q210UnicodeVocab(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStats
+    import graft.functions.Tokenize
+    CorpusStats.chao1(t(s, dir, "documents"), "text", Tokenize.Unicode)
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("chao1"), 6).as("chao1"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3904,7 +3945,9 @@ object SparkEntry {
     "q205_chrf" -> (q205Chrf _),
     "q206_rouge_l" -> (q206RougeL _),
     "q207_wer" -> (q207Wer _),
-    "q208_eval_rollup" -> (q208EvalRollup _))
+    "q208_eval_rollup" -> (q208EvalRollup _),
+    "q209_unicode_tokens" -> (q209UnicodeTokens _),
+    "q210_unicode_vocab" -> (q210UnicodeVocab _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7188,7 +7231,39 @@ object SparkEntry {
         |ORDER BY media_id""".stripMargin,
 
     // q204: q134's closed-form cell means, decoded from PNG
-    "q204_png_pool" -> poolClosedFormOracle)
+    "q204_png_pool" -> poolClosedFormOracle,
+
+    // q209: the oracle corpus is pure single-space ASCII, so the
+    // UAX#29 tokenizer must equal the whitespace tokenizer EXACTLY —
+    // count + joined md5 replayed; the engine-side array-equality
+    // verdict restated as TRUE (q195 round-trip convention); character
+    // conservation via md5 of the space-stripped text
+    "q209_unicode_tokens" ->
+      """WITH a AS (SELECT doc_id,
+        |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks,
+        |  text FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | md5(array_to_string(toks, ' ')) AS toks_md5,
+        | true AS ws_equal,
+        | md5(replace(trim(text), ' ', '')) AS chars_md5
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // q210: q181's chao1 replay, which the Unicode-mode tokenizer must
+    // reproduce bit-for-bit on the ASCII corpus (drop-in seam pin)
+    "q210_unicode_vocab" ->
+      """WITH tf AS (
+        | SELECT tok AS token, count(*) AS freq
+        | FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+        |                     t -> t <> '')) AS tok FROM documents)
+        | GROUP BY 1)
+        |SELECT CAST(sum(freq) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        | CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        | CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        | round(count(*) +
+        |  (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) - 1))
+        |   / (2.0 * (sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) + 1)), 6) AS chao1
+        |FROM tf""".stripMargin)
 
   /** q198's oracle minus the final ORDER BY — composable as a CTE body
     * (the q208 rollup wraps all four per-pair metric oracles).

@@ -95,6 +95,12 @@ object GraftFunctions {
         require(children.length == 1, "normalize_nfc takes exactly 1 argument")
         NormalizeNfc(children.head)
       }),
+    (FunctionIdentifier("unicode_tokens"),
+      new ExpressionInfo(classOf[UnicodeTokens].getName, "unicode_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "unicode_tokens takes exactly 1 argument")
+        UnicodeTokens(children.head)
+      }),
     (FunctionIdentifier("text_array_stats"),
       new ExpressionInfo(classOf[TextArrayStats].getName, "text_array_stats"),
       (children: Seq[Expression]) => {

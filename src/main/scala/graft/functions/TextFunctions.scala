@@ -68,7 +68,16 @@ object TextFunctions {
     * [[graft.expressions.GraftFunctions.register]] on the session.
     */
   def tokenStatsNative(text: Column, stopwords: Seq[String]): Column =
-    call_function("text_array_stats", tokens(text), typedlit(stopwords))
+    tokenStatsNative(text, stopwords, Tokenize.Whitespace)
+
+  /** [[tokenStatsNative]] through the tokenizer seam — pass
+    * [[Tokenize.Unicode]] for CJK/Thai corpora, where whitespace
+    * "tokens" are whole clauses and every ratio below is meaningless.
+    */
+  def tokenStatsNative(text: Column, stopwords: Seq[String],
+                       mode: Tokenize.Mode): Column =
+    call_function("text_array_stats",
+      Tokenize.tokens(text, mode), typedlit(stopwords))
 
   /** Composite quality score in [0,1], Gopher-flavoured: rewards normal
     * token lengths, lexical diversity and some stopword mass; penalizes

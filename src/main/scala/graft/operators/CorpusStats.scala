@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
-  private def tokens(textCol: Column): Column =
-    array_remove(split(lower(trim(textCol)), "\\s+"), "")
-
-  /** Token-frequency table (token, freq) — the shared first pass. */
-  def tokenFrequencies(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("token"))
+  /** Token-frequency table (token, freq) — the shared first pass.
+    * Tokenizes through the seam ([[graft.functions.Tokenize]]):
+    * Unicode mode gives real vocabulary on CJK/Thai corpora, where
+    * whitespace mode counts whole clauses as single "types".
+    */
+  def tokenFrequencies(df: DataFrame, textCol: String,
+                       mode: graft.functions.Tokenize.Mode =
+                         graft.functions.Tokenize.Whitespace): DataFrame = {
+    if (mode != graft.functions.Tokenize.Whitespace)
+      graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(explode(
+        graft.functions.Tokenize.tokens(col(textCol), mode)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+  }
 
   /** Chao1 species-richness estimate of the vocabulary: how many token
     * TYPES the corpus-generating process has, including ones not yet
@@ -34,8 +41,10 @@ object CorpusStats {
     * crawling still buys new vocabulary.
     * Output: one row (n_tokens, vocab, f1, f2, chao1).
     */
-  def chao1(df: DataFrame, textCol: String): DataFrame =
-    tokenFrequencies(df, textCol).agg(
+  def chao1(df: DataFrame, textCol: String,
+            mode: graft.functions.Tokenize.Mode =
+              graft.functions.Tokenize.Whitespace): DataFrame =
+    tokenFrequencies(df, textCol, mode).agg(
       sum(col("freq")).as("n_tokens"),
       count(lit(1)).as("vocab"),
       sum(when(col("freq") === 1, 1L).otherwise(0L)).as("f1"),

@@ -22,10 +22,15 @@ object TextEval {
 
   /** Whitespace tokens, lowercased, empties dropped (split on a
     * literal space — the DuckDB-replayable form used by the dedup
-    * oracles).
+    * oracles). The tokenizer seam: metrics that accept a
+    * [[graft.functions.Tokenize.Mode]] route through it so CJK/Thai
+    * corpora get real word tokens ([[graft.functions.Tokenize]]).
     */
   private def toks(text: Column): Column =
-    filter(split(lower(trim(text)), " "), t => t =!= lit(""))
+    toks(text, graft.functions.Tokenize.Whitespace)
+
+  private def toks(text: Column, mode: graft.functions.Tokenize.Mode): Column =
+    graft.functions.Tokenize.tokensSpaceSplit(text, mode)
 
   /** Deterministic evaluation pairs: each document as candidate
     * against the NEXT doc id within its `partCol` group as reference
@@ -56,8 +61,11 @@ object TextEval {
     * ref_total>>` for n = 1..maxN, one kernel pass per pair row.
     * Requires [[graft.expressions.GraftFunctions.register]].
     */
-  private def overlapStats(candText: Column, refText: Column, maxN: Int): Column =
-    call_function("ngram_overlap_stats", toks(candText), toks(refText), lit(maxN))
+  private def overlapStats(candText: Column, refText: Column, maxN: Int,
+                           mode: graft.functions.Tokenize.Mode =
+                             graft.functions.Tokenize.Whitespace): Column =
+    call_function("ngram_overlap_stats",
+      toks(candText, mode), toks(refText, mode), lit(maxN))
 
   /** Sentence BLEU-maxN with Lin–Och add-one smoothing for n ≥ 2
     * (NIST '04 smoothing-1: `(clipped+1)/(total+1)` so a missing
@@ -68,11 +76,13 @@ object TextEval {
     * `c_len, r_len, m1..m{maxN} (clipped counts), bp, bleu`.
     */
   def bleu(pairs: DataFrame, candTextCol: String, refTextCol: String,
-           maxN: Int = 4): DataFrame = {
+           maxN: Int = 4,
+           mode: graft.functions.Tokenize.Mode =
+             graft.functions.Tokenize.Whitespace): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"bleu maxN must be in [1,8], got $maxN")
     graft.expressions.GraftFunctions.register(pairs.sparkSession)
     val withStats = pairs.withColumn("__ov",
-      overlapStats(col(candTextCol), col(refTextCol), maxN))
+      overlapStats(col(candTextCol), col(refTextCol), maxN, mode))
     val cLen = element_at(col("__ov"), 1).getField("cand_total")
     val rLen = element_at(col("__ov"), 1).getField("ref_total")
     // smoothed precision per order: n=1 raw, n>=2 add-one
