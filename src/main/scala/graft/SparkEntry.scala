@@ -3593,6 +3593,58 @@ object SparkEntry {
         round(col("chao1"), 6).as("chao1"))
   }
 
+  /** The deterministic TWO-reference pair harness shared by q211/q212:
+    * each doc as candidate against the next two doc ids in its source
+    * (lead-1/lead-2 windows — the q198 harness widened), rows lacking
+    * two references dropped.
+    */
+  private def multiRefPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("cand_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id").as("cand_id"), col("text").as("cand_text"), col("source"))
+      .withColumn("__r1", lead(col("cand_text"), 1).over(w))
+      .withColumn("__r2", lead(col("cand_text"), 2).over(w))
+      .filter(col("__r2").isNotNull)
+      .select(col("cand_id"), col("cand_text"),
+        array(col("__r1"), col("__r2")).as("refs"))
+  }
+
+  /** Multi-reference sentence BLEU-4
+    * ([[graft.operators.TextEval.bleuMulti]] on
+    * [[graft.expressions.NgramOverlapStatsMulti]]): clipping against
+    * the per-gram MAX count over both references (Papineni §2.1 — the
+    * form real eval sets need), brevity penalty on the closest-length
+    * reference with ties to the shorter. The oracle replays the
+    * max-merged gram tables, the effective-length CASE, and the q198
+    * smoothing/BP/geomean in SQL.
+    */
+  private def q211BleuMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    TextEval.bleuMulti(multiRefPairs(s, dir), "cand_text", "refs", maxN = 4)
+      .select(col("cand_id"), col("c_len"), col("r_len"),
+        col("m1"), col("m2"), col("m3"), col("m4"), col("bp"), col("bleu"))
+      .orderBy(col("cand_id"))
+  }
+
+  /** Multi-reference ROUGE-1/2
+    * ([[graft.operators.TextEval.rougeNMulti]]): per (pair, n) the MAX
+    * per-reference F1 (Lin '04 — ROUGE picks the best whole reference,
+    * unlike BLEU's per-gram merge), ties to the lowest reference
+    * index; entirely map-side (per-ref kernels inside a row-local
+    * transform, argmax via array_max over (f1, −idx) structs). The
+    * oracle replays both per-reference score sets and the argmax as a
+    * window.
+    */
+  private def q212RougeMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    TextEval.rougeNMulti(multiRefPairs(s, dir), "cand_text", "refs", ns = Seq(1, 2))
+      .select(col("cand_id"), col("n"), col("ref_idx"), col("overlap"),
+        col("cand_total"), col("ref_total"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy(col("cand_id"), col("n"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -3947,7 +3999,9 @@ object SparkEntry {
     "q207_wer" -> (q207Wer _),
     "q208_eval_rollup" -> (q208EvalRollup _),
     "q209_unicode_tokens" -> (q209UnicodeTokens _),
-    "q210_unicode_vocab" -> (q210UnicodeVocab _))
+    "q210_unicode_vocab" -> (q210UnicodeVocab _),
+    "q211_bleu_multi" -> (q211BleuMulti _),
+    "q212_rouge_multi" -> (q212RougeMulti _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7249,6 +7303,142 @@ object SparkEntry {
         | md5(replace(trim(text), ' ', '')) AS chars_md5
         |FROM a ORDER BY doc_id""".stripMargin,
 
+    // q211: multi-ref BLEU replayed in full — two-lead pair harness,
+    // per-ref gram counts MAX-merged per gram before clipping,
+    // closest-length (ties shorter) effective reference for BP, then
+    // the q198 smoothing/BP/geomean arithmetic
+    "q211_bleu_multi" ->
+      s"""WITH $multiRefPairCtes,
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |eff AS (
+        | SELECT cand_id, len(ct) AS c_len,
+        |  CASE WHEN abs(len(r1) - len(ct)) < abs(len(r2) - len(ct)) THEN len(r1)
+        |       WHEN abs(len(r2) - len(ct)) < abs(len(r1) - len(ct)) THEN len(r2)
+        |       ELSE least(len(r1), len(r2)) END AS eff_len
+        | FROM pp),
+        |tot AS (
+        | SELECT e.cand_id, n, greatest(e.c_len - n + 1, 0) AS c_tot,
+        |  greatest(e.eff_len - n + 1, 0) AS r_tot
+        | FROM eff e, ns),
+        |cg AS (
+        | SELECT cand_id, n, g, count(*) AS cc FROM (
+        |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(ct) - n + 1, 0)),
+        |   i -> array_to_string(ct[i+1 : i+n], ' '))) AS g
+        |  FROM pp, ns)
+        | GROUP BY 1, 2, 3),
+        |rg AS (
+        | SELECT cand_id, n, g, max(rc) AS rc FROM (
+        |  SELECT cand_id, n, g, count(*) AS rc FROM (
+        |   SELECT cand_id, n, unnest(list_transform(range(greatest(len(r1) - n + 1, 0)),
+        |    i -> array_to_string(r1[i+1 : i+n], ' '))) AS g
+        |   FROM pp, ns)
+        |  GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT cand_id, n, g, count(*) AS rc FROM (
+        |   SELECT cand_id, n, unnest(list_transform(range(greatest(len(r2) - n + 1, 0)),
+        |    i -> array_to_string(r2[i+1 : i+n], ' '))) AS g
+        |   FROM pp, ns)
+        |  GROUP BY 1, 2, 3)
+        | GROUP BY 1, 2, 3),
+        |cl AS (
+        | SELECT cand_id, n, COALESCE(sum(least(cc, COALESCE(rc, 0))), 0) AS clipped
+        | FROM cg LEFT JOIN rg USING (cand_id, n, g)
+        | GROUP BY 1, 2),
+        |m AS (
+        | SELECT t.cand_id,
+        |  max(CASE WHEN t.n = 1 THEN t.c_tot END) AS c_len,
+        |  max(CASE WHEN t.n = 1 THEN t.r_tot END) AS r_len,
+        |  max(CASE WHEN t.n = 1 THEN COALESCE(cl.clipped, 0) END) AS m1,
+        |  max(CASE WHEN t.n = 2 THEN COALESCE(cl.clipped, 0) END) AS m2,
+        |  max(CASE WHEN t.n = 3 THEN COALESCE(cl.clipped, 0) END) AS m3,
+        |  max(CASE WHEN t.n = 4 THEN COALESCE(cl.clipped, 0) END) AS m4,
+        |  max(CASE WHEN t.n = 2 THEN t.c_tot END) AS ct2,
+        |  max(CASE WHEN t.n = 3 THEN t.c_tot END) AS ct3,
+        |  max(CASE WHEN t.n = 4 THEN t.c_tot END) AS ct4
+        | FROM tot t LEFT JOIN cl ON t.cand_id = cl.cand_id AND t.n = cl.n
+        | GROUP BY 1),
+        |f AS (
+        | SELECT m.*,
+        |  CASE WHEN m.c_len = 0 THEN 0.0
+        |       WHEN m.c_len > m.r_len THEN 1.0
+        |       ELSE exp(1.0 - CAST(m.r_len AS DOUBLE) / m.c_len) END AS bp
+        | FROM m)
+        |SELECT cand_id,
+        | CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
+        | CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+        | CAST(m3 AS BIGINT) AS m3, CAST(m4 AS BIGINT) AS m4,
+        | round(bp, 6) AS bp,
+        | round(CASE WHEN c_len = 0 OR m1 = 0 THEN 0.0
+        |   ELSE bp * exp(ln(CAST(m1 AS DOUBLE) / c_len) / 4
+        |               + ln(CAST(m2 + 1 AS DOUBLE) / (ct2 + 1)) / 4
+        |               + ln(CAST(m3 + 1 AS DOUBLE) / (ct3 + 1)) / 4
+        |               + ln(CAST(m4 + 1 AS DOUBLE) / (ct4 + 1)) / 4) END, 6) AS bleu
+        |FROM f ORDER BY cand_id""".stripMargin,
+
+    // q212: both per-reference ROUGE score sets replayed, the winner
+    // picked by a (f1 DESC, ref_idx ASC) window — Lin's max-over-refs
+    "q212_rouge_multi" ->
+      s"""WITH $multiRefPairCtes,
+        |ns AS (SELECT unnest([1, 2]) AS n),
+        |cg AS (
+        | SELECT cand_id, n, g, count(*) AS cc FROM (
+        |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(ct) - n + 1, 0)),
+        |   i -> array_to_string(ct[i+1 : i+n], ' '))) AS g
+        |  FROM pp, ns)
+        | GROUP BY 1, 2, 3),
+        |r1g AS (
+        | SELECT cand_id, n, g, count(*) AS rc FROM (
+        |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(r1) - n + 1, 0)),
+        |   i -> array_to_string(r1[i+1 : i+n], ' '))) AS g
+        |  FROM pp, ns)
+        | GROUP BY 1, 2, 3),
+        |r2g AS (
+        | SELECT cand_id, n, g, count(*) AS rc FROM (
+        |  SELECT cand_id, n, unnest(list_transform(range(greatest(len(r2) - n + 1, 0)),
+        |   i -> array_to_string(r2[i+1 : i+n], ' '))) AS g
+        |  FROM pp, ns)
+        | GROUP BY 1, 2, 3),
+        |s AS (
+        | SELECT cand_id, n, 0 AS ref_idx,
+        |  greatest(len(ct) - n + 1, 0) AS c_tot,
+        |  greatest(len(r1) - n + 1, 0) AS r_tot
+        | FROM pp, ns
+        | UNION ALL
+        | SELECT cand_id, n, 1,
+        |  greatest(len(ct) - n + 1, 0), greatest(len(r2) - n + 1, 0)
+        | FROM pp, ns),
+        |clp AS (
+        | SELECT cand_id, n, 0 AS ref_idx, sum(least(cc, rc)) AS ov
+        | FROM cg JOIN r1g USING (cand_id, n, g) GROUP BY 1, 2
+        | UNION ALL
+        | SELECT cand_id, n, 1, sum(least(cc, rc))
+        | FROM cg JOIN r2g USING (cand_id, n, g) GROUP BY 1, 2),
+        |j AS (
+        | SELECT s.cand_id, s.n, s.ref_idx, COALESCE(clp.ov, 0) AS ov,
+        |  s.c_tot, s.r_tot,
+        |  CASE WHEN s.c_tot = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(clp.ov, 0) AS DOUBLE) / s.c_tot END AS prec,
+        |  CASE WHEN s.r_tot = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(clp.ov, 0) AS DOUBLE) / s.r_tot END AS rec
+        | FROM s LEFT JOIN clp
+        |  ON s.cand_id = clp.cand_id AND s.n = clp.n AND s.ref_idx = clp.ref_idx),
+        |jf AS (
+        | SELECT j.*,
+        |  CASE WHEN prec + rec = 0.0 THEN 0.0
+        |       ELSE 2.0 * prec * rec / (prec + rec) END AS f1,
+        |  row_number() OVER (PARTITION BY cand_id, n
+        |   ORDER BY (CASE WHEN prec + rec = 0.0 THEN 0.0
+        |             ELSE 2.0 * prec * rec / (prec + rec) END) DESC,
+        |    ref_idx ASC) AS rn
+        | FROM j)
+        |SELECT cand_id, CAST(n AS INTEGER) AS n, CAST(ref_idx AS INTEGER) AS ref_idx,
+        | CAST(ov AS BIGINT) AS overlap,
+        | CAST(c_tot AS BIGINT) AS cand_total, CAST(r_tot AS BIGINT) AS ref_total,
+        | round(prec, 6) AS "precision", round(rec, 6) AS recall,
+        | round(f1, 6) AS f1
+        |FROM jf WHERE rn = 1
+        |ORDER BY cand_id, n""".stripMargin,
+
     // q210: q181's chao1 replay, which the Unicode-mode tokenizer must
     // reproduce bit-for-bit on the ASCII corpus (drop-in seam pin)
     "q210_unicode_vocab" ->
@@ -7264,6 +7454,21 @@ object SparkEntry {
         |  (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) - 1))
         |   / (2.0 * (sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) + 1)), 6) AS chao1
         |FROM tf""".stripMargin)
+
+  /** The q211/q212 TWO-reference pair CTEs: tokenized docs, lead-1 and
+    * lead-2 references within the source, rows lacking two references
+    * dropped (mirrors [[multiRefPairs]]).
+    */
+  private def multiRefPairCtes: String =
+    """d AS (
+      | SELECT doc_id, source,
+      |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id AS cand_id, toks AS ct,
+      |  lead(toks, 1) OVER w AS r1, lead(toks, 2) OVER w AS r2
+      | FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      |pp AS (SELECT * FROM p WHERE r2 IS NOT NULL)""".stripMargin
 
   /** q198's oracle minus the final ORDER BY — composable as a CTE body
     * (the q208 rollup wraps all four per-pair metric oracles).

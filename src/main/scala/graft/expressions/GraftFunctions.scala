@@ -95,6 +95,12 @@ object GraftFunctions {
         require(children.length == 1, "normalize_nfc takes exactly 1 argument")
         NormalizeNfc(children.head)
       }),
+    (FunctionIdentifier("ngram_overlap_stats_multi"),
+      new ExpressionInfo(classOf[NgramOverlapStatsMulti].getName, "ngram_overlap_stats_multi"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "ngram_overlap_stats_multi takes exactly 3 arguments")
+        NgramOverlapStatsMulti(children.head, children(1), children(2))
+      }),
     (FunctionIdentifier("unicode_tokens"),
       new ExpressionInfo(classOf[UnicodeTokens].getName, "unicode_tokens"),
       (children: Seq[Expression]) => {

@@ -1,64 +1,20 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
-/** Native one-pass clipped n-gram overlap statistics between a
-  * candidate and a reference token array, for every order n = 1..maxN
-  * at once: `array<struct<n int, clipped bigint, cand_total bigint,
-  * ref_total bigint>>` (element i holds order i+1).
-  *
-  * `clipped` is the BLEU/ROUGE "modified" match count (Papineni et al.
-  * ACL '02 §2.1): for each distinct candidate n-gram g,
-  * `min(count_cand(g), count_ref(g))` — a candidate cannot earn more
-  * credit for g than the reference contains. `cand_total`/`ref_total`
-  * are the plain n-gram counts `max(0, len - n + 1)`, the denominators
-  * of BLEU precision and ROUGE recall respectively.
-  *
-  * Both token arrays live in the SAME row, so the kernel is map-side
-  * and shuffle-free — the alternative (explode both sides to
-  * (pair, n, gram) rows and hash-join per gram) shuffles
-  * O(maxN · corpus tokens) rows to compute a per-row scalar. At 100 TB
-  * the explode-join shape is a full-corpus shuffle per metric; this is
-  * a JIT'd linear scan per pair. O(maxN · (Lc + Lr)) time, one small
-  * hash map per order.
-  *
-  * Null elements inside either array are skipped (split() output never
-  * contains them). Null arrays → null (TernaryExpression contract).
-  * `maxN` must be a foldable positive int.
+/** Shared primitives of the n-gram overlap kernels
+  * ([[NgramOverlapStats]] single-reference, [[NgramOverlapStatsMulti]]
+  * max-clipped multi-reference) — extracted rather than pasted twice
+  * (the Dedup dense-path lesson).
   */
-case class NgramOverlapStats(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType)
-          if third.foldable =>
-        val n = third.eval()
-        if (n == null || n.asInstanceOf[Int] < 1)
-          TypeCheckResult.TypeCheckFailure("ngram_overlap_stats maxN must be a positive int literal")
-        else TypeCheckResult.TypeCheckSuccess
-      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        s"ngram_overlap_stats expects (array<string>, array<string>, foldable int), got ($a, $b, $c)")
-    }
-
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("n", IntegerType, nullable = false),
-    StructField("clipped", LongType, nullable = false),
-    StructField("cand_total", LongType, nullable = false),
-    StructField("ref_total", LongType, nullable = false))), containsNull = false)
-
-  override def prettyName: String = "ngram_overlap_stats"
-
-  @transient private lazy val maxN: Int = third.eval().asInstanceOf[Int]
+private[expressions] object NgramKernel {
 
   /** Collect the non-null tokens once as Strings. */
-  private def tokensOf(arr: ArrayData): Array[String] = {
+  def tokensOf(arr: ArrayData): Array[String] = {
     val n = arr.numElements()
     val out = new java.util.ArrayList[String](n)
     var i = 0
@@ -77,7 +33,7 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
     * character would make same-order grams like ("a","b<SEP>c") and
     * ("a<SEP>b","c") collide).
     */
-  private def gramAt(toks: Array[String], start: Int, n: Int): String = {
+  def gramAt(toks: Array[String], start: Int, n: Int): String = {
     if (n == 1) return toks(start)
     val sb = new java.lang.StringBuilder()
     var j = 0
@@ -94,7 +50,7 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
     * millions of times per row batch and a boxed java.util.HashMap of
     * gram STRINGS was the hot path (measured on q205's char 6-grams).
     */
-  private final class LongCounts(expected: Int) {
+  final class LongCounts(expected: Int) {
     // capacity arithmetic in Long: `expected * 4` overflows Int past
     // ~536M entries (a degenerate giant per-row gram array), which
     // would round the capacity to 0 and crash slot() on an empty
@@ -126,14 +82,79 @@ case class NgramOverlapStats(first: Expression, second: Expression, third: Expre
       val i = slot(k)
       if (ks(i) == k && vs(i) > 0L) { vs(i) -= 1L; true } else false
     }
+    /** this(k) = max(this(k), v) — the multi-reference count merge. */
+    def setMax(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (ks(i) == -1L) { ks(i) = k; vs(i) = v }
+      else if (v > vs(i)) vs(i) = v
+    }
+    /** Visit every (key, count) entry. */
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (ks(i) != -1L) f(ks(i), vs(i))
+        i += 1
+      }
+    }
   }
 
-  @inline private def packAt(ids: Array[Int], start: Int, n: Int, bits: Int): Long = {
+  @inline def packAt(ids: Array[Int], start: Int, n: Int, bits: Int): Long = {
     var k = 0L
     var j = 0
     while (j < n) { k = (k << bits) | ids(start + j); j += 1 }
     k
   }
+}
+
+/** Native one-pass clipped n-gram overlap statistics between a
+  * candidate and a reference token array, for every order n = 1..maxN
+  * at once: `array<struct<n int, clipped bigint, cand_total bigint,
+  * ref_total bigint>>` (element i holds order i+1).
+  *
+  * `clipped` is the BLEU/ROUGE "modified" match count (Papineni et al.
+  * ACL '02 §2.1): for each distinct candidate n-gram g,
+  * `min(count_cand(g), count_ref(g))` — a candidate cannot earn more
+  * credit for g than the reference contains. `cand_total`/`ref_total`
+  * are the plain n-gram counts `max(0, len - n + 1)`, the denominators
+  * of BLEU precision and ROUGE recall respectively.
+  *
+  * Both token arrays live in the SAME row, so the kernel is map-side
+  * and shuffle-free — the alternative (explode both sides to
+  * (pair, n, gram) rows and hash-join per gram) shuffles
+  * O(maxN · corpus tokens) rows to compute a per-row scalar. At 100 TB
+  * the explode-join shape is a full-corpus shuffle per metric; this is
+  * a JIT'd linear scan per pair. O(maxN · (Lc + Lr)) time, one small
+  * hash map per order.
+  *
+  * Null elements inside either array are skipped (split() output never
+  * contains them). Null arrays → null (TernaryExpression contract).
+  * `maxN` must be a foldable positive int.
+  */
+case class NgramOverlapStats(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  import NgramKernel._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType)
+          if third.foldable =>
+        val n = third.eval()
+        if (n == null || n.asInstanceOf[Int] < 1)
+          TypeCheckResult.TypeCheckFailure("ngram_overlap_stats maxN must be a positive int literal")
+        else TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_overlap_stats expects (array<string>, array<string>, foldable int), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("clipped", LongType, nullable = false),
+    StructField("cand_total", LongType, nullable = false),
+    StructField("ref_total", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "ngram_overlap_stats"
+
+  @transient private lazy val maxN: Int = third.eval().asInstanceOf[Int]
 
   /** Shared by interpreted eval and codegen (the JaroWinkler /
     * TextArrayStats reference-object pattern — the hash-map loop gains

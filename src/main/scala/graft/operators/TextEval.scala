@@ -83,6 +83,40 @@ object TextEval {
     graft.expressions.GraftFunctions.register(pairs.sparkSession)
     val withStats = pairs.withColumn("__ov",
       overlapStats(col(candTextCol), col(refTextCol), maxN, mode))
+    bleuFromStats(withStats, pairs.columns.toSeq, maxN)
+  }
+
+  /** Multi-reference sentence BLEU — the form real eval sets need
+    * (1..k references; Papineni §2.1 clips each candidate gram against
+    * its MAX count over all references, brevity penalty on the
+    * closest-length reference, ties to the shorter). `refsTextCol` is
+    * an `array<string>` of reference TEXTS; clipping runs in the
+    * one-pass [[graft.expressions.NgramOverlapStatsMulti]] kernel
+    * (the per-gram max canNOT be assembled from per-reference kernel
+    * results — see the kernel doc). Zero references score 0. Same
+    * output shape and smoothing as [[bleu]].
+    */
+  def bleuMulti(pairs: DataFrame, candTextCol: String, refsTextCol: String,
+                maxN: Int = 4,
+                mode: graft.functions.Tokenize.Mode =
+                  graft.functions.Tokenize.Whitespace): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bleuMulti maxN must be in [1,8], got $maxN")
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
+    val withStats = pairs.withColumn("__ov",
+      call_function("ngram_overlap_stats_multi",
+        toks(col(candTextCol), mode),
+        transform(col(refsTextCol), r => toks(r, mode)),
+        lit(maxN)))
+    bleuFromStats(withStats, pairs.columns.toSeq, maxN)
+  }
+
+  /** The BLEU arithmetic over a frame carrying the `__ov` stats column
+    * — shared by the single- and multi-reference forms (identical by
+    * construction: the multi kernel emits the same struct shape with
+    * max-clipped counts and the effective-reference totals).
+    */
+  private def bleuFromStats(withStats: DataFrame, baseCols: Seq[String],
+                            maxN: Int): DataFrame = {
     val cLen = element_at(col("__ov"), 1).getField("cand_total")
     val rLen = element_at(col("__ov"), 1).getField("ref_total")
     // smoothed precision per order: n=1 raw, n>=2 add-one
@@ -103,7 +137,7 @@ object TextEval {
     val mCols = (1 to maxN).map(n =>
       element_at(col("__ov"), n).getField("clipped").as(s"m$n"))
     withStats.select(
-      (pairs.columns.map(col).toSeq :+ cLen.as("c_len") :+ rLen.as("r_len")) ++
+      (baseCols.map(col) :+ cLen.as("c_len") :+ rLen.as("r_len")) ++
         mCols :+ round(bp, 6).as("bp") :+ round(score, 6).as("bleu"): _*)
   }
 
@@ -333,5 +367,61 @@ object TextEval {
       clipped.as("overlap") :+ cTot.as("cand_total") :+ rTot.as("ref_total") :+
       round(prec, 6).as("precision") :+ round(rec, 6).as("recall") :+
       round(f1, 6).as("f1")): _*)
+  }
+
+  /** Multi-reference ROUGE-N (Lin '04: the score against k references
+    * is the MAX per-reference score — unlike BLEU's per-gram max-merge,
+    * ROUGE picks the best whole reference). One row per (pair, n) with
+    * the winning reference's index (`ref_idx`, 0-based; F1 ties go to
+    * the lowest index) and its stats. `refsTextCol` is an
+    * `array<string>` of reference texts.
+    *
+    * Scale shape: the per-reference kernels run inside a `transform`
+    * over the refs array in the SAME row, candidate tokens staged as
+    * their own column so the lambda references an attribute (HOFs
+    * re-evaluate captured subtrees per element — the winnowing
+    * lesson); the argmax is an `array_max` over (f1, −idx) structs.
+    * Entirely map-side — no explode-join, no shuffle. Pairs with zero
+    * references emit null stats (callers filter or treat as 0).
+    */
+  def rougeNMulti(pairs: DataFrame, candTextCol: String, refsTextCol: String,
+                  ns: Seq[Int] = Seq(1, 2),
+                  mode: graft.functions.Tokenize.Mode =
+                    graft.functions.Tokenize.Whitespace): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"rougeNMulti orders must be in [1,8], got $ns")
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
+    val maxN = ns.max
+    val staged = pairs
+      .withColumn("__ct", toks(col(candTextCol), mode))
+      .withColumn("__ovs", transform(col(refsTextCol),
+        r => call_function("ngram_overlap_stats", col("__ct"), toks(r, mode), lit(maxN))))
+    def bestFor(n: Int): Column = {
+      val scored = transform(col("__ovs"), (ov, i) => {
+        val st = element_at(ov, n)
+        val clipped = st.getField("clipped")
+        val cTot = st.getField("cand_total")
+        val rTot = st.getField("ref_total")
+        val prec = when(cTot === 0, lit(0.0)).otherwise(clipped.cast("double") / cTot)
+        val rec = when(rTot === 0, lit(0.0)).otherwise(clipped.cast("double") / rTot)
+        val f1 = when(prec + rec === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * prec * rec / (prec + rec))
+        struct(f1.as("f1"), (-i).as("neg_idx"), prec.as("precision"),
+          rec.as("recall"), clipped.as("overlap"),
+          cTot.as("cand_total"), rTot.as("ref_total"))
+      })
+      array_max(scored) // lexicographic: max f1, ties -> lowest ref idx
+    }
+    val rows = array(ns.map(n => struct(lit(n).as("n"), bestFor(n).as("b"))): _*)
+    staged.withColumn("__row", explode(rows))
+      .select((pairs.columns.map(col).toSeq :+
+        col("__row.n").as("n") :+
+        (-col("__row.b.neg_idx")).as("ref_idx") :+
+        col("__row.b.overlap").as("overlap") :+
+        col("__row.b.cand_total").as("cand_total") :+
+        col("__row.b.ref_total").as("ref_total") :+
+        round(col("__row.b.precision"), 6).as("precision") :+
+        round(col("__row.b.recall"), 6).as("recall") :+
+        round(col("__row.b.f1"), 6).as("f1")): _*)
   }
 }

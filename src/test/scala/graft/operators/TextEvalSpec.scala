@@ -260,6 +260,99 @@ class TextEvalSpec extends SparkSpec {
     }
   }
 
+  private def multiPairsOf(rows: (String, Seq[String])*) =
+    rows.toSeq.toDF("cand_text", "refs")
+
+  test("multi-ref BLEU: Papineni §2.1 worked example — clip at the MAX over references") {
+    // the paper's two-reference example: cand the(×7);
+    // ref1 "the cat is on the mat" has the×2, ref2 "there is a cat on
+    // the mat" has the×1 → clip = max(2,1) = 2, p1 = 2/7
+    val out = TextEval.bleuMulti(
+      multiPairsOf("the the the the the the the" ->
+        Seq("the cat is on the mat", "there is a cat on the mat")),
+      "cand_text", "refs", maxN = 1).collect().head
+    assert(out.getAs[Long]("m1") == 2)
+    assert(out.getAs[Long]("c_len") == 7)
+    assert(math.abs(out.getAs[Double]("bleu") - 2.0 / 7) < 1e-6)
+  }
+
+  test("multi-ref BLEU: per-gram max-merge strictly beats the best single reference") {
+    // cand "a b c d": ref1 covers a,b (+bigram ab), ref2 covers c,d
+    // (+bigram cd). Merged: m1 = 4, m2 = 2 (ab, cd); best single ref
+    // alone: m1 = 2, m2 = 1 — the reason this needs a kernel, not a
+    // max over per-reference results
+    val out = TextEval.bleuMulti(
+      multiPairsOf("a b c d" -> Seq("a b x y", "c d x y")),
+      "cand_text", "refs", maxN = 2).collect().head
+    assert(out.getAs[Long]("m1") == 4)
+    assert(out.getAs[Long]("m2") == 2)
+    val single = TextEval.bleu(
+      pairsOf("a b c d" -> "a b x y"), "cand_text", "ref_text", maxN = 2)
+      .collect().head
+    assert(single.getAs[Long]("m1") == 2 && single.getAs[Long]("m2") == 1)
+  }
+
+  test("multi-ref BLEU: effective reference length is the closest, ties to the shorter") {
+    // cand 3 toks; refs of 2 and 5 → closest is 2 → r_len = 2
+    val a = TextEval.bleuMulti(
+      multiPairsOf("a b c" -> Seq("a b", "a b c d e")),
+      "cand_text", "refs", maxN = 1).collect().head
+    assert(a.getAs[Long]("r_len") == 2)
+    // tie: refs of 2 and 4 around cand 3 → shorter wins → 2
+    val b = TextEval.bleuMulti(
+      multiPairsOf("a b c" -> Seq("a b c d", "a b")),
+      "cand_text", "refs", maxN = 1).collect().head
+    assert(b.getAs[Long]("r_len") == 2)
+    // bp follows the effective length: c_len 3 > r_len 2 → bp = 1
+    assert(a.getAs[Double]("bp") == 1.0)
+  }
+
+  test("multi-ref BLEU: single reference degrades to bleu(); zero references score 0") {
+    val m = TextEval.bleuMulti(
+      multiPairsOf("the cat sat on the mat" -> Seq("the cat is on the mat")),
+      "cand_text", "refs", maxN = 4).collect().head
+    val s = TextEval.bleu(
+      pairsOf("the cat sat on the mat" -> "the cat is on the mat"),
+      "cand_text", "ref_text", maxN = 4).collect().head
+    for (c <- Seq("c_len", "r_len", "m1", "m2", "m3", "m4"))
+      assert(m.getAs[Long](c) == s.getAs[Long](c), s"single-ref parity on $c")
+    assert(m.getAs[Double]("bleu") == s.getAs[Double]("bleu"))
+    val z = TextEval.bleuMulti(
+      multiPairsOf("the cat" -> Seq.empty[String]),
+      "cand_text", "refs", maxN = 2).collect().head
+    assert(z.getAs[Long]("m1") == 0 && z.getAs[Double]("bleu") == 0.0)
+    assert(z.getAs[Long]("r_len") == 0)
+  }
+
+  test("multi-ref ROUGE-N: max per-reference score, F1 ties to the lowest ref index") {
+    // ref0 shares 1 of cand's 3 unigrams, ref1 shares 3 — ref1 wins
+    val out = TextEval.rougeNMulti(
+      multiPairsOf("a b c" -> Seq("a x y", "a b c")),
+      "cand_text", "refs", ns = Seq(1)).collect().head
+    assert(out.getAs[Int]("ref_idx") == 1)
+    assert(out.getAs[Long]("overlap") == 3)
+    assert(out.getAs[Double]("f1") == 1.0)
+    // exact F1 tie (identical refs) → index 0
+    val tie = TextEval.rougeNMulti(
+      multiPairsOf("a b" -> Seq("a b", "a b")),
+      "cand_text", "refs", ns = Seq(1, 2)).collect()
+    assert(tie.forall(_.getAs[Int]("ref_idx") == 0))
+    assert(tie.map(_.getAs[Int]("n")).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("multi-ref ROUGE-N: per-order winners can differ (ROUGE picks whole refs, not grams)") {
+    // cand "a b c d": ref0 "a x c y" (2 unigrams, 0 bigrams),
+    // ref1 "c d x y" (2 unigrams, 1 bigram) — n=1 ties on f1 → ref0;
+    // n=2 → ref1
+    val out = TextEval.rougeNMulti(
+      multiPairsOf("a b c d" -> Seq("a x c y", "c d x y")),
+      "cand_text", "refs", ns = Seq(1, 2))
+      .collect().map(r => r.getAs[Int]("n") -> r).toMap
+    assert(out(1).getAs[Int]("ref_idx") == 0)
+    assert(out(2).getAs[Int]("ref_idx") == 1)
+    assert(out(2).getAs[Long]("overlap") == 1)
+  }
+
   test("standalone session path: bleu() self-registers the kernel function") {
     // regression: call_function("ngram_overlap_stats") must not depend
     // on an earlier query having registered GraftFunctions
