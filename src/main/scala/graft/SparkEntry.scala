@@ -3645,6 +3645,136 @@ object SparkEntry {
       .orderBy(col("cand_id"), col("n"))
   }
 
+  /** Paired bootstrap significance of a metric delta
+    * ([[graft.operators.Stats.pairedBootstrapDelta]], Koehn EMNLP '04):
+    * is system A's ROUGE-1 really better than system B's on the same
+    * pair set? System A scores the full candidate, system B a
+    * controlled degradation (candidate with its last token dropped),
+    * both against the same reference; scores enter as exact integer
+    * micros, 200 deterministic Poisson(1) replicates reweight the
+    * shared units, and the verdict is the percentile CI on the delta
+    * plus the fraction of replicates where A wins. The oracle replays
+    * the ROUGE-1 scoring of BOTH systems, the md5 CDF-ladder draws,
+    * both percentiles and the win fraction.
+    */
+  private def q213PairedBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Stats, TextEval}
+    import graft.functions.Tokenize
+    val pairs = TextEval.adjacentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+    val ct = Tokenize.tokensSpaceSplit(col("cand_text"), Tokenize.Whitespace)
+    val degraded = pairs.withColumn("cand_text",
+      array_join(slice(ct, lit(1), greatest(size(ct) - 1, lit(0))), " "))
+    def r1Micros(p: DataFrame, as: String): DataFrame =
+      TextEval.rougeN(p, "cand_text", "ref_text", ns = Seq(1))
+        .select(col("cand_id"), round(col("f1") * 1e6).cast("long").as(as))
+    val scored = r1Micros(pairs, "a_micro")
+      .join(r1Micros(degraded, "b_micro"), "cand_id")
+    Stats.pairedBootstrapDelta(scored, "cand_id", "a_micro", "b_micro",
+        nReplicates = 200)
+      .select(col("n"), round(col("mean_a") / 1e6, 6).as("mean_a"),
+        round(col("mean_b") / 1e6, 6).as("mean_b"),
+        round(col("delta") / 1e6, 6).as("delta"),
+        col("n_replicates"),
+        round(col("ci_lo") / 1e6, 6).as("ci_lo"),
+        round(col("ci_hi") / 1e6, 6).as("ci_hi"),
+        round(col("frac_a_better"), 6).as("frac_a_better"))
+  }
+
+  /** Measurement-driven adaptive join ([[graft.operators.SkewJoins
+    * .adaptiveJoin]]): the planner measures (right-side bytes via
+    * Catalyst stats, left row count, sampled hottest-key estimate) and
+    * picks broadcast / plain / hot-key-salted itself — here on a
+    * deliberately skewed key (every third lineitem rekeyed to one hot
+    * key, ~⅓ of all rows, far above the 2× average-partition
+    * threshold, so the salted path fires at every SF). Strategy choice
+    * must never change WHICH rows meet: the oracle is the plain SQL
+    * join of the same rekeyed tables (the q47 salt-invariance
+    * precedent).
+    */
+  private def q214AdaptiveJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewJoins
+    val li = t(s, dir, "lineitem")
+      .select(when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    // broadcastBytes=0 pins the exercise to the shuffle-side planner:
+    // at smoke SF the whole orders table fits any realistic budget and
+    // the query would silently test the (already q03-covered)
+    // broadcast path instead of the skew machinery
+    SkewJoins.adaptiveJoin(li, ord, Seq("k"), broadcastBytes = 0L,
+        sampleFraction = 0.2)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** GIF dHash ([[graft.operators.Multimodal.imageDHash]] over
+    * [[graft.operators.Multimodal.synthesizeGifImages]]): real GIF89a
+    * payloads decoded through the JDK's ImageIO (first frame for
+    * animated — spec-pinned). GIF's 256-color ceiling means the pixels
+    * are a 16-color closed-form palette pattern instead of q163's
+    * full-color noise — drawn into an exact indexed color model, so
+    * the encode is verbatim and the oracle reconstructs every luma,
+    * cell mean and difference bit from the palette formula (the q202
+    * lossless-codec contract, third format).
+    */
+  private def q215GifDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.imageDHash(Multimodal.synthesizeGifImages(s, 300))
+      .orderBy(col("media_id"))
+  }
+
+  /** Near-dup mining through the Unicode tokenizer seam
+    * ([[graft.operators.Dedup.jaccardPairsClassed]] with
+    * [[graft.functions.Tokenize.Unicode]]): q23's classed Jaccard
+    * miner with UAX#29 segmentation in place of whitespace split — on
+    * CJK/Thai text whitespace "tokens" are whole clauses and near-dup
+    * Jaccard silently collapses to exact-match (spec-pinned: a Chinese
+    * near-dup pair scores 0 under whitespace, qualifies under
+    * Unicode). Both modes agree bit-for-bit on the space-separated
+    * ASCII oracle corpus, so the q23 brute-force oracle applies
+    * UNCHANGED — the green row pins the seam as a drop-in.
+    */
+  private def q216UnicodeDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.Tokenize
+    Dedup.jaccardPairsClassed(t(s, dir, "documents"), "doc_id", "text", "lang",
+        0.95, ngram = 1, mode = Tokenize.Unicode)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Sentence-aware chunking verdicts
+    * ([[graft.operators.Chunking.sentenceChunks]] /
+    * [[graft.expressions.SentenceChunks]]): UAX#29 sentences packed
+    * greedily to ≤ 64 whitespace tokens without ever splitting a
+    * sentence. Segmentation itself is not SQL-replayable, so the
+    * oracle pins the invariants that ARE (the q209 md5-verdict
+    * convention): chunks concatenate back to the document
+    * byte-for-byte (md5 identity), chunk token counts sum to the
+    * document's whitespace token count, and every chunk is within
+    * budget or a single oversized sentence. Sentence boundaries are
+    * spec-pinned on hand-segmented fixtures (incl. CJK 。).
+    */
+  private def q217SentenceChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .withColumn("__c", call_function("sentence_chunks", col("text"), lit(64)))
+      .select(col("doc_id"),
+        md5(concat_ws("", transform(col("__c"), c => c.getField("chunk"))))
+          .as("chunks_md5"),
+        aggregate(col("__c"), lit(0L),
+          (acc, c) => acc + c.getField("n_tokens")).as("tok_total"),
+        forall(col("__c"),
+          c => c.getField("n_tokens") <= 64 || c.getField("n_sentences") === 1)
+          .as("ok_budget"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -4001,7 +4131,12 @@ object SparkEntry {
     "q209_unicode_tokens" -> (q209UnicodeTokens _),
     "q210_unicode_vocab" -> (q210UnicodeVocab _),
     "q211_bleu_multi" -> (q211BleuMulti _),
-    "q212_rouge_multi" -> (q212RougeMulti _))
+    "q212_rouge_multi" -> (q212RougeMulti _),
+    "q213_paired_bootstrap" -> (q213PairedBootstrap _),
+    "q214_adaptive_join" -> (q214AdaptiveJoin _),
+    "q215_gif_dhash" -> (q215GifDhash _),
+    "q216_unicode_dedup" -> (q216UnicodeDedup _),
+    "q217_sentence_chunks" -> (q217SentenceChunks _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7453,7 +7588,143 @@ object SparkEntry {
         | round(count(*) +
         |  (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) - 1))
         |   / (2.0 * (sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) + 1)), 6) AS chao1
-        |FROM tf""".stripMargin)
+        |FROM tf""".stripMargin,
+
+    // q213: ROUGE-1 of both systems replayed (system B = candidate minus
+    // its last token), then the q184 md5 CDF-ladder Poisson draws on the
+    // per-pair micro delta, both percentiles, and the win fraction
+    "q213_paired_bootstrap" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id AS cand_id, toks AS ct, lead(toks) OVER w AS rt
+        | FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |pp AS (SELECT cand_id, ct, list_slice(ct, 1, greatest(len(ct) - 1, 0)) AS cb, rt
+        |       FROM p WHERE rt IS NOT NULL),
+        |rg AS (SELECT cand_id, g, count(*) AS rc
+        |       FROM (SELECT cand_id, unnest(rt) AS g FROM pp) GROUP BY 1, 2),
+        |ca AS (SELECT cand_id, g, count(*) AS cc
+        |       FROM (SELECT cand_id, unnest(ct) AS g FROM pp) GROUP BY 1, 2),
+        |cbg AS (SELECT cand_id, g, count(*) AS cc
+        |        FROM (SELECT cand_id, unnest(cb) AS g FROM pp) GROUP BY 1, 2),
+        |clA AS (SELECT cand_id, COALESCE(sum(least(cc, COALESCE(rc, 0))), 0) AS clipped
+        |        FROM ca LEFT JOIN rg USING (cand_id, g) GROUP BY 1),
+        |clB AS (SELECT cand_id, COALESCE(sum(least(cc, COALESCE(rc, 0))), 0) AS clipped
+        |        FROM cbg LEFT JOIN rg USING (cand_id, g) GROUP BY 1),
+        |f1s AS (
+        | SELECT pp.cand_id,
+        |  CASE WHEN len(pp.ct) = 0 THEN 0.0
+        |       ELSE COALESCE(clA.clipped, 0) * 1.0 / len(pp.ct) END AS pa,
+        |  CASE WHEN len(pp.rt) = 0 THEN 0.0
+        |       ELSE COALESCE(clA.clipped, 0) * 1.0 / len(pp.rt) END AS ra,
+        |  CASE WHEN len(pp.cb) = 0 THEN 0.0
+        |       ELSE COALESCE(clB.clipped, 0) * 1.0 / len(pp.cb) END AS pb,
+        |  CASE WHEN len(pp.rt) = 0 THEN 0.0
+        |       ELSE COALESCE(clB.clipped, 0) * 1.0 / len(pp.rt) END AS rb
+        | FROM pp LEFT JOIN clA USING (cand_id) LEFT JOIN clB USING (cand_id)),
+        |sc AS (
+        | SELECT cand_id,
+        |  CAST(round(round(CASE WHEN pa + ra = 0 THEN 0.0
+        |    ELSE 2.0 * pa * ra / (pa + ra) END, 6) * 1000000) AS BIGINT) AS a_micro,
+        |  CAST(round(round(CASE WHEN pb + rb = 0 THEN 0.0
+        |    ELSE 2.0 * pb * rb / (pb + rb) END, 6) * 1000000) AS BIGINT) AS b_micro
+        | FROM f1s),
+        |scd AS (SELECT cand_id, a_micro, b_micro, a_micro - b_micro AS dd FROM sc),
+        |reps AS (SELECT b FROM generate_series(1, 200) t(b)),
+        |w AS (SELECT dd, b,
+        |  (CAST(('0x' || substring(md5(CAST(cand_id AS VARCHAR) || '|' || CAST((b - 1) // 4 AS VARCHAR)),
+        |                           1 + 8 * ((b - 1) % 4), 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0 AS u
+        | FROM scd CROSS JOIN reps),
+        |wt AS (SELECT b, dd,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       WHEN u < 0.9994058151824183 THEN 5
+        |       WHEN u < 0.9999167588507119 THEN 6
+        |       ELSE 7 END AS wgt
+        | FROM w),
+        |m AS (SELECT b, sum(wgt * dd) * 1.0 / sum(wgt) AS mean_b
+        |      FROM wt GROUP BY 1),
+        |pb AS (SELECT count(*) AS n_replicates,
+        |             quantile_cont(mean_b, 0.025) AS lo,
+        |             quantile_cont(mean_b, 0.975) AS hi,
+        |             avg(CASE WHEN mean_b > 0 THEN 1.0 ELSE 0.0 END) AS fab
+        |       FROM m),
+        |pt AS (SELECT count(*) AS n, avg(a_micro) AS ma, avg(b_micro) AS mb,
+        |              avg(dd) AS md FROM scd)
+        |SELECT n, round(ma / 1000000.0, 6) AS mean_a,
+        | round(mb / 1000000.0, 6) AS mean_b,
+        | round(md / 1000000.0, 6) AS delta, n_replicates,
+        | round(lo / 1000000.0, 6) AS ci_lo, round(hi / 1000000.0, 6) AS ci_hi,
+        | round(fab, 6) AS frac_a_better
+        |FROM pb CROSS JOIN pt""".stripMargin,
+
+    // q214: strategy choice must never change WHICH rows meet — the
+    // oracle is the PLAIN join of the same rekeyed tables (q47/q61
+    // salt-invariance precedent)
+    "q214_adaptive_join" ->
+      """WITH li AS (
+        | SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS k,
+        |  l_extendedprice, l_discount
+        | FROM lineitem),
+        |o AS (SELECT o_orderkey AS k, o_orderpriority FROM orders)
+        |SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM li JOIN o USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q215: the q163 dHash bit grid reconstructed from the 16-color GIF
+    // palette closed form — j = (id + 3x + 5y) mod 16, rgb = (17j,
+    // 37j mod 256, 53j mod 256); GIF is palette-exact so every bit must
+    // match the generator
+    "q215_gif_dhash" ->
+      """WITH m AS (
+        | SELECT r.i AS media_id, CAST(16 + (r.i % 6) * 8 AS INT) AS w,
+        |  CAST(16 + (r.i % 5) * 8 AS INT) AS h
+        | FROM range(300) r(i) WHERE r.i % 3 = 0),
+        |px AS (
+        | SELECT m.media_id, (xx.x * 9) // m.w AS cx, (yy.y * 8) // m.h AS cy,
+        |    299 * (((m.media_id + 3 * xx.x + 5 * yy.y) % 16) * 17)
+        |  + 587 * ((((m.media_id + 3 * xx.x + 5 * yy.y) % 16) * 37) % 256)
+        |  + 114 * ((((m.media_id + 3 * xx.x + 5 * yy.y) % 16) * 53) % 256) AS luma
+        | FROM m, unnest(range(0, m.w)) xx(x), unnest(range(0, m.h)) yy(y)),
+        |cells AS (
+        | SELECT media_id, cx, cy, CAST(sum(luma) AS BIGINT) AS s, count(*) AS n
+        | FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        | SELECT a.media_id, a.cy, a.cx,
+        |  CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+        | FROM cells a JOIN cells b
+        |   ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        | WHERE a.cx < 8),
+        |nib AS (SELECT media_id, (cy * 8 + cx) // 4 AS ni,
+        |         CAST(sum(bit << ((cy * 8 + cx) % 4)) AS INT) AS v
+        |        FROM bits GROUP BY 1, 2)
+        |SELECT media_id,
+        | string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY ni DESC) AS dhash
+        |FROM nib GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // q216: the Unicode tokenizer degrades EXACTLY to whitespace tokens
+    // on the single-space ASCII oracle corpus (the q209-pinned
+    // contract), so the q23 brute-force Jaccard oracle applies verbatim
+    "q216_unicode_dedup" -> jaccardOracle,
+
+    // q217: chunk-coverage md5 identity (chunks concat back to the raw
+    // text), token-count conservation, and the budget verdict — the
+    // md5-verdict convention for non-SQL-replayable segmentation
+    "q217_sentence_chunks" ->
+      """SELECT doc_id, md5(text) AS chunks_md5,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+        |   AS tok_total,
+        | true AS ok_budget
+        |FROM documents WHERE text IS NOT NULL AND text <> ''
+        |ORDER BY doc_id""".stripMargin)
 
   /** The q211/q212 TWO-reference pair CTEs: tokenized docs, lead-1 and
     * lead-2 references within the source, rows lacking two references

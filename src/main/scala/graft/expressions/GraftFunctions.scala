@@ -107,6 +107,18 @@ object GraftFunctions {
         require(children.length == 1, "unicode_tokens takes exactly 1 argument")
         UnicodeTokens(children.head)
       }),
+    (FunctionIdentifier("sentence_split"),
+      new ExpressionInfo(classOf[SentenceSplit].getName, "sentence_split"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "sentence_split takes exactly 1 argument")
+        SentenceSplit(children.head)
+      }),
+    (FunctionIdentifier("sentence_chunks"),
+      new ExpressionInfo(classOf[SentenceChunks].getName, "sentence_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sentence_chunks takes exactly 2 arguments")
+        SentenceChunks(children.head, children(1))
+      }),
     (FunctionIdentifier("text_array_stats"),
       new ExpressionInfo(classOf[TextArrayStats].getName, "text_array_stats"),
       (children: Seq[Expression]) => {

@@ -41,6 +41,35 @@ object Chunking {
         size(col("col")).cast("long").as("n_tokens"))
   }
 
+  /** Sentence-aware chunking ([[graft.expressions.SentenceChunks]]):
+    * consecutive UAX#29 sentences packed greedily into chunks of ≤
+    * `maxTokens` whitespace tokens, never splitting inside a sentence —
+    * the RAG-indexing chunker that keeps retrieval units semantically
+    * whole where [[chunkTokens]]' fixed windows cut mid-sentence. A
+    * single sentence over the budget is its own oversized chunk
+    * (documented exception; the q217 budget verdict carries it). Spans
+    * are verbatim, so concatenating a document's chunks in chunk_id
+    * order reproduces the document byte-for-byte and Σ n_tokens is the
+    * document's whitespace token count — both oracle-replayed as md5 /
+    * sum identities. Output: (id, chunk_id, chunk_text, n_sentences,
+    * n_tokens); documents with null/empty text emit no rows.
+    *
+    * Scale shape: one map-side kernel pass per document, posexplode —
+    * no shuffle; amplification is the output contract.
+    */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), posexplode(
+        call_function("sentence_chunks", col(textCol), lit(maxTokens))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col.chunk").as("chunk_text"),
+        col("col.n_sentences").cast("long").as("n_sentences"),
+        col("col.n_tokens").cast("long").as("n_tokens"))
+  }
+
   /** C4-style corpus-wide span dedup (Raffel et al. '20 §2.2 — "three-
     * sentence span" dedup, token-span form): every document is cut into
     * non-overlapping `span`-token chunks; a chunk whose text occurs

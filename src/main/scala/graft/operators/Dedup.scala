@@ -86,9 +86,18 @@ object Dedup {
     * (the [[simhashTable]] contract).
     */
   def hashedShingleSet(df: DataFrame, text: Column, n: Int,
-                       removeEmpty: Boolean = false): Column = {
+                       removeEmpty: Boolean = false,
+                       mode: graft.functions.Tokenize.Mode =
+                         graft.functions.Tokenize.Whitespace): Column = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val raw0 = split(lower(trim(text)), "\\s+")
+    // the tokenizer seam: Unicode mode segments CJK/Thai into real word
+    // tokens before shingling (drops empties itself, so removeEmpty is
+    // a no-op there); both modes agree on space-separated ASCII, which
+    // is what lets q216 reuse q23's brute-force oracle unchanged
+    val raw0 = mode match {
+      case graft.functions.Tokenize.Whitespace => split(lower(trim(text)), "\\s+")
+      case graft.functions.Tokenize.Unicode => call_function("unicode_tokens", text)
+    }
     val raw = if (removeEmpty) array_remove(raw0, "") else raw0
     val k = call_function("shingle_hashes", raw, lit(math.max(1, n)))
     if (n <= 1) k else coalesce(k, typedlit(Array.empty[Long]))
@@ -422,11 +431,13 @@ object Dedup {
     */
   private def classedJaccardCore(df: DataFrame, idCol: String, textCol: String,
                                  blockCol: String, threshold: Double,
-                                 ngram: Int): (DataFrame, DataFrame) = {
+                                 ngram: Int,
+                                 mode: graft.functions.Tokenize.Mode =
+                                   graft.functions.Tokenize.Whitespace): (DataFrame, DataFrame) = {
     // ngram > 1 mines word-shingle Jaccard (sequence-sensitive) instead of
     // token-set Jaccard (bag-of-words); hashing is the fused native kernel
     val toks = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      hashedShingleSet(df, col(textCol), ngram).as("toks"))
+      hashedShingleSet(df, col(textCol), ngram, removeEmpty = false, mode).as("toks"))
     // deliberate materialization point: the class table feeds three plan
     // branches (within-pairs + both sides of the class join); without
     // persist each branch re-runs the scan + groupBy
@@ -464,8 +475,11 @@ object Dedup {
 
   def jaccardPairsClassed(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, threshold: Double,
-                          ngram: Int = 1): DataFrame = {
-    val (classes, classPairs) = classedJaccardCore(df, idCol, textCol, blockCol, threshold, ngram)
+                          ngram: Int = 1,
+                          mode: graft.functions.Tokenize.Mode =
+                            graft.functions.Tokenize.Whitespace): DataFrame = {
+    val (classes, classPairs) =
+      classedJaccardCore(df, idCol, textCol, blockCol, threshold, ngram, mode)
 
     // within-class doc pairs: jaccard 1.0
     val within = classes
@@ -499,8 +513,11 @@ object Dedup {
     */
   def dedupClustersClassed(df: DataFrame, idCol: String, textCol: String,
                            blockCol: String, threshold: Double,
-                           ngram: Int = 1): DataFrame = {
-    val (classes, classPairs) = classedJaccardCore(df, idCol, textCol, blockCol, threshold, ngram)
+                           ngram: Int = 1,
+                           mode: graft.functions.Tokenize.Mode =
+                             graft.functions.Tokenize.Whitespace): DataFrame = {
+    val (classes, classPairs) =
+      classedJaccardCore(df, idCol, textCol, blockCol, threshold, ngram, mode)
     val comp = Components.connectedComponents(
       classPairs.select(col("cls_a"), col("cls_b")), "cls_a", "cls_b",
       allIds = classes.select(col("cls")), idCol = "cls")

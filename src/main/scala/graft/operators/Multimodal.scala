@@ -366,6 +366,64 @@ object Multimodal {
     }.toDF("media_id", "modality", "width", "height", "n_frames", "payload")
   }
 
+  /** The 16-entry GIF test palette, closed-form so SQL restates every
+    * channel: entry j = (r, g, b) = (j·17, (j·37) mod 256, (j·53) mod
+    * 256) — j·17 sweeps 0..255 exactly, the other two scramble.
+    */
+  private[operators] def gifPaletteRgb(j: Int): Int =
+    ((j * 17) << 16) | (((j * 37) % 256) << 8) | ((j * 53) % 256)
+
+  /** Palette index of pixel (x, y) in synthetic GIF i. */
+  private[operators] def gifPixelIndex(i: Long, x: Int, y: Int): Int =
+    ((i + 3L * x + 5L * y) % 16).toInt
+
+  /** A real GIF89a. GIF's 256-color ceiling means [[synthPixelByte]]'s
+    * full-color pattern cannot ride losslessly, so GIF rows carry a
+    * 16-color closed-form pattern instead — drawn into a
+    * `TYPE_BYTE_INDEXED` image over an exact `IndexColorModel` of
+    * [[gifPaletteRgb]], which the JDK GIF writer encodes verbatim
+    * (no quantization: every pixel IS a palette entry). An ImageIO
+    * decode therefore replays the closed form bit-for-bit and the
+    * dHash/pool oracles restate it in SQL (the q215 contract).
+    */
+  private[operators] def synthGif(i: Long, w: Int, h: Int): Array[Byte] = {
+    val r = Array.tabulate(16)(j => ((gifPaletteRgb(j) >> 16) & 0xff).toByte)
+    val g = Array.tabulate(16)(j => ((gifPaletteRgb(j) >> 8) & 0xff).toByte)
+    val b = Array.tabulate(16)(j => (gifPaletteRgb(j) & 0xff).toByte)
+    val cm = new java.awt.image.IndexColorModel(4, 16, r, g, b)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, 0xff000000 | gifPaletteRgb(gifPixelIndex(i, x, y)))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val ok = javax.imageio.ImageIO.write(img, "gif", out)
+      require(ok, "no ImageIO writer for format gif")
+      out.flush()
+    } finally out.close()
+    bos.toByteArray
+  }
+
+  /** Image-only synthetic media as real GIF89a files — [[synthesize]]'s
+    * image ids and dims with the [[synthGif]] palette pattern.
+    */
+  def synthesizeGifImages(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).filter(_ % 3 == 0).map { i =>
+      val w = 16 + (i % 6).toInt * 8
+      val h = 16 + (i % 5).toInt * 8
+      (i, "image", w, h, 1, synthGif(i, w, h))
+    }.toDF("media_id", "modality", "width", "height", "n_frames", "payload")
+  }
+
   /** Decoded-frame contract produced by [[decodeFeatures]]. */
   case class MediaFeatures(mediaId: Long, modality: String,
                            decodedWidth: Int, decodedHeight: Int,
@@ -960,11 +1018,15 @@ object Multimodal {
 
   /** Format dispatch by magic bytes: BMP (`BM`, decoded by the pure
     * byte-arithmetic path below — no codec dependency), PNG
-    * (`\x89PNG`) and JPEG (`\xFF\xD8\xFF`) via the JDK's
-    * `javax.imageio` (public platform API, present in every JRE).
-    * Anything else is refused loudly — a 100 TB corpus WILL contain
-    * garbage rows and they must fail with the media_id, not an
-    * ArrayIndexOutOfBounds three stack frames deep.
+    * (`\x89PNG`), JPEG (`\xFF\xD8\xFF`) and GIF (`GIF8`, both 87a and
+    * 89a — for an ANIMATED gif the decode is the FIRST frame, the
+    * thumbnail/near-dup convention) via the JDK's `javax.imageio`
+    * (public platform API, present in every JRE). WebP stays refused:
+    * no JDK decoder exists, and a silent wrong answer is worse than a
+    * loud gap (the HTTP-transport convention). Anything else is
+    * refused loudly — a 100 TB corpus WILL contain garbage rows and
+    * they must fail with the media_id, not an ArrayIndexOutOfBounds
+    * three stack frames deep.
     */
   private[operators] def decodeRgb(id: Long, payload: Array[Byte],
                                    what: String): RgbImage = {
@@ -978,8 +1040,11 @@ object Multimodal {
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
              (payload(2) & 0xff) == 0xff)
       decodeImageIoRgb(id, payload, what)
+    else if (payload(0) == 'G'.toByte && payload(1) == 'I'.toByte &&
+             payload(2) == 'F'.toByte && payload(3) == '8'.toByte)
+      decodeImageIoRgb(id, payload, what)
     else throw new IllegalArgumentException(
-      s"$what: unsupported image payload (media_id=$id): magic bytes match none of BMP/PNG/JPEG")
+      s"$what: unsupported image payload (media_id=$id): magic bytes match none of BMP/PNG/JPEG/GIF")
   }
 
   /** The BMP side of [[decodeRgb]]: headers parsed by hand (LE data

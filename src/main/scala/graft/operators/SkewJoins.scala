@@ -133,6 +133,111 @@ object SkewJoins {
     hot.map(_.getString(0)).toSet
   }
 
+  /** The strategy [[decide]] picked, with the measurements that picked
+    * it — logged/asserted instead of re-derived, so a plan audit can
+    * pin WHY a join shaped itself the way it did.
+    */
+  sealed trait Strategy
+  /** Right side fits the byte budget — hash-join with no shuffle. */
+  case object BroadcastRight extends Strategy
+  /** No broadcast, no skew worth mitigating — let AQE handle the rest. */
+  case object PlainShuffle extends Strategy
+  /** Hot-key salting with the given fan-out and detection threshold. */
+  final case class SaltHotKeys(salt: Int, hotThreshold: Long) extends Strategy
+
+  final case class JoinDecision(strategy: Strategy, rightBytes: BigInt,
+                                leftRows: Long, estHotKeyRows: Long,
+                                hotThreshold: Long)
+
+  /** Sketch-driven join planning: measure, then pick the strategy a
+    * human would — in the order that matters at 100 TB. (1) BROADCAST
+    * when the right side's Catalyst-estimated bytes fit `broadcastBytes`
+    * (the same statistic Spark's own `autoBroadcastJoinThreshold`
+    * consults — a BYTES gate; unknown stats estimate high, so the
+    * fallback direction is the safe shuffle). (2) Otherwise SALT iff a
+    * sampled key profile of the left side estimates some key's rows
+    * above `skewFactor ×` the average shuffle partition's rows (the
+    * [[hotKeySaltedJoinAuto]] relative threshold — absolute thresholds
+    * are a scale trap), with the fan-out sized FROM the measurement:
+    * salt ≈ hottest ∕ threshold, clamped to [2, maxSalt] — replication
+    * priced by how much leveling the key actually needs, not "big to be
+    * safe". (3) Otherwise PLAIN — AQE's runtime skew split handles what
+    * sampling can't see. The salt changes WHERE rows meet, never WHICH
+    * rows meet, so every strategy returns the identical row set (the
+    * q214 oracle and the spec's tri-fixture audit assert this).
+    *
+    * Cost of deciding: one `left.count()` and one sampled aggregate —
+    * both map-side-combined, neither shuffles the corpus.
+    */
+  def decide(left: DataFrame, right: DataFrame, keys: Seq[String],
+             broadcastBytes: Long = 64L * 1024 * 1024,
+             skewFactor: Double = 2.0, sampleFraction: Double = 0.01,
+             seed: Long = 42L, maxSalt: Int = 32): JoinDecision = {
+    require(keys.nonEmpty, "adaptive join needs at least one key column")
+    require(maxSalt > 1, s"maxSalt must be > 1, got $maxSalt")
+    val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (rightBytes <= broadcastBytes)
+      return JoinDecision(BroadcastRight, rightBytes, -1L, -1L, -1L)
+    val threshold = autoHotThreshold(left, skewFactor)
+    val leftRows = left.count()
+    // hottest-key estimate from one sampled aggregate: max sampled key
+    // count scaled back by the fraction (the detectHotTags estimator,
+    // reduced to its max)
+    val maxSampled = left.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(tagOf(keys).as("__tag")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__m")).collect()(0)
+    val estHot =
+      if (maxSampled.isNullAt(0)) 0L
+      else math.round(maxSampled.getLong(0) / sampleFraction)
+    if (estHot > threshold) {
+      val salt = math.min(maxSalt.toLong,
+        math.max(2L, (estHot + threshold - 1) / threshold)).toInt
+      JoinDecision(SaltHotKeys(salt, threshold), rightBytes, leftRows, estHot, threshold)
+    } else JoinDecision(PlainShuffle, rightBytes, leftRows, estHot, threshold)
+  }
+
+  /** Execute `decision` (or [[decide]] fresh when omitted): the
+    * measurement-driven inner equi-join. One call site replaces the
+    * human choice between `join` / `broadcast` / [[hotKeySaltedJoin]].
+    */
+  def adaptiveJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   broadcastBytes: Long = 64L * 1024 * 1024,
+                   skewFactor: Double = 2.0, sampleFraction: Double = 0.01,
+                   seed: Long = 42L, maxSalt: Int = 32): DataFrame =
+    apply(left, right, keys,
+      decide(left, right, keys, broadcastBytes, skewFactor, sampleFraction,
+        seed, maxSalt),
+      sampleFraction, seed)
+
+  /** [[adaptiveJoin]] with the decision made (and loggable) up front. */
+  def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
+            decision: JoinDecision, sampleFraction: Double = 0.01,
+            seed: Long = 42L): DataFrame = decision.strategy match {
+    case BroadcastRight => left.join(broadcast(right), keys)
+    case PlainShuffle => left.join(right, keys)
+    case SaltHotKeys(salt, hotThreshold) =>
+      hotKeySaltedJoin(left, right, keys, salt, hotThreshold, sampleFraction, seed)
+  }
+
+  /** CMS-sketch estimate of the join OUTPUT cardinality (the q137
+    * inner-product estimator as a planning input): Σ_k cntL(k)·cntR(k)
+    * within sketch error — the pre-flight that catches an exploding
+    * many-to-many join BEFORE it runs, in two one-pass sketches instead
+    * of a count-group-join. Overestimates (never under) by the CMS
+    * guarantee.
+    */
+  def estimateJoinOutputRows(left: DataFrame, right: DataFrame,
+                             keys: Seq[String],
+                             width: Int = 4096, depth: Int = 4): Long = {
+    graft.expressions.GraftFunctions.register(left.sparkSession)
+    def sk(df: DataFrame) =
+      df.agg(call_function("cms_build", tagOf(keys), lit(width), lit(depth)).as("sk"))
+    sk(left).select(col("sk").as("a"))
+      .crossJoin(broadcast(sk(right).select(col("sk").as("b"))))
+      .select(call_function("cms_inner_product", col("a"), col("b")).as("est"))
+      .collect()(0).getLong(0)
+  }
+
   /** Key-skew profile — the diagnostic that decides WHICH of the skew
     * strategies above (plain AQE, salted, hot-key-only) a join needs,
     * turned into a first-class queryable table instead of a one-off

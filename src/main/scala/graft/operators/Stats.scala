@@ -100,6 +100,50 @@ object Stats {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** Paired bootstrap significance for a metric delta (Koehn EMNLP '04
+    * §3 — "is system A really better than system B on this test set"),
+    * with the resampling done as the Poisson bootstrap so it
+    * distributes: both systems score the SAME units, each replicate
+    * reweights every unit by a deterministic Poisson(1) draw (the
+    * [[poissonBootstrapMeans]] machinery on the per-unit delta — one
+    * draw per (unit, replicate), shared by A and B by construction,
+    * which is exactly what "paired" means), and the test statistic is
+    * the replicate mean delta. Reported per Koehn: the point means and
+    * delta, a percentile CI on the delta, and `frac_a_better` — the
+    * fraction of replicates whose mean delta is > 0 (≥ 1 − α ⇒ A's
+    * win is significant at level α; the p-value for "A ≤ B" is
+    * 1 − frac_a_better).
+    *
+    * Pass integer-valued scores (e.g. metric micros, the [[TextEval]]
+    * convention) and every replicate sum is exact — order-independent
+    * and engine-replayable. Scale: one corpus pass for the draws, a
+    * B-row shuffle, and two broadcast scalars; the corpus never
+    * collects. Output: one row (n, mean_a, mean_b, delta,
+    * n_replicates, ci_lo, ci_hi, frac_a_better).
+    */
+  def pairedBootstrapDelta(df: DataFrame, idCol: String, aCol: String,
+                           bCol: String, nReplicates: Int,
+                           alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val deltas = df.select(col(idCol).as("__pid"),
+      (col(aCol).cast("double") - col(bCol).cast("double")).as("__d"),
+      col(aCol).cast("double").as("__a"), col(bCol).cast("double").as("__b"))
+    val means = poissonBootstrapMeans(deltas, "__pid", "__d", nReplicates)
+    val point = deltas.agg(count(lit(1)).as("n"),
+      avg(col("__a")).as("mean_a"), avg(col("__b")).as("mean_b"),
+      avg(col("__d")).as("delta"))
+    means.agg(
+        count(lit(1)).as("n_replicates"),
+        percentile(col("mean_b"), lit(alpha / 2)).as("ci_lo"),
+        percentile(col("mean_b"), lit(1 - alpha / 2)).as("ci_hi"),
+        avg(when(col("mean_b") > 0, lit(1.0)).otherwise(lit(0.0)))
+          .as("frac_a_better"))
+      .crossJoin(broadcast(point))
+      .select(col("n"), col("mean_a"), col("mean_b"), col("delta"),
+        col("n_replicates"), col("ci_lo"), col("ci_hi"),
+        col("frac_a_better"))
+  }
+
   /** Cohen's kappa between two categorical label columns (two
     * annotators over the same rows): κ = (p_o − p_e)/(1 − p_e) with
     * p_o the observed agreement and p_e the chance agreement from the

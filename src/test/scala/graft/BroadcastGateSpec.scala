@@ -26,6 +26,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *      * Graph.triangleCounts — edge count ≤ BroadcastAdjacencyEdges;
   *        a proven proxy: the adjacency payload is exactly one long
   *        (plus amortized row overhead) per oriented edge.
+  *      * SkewJoins.adaptiveJoin — right side broadcast iff its
+  *        Catalyst plan-stats sizeInBytes ≤ the broadcastBytes budget
+  *        (unknown stats estimate HIGH, so the fallback is the safe
+  *        shuffle).
   *  - CALLER-GATED: the flag is part of the documented API contract
   *    (Dedup.ngramContamination's `broadcastEval` — an eval set is
   *    small by construction; callers with a corpus-sized eval side
@@ -83,8 +87,10 @@ class BroadcastGateSpec extends AnyFunSuite {
       "contract: vocab/df tables bounded by vocab contract, scalar corpus stats, k candidates"),
     "graft/operators/Similarity.scala" -> (6,
       "contract: query sets and centroid/cell tables — parameter-sized by API contract"),
-    "graft/operators/SkewJoins.scala" -> (1, "contract: scalar total for key-share profile"),
-    "graft/operators/Stats.scala" -> (3, "contract: scalar point estimates / agreement tables"),
+    "graft/operators/SkewJoins.scala" -> (3,
+      "contract: scalar total for key-share profile, fixed-size CMS sketch pair; " +
+        "gated: adaptiveJoin broadcasts right iff Catalyst plan stats sizeInBytes <= broadcastBytes budget"),
+    "graft/operators/Stats.scala" -> (4, "contract: scalar point estimates / agreement tables"),
     "graft/operators/Validation.scala" -> (1, "contract: rule table, rule-count-sized"),
     "graft/pipeline/Erasure.scala" -> (2, "contract: subject-key set (erasure requests, small by contract), scalar audit"),
     "graft/pipeline/OlympicCleanI.scala" -> (1, "contract: affiliation dim, bounded by distinct affiliations"),

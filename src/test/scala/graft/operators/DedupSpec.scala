@@ -59,6 +59,30 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  test("tokenizer seam: Unicode mode == whitespace mode on ASCII; finds the Chinese near-dup whitespace misses") {
+    import spark.implicits._
+    import graft.functions.Tokenize
+    // ASCII degradation: identical pair sets and values
+    val ws = Dedup.jaccardPairsClassed(docs, "doc_id", "text", "lang", 0.5)
+    val uni = Dedup.jaccardPairsClassed(docs, "doc_id", "text", "lang", 0.5,
+      ngram = 1, mode = Tokenize.Unicode)
+    assert(rowsOf(ws) == rowsOf(uni))
+    // Chinese near-dup: 9 of 10 Han chars shared, but the texts differ
+    // as strings — whitespace mode sees one clause-token per doc
+    // (jaccard 0 across docs), Unicode mode segments per Han char
+    val zh = Seq(
+      (1L, "我们明天一起去北京旅行", "zh"),
+      (2L, "我们明天一起去上海旅行", "zh")).toDF("doc_id", "text", "lang")
+    val zhWs = Dedup.jaccardPairsClassed(zh, "doc_id", "text", "lang", 0.5)
+    assert(zhWs.count() == 0, "whitespace mode must miss the CJK near-dup")
+    val zhUni = Dedup.jaccardPairsClassed(zh, "doc_id", "text", "lang", 0.5,
+        ngram = 1, mode = Tokenize.Unicode)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // token sets {我,们,明,天,一,起,去,北,京,旅,行} vs {…,上,海,…}:
+    // 9 shared of 13 distinct → jaccard 9/13
+    assert(zhUni.toSeq == Seq((1L, 2L, 9.0 / 13)), zhUni.mkString(","))
+  }
+
   test("jaccardPairsClassed on real documents == inverted-index variant") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Dedup.jaccardPairs(real, "doc_id", "text", "lang", 0.9)

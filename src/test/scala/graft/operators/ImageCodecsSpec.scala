@@ -103,11 +103,72 @@ class ImageCodecsSpec extends SparkSpec {
     assert(ex.getMessage.contains("media_id=9"), ex.getMessage)
   }
 
-  test("refusal: unknown format is named as such") {
+  test("refusal: unknown format (WebP — no JDK decoder) is named as such") {
+    val webp = "RIFF....WEBPVP8 ".getBytes ++ Array.fill[Byte](32)(0)
     val ex = intercept[IllegalArgumentException] {
-      Multimodal.decodeRgb(5L, "GIF89a notactuallysupported".getBytes, "imagePool")
+      Multimodal.decodeRgb(5L, webp, "imagePool")
     }
-    assert(ex.getMessage.contains("BMP/PNG/JPEG") && ex.getMessage.contains("media_id=5"))
+    assert(ex.getMessage.contains("BMP/PNG/JPEG/GIF") && ex.getMessage.contains("media_id=5"))
+  }
+
+  // ---- GIF (round 11): palette-exact round trip, first-frame-of-
+  // animated convention, refusals ------------------------------------
+
+  test("GIF round trip is palette-exact: every decoded pixel equals the closed form") {
+    Seq(0L, 3L, 27L, 144L, 297L).foreach { i =>
+      val (w, h) = dims(i)
+      val dec = Multimodal.decodeRgb(i, Multimodal.synthGif(i, w, h), "spec")
+      assert(dec.w == w && dec.h == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = Multimodal.gifPaletteRgb(Multimodal.gifPixelIndex(i, x, y))
+        assert((dec.rgb(x, y) & 0xffffff) == want,
+          s"GIF pixel ($x,$y) of media_id=$i diverged from the palette closed form")
+      }
+    }
+  }
+
+  test("animated GIF decodes to its FIRST frame") {
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(
+      new javax.imageio.IIOImage(solid(0xff0000), null, null),
+      writer.getDefaultWriteParam)
+    writer.writeToSequence(
+      new javax.imageio.IIOImage(solid(0x0000ff), null, null),
+      writer.getDefaultWriteParam)
+    writer.endWriteSequence()
+    ios.flush(); writer.dispose(); ios.close()
+    val payload = bos.toByteArray
+    assert(payload.take(4).sameElements("GIF8".getBytes),
+      "the sequence writer must produce a real GIF header")
+    val dec = Multimodal.decodeRgb(11L, payload, "spec")
+    assert(dec.w == 16 && dec.h == 16)
+    assert((dec.rgb(8, 8) & 0xffffff) == 0xff0000,
+      "an animated GIF must decode to its first frame, got a later one")
+  }
+
+  test("distributed path: imageDHash over the GIF corpus is non-trivial and id-stable") {
+    val rows = Multimodal.imageDHash(Multimodal.synthesizeGifImages(spark, 30))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == (0L until 30L by 3L).toSet)
+    assert(rows.values.toSet.size > 1, "palette pattern must not hash all-equal")
+  }
+
+  test("refusal: truncated GIF fails cleanly with the media_id") {
+    val whole = Multimodal.synthGif(3L, 16, 16)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.dHashImage(3L, whole.take(whole.length / 2), 0)
+    }
+    assert(ex.getMessage.contains("media_id=3"), ex.getMessage)
   }
 
   test("refusal: payload too short to even sniff") {

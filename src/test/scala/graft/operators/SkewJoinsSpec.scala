@@ -124,4 +124,77 @@ class SkewJoinsSpec extends SparkSpec {
     val plan = SkewJoins.keySkewProfile(df, "k", 5).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  // ---- adaptive planning: the tri-fixture audit ----------------------
+  // one hot key (900 of 1000 rows) — at 4 shuffle partitions the default
+  // 2x threshold is 500, so the skew is detectable with the defaults
+  private def skewedLeft = {
+    import spark.implicits._
+    ((1 to 900).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"t$i")))
+      .toDF("k", "lv")
+  }
+  private def uniformLeft = {
+    import spark.implicits._
+    (1 to 1000).map(i => ((i % 100).toLong + 1, s"v$i")).toDF("k", "lv")
+  }
+  private def smallRight = {
+    import spark.implicits._
+    (1L to 50L).map(k => (k, s"r$k")).toDF("k", "rv")
+  }
+
+  test("decide: skewed fixture → salted, with the fan-out sized from the measurement") {
+    val d = SkewJoins.decide(skewedLeft, smallRight, Seq("k"),
+      broadcastBytes = 0L, sampleFraction = 1.0)
+    d.strategy match {
+      case SkewJoins.SaltHotKeys(salt, threshold) =>
+        // threshold = 2.0 * 1000/4 = 500; estHot = 900 → salt = ceil(900/500) = 2
+        assert(threshold == 500L && d.estHotKeyRows == 900L && salt == 2,
+          s"expected salt 2 at threshold 500 from estHot 900, got $d")
+      case other => fail(s"skewed fixture must salt, decided $other")
+    }
+    assert(d.leftRows == 1000L)
+  }
+
+  test("decide: uniform fixture → plain shuffle (no replication, AQE owns the rest)") {
+    val d = SkewJoins.decide(uniformLeft, smallRight, Seq("k"),
+      broadcastBytes = 0L, sampleFraction = 1.0)
+    assert(d.strategy == SkewJoins.PlainShuffle, s"uniform keys must not salt: $d")
+    assert(d.estHotKeyRows == 10L && d.hotThreshold == 500L)
+  }
+
+  test("decide: small right under the byte budget → broadcast, measured in bytes") {
+    val d = SkewJoins.decide(skewedLeft, smallRight, Seq("k"))
+    assert(d.strategy == SkewJoins.BroadcastRight, s"50-row dim must broadcast: $d")
+    assert(d.rightBytes > 0 && d.rightBytes <= 64L * 1024 * 1024)
+  }
+
+  test("adaptiveJoin: every strategy returns the identical row set; the salted plan salts, the plain plan doesn't") {
+    val plain = skewedLeft.join(smallRight, Seq("k")).select("k", "lv", "rv")
+    val saltedDecision = SkewJoins.decide(skewedLeft, smallRight, Seq("k"),
+      broadcastBytes = 0L, sampleFraction = 1.0)
+    val salted = SkewJoins.apply(skewedLeft, smallRight, Seq("k"),
+      saltedDecision, sampleFraction = 1.0)
+    assert(rowsOf(salted.select("k", "lv", "rv")) == rowsOf(plain))
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
+      "the salted decision must actually salt the executed plan")
+
+    val uniformPlain = SkewJoins.adaptiveJoin(uniformLeft, smallRight, Seq("k"),
+      broadcastBytes = 0L, sampleFraction = 1.0)
+    assert(!uniformPlain.queryExecution.executedPlan.toString.contains("__salt"),
+      "a uniform fixture must not pay salt replication")
+    assert(rowsOf(uniformPlain.select("k", "lv", "rv")) ==
+      rowsOf(uniformLeft.join(smallRight, Seq("k")).select("k", "lv", "rv")))
+
+    val bcast = SkewJoins.adaptiveJoin(skewedLeft, smallRight, Seq("k"))
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the broadcast decision must plan a broadcast hash join")
+    assert(rowsOf(bcast.select("k", "lv", "rv")) == rowsOf(plain))
+  }
+
+  test("estimateJoinOutputRows: CMS inner product never underestimates, close on a small fixture") {
+    val exact = skewedLeft.join(smallRight, Seq("k")).count()
+    val est = SkewJoins.estimateJoinOutputRows(skewedLeft, smallRight, Seq("k"))
+    assert(est >= exact, s"CMS must overestimate, got $est < $exact")
+    assert(est <= exact * 2, s"estimate wildly off on a tiny fixture: $est vs $exact")
+  }
 }

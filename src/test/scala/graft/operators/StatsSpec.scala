@@ -63,4 +63,47 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 3)
     assert(r.getAs[Double]("po") == 2.0 / 3)
   }
+
+  test("pairedBootstrapDelta: constant uplift → every replicate wins, CI degenerate at the uplift") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, (i % 7 + 10).toLong, (i % 7).toLong))
+      .toDF("id", "a", "b")
+    val r = Stats.pairedBootstrapDelta(df, "id", "a", "b", nReplicates = 50).collect()(0)
+    assert(r.getAs[Long]("n") == 200)
+    assert(r.getAs[Long]("n_replicates") == 50)
+    // per-unit delta is exactly 10, so every reweighted mean is exactly 10
+    assert(r.getAs[Double]("delta") == 10.0)
+    assert(r.getAs[Double]("ci_lo") == 10.0 && r.getAs[Double]("ci_hi") == 10.0)
+    assert(r.getAs[Double]("frac_a_better") == 1.0)
+    assert(r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b") == 10.0)
+  }
+
+  test("pairedBootstrapDelta: identical systems → zero delta, zero wins") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i % 13).toLong, (i % 13).toLong))
+      .toDF("id", "a", "b")
+    val r = Stats.pairedBootstrapDelta(df, "id", "a", "b", nReplicates = 40).collect()(0)
+    assert(r.getAs[Double]("delta") == 0.0)
+    assert(r.getAs[Double]("ci_lo") == 0.0 && r.getAs[Double]("ci_hi") == 0.0)
+    // "a better" is a STRICT win — a tie is not significance
+    assert(r.getAs[Double]("frac_a_better") == 0.0)
+  }
+
+  test("pairedBootstrapDelta: noisy mixed-sign deltas → CI brackets the point delta, frac interior, deterministic") {
+    import spark.implicits._
+    // a wins on ~2/3 of units by 1, loses on 1/3 by 2 → mean delta ≈ 0
+    val df = (1 to 300).map { i =>
+      val d = if (i % 3 == 0) -2L else 1L
+      (i.toLong, 100L + d, 100L)
+    }.toDF("id", "a", "b")
+    val r1 = Stats.pairedBootstrapDelta(df, "id", "a", "b", nReplicates = 100).collect()(0)
+    assert(r1.getAs[Double]("ci_lo") <= r1.getAs[Double]("delta"))
+    assert(r1.getAs[Double]("delta") <= r1.getAs[Double]("ci_hi"))
+    val frac = r1.getAs[Double]("frac_a_better")
+    assert(frac > 0.0 && frac < 1.0,
+      s"a mean-zero paired delta must not be called significant either way, got $frac")
+    // deterministic draws: a rerun reproduces every field exactly
+    val r2 = Stats.pairedBootstrapDelta(df, "id", "a", "b", nReplicates = 100).collect()(0)
+    assert(r1 == r2)
+  }
 }
