@@ -3775,6 +3775,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-reference WER ([[graft.operators.TextEval.werMulti]]): the
+    * hypothesis scores its BEST (minimum-WER) reference of the two,
+    * ties to the lowest index — the ASR/sclite convention, closing the
+    * multi-reference eval family (BLEU q211, ROUGE q212). Map-side:
+    * per-ref token-Levenshtein kernels inside a row-local transform,
+    * argmin via array_min over (wer, idx) structs. The oracle replays
+    * BOTH references' full edit-distance DPs (the q207 recursive
+    * anti-diagonal CTE keyed by (cand, ref)) and the argmin window.
+    */
+  private def q218WerMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextEval
+    TextEval.werMulti(multiRefPairs(s, dir), "cand_text", "refs")
+      .select(col("cand_id"), col("h_len"), col("ref_idx"), col("r_len"),
+        col("edits"), col("wer"))
+      .orderBy(col("cand_id"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -4136,7 +4153,8 @@ object SparkEntry {
     "q214_adaptive_join" -> (q214AdaptiveJoin _),
     "q215_gif_dhash" -> (q215GifDhash _),
     "q216_unicode_dedup" -> (q216UnicodeDedup _),
-    "q217_sentence_chunks" -> (q217SentenceChunks _))
+    "q217_sentence_chunks" -> (q217SentenceChunks _),
+    "q218_wer_multi" -> (q218WerMulti _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7724,7 +7742,57 @@ object SparkEntry {
         |   AS tok_total,
         | true AS ok_budget
         |FROM documents WHERE text IS NOT NULL AND text <> ''
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q218: both references' token-Levenshtein DPs replayed with the
+    // q207 recursive anti-diagonal CTE, keyed by (cand, ref index);
+    // winner = (wer ASC, idx ASC) row_number — the engine's array_min
+    "q218_wer_multi" ->
+      s"""WITH RECURSIVE $multiRefPairCtes,
+        |ppr AS (
+        | SELECT cand_id, j.ridx, ct,
+        |  CASE WHEN j.ridx = 1 THEN r1 ELSE r2 END AS rt
+        | FROM pp, (SELECT unnest([1, 2]) AS ridx) j),
+        |ppm AS (SELECT cand_id, ridx, ct, rt, len(ct) AS n, len(rt) AS m
+        |        FROM ppr),
+        |rec AS (
+        | SELECT cand_id, ridx, n, m, ct, rt, CAST(1 AS BIGINT) AS d,
+        |  list_transform(range(greatest(0, 1 - m), least(n, 1) + 1),
+        |   i -> CASE WHEN i = 0 THEN CAST(1 AS BIGINT) ELSE CAST(i AS BIGINT) END) AS cur,
+        |  [CAST(0 AS BIGINT)] AS prev
+        | FROM ppm WHERE n + m >= 1
+        | UNION ALL
+        | SELECT cand_id, ridx, n, m, ct, rt, d + 1,
+        |  list_transform(range(greatest(0, d + 1 - m), least(n, d + 1) + 1),
+        |   i -> CASE
+        |     WHEN i = 0 THEN CAST(d + 1 AS BIGINT)
+        |     WHEN d + 1 - i = 0 THEN CAST(i AS BIGINT)
+        |     ELSE least(
+        |       prev[CAST(i - 1 - greatest(0, d - 1 - m) + 1 AS INT)]
+        |         + (CASE WHEN ct[CAST(i AS INT)] = rt[CAST(d + 1 - i AS INT)] THEN 0 ELSE 1 END),
+        |       least(
+        |         cur[CAST(i - 1 - greatest(0, d - m) + 1 AS INT)] + 1,
+        |         cur[CAST(i - greatest(0, d - m) + 1 AS INT)] + 1)) END) AS cur,
+        |  cur AS prev
+        | FROM rec WHERE d < n + m),
+        |ed AS (SELECT cand_id, ridx, cur[1] AS edits FROM rec WHERE d = n + m),
+        |mt AS (
+        | SELECT p.cand_id, p.ridx,
+        |  CAST(p.n AS BIGINT) AS h_len, CAST(p.m AS BIGINT) AS r_len,
+        |  CAST(CASE WHEN p.n + p.m = 0 THEN 0 ELSE e.edits END AS BIGINT) AS edits
+        | FROM ppm p LEFT JOIN ed e ON p.cand_id = e.cand_id AND p.ridx = e.ridx),
+        |sc AS (
+        | SELECT cand_id, ridx, h_len, r_len, edits,
+        |  CASE WHEN r_len > 0 THEN CAST(edits AS DOUBLE) / r_len
+        |       WHEN h_len = 0 THEN 0.0 ELSE 1.0 END AS wer,
+        |  row_number() OVER (PARTITION BY cand_id
+        |    ORDER BY CASE WHEN r_len > 0 THEN CAST(edits AS DOUBLE) / r_len
+        |               WHEN h_len = 0 THEN 0.0 ELSE 1.0 END ASC, ridx ASC) AS rn
+        | FROM mt)
+        |SELECT cand_id, h_len, CAST(ridx - 1 AS BIGINT) AS ref_idx, r_len,
+        | edits, round(wer, 6) AS wer
+        |FROM sc WHERE rn = 1
+        |ORDER BY cand_id""".stripMargin)
 
   /** The q211/q212 TWO-reference pair CTEs: tokenized docs, lead-1 and
     * lead-2 references within the source, rows lacking two references

@@ -73,11 +73,21 @@ object TextFunctions {
   /** [[tokenStatsNative]] through the tokenizer seam — pass
     * [[Tokenize.Unicode]] for CJK/Thai corpora, where whitespace
     * "tokens" are whole clauses and every ratio below is meaningless.
+    *
+    * Whitespace mode feeds the RAW split (keeps the "" token an empty
+    * document produces) — NOT `Tokenize.tokens`' filtered form — so the
+    * kernel stays value-compatible with the declarative per-stat columns
+    * and the q29 oracle's unfiltered `string_split` (the spec's empty-doc
+    * fixture caught the filtered variant drifting: n_tokens 0 vs 1).
     */
   def tokenStatsNative(text: Column, stopwords: Seq[String],
-                       mode: Tokenize.Mode): Column =
-    call_function("text_array_stats",
-      Tokenize.tokens(text, mode), typedlit(stopwords))
+                       mode: Tokenize.Mode): Column = {
+    val toks = mode match {
+      case Tokenize.Whitespace => tokens(text)
+      case _ => Tokenize.tokens(text, mode)
+    }
+    call_function("text_array_stats", toks, typedlit(stopwords))
+  }
 
   /** Composite quality score in [0,1], Gopher-flavoured: rewards normal
     * token lengths, lexical diversity and some stopword mass; penalizes

@@ -261,6 +261,44 @@ object TextEval {
         round(rate, 6).as("wer")): _*)
   }
 
+  /** Multi-reference WER — the ASR convention for k transcripts: the
+    * hypothesis scores its BEST (minimum-WER) reference, ties to the
+    * lowest reference index (NIST sclite behavior). One row per pair
+    * with the winning reference's index and stats; zero references →
+    * null stats (callers filter — the [[rougeNMulti]] convention).
+    *
+    * Scale shape: hypothesis tokens staged as an attribute, per-ref
+    * edit-distance kernels inside a row-local `transform`, argmin via
+    * `array_min` over (wer, idx, …) structs — map-side, no shuffle.
+    * (Each ref's tokenization evaluates twice inside the lambda —
+    * size + kernel; negligible next to the O(|h|·|r|) DP.)
+    */
+  def werMulti(pairs: DataFrame, hypTextCol: String, refsTextCol: String,
+               mode: graft.functions.Tokenize.Mode =
+                 graft.functions.Tokenize.Whitespace): DataFrame = {
+    graft.expressions.GraftFunctions.register(pairs.sparkSession)
+    val staged = pairs
+      .withColumn("__ht", toks(col(hypTextCol), mode))
+      .withColumn("__ws", transform(col(refsTextCol), (r, i) => {
+        val rt = toks(r, mode)
+        val ed = call_function("token_edit_distance", col("__ht"), rt)
+        val hLen = size(col("__ht"))
+        val rLen = size(rt)
+        val w = when(rLen > 0, ed.cast("double") / rLen)
+          .when(hLen === 0, lit(0.0))
+          .otherwise(lit(1.0))
+        struct(w.as("wer"), i.as("idx"), ed.cast("long").as("edits"),
+          rLen.cast("long").as("r_len"))
+      }))
+    val best = array_min(col("__ws")) // lexicographic: min wer, ties -> lowest idx
+    staged.select((pairs.columns.map(col).toSeq :+
+      size(col("__ht")).cast("long").as("h_len") :+
+      best.getField("idx").cast("long").as("ref_idx") :+
+      best.getField("r_len").as("r_len") :+
+      best.getField("edits").as("edits") :+
+      round(best.getField("wer"), 6).as("wer")): _*)
+  }
+
   /** chrF — character n-gram F-score (Popović WMT '15), the MT metric
     * that survives morphology and tokenization differences BLEU
     * chokes on: whitespace is stripped, the text becomes a character

@@ -353,6 +353,34 @@ class TextEvalSpec extends SparkSpec {
     assert(out(2).getAs[Long]("overlap") == 1)
   }
 
+  test("multi-ref WER: best (minimum) reference wins; ties to the lowest index") {
+    // hyp "a b c": ref0 "a x c" → 1 edit / 3 = 0.333…, ref1 "a b c d"
+    // → 1 edit / 4 = 0.25 → ref1 wins
+    val best = TextEval.werMulti(
+      multiPairsOf("a b c" -> Seq("a x c", "a b c d")),
+      "cand_text", "refs").collect().head
+    assert(best.getAs[Long]("ref_idx") == 1L)
+    assert(best.getAs[Long]("edits") == 1L && best.getAs[Long]("r_len") == 4L)
+    assert(best.getAs[Double]("wer") == 0.25)
+    // exact tie (both 1/2) → index 0
+    val tie = TextEval.werMulti(
+      multiPairsOf("a b" -> Seq("a x", "a y")),
+      "cand_text", "refs").collect().head
+    assert(tie.getAs[Long]("ref_idx") == 0L && tie.getAs[Double]("wer") == 0.5)
+    // a perfect reference anywhere in the list → wer 0
+    val perfect = TextEval.werMulti(
+      multiPairsOf("a b c" -> Seq("x y z w", "a b c")),
+      "cand_text", "refs").collect().head
+    assert(perfect.getAs[Long]("ref_idx") == 1L && perfect.getAs[Double]("wer") == 0.0)
+  }
+
+  test("multi-ref WER: zero references → null stats (the rougeNMulti convention)") {
+    val out = TextEval.werMulti(
+      multiPairsOf("a b" -> Seq()), "cand_text", "refs").collect().head
+    assert(out.isNullAt(out.fieldIndex("wer")))
+    assert(out.getAs[Long]("h_len") == 2L)
+  }
+
   test("standalone session path: bleu() self-registers the kernel function") {
     // regression: call_function("ngram_overlap_stats") must not depend
     // on an earlier query having registered GraftFunctions
