@@ -3662,13 +3662,17 @@ object SparkEntry {
     import graft.functions.Tokenize
     val pairs = TextEval.adjacentPairs(t(s, dir, "documents"), "doc_id", "text", "source")
     val ct = Tokenize.tokensSpaceSplit(col("cand_text"), Tokenize.Whitespace)
-    val degraded = pairs.withColumn("cand_text",
+    // both systems score the SAME pair row, so the two ROUGE kernels
+    // chain as projections — one corpus scan, no score-table self-join
+    // (which would shuffle the corpus twice at scale)
+    val withB = pairs.withColumn("cand_b",
       array_join(slice(ct, lit(1), greatest(size(ct) - 1, lit(0))), " "))
-    def r1Micros(p: DataFrame, as: String): DataFrame =
-      TextEval.rougeN(p, "cand_text", "ref_text", ns = Seq(1))
-        .select(col("cand_id"), round(col("f1") * 1e6).cast("long").as(as))
-    val scored = r1Micros(pairs, "a_micro")
-      .join(r1Micros(degraded, "b_micro"), "cand_id")
+    val scoredA = TextEval.rougeN(withB, "cand_text", "ref_text", ns = Seq(1))
+      .select(col("cand_id"), col("cand_b"), col("ref_text"),
+        round(col("f1") * 1e6).cast("long").as("a_micro"))
+    val scored = TextEval.rougeN(scoredA, "cand_b", "ref_text", ns = Seq(1))
+      .select(col("cand_id"), col("a_micro"),
+        round(col("f1") * 1e6).cast("long").as("b_micro"))
     Stats.pairedBootstrapDelta(scored, "cand_id", "a_micro", "b_micro",
         nReplicates = 200)
       .select(col("n"), round(col("mean_a") / 1e6, 6).as("mean_a"),

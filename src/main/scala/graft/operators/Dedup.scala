@@ -865,12 +865,17 @@ object Dedup {
       hashedShingleSet(corpus, col(textCol), ngram).as("ta"))
     val ntoks = newDf.select(col(idCol).as("new_id"),
       hashedShingleSet(newDf, col(textCol), ngram).as("tb"))
+    // the shingle sets are sorted+distinct by construction, so the
+    // native O(n+m) merge kernel computes the intersection (codegen)
+    // and |union| = na + nb - inter — array_intersect/array_union
+    // built a per-row hash set twice for the same numbers
     candidates
       .join(ctoks, "corpus_id")
       .join(ntoks, "new_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))))
+      .withColumn("__inter",
+        call_function("sorted_intersect_size", col("ta"), col("tb")))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("new_id"), col("jaccard"))
   }

@@ -421,6 +421,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("q218 multi-ref wer: map-side argmin over the pair window — no join") {
+    // both references' edit-distance DPs run inside a row-local
+    // transform; a join here means the per-ref scoring fell out of the
+    // single-row composition (the rougeNMulti lesson)
+    val plan = planOf("q218_wer_multi")
+    assert(!plan.contains("Join"), s"q218 plans a join:\n$plan")
+    val exchanges = "Exchange \\(".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"q218 has $exchanges Exchange nodes (want <= 2):\n$plan")
+  }
+
+  test("q217 sentence chunks: one generator stage — no join, no hash shuffle") {
+    // chunking is a per-document kernel + posexplode; the only exchange
+    // is the output sort's range partition
+    val plan = planOf("q217_sentence_chunks")
+    assert(!plan.contains("Join"), s"q217 plans a join:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"q217 must not hash-shuffle the corpus:\n$plan")
+  }
+
+  test("q213 paired bootstrap: replicate draws partial-aggregate into a B-row shuffle; no cartesian corpus join") {
+    // the corpus explodes B replicate weights map-side and combines
+    // into a 200-row table BEFORE any shuffle; the only nested-loop
+    // joins are the one-row scalar broadcasts (point estimate onto the
+    // replicate aggregate, class stats onto pairs)
+    val plan = planOf("q213_paired_bootstrap")
+    assert(!plan.contains("CartesianProduct"), s"q213 cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q213 must never shuffle-join the corpus:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert("partial".r.findAllIn(plan.toLowerCase).nonEmpty, plan)
+  }
+
   test("q129 triangles: every join is an equi-join — no cartesian, no nested loop") {
     val p = planOf("q129_triangles")
     // the wedge self-join and the closure join key on (lo) / (y, z);
