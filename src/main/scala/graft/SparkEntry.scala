@@ -3796,6 +3796,115 @@ object SparkEntry {
       .orderBy(col("cand_id"))
   }
 
+  /** The blocklist patterns shared by q219's query and oracle: single
+    * words, multi-word phrases (matches cross word boundaries), a
+    * self-overlapping phrase ("batch batch" occurs TWICE in "batch
+    * batch batch"), and a nested pair ("sort" inside "window sort" —
+    * both counted at the same text position via the dictionary-suffix
+    * emit chain).
+    */
+  private val blocklistPatterns =
+    Seq("vector", "sort", "window sort", "batch batch", "customer", "hash join")
+
+  /** Blocklist screening ([[graft.operators.Blocklist.annotate]]): one
+    * Aho–Corasick pass per document counting EVERY occurrence of every
+    * banned term — O(len + matches) independent of blocklist size,
+    * map-side, zero shuffle beyond the output sort. The oracle
+    * brute-forces the same all-occurrence counts per pattern with a
+    * position-range substring scan (overlaps included), so the
+    * automaton's goto/fail/emit construction is value-pinned end to
+    * end.
+    */
+  private def q219Blocklist(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Blocklist
+    val named = blocklistPatterns.map(p => "hits_" + p.replace(' ', '_'))
+    val out = Blocklist.annotate(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "text", blocklistPatterns)
+    named.zipWithIndex.foldLeft(out) { case (df, (name, i)) =>
+        df.withColumn(name, element_at(col("hits"), i + 1))
+      }
+      .select(col("doc_id") +: col("hits_total") +: col("patterns_hit") +:
+        col("blocked") +: named.map(col): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Margin-based bitext mining ([[graft.operators.Bitext.marginMine]],
+    * Artetxe & Schwenk '19 ratio margin): a bounded mining batch (even
+    * vec_ids < 200, the incremental-alignment form) scored against the
+    * odd-id side — forward top-4 by cosine, backward top-4 for the
+    * candidates, margin = cos / mean of the two neighbourhood
+    * averages, mutual-best both ways, threshold 1.0. Candidate
+    * generation is the per-partition-heap exact top-k (query sets
+    * bounded: 100 fwd, ≤400 bwd — the q27 collect contract; LSH/IVF
+    * generators are the full-corpus 100 TB path, drop-in by column
+    * contract). The oracle replays the entire construction — top-k
+    * windows with the same (cos desc, id asc) tie-break, averages,
+    * symmetric margins, two best-of windows, the mutual join.
+    */
+  private def q220BitextMargin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bitext, Similarity}
+    val emb = t(s, dir, "embeddings")
+    val batch = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val fwd = Similarity.bruteForceTopKAtScale(batch, tgt, "vec_id", "embedding", 4)
+    val bwdQueries = emb.join(
+      fwd.select(col("neighbour_id").as("vec_id")).distinct(), "vec_id")
+    val bwd = Similarity.bruteForceTopKAtScale(bwdQueries, batch, "vec_id", "embedding", 4)
+    Bitext.marginMine(fwd, bwd, 1.0)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cosine_sim"), 6).as("cosine_sim"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
+  /** Balanced shard assignment ([[graft.operators.Packing.lptShards]],
+    * Graham's LPT): per source, docs sorted (tokens DESC, id ASC) go
+    * to the least-loaded of 4 shards — the shard writer that equalizes
+    * per-file token counts. Groups are the parallelism unit (hash
+    * shuffle + within-partition sort + one streaming pass with 4
+    * counters — LPT is sequential by definition, so the corpus-global
+    * form is deliberately not offered). The oracle replays the exact
+    * placement sequence as a recursive CTE stepping the 4 shard loads
+    * per source in rank order.
+    */
+  private def q221LptShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    Packing.lptShards(t(s, dir, "documents"), "source", "doc_id", "text", 4)
+      .select(col("group"), col("id"), col("n_tokens"),
+        col("shard").cast("long").as("shard"))
+      .orderBy(col("id"))
+  }
+
+  /** Filter-model calibration ([[graft.operators.Stats.calibration]]):
+    * the q30 language-ID heuristic's confidence (top-profile hits over
+    * all profile hits; 0 when no profile fires) against its actual
+    * accuracy vs the `lang` column, in 10 equal-width bins, plus the
+    * expected calibration error — the gate statistic that decides
+    * whether a quality/language filter's scores can be thresholded at
+    * face value. One corpus aggregate; ECE joins back as a broadcast
+    * scalar. The oracle replays q30's hit CTE, the confidence/argmax
+    * arithmetic, the binning, and the ECE sum.
+    */
+  private def q222CalibrationEce(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+    val hitCols = Seq("de", "en", "es", "fr", "zh").map(l => col(s"${l}_hits"))
+    val total = hitCols.reduce(_ + _)
+    val scored = TextFunctions.langScoreTable(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      .select(
+        when(total === 0, lit(0.0))
+          .otherwise(greatest(hitCols: _*).cast("double") / total).as("conf"),
+        (col("pred_lang") === col("lang")).as("correct"))
+    Stats.calibration(scored, "conf", "correct", nBins = 10)
+      .select(col("bin"), col("n"), round(col("avg_conf"), 6).as("avg_conf"),
+        round(col("accuracy"), 6).as("accuracy"), round(col("gap"), 6).as("gap"),
+        round(col("ece"), 6).as("ece"))
+      .orderBy(col("bin"))
+  }
+
   /** Batch form of [[graft.streaming.EventStreams.statefulUserAgg]] —
     * the mapGroupsWithState escape hatch run in batch mode (state
     * starts empty, each group folds once), so the custom state-fold
@@ -4158,7 +4267,11 @@ object SparkEntry {
     "q215_gif_dhash" -> (q215GifDhash _),
     "q216_unicode_dedup" -> (q216UnicodeDedup _),
     "q217_sentence_chunks" -> (q217SentenceChunks _),
-    "q218_wer_multi" -> (q218WerMulti _))
+    "q218_wer_multi" -> (q218WerMulti _),
+    "q219_blocklist" -> (q219Blocklist _),
+    "q220_bitext_margin" -> (q220BitextMargin _),
+    "q221_lpt_shards" -> (q221LptShards _),
+    "q222_calibration_ece" -> (q222CalibrationEce _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -7796,7 +7909,138 @@ object SparkEntry {
         |SELECT cand_id, h_len, CAST(ridx - 1 AS BIGINT) AS ref_idx, r_len,
         | edits, round(wer, 6) AS wer
         |FROM sc WHERE rn = 1
-        |ORDER BY cand_id""".stripMargin)
+        |ORDER BY cand_id""".stripMargin,
+    // all-occurrence counts (overlaps included) per pattern via a
+    // position-range substring scan — the brute-force restatement of the
+    // Aho–Corasick automaton's emit totals
+    "q219_blocklist" -> {
+      val pats = Seq("vector", "sort", "window sort", "batch batch",
+        "customer", "hash join")
+      val perPat = pats.map(p =>
+        s"max(CASE WHEN pat = '$p' THEN cnt END)::BIGINT AS hits_${p.replace(' ', '_')}")
+        .mkString(",\n ")
+      val values = pats.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $values) p(pat)),
+        |hits AS (
+        | SELECT d.doc_id, p.pat,
+        |  CAST(len(list_filter(range(1, len(lower(d.text)) - len(p.pat) + 2),
+        |   i -> substring(lower(d.text), CAST(i AS INT), CAST(len(p.pat) AS INT)) = p.pat)) AS BIGINT) AS cnt
+        | FROM documents d CROSS JOIN pats p)
+        |SELECT doc_id,
+        | sum(cnt)::BIGINT AS hits_total,
+        | sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS patterns_hit,
+        | sum(cnt) > 0 AS blocked,
+        | $perPat
+        |FROM hits GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q220_bitext_margin" ->
+      """WITH src AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id < 200),
+        |tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |fwd AS (
+        | SELECT x, y, c FROM (
+        |  SELECT s.vec_id AS x, t.vec_id AS y,
+        |   list_cosine_similarity(s.embedding::DOUBLE[], t.embedding::DOUBLE[]) AS c,
+        |   row_number() OVER (PARTITION BY s.vec_id
+        |     ORDER BY list_cosine_similarity(s.embedding::DOUBLE[], t.embedding::DOUBLE[]) DESC,
+        |              t.vec_id ASC) AS rn
+        |  FROM src s CROSS JOIN tgt t) f WHERE rn <= 4),
+        |bwd AS (
+        | SELECT x, y, c FROM (
+        |  SELECT s.vec_id AS x, t.vec_id AS y,
+        |   list_cosine_similarity(t.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS c,
+        |   row_number() OVER (PARTITION BY t.vec_id
+        |     ORDER BY list_cosine_similarity(t.embedding::DOUBLE[], s.embedding::DOUBLE[]) DESC,
+        |              s.vec_id ASC) AS rn
+        |  FROM (SELECT e.vec_id, e.embedding FROM embeddings e
+        |        JOIN (SELECT DISTINCT y FROM fwd) ys ON e.vec_id = ys.y) t
+        |  CROSS JOIN src s) b WHERE rn <= 4),
+        |af AS (SELECT x, avg(c) AS a_fwd FROM fwd GROUP BY x),
+        |ab AS (SELECT y, avg(c) AS a_bwd FROM bwd GROUP BY y),
+        |mf AS (SELECT f.x, f.y, f.c, f.c / ((af.a_fwd + ab.a_bwd) / 2) AS margin
+        |       FROM fwd f JOIN af ON f.x = af.x JOIN ab ON f.y = ab.y),
+        |mb AS (SELECT b.x, b.y, b.c / ((af.a_fwd + ab.a_bwd) / 2) AS margin
+        |       FROM bwd b JOIN af ON b.x = af.x JOIN ab ON b.y = ab.y),
+        |bf AS (SELECT x, y, c, margin FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY x ORDER BY margin DESC, y ASC) AS rn
+        |  FROM mf) t WHERE rn = 1),
+        |bb AS (SELECT x, y FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY y ORDER BY margin DESC, x ASC) AS rn
+        |  FROM mb) t WHERE rn = 1)
+        |SELECT bf.x AS src_id, bf.y AS tgt_id,
+        | round(bf.c, 6) AS cosine_sim, round(bf.margin, 6) AS margin
+        |FROM bf JOIN bb ON bf.x = bb.x AND bf.y = bb.y
+        |WHERE bf.margin >= 1.0
+        |ORDER BY src_id, tgt_id""".stripMargin,
+    // the exact LPT placement sequence, replayed: shard = argmin of the
+    // four running loads (ties to the lowest index), stepped per source
+    // in (n_tokens DESC, doc_id ASC) rank order
+    "q221_lpt_shards" -> {
+      val pick =
+        """CASE WHEN st.l0 <= st.l1 AND st.l0 <= st.l2 AND st.l0 <= st.l3 THEN 0
+          |     WHEN st.l1 <= st.l2 AND st.l1 <= st.l3 THEN 1
+          |     WHEN st.l2 <= st.l3 THEN 2 ELSE 3 END""".stripMargin
+      def load(i: Int) =
+        s"st.l$i + CASE WHEN ($pick) = $i THEN d.n_tokens ELSE 0 END"
+      s"""WITH RECURSIVE docs AS (
+        | SELECT source, doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY len(string_split(trim(text), ' ')) DESC, doc_id) AS rn
+        | FROM documents),
+        |st AS (
+        | SELECT source, CAST(0 AS BIGINT) AS rn,
+        |  CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+        |  CAST(0 AS BIGINT) AS l2, CAST(0 AS BIGINT) AS l3,
+        |  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+        |  CAST(NULL AS BIGINT) AS shard
+        | FROM (SELECT DISTINCT source FROM docs) g
+        | UNION ALL
+        | SELECT d.source, d.rn,
+        |  ${load(0)}, ${load(1)}, ${load(2)}, ${load(3)},
+        |  d.doc_id, d.n_tokens, CAST(($pick) AS BIGINT)
+        | FROM st JOIN docs d ON d.source = st.source AND d.rn = st.rn + 1)
+        |SELECT s.source AS "group", s.doc_id AS id, s.n_tokens, s.shard
+        |FROM st s WHERE s.doc_id IS NOT NULL
+        |ORDER BY id""".stripMargin
+    },
+    // q30's hit CTE + confidence/argmax arithmetic, binned; ECE = the
+    // n-weighted mean absolute (accuracy - confidence) gap over the bins
+    "q222_calibration_ece" ->
+      """WITH h AS (
+        | SELECT d.doc_id, d.lang,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','eine','mit','von'))) AS de_hits,
+        |  len(list_filter(toks, t -> t IN ('the','a','and','is','not','of','to','in','it','that'))) AS en_hits,
+        |  len(list_filter(toks, t -> t IN ('el','la','los','las','y','es','no','un','una','de'))) AS es_hits,
+        |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','un','une','dans','que'))) AS fr_hits,
+        |  len(list_filter(toks, t -> t IN ('的','是','不','了','在','我','有','和','就','人'))) AS zh_hits
+        | FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
+        |       FROM documents) d),
+        |scored AS (
+        | SELECT doc_id,
+        |  CASE WHEN de_hits + en_hits + es_hits + fr_hits + zh_hits = 0 THEN 0.0
+        |       ELSE CAST(greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) AS DOUBLE)
+        |            / (de_hits + en_hits + es_hits + fr_hits + zh_hits) END AS conf,
+        |  (CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) = 0 THEN 'und'
+        |        WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+        |        WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+        |        WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+        |        WHEN fr_hits >= zh_hits THEN 'fr'
+        |        ELSE 'zh' END = lang) AS correct
+        | FROM h),
+        |bb AS (
+        | SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+        |  count(*)::BIGINT AS n, avg(conf) AS avg_conf,
+        |  avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
+        | FROM scored GROUP BY 1),
+        |tot AS (SELECT sum(abs(accuracy - avg_conf) * n) / sum(n) AS ece FROM bb)
+        |SELECT bin, n, round(avg_conf, 6) AS avg_conf,
+        | round(accuracy, 6) AS accuracy,
+        | round(abs(accuracy - avg_conf), 6) AS gap, round(ece, 6) AS ece
+        |FROM bb, tot
+        |ORDER BY bin""".stripMargin)
 
   /** The q211/q212 TWO-reference pair CTEs: tokenized docs, lead-1 and
     * lead-2 references within the source, rows lacking two references

@@ -268,6 +268,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "ddsketch_quantile takes exactly 2 arguments")
         DDSketchQuantile(children.head, children(1))
+      }),
+    (FunctionIdentifier("aho_corasick_counts"),
+      new ExpressionInfo(classOf[AhoCorasickCounts].getName, "aho_corasick_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "aho_corasick_counts takes exactly 2 arguments")
+        AhoCorasickCounts(children.head, children(1))
       }))
 
   /** Idempotent runtime registration: the function registry AND the

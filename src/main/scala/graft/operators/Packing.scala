@@ -57,4 +57,48 @@ object Packing {
       .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L))),
       budget)
   }
+
+  /** Balanced training-shard assignment by Longest-Processing-Time
+    * scheduling (Graham '69, the 4/3-approximate makespan minimizer):
+    * per `groupCol`, documents sorted by (token count DESC, id ASC)
+    * are assigned greedily to the least-loaded of `k` shards, ties to
+    * the lowest shard index — the shard writer that keeps per-file
+    * token counts near-equal so no trainer reads a straggler file.
+    *
+    * LPT is sequential BY DEFINITION (each placement depends on all
+    * prior loads), so groups are the parallelism unit: one hash
+    * shuffle on `groupCol`, a within-partition sort, one streaming
+    * pass per group with k running counters — no window over the
+    * corpus, no driver state. At 100 TB the group is the natural
+    * shard domain anyway (per-source / per-language output files); a
+    * global LPT would serialize the corpus through one task and is
+    * deliberately not offered.
+    *
+    * Output: (group, id, n_tokens, shard ∈ [0, k)).
+    */
+  def lptShards(df: DataFrame, groupCol: String, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"shard count must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df.select(
+        col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("n_tokens").desc, col("id"))
+      .as[(String, Long, Long)]
+    counted.mapPartitions { it =>
+      var curGroup: String = null
+      val loads = new Array[Long](k)
+      it.map { case (g, id, n) =>
+        if (g != curGroup) { curGroup = g; java.util.Arrays.fill(loads, 0L) }
+        var best = 0
+        var s = 1
+        while (s < k) { if (loads(s) < loads(best)) best = s; s += 1 }
+        loads(best) += n
+        (g, id, n, best)
+      }
+    }.toDF("group", "id", "n_tokens", "shard")
+  }
 }

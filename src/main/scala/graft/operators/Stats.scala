@@ -172,4 +172,36 @@ object Stats {
       .withColumn("kappa", (col("po") - col("pe")) / (lit(1) - col("pe")))
       .select(col("__n").as("n"), col("po"), col("pe"), col("kappa"))
   }
+
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * AAAI '15; Guo et al. ICML '17): `confCol` ∈ [0,1] cut into
+    * `nBins` equal-width bins (the top edge folds into the last bin),
+    * per-bin mean confidence vs empirical accuracy of the boolean
+    * `correctCol`, and ECE = Σ (nᵇ/N)·|accᵇ − confᵇ| repeated on every
+    * row — the one number a filter-model gate thresholds on.
+    *
+    * One hash aggregate over the corpus (nBins-row result); the ECE
+    * total joins back as a broadcast 1-row scalar (the [[cohensKappa]]
+    * pattern) — nothing corpus-sized past the first aggregate.
+    * Output: (bin, n, avg_conf, accuracy, gap, ece), one row per
+    * non-empty bin.
+    */
+  def calibration(df: DataFrame, confCol: String, correctCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val byBin = df.select(
+        least(floor(col(confCol).cast("double") * nBins), lit(nBins - 1))
+          .cast("long").as("bin"),
+        col(confCol).cast("double").as("__conf"),
+        col(correctCol).cast("boolean").cast("double").as("__ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("__conf")).as("avg_conf"),
+        avg(col("__ok")).as("accuracy"))
+      .withColumn("gap", abs(col("accuracy") - col("avg_conf")))
+      .persist()
+    graft.Caches.track(byBin)
+    val tot = byBin.agg(
+      (sum(col("gap") * col("n")) / sum(col("n"))).as("ece"))
+    byBin.crossJoin(broadcast(tot))
+  }
 }

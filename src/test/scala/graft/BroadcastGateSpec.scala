@@ -90,7 +90,8 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/SkewJoins.scala" -> (3,
       "contract: scalar total for key-share profile, fixed-size CMS sketch pair; " +
         "gated: adaptiveJoin broadcasts right iff Catalyst plan stats sizeInBytes <= broadcastBytes budget"),
-    "graft/operators/Stats.scala" -> (4, "contract: scalar point estimates / agreement tables"),
+    "graft/operators/Stats.scala" -> (5,
+      "contract: scalar point estimates / agreement tables, ECE scalar (1-row agg over the nBins-row bin table)"),
     "graft/operators/Validation.scala" -> (1, "contract: rule table, rule-count-sized"),
     "graft/pipeline/Erasure.scala" -> (2, "contract: subject-key set (erasure requests, small by contract), scalar audit"),
     "graft/pipeline/OlympicCleanI.scala" -> (1, "contract: affiliation dim, bounded by distinct affiliations"),

@@ -64,4 +64,44 @@ class PackingSpec extends SparkSpec {
     }
     graft.Caches.unpersistAll()
   }
+
+  test("lptShards: hand case follows the exact LPT placement sequence") {
+    import spark.implicits._
+    // sizes desc: 8 7 6 5 4 -> shards (k=2): 8->s0, 7->s1, 6->s1(13? no:
+    // loads 8,7 -> least is s1), then loads 8,13 -> 5->s0, loads 13,13
+    // -> 4->s0 (tie to lowest index)
+    val docs = Seq(
+      (1L, toks(8)), (2L, toks(7)), (3L, toks(6)), (4L, toks(5)), (5L, toks(4))
+    ).map { case (i, t) => (i, t, "g") }.toDF("doc_id", "text", "src")
+    val got = Packing.lptShards(docs, "src", "doc_id", "text", 2)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 0), (2L, 1), (3L, 1), (4L, 0), (5L, 0)))
+  }
+
+  test("lptShards: groups are independent and balance is within max-item of optimal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 400L).map { i =>
+      (i, toks(rnd.nextInt(50) + 1), s"g${i % 3}")
+    }.toDF("doc_id", "text", "src")
+    val out = Packing.lptShards(docs, "src", "doc_id", "text", 4)
+    // every group uses shards [0, 4); per-group loads are LPT-balanced:
+    // max load - min load <= max single item (Graham's bound corollary)
+    val loads = out.groupBy("group", "shard")
+      .agg(sum("n_tokens").as("load"), max("n_tokens").as("biggest"))
+      .groupBy("group")
+      .agg(max("load").as("mx"), min("load").as("mn"),
+        max("biggest").as("item"), countDistinct("shard").as("ns"))
+      .collect()
+    assert(loads.length == 3)
+    loads.foreach { r =>
+      // row = (group, mx, mn, item, ns)
+      assert(r.getLong(4) == 4L)
+      assert(r.getLong(1) - r.getLong(2) <= r.getLong(3),
+        s"unbalanced: $r")
+    }
+    // deterministic: same input -> same assignment regardless of layout
+    val again = Packing.lptShards(docs.repartition(13), "src", "doc_id", "text", 4)
+    assert(rowsOf(out) === rowsOf(again))
+  }
 }

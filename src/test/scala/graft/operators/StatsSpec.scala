@@ -106,4 +106,40 @@ class StatsSpec extends SparkSpec {
     val r2 = Stats.pairedBootstrapDelta(df, "id", "a", "b", nReplicates = 100).collect()(0)
     assert(r1 == r2)
   }
+
+  test("calibration: hand-computed three-bin reliability table and ECE") {
+    import spark.implicits._
+    // IEEE floor, not decimal: 0.85 * 10 = 8.4999... -> bin 8
+    // bin 9: conf .95, 1 of 1 correct  -> gap |1 - .95| = .05
+    // bin 8: conf .85, 0 of 1 correct  -> gap |0 - .85| = .85
+    // bin 2: conf .25 x2, 2 of 2 correct -> gap |1 - .25| = .75
+    // ECE = (1*.05 + 1*.85 + 2*.75)/4 = .6
+    val df = Seq((0.95, true), (0.85, false), (0.25, true), (0.25, true))
+      .toDF("conf", "correct")
+    val rows = Stats.calibration(df, "conf", "correct", nBins = 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 8L, 9L))
+    val b2 = rows(0); val b8 = rows(1); val b9 = rows(2)
+    assert(b2.getLong(1) == 2 && b8.getLong(1) == 1 && b9.getLong(1) == 1)
+    assert(math.abs(b2.getDouble(2) - 0.25) < 1e-12)
+    assert(math.abs(b2.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(b8.getDouble(2) - 0.85) < 1e-12)
+    assert(math.abs(b8.getDouble(3) - 0.0) < 1e-12)
+    assert(math.abs(b9.getDouble(2) - 0.95) < 1e-12)
+    assert(math.abs(b9.getDouble(3) - 1.0) < 1e-12)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("ece") - 0.6) < 1e-12))
+    graft.Caches.unpersistAll()
+  }
+
+  test("calibration: conf 1.0 folds into the top bin; perfect calibration -> ECE 0") {
+    import spark.implicits._
+    // every bin's accuracy equals its mean confidence exactly
+    val df = Seq((1.0, true), (1.0, true),
+      (0.5, true), (0.5, false)).toDF("conf", "correct")
+    val rows = Stats.calibration(df, "conf", "correct", nBins = 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(5L, 9L))
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("ece")) < 1e-12))
+    graft.Caches.unpersistAll()
+  }
 }
