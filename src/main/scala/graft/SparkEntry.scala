@@ -4048,6 +4048,144 @@ object SparkEntry {
       .orderBy(col("window_start"))
   }
 
+  /** Threshold-free classifier audit ([[graft.operators.Stats.binaryEval]]):
+    * tie-aware ROC AUC (Mann–Whitney rank-sum, ½ credit per tied pair)
+    * and step-wise average precision of document length as a predictor
+    * of English-ness — the ranking-quality companion to q222's
+    * calibration gate. n_chars is heavily tied (many docs share a
+    * length), so the tie corrections in BOTH estimators are load-
+    * bearing, and the cumulative counts come from the two-phase
+    * prefix-sum scan, never a single-partition window.
+    */
+  private def q223BinaryEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+      .select(col("n_chars").cast("double").as("score"),
+        (col("lang") === "en").as("pos"))
+    Stats.binaryEval(docs, "score", "pos")
+  }
+
+  /** Per-slice AUC bias audit ([[graft.operators.Stats.binaryEvalBy]]):
+    * the q223 classifier re-scored within every `source` slice — the
+    * robustness report a filter model ships with (a corpus-level AUC
+    * can hide a far-worse slice). Slices whose label is one-sided
+    * report NULL ROC AUC (undefined), not a fake 0 — on both engines.
+    */
+  private def q224AucBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("n_chars").cast("double").as("score"),
+        (col("lang") === "en").as("pos"))
+    Stats.binaryEvalBy(docs, Seq("source"), "score", "pos")
+      .orderBy(col("source"))
+  }
+
+  /** Monotone-trend detector ([[graft.operators.Stats.spearman]]):
+    * tie-aware Spearman ρ between event value and event time within
+    * each event_type — the distribution-free drift test (is this
+    * metric trending?) that Pearson's linear ρ (q82) gets wrong on
+    * heavy tails. Ranks are fractional (average) ranks from the
+    * distinct-value contingency; time enters as the canonical epoch-ns
+    * long ([[Tables.withEventTime]]) so both engines rank the same
+    * integers regardless of the parquet timestamp encoding.
+    */
+  private def q225Spearman(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .select(col("event_type"), col("value"), col("ts"))
+    Stats.spearman(ev, Seq("event_type"), "value", "ts")
+      .orderBy(col("event_type"))
+  }
+
+  /** Preference aggregation ([[graft.operators.Stats.bradleyTerry]]):
+    * consecutive same-user events become pairwise outcomes (the
+    * higher-valued event's type beats the other; equal values and
+    * same-type pairs are skipped), then 5 Hunter-'04 MM iterations
+    * score the event types. The corpus-sized work (the lead window +
+    * pair aggregation) is distributed; the MM runs over the bounded
+    * |items|² matrix. The oracle replays the 5 iterations as unrolled
+    * CTEs ([[btIterationCtes]]).
+    */
+  private def q226BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prefs = Tables.withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .filter(col("next_type").isNotNull
+        && col("value") =!= col("next_value")
+        && col("event_type") =!= col("next_type"))
+      .select(
+        when(col("value") > col("next_value"), col("event_type"))
+          .otherwise(col("next_type")).as("winner"),
+        when(col("value") > col("next_value"), col("next_type"))
+          .otherwise(col("event_type")).as("loser"))
+    Stats.bradleyTerry(prefs, "winner", "loser", iterations = 5)
+      .orderBy(col("rank"))
+  }
+
+  /** Isotonic (PAV) recalibration
+    * ([[graft.operators.Stats.isotonicCalibration]]) of the exact q222
+    * reliability diagram: the best non-decreasing accuracy-over-
+    * confidence fit via the minimax closed form — what a production
+    * gate applies to the filter model's raw confidences before
+    * thresholding. Same binning as q222 bit-for-bit; the PAV algebra
+    * is bounded-bin arithmetic both engines restate exactly.
+    */
+  private def q227IsotonicFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+    val hitCols = Seq("de", "en", "es", "fr", "zh").map(l => col(s"${l}_hits"))
+    val total = hitCols.reduce(_ + _)
+    val scored = TextFunctions.langScoreTable(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      .select(
+        when(total === 0, lit(0.0))
+          .otherwise(greatest(hitCols: _*).cast("double") / total).as("conf"),
+        (col("pred_lang") === col("lang")).as("correct"))
+    Stats.isotonicCalibration(scored, "conf", "correct", nBins = 10)
+      .select(col("bin"), col("n"), round(col("avg_conf"), 6).as("avg_conf"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("iso_fit"), 6).as("iso_fit"))
+      .orderBy(col("bin"))
+  }
+
+  /** In-engine quality-filter training
+    * ([[graft.operators.FilterModel.logisticGd]]): logistic regression
+    * of English-ness on three engine-computed text features (length,
+    * stopword fraction, mean token length), 5 full-batch GD steps —
+    * the label-a-slice-fit-score loop of a CCNet-style filter run
+    * without leaving the engine. Each step is one map-side-combined
+    * gradient aggregate; the oracle replays the 5 steps as unrolled
+    * MATERIALIZED CTEs with the identical left-associated float
+    * expression.
+    */
+  private def q228LogregGd(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FilterModel
+    val docs = t(s, dir, "documents")
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val ntok = size(toks).cast("double")
+    val stopHits = size(filter(toks,
+      t => t.isin("the", "a", "and", "of", "to", "in")))
+    val charSum = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc, x) => acc + x)
+    val feats = docs.select(
+      (col("lang") === "en").as("is_en"),
+      (col("n_chars").cast("double") / 1000.0).as("len_k"),
+      when(ntok === 0, 0.0).otherwise(stopHits.cast("double") / ntok)
+        .as("stop_frac"),
+      when(ntok === 0, 0.0).otherwise(charSum.cast("double") / ntok / 10.0)
+        .as("tok_len"))
+    FilterModel.logisticGd(feats, Seq("len_k", "stop_frac", "tok_len"),
+        "is_en", iterations = 5, learningRate = 1.0)
+      .orderBy(col("term_idx"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4271,7 +4409,13 @@ object SparkEntry {
     "q219_blocklist" -> (q219Blocklist _),
     "q220_bitext_margin" -> (q220BitextMargin _),
     "q221_lpt_shards" -> (q221LptShards _),
-    "q222_calibration_ece" -> (q222CalibrationEce _))
+    "q222_calibration_ece" -> (q222CalibrationEce _),
+    "q223_binary_eval" -> (q223BinaryEval _),
+    "q224_auc_by_source" -> (q224AucBySource _),
+    "q225_spearman" -> (q225Spearman _),
+    "q226_bradley_terry" -> (q226BradleyTerry _),
+    "q227_isotonic_fit" -> (q227IsotonicFit _),
+    "q228_logreg_gd" -> (q228LogregGd _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8009,38 +8153,255 @@ object SparkEntry {
     // q30's hit CTE + confidence/argmax arithmetic, binned; ECE = the
     // n-weighted mean absolute (accuracy - confidence) gap over the bins
     "q222_calibration_ece" ->
-      """WITH h AS (
-        | SELECT d.doc_id, d.lang,
-        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','eine','mit','von'))) AS de_hits,
-        |  len(list_filter(toks, t -> t IN ('the','a','and','is','not','of','to','in','it','that'))) AS en_hits,
-        |  len(list_filter(toks, t -> t IN ('el','la','los','las','y','es','no','un','una','de'))) AS es_hits,
-        |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','un','une','dans','que'))) AS fr_hits,
-        |  len(list_filter(toks, t -> t IN ('的','是','不','了','在','我','有','和','就','人'))) AS zh_hits
-        | FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
-        |       FROM documents) d),
-        |scored AS (
-        | SELECT doc_id,
-        |  CASE WHEN de_hits + en_hits + es_hits + fr_hits + zh_hits = 0 THEN 0.0
-        |       ELSE CAST(greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) AS DOUBLE)
-        |            / (de_hits + en_hits + es_hits + fr_hits + zh_hits) END AS conf,
-        |  (CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) = 0 THEN 'und'
-        |        WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
-        |        WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
-        |        WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
-        |        WHEN fr_hits >= zh_hits THEN 'fr'
-        |        ELSE 'zh' END = lang) AS correct
-        | FROM h),
-        |bb AS (
-        | SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
-        |  count(*)::BIGINT AS n, avg(conf) AS avg_conf,
-        |  avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
-        | FROM scored GROUP BY 1),
+      s"""WITH $langCalibrationCtes,
         |tot AS (SELECT sum(abs(accuracy - avg_conf) * n) / sum(n) AS ece FROM bb)
         |SELECT bin, n, round(avg_conf, 6) AS avg_conf,
         | round(accuracy, 6) AS accuracy,
         | round(abs(accuracy - avg_conf), 6) AS gap, round(ece, 6) AS ece
         |FROM bb, tot
-        |ORDER BY bin""".stripMargin)
+        |ORDER BY bin""".stripMargin,
+
+    // q227: the q222 bins + the PAV minimax closed form — pooled range
+    // means from prefix sums, min over j >= k, max over i <= k; exact
+    // bounded-bin arithmetic, identical float fold order both engines
+    "q227_isotonic_fit" ->
+      s"""WITH $langCalibrationCtes,
+        |pre AS (SELECT bin, n, avg_conf, accuracy,
+        |  sum(n) OVER (ORDER BY bin) AS cw,
+        |  sum(accuracy * n) OVER (ORDER BY bin) AS cs FROM bb),
+        |rg AS (SELECT a.bin AS i, b.bin AS j,
+        |  (b.cs - (a.cs - a.accuracy * a.n)) / (b.cw - (a.cw - a.n)) AS m
+        |  FROM pre a JOIN pre b ON a.bin <= b.bin),
+        |mn AS (SELECT k.bin, rg.i, min(rg.m) AS mn FROM bb k
+        |  JOIN rg ON rg.i <= k.bin AND rg.j >= k.bin GROUP BY 1, 2),
+        |fit AS (SELECT bin, max(mn) AS iso_fit FROM mn GROUP BY 1)
+        |SELECT bb.bin, bb.n, round(bb.avg_conf, 6) AS avg_conf,
+        | round(bb.accuracy, 6) AS accuracy, round(fit.iso_fit, 6) AS iso_fit
+        |FROM bb JOIN fit ON bb.bin = fit.bin
+        |ORDER BY bb.bin""".stripMargin,
+
+    // q228: features restated with the q217 tokenization pairing, then
+    // the 5 GD steps unrolled (gradient avg from the previous weights,
+    // z folded left-associatively exactly as the engine builds it)
+    "q228_logreg_gd" ->
+      s"""WITH ft AS MATERIALIZED (
+        | SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |  CAST(n_chars AS DOUBLE) / 1000.0 AS x0,
+        |  CASE WHEN ntok = 0 THEN 0.0 ELSE nstop / ntok END AS x1,
+        |  CASE WHEN ntok = 0 THEN 0.0 ELSE csum / ntok / 10.0 END AS x2
+        | FROM (
+        |  SELECT lang, n_chars,
+        |   CAST(len(toks) AS DOUBLE) AS ntok,
+        |   CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) AS nstop,
+        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) AS csum
+        |  FROM (SELECT lang, n_chars,
+        |         list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+        |        FROM documents WHERE text IS NOT NULL) t0) t1
+        | WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |wt0 AS (SELECT 0.0 AS b, 0.0 AS c0, 0.0 AS c1, 0.0 AS c2),
+        |${gdIterationCtes(5)},
+        |mt AS MATERIALIZED (
+        | SELECT count(*)::BIGINT AS n,
+        |  avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS acc,
+        |  avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS loss
+        | FROM (SELECT ft.y,
+        |    1.0 / (1.0 + exp(-(wt5.b + ft.x0 * wt5.c0 + ft.x1 * wt5.c1 + ft.x2 * wt5.c2))) AS p
+        |   FROM ft, wt5) t)
+        |SELECT t.term_idx, t.term, round(t.w, 6) AS weight, mt.n,
+        | round(mt.acc, 6) AS accuracy, round(mt.loss, 6) AS log_loss
+        |FROM (
+        | SELECT 0::BIGINT AS term_idx, 'bias' AS term, (SELECT b FROM wt5) AS w
+        | UNION ALL SELECT 1::BIGINT, 'len_k', (SELECT c0 FROM wt5)
+        | UNION ALL SELECT 2::BIGINT, 'stop_frac', (SELECT c1 FROM wt5)
+        | UNION ALL SELECT 3::BIGINT, 'tok_len', (SELECT c2 FROM wt5)) t, mt
+        |ORDER BY t.term_idx""".stripMargin,
+
+    // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise
+    // average precision restated from the same distinct-score
+    // contingency + window prefix sums; q224 is the identical algebra
+    // partitioned by source
+    "q223_binary_eval" -> aucOracle(None),
+    "q224_auc_by_source" -> aucOracle(Some("source")),
+
+    // q225: fractional ranks from the per-group distinct-value
+    // contingency (count-smaller + (ties+1)/2) joined back, then plain
+    // corr on ranks — the q82 corr-parity precedent at 6 dp
+    "q225_spearman" ->
+      """WITH r0 AS (
+        | SELECT event_type, CAST(value AS DOUBLE) AS x,
+        |  CAST(epoch_ns(ts) AS DOUBLE) AS y
+        | FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |gx AS (SELECT event_type, x, count(*)::BIGINT AS c FROM r0 GROUP BY 1, 2),
+        |rx AS (SELECT event_type, x,
+        |  COALESCE(sum(c) OVER (PARTITION BY event_type ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  + CAST(c + 1 AS DOUBLE) / 2 AS rkx FROM gx),
+        |gy AS (SELECT event_type, y, count(*)::BIGINT AS c FROM r0 GROUP BY 1, 2),
+        |ry AS (SELECT event_type, y,
+        |  COALESCE(sum(c) OVER (PARTITION BY event_type ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  + CAST(c + 1 AS DOUBLE) / 2 AS rky FROM gy),
+        |j AS (SELECT r0.event_type, rx.rkx, ry.rky
+        |      FROM r0
+        |      JOIN rx ON r0.event_type = rx.event_type AND r0.x = rx.x
+        |      JOIN ry ON r0.event_type = ry.event_type AND r0.y = ry.y)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        | round(corr(rkx, rky), 6) AS rho
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q226: pairwise outcomes from the same lead window, then the 5 MM
+    // iterations unrolled as chained CTEs (btIterationCtes) — rank on
+    // the ROUNDED strength so a last-ulp engine difference cannot flip
+    "q226_bradley_terry" ->
+      s"""WITH ev AS (
+        | SELECT user_id, event_type, value,
+        |  lead(event_type) OVER win AS nt, lead(value) OVER win AS nv
+        | FROM events
+        | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pf AS (
+        | SELECT CASE WHEN value > nv THEN event_type ELSE nt END AS w,
+        |        CASE WHEN value > nv THEN nt ELSE event_type END AS l
+        | FROM ev
+        | WHERE nt IS NOT NULL AND value <> nv AND event_type <> nt),
+        |pairs AS MATERIALIZED (
+        | SELECT w, l, count(*)::BIGINT AS n FROM pf GROUP BY 1, 2),
+        |sym AS MATERIALIZED (SELECT i, j, sum(n)::BIGINT AS nij FROM (
+        |   SELECT w AS i, l AS j, n FROM pairs
+        |   UNION ALL SELECT l AS i, w AS j, n FROM pairs) u
+        |  GROUP BY 1, 2),
+        |wins AS MATERIALIZED (
+        | SELECT w AS i, sum(n)::BIGINT AS wins FROM pairs GROUP BY 1),
+        |items AS MATERIALIZED (SELECT DISTINCT i FROM sym),
+        |w0 AS MATERIALIZED (
+        | SELECT i, 1.0 / (SELECT count(*) FROM items) AS s FROM items),
+        |${btIterationCtes(5)},
+        |nc AS (SELECT i, sum(nij)::BIGINT AS n_comparisons FROM sym GROUP BY 1),
+        |f AS (
+        | SELECT items.i AS item, COALESCE(wins.wins, 0)::BIGINT AS n_wins,
+        |  nc.n_comparisons, round(w5.s, 6) AS strength
+        | FROM items
+        | LEFT JOIN wins ON items.i = wins.i
+        | JOIN nc ON items.i = nc.i
+        | JOIN w5 ON items.i = w5.i)
+        |SELECT item, n_wins, n_comparisons, strength,
+        | row_number() OVER (ORDER BY strength DESC, item)::BIGINT AS rank
+        |FROM f
+        |ORDER BY rank""".stripMargin)
+
+  /** q222/q227's shared langId-confidence reliability bins: hits →
+    * (conf, correct) → 10 equal-width bins with per-bin n / mean conf /
+    * accuracy. Factored so the ECE and the PAV fit replay the SAME
+    * binning verbatim.
+    */
+  private def langCalibrationCtes: String =
+    """h AS (
+      | SELECT d.doc_id, d.lang,
+      |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','eine','mit','von'))) AS de_hits,
+      |  len(list_filter(toks, t -> t IN ('the','a','and','is','not','of','to','in','it','that'))) AS en_hits,
+      |  len(list_filter(toks, t -> t IN ('el','la','los','las','y','es','no','un','una','de'))) AS es_hits,
+      |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','un','une','dans','que'))) AS fr_hits,
+      |  len(list_filter(toks, t -> t IN ('的','是','不','了','在','我','有','和','就','人'))) AS zh_hits
+      | FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
+      |       FROM documents) d),
+      |scored AS (
+      | SELECT doc_id,
+      |  CASE WHEN de_hits + en_hits + es_hits + fr_hits + zh_hits = 0 THEN 0.0
+      |       ELSE CAST(greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) AS DOUBLE)
+      |            / (de_hits + en_hits + es_hits + fr_hits + zh_hits) END AS conf,
+      |  (CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) = 0 THEN 'und'
+      |        WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+      |        WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+      |        WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+      |        WHEN fr_hits >= zh_hits THEN 'fr'
+      |        ELSE 'zh' END = lang) AS correct
+      | FROM h),
+      |bb AS (
+      | SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+      |  count(*)::BIGINT AS n, avg(conf) AS avg_conf,
+      |  avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
+      | FROM scored GROUP BY 1)""".stripMargin
+
+  /** q228's unrolled GD steps: grK = the gradient means under wt(K−1),
+    * wtK = wt(K−1) − η·grK with η = 1 — the exact per-step arithmetic
+    * [[graft.operators.FilterModel.logisticGd]] runs, z folded in the
+    * same left-associated order. MATERIALIZED for the q226 reason.
+    */
+  private def gdIterationCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""gr$k AS MATERIALIZED (
+        | SELECT avg((p - y) * 1.0) AS g0, avg((p - y) * x0) AS g1,
+        |        avg((p - y) * x1) AS g2, avg((p - y) * x2) AS g3
+        | FROM (SELECT ft.y, ft.x0, ft.x1, ft.x2,
+        |    1.0 / (1.0 + exp(-(wt${k - 1}.b + ft.x0 * wt${k - 1}.c0
+        |      + ft.x1 * wt${k - 1}.c1 + ft.x2 * wt${k - 1}.c2))) AS p
+        |   FROM ft, wt${k - 1}) t),
+        |wt$k AS (SELECT wt${k - 1}.b - 1.0 * gr$k.g0 AS b,
+        |  wt${k - 1}.c0 - 1.0 * gr$k.g1 AS c0,
+        |  wt${k - 1}.c1 - 1.0 * gr$k.g2 AS c1,
+        |  wt${k - 1}.c2 - 1.0 * gr$k.g3 AS c2
+        | FROM wt${k - 1}, gr$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** q223/q224's shared AUC oracle: `slice` = None is the global form,
+    * Some(col) partitions every window and the final reduction by the
+    * slice column — the exact algebra of
+    * [[graft.operators.Stats.binaryEvalAgg]] restated over window
+    * prefix sums (fine at oracle scale; the engine's global form uses
+    * the two-phase scan instead).
+    */
+  private def aucOracle(slice: Option[String]): String = {
+    val gSel = slice.map(c => s"$c, ").getOrElse("")
+    val part = slice.map(c => s"PARTITION BY $c ").getOrElse("")
+    val whole = slice.map(c => s"PARTITION BY $c").getOrElse("")
+    val grpBy = slice.map(c => s"GROUP BY $c ORDER BY $c").getOrElse("")
+    val gGrp = if (slice.isEmpty) "GROUP BY 1" else "GROUP BY 1, 2"
+    s"""WITH g AS (
+      | SELECT ${gSel}CAST(n_chars AS DOUBLE) AS s,
+      |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p,
+      |  sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n
+      | FROM documents
+      | WHERE n_chars IS NOT NULL AND lang IS NOT NULL $gGrp),
+      |c AS (
+      | SELECT ${gSel}p, n,
+      |  COALESCE(sum(p) OVER (${part}ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+      |  COALESCE(sum(n) OVER (${part}ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+      |  sum(p) OVER ($whole) AS bigp, sum(n) OVER ($whole) AS bign
+      | FROM g)
+      |SELECT ${gSel}max(bigp)::BIGINT AS n_pos, max(bign)::BIGINT AS n_neg,
+      | count(*)::BIGINT AS n_thresholds,
+      | round(CASE WHEN max(bigp) > 0 AND max(bign) > 0 THEN
+      |   (sum(CAST(p AS DOUBLE) * cn) + sum(CAST(p AS DOUBLE) * n) / 2)
+      |    / (CAST(max(bigp) AS DOUBLE) * max(bign)) END, 6) AS roc_auc,
+      | round(CASE WHEN max(bigp) > 0 THEN
+      |   sum((CAST(p AS DOUBLE) / bigp)
+      |     * (CAST(bigp - cp AS DOUBLE) / ((bigp - cp) + (bign - cn)))) END, 6)
+      |   AS pr_auc
+      |FROM c $grpBy""".stripMargin
+  }
+
+  /** q226's unrolled MM iterations (w0 → wN): each rK computes
+    * raw_i = W_i / Σ_j n_ij/(s_i + s_j) from w(K−1); each wK
+    * renormalizes to sum 1 — the exact fixed-iteration arithmetic
+    * [[graft.operators.Stats.bradleyTerry]] runs on the driver.
+    */
+  private def btIterationCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      // MATERIALIZED: each step references its predecessor twice plus a
+      // scalar-subquery sum — left inlined, the chain re-expands the
+      // whole upstream pipeline ~3^k times and the oracle never returns
+      s"""r$k AS MATERIALIZED (
+        | SELECT sym.i AS i,
+        |  COALESCE(wins.wins, 0) / sum(sym.nij / (si.s + sj.s)) AS raw
+        | FROM sym
+        | JOIN w${k - 1} si ON sym.i = si.i
+        | JOIN w${k - 1} sj ON sym.j = sj.i
+        | LEFT JOIN wins ON sym.i = wins.i
+        | GROUP BY sym.i, wins.wins),
+        |w$k AS MATERIALIZED (
+        | SELECT i, raw / (SELECT sum(raw) FROM r$k) AS s FROM r$k)""".stripMargin
+    }.mkString(",\n")
 
   /** The q211/q212 TWO-reference pair CTEs: tokenized docs, lead-1 and
     * lead-2 references within the source, rows lacking two references

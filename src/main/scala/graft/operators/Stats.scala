@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical inference over corpus-scale data — resampling confidence
@@ -203,5 +204,256 @@ object Stats {
     val tot = byBin.agg(
       (sum(col("gap") * col("n")) / sum(col("n"))).as("ece"))
     byBin.crossJoin(broadcast(tot))
+  }
+
+  /** Isotonic (PAV) recalibration of the reliability diagram: the
+    * best non-decreasing fit of per-bin accuracy over the confidence
+    * bins (Ayer et al. '55; Zadrozny & Elkan KDD '02 for classifier
+    * calibration), computed by the MINIMAX closed form of the
+    * pool-adjacent-violators solution:
+    *
+    *   iso_k = max_{i ≤ k} min_{j ≥ k} (Σ_{b=i..j} n_b·acc_b / Σ_{b=i..j} n_b)
+    *
+    * No sequential pooling loop: the bin table is nBins-bounded by
+    * construction, so the (i, j) pooled means are a bounded self-join
+    * over bin prefix sums and the fit is exact closed-form arithmetic
+    * an external engine restates verbatim. The corpus-sized work stays
+    * the ONE hash aggregate that builds the bins (the [[calibration]]
+    * binning, bit-identical). Output: (bin, n, avg_conf, accuracy,
+    * iso_fit), one row per non-empty bin; iso_fit is non-decreasing.
+    */
+  def isotonicCalibration(df: DataFrame, confCol: String, correctCol: String,
+                          nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val byBin = df.select(
+        least(floor(col(confCol).cast("double") * nBins), lit(nBins - 1))
+          .cast("long").as("bin"),
+        col(confCol).cast("double").as("__conf"),
+        col(correctCol).cast("boolean").cast("double").as("__ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("__conf")).as("avg_conf"),
+        avg(col("__ok")).as("accuracy"))
+      .persist()
+    graft.Caches.track(byBin)
+    // global window over the ≤nBins-row bin table — the bounded-dim
+    // convention (GroupOps.rowNumberId), never over corpus rows
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = byBin.select(col("bin"), col("n"), col("accuracy"),
+      sum(col("n")).over(cum).as("cw"),
+      sum(col("accuracy") * col("n")).over(cum).as("cs"))
+    val lo = pre.select(col("bin").as("i"),
+      (col("cw") - col("n")).as("cw0"),
+      (col("cs") - col("accuracy") * col("n")).as("cs0"))
+    val hi = pre.select(col("bin").as("j"), col("cw"), col("cs"))
+    val ranges = lo.join(hi, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("cs") - col("cs0")) / (col("cw") - col("cw0"))).as("m"))
+    val fit = byBin.select(col("bin"))
+      .join(ranges, col("i") <= col("bin") && col("j") >= col("bin"))
+      .groupBy(col("bin"), col("i")).agg(min(col("m")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("iso_fit"))
+    byBin.join(fit, "bin")
+      .select(col("bin"), col("n"), col("avg_conf"), col("accuracy"),
+        col("iso_fit"))
+  }
+
+  /** Distinct-score contingency for binary-classifier evaluation: one
+    * row per distinct score with its positive/negative counts — the
+    * only corpus-sized pass either AUC needs. Null scores/labels are
+    * dropped (neither estimator is defined for them).
+    */
+  private def scoreContingency(df: DataFrame, scoreCol: String,
+                               labelCol: String): DataFrame =
+    df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__n"))
+
+  /** Tie-aware ROC AUC and PR AUC of a score column against a binary
+    * label — the threshold-free quality-classifier gates that complete
+    * the [[calibration]] (ECE) suite. ROC AUC is the Mann–Whitney
+    * rank-sum estimator with the standard ½ credit for tied
+    * positive/negative pairs; PR AUC is step-wise average precision
+    * with one step per distinct score descending (the scikit-learn
+    * `average_precision_score` convention, which never interpolates).
+    *
+    * Scale: everything reduces from the distinct-score contingency;
+    * the cumulative counts under each threshold come from the
+    * [[GroupOps.exclusivePrefixSum]] two-phase scan — one range
+    * shuffle of the score-distinct table, never a single-partition
+    * window over every threshold. Output: one row (n_pos, n_neg,
+    * n_thresholds, roc_auc, pr_auc); both AUCs are NULL when either
+    * class is empty (undefined, not 0).
+    */
+  def binaryEval(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = scoreContingency(df, scoreCol, labelCol)
+    val cp = GroupOps.exclusivePrefixSum(byScore, Seq(col("__s")), col("__p"), "__cp")
+    val c = GroupOps.exclusivePrefixSum(cp, Seq(col("__s")), col("__n"), "__cn")
+    val tot = c.agg(sum(col("__p")).as("__bigP"), sum(col("__n")).as("__bigN"))
+    binaryEvalAgg(c.crossJoin(broadcast(tot)), Nil)
+  }
+
+  /** Per-slice [[binaryEval]] (one AUC pair per `groupCols` value) —
+    * the bias/robustness audit a filter model ships with: a classifier
+    * whose corpus-level AUC hides a far-worse slice is caught here.
+    *
+    * Group count bounded is the caller's contract (the
+    * [[graft.operators.GroupOps.robustZscore]] convention), so the
+    * prefix sums come from windows PARTITIONED by the slice over the
+    * per-slice distinct-score tables — parallel across slices, each
+    * task bounded by one slice's threshold count.
+    */
+  def binaryEvalBy(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                   labelCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty; use binaryEval")
+    val g = df.select(groupCols.map(col) :+
+        col(scoreCol).cast("double").as("__s") :+
+        col(labelCol).cast("boolean").cast("long").as("__y"): _*)
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy((groupCols :+ "__s").map(col): _*)
+      .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__n"))
+    val before = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(groupCols.map(col): _*)
+    val c = g
+      .withColumn("__cp", coalesce(sum(col("__p")).over(before), lit(0L)))
+      .withColumn("__cn", coalesce(sum(col("__n")).over(before), lit(0L)))
+      .withColumn("__bigP", sum(col("__p")).over(whole))
+      .withColumn("__bigN", sum(col("__n")).over(whole))
+    binaryEvalAgg(c, groupCols)
+  }
+
+  /** Shared reduction for both AUC forms: rows carry (__p, __n, __cp,
+    * __cn, __bigP, __bigN) per distinct score; descending-inclusive
+    * counts needed by precision are `total − ascending-exclusive`.
+    */
+  private def binaryEvalAgg(c: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val tpAt = col("__bigP") - col("__cp") // positives at score >= this row's
+    val fpAt = col("__bigN") - col("__cn")
+    val keys = groupCols.map(col)
+    val grouped = if (keys.isEmpty) c.groupBy() else c.groupBy(keys: _*)
+    grouped
+      .agg(
+        first(col("__bigP")).as("n_pos"), first(col("__bigN")).as("n_neg"),
+        count(lit(1)).as("n_thresholds"),
+        sum(col("__p").cast("double") * col("__cn")).as("__u"),
+        sum(col("__p").cast("double") * col("__n")).as("__t"),
+        sum((col("__p").cast("double") / col("__bigP"))
+          * (tpAt.cast("double") / (tpAt + fpAt))).as("__ap"))
+      .select(keys ++ Seq(
+        col("n_pos"), col("n_neg"), col("n_thresholds"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__u") + col("__t") / 2)
+            / (col("n_pos").cast("double") * col("n_neg"))), 6)
+          .as("roc_auc"),
+        round(when(col("n_pos") > 0, col("__ap")), 6).as("pr_auc")): _*)
+  }
+
+  /** Tie-aware Spearman rank correlation ρ between two numeric columns
+    * within each key group: Pearson correlation of the columns'
+    * fractional (average) ranks — the distribution-free monotone-trend
+    * detector (drift of a score over time, agreement of two quality
+    * signals) that Pearson's linear ρ gets wrong on heavy tails.
+    *
+    * Ranks come from the per-group distinct-value contingency (average
+    * rank = count-strictly-smaller + (ties+1)/2), computed with windows
+    * over the DISTINCT-value tables partitioned by group and joined
+    * back — never a per-row window, so a group's window task is
+    * bounded by its distinct-value count, not its row count. Rows with
+    * a null in either column are excluded pairwise (the R/pandas
+    * `complete.obs` convention). Output: one row per group
+    * (group cols…, n, rho).
+    */
+  def spearman(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    def withRank(d: DataFrame, valueCol: String, out: String): DataFrame = {
+      val g = d.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val before = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn(out,
+          coalesce(sum(col("__cnt")).over(before), lit(0L)).cast("double")
+            + (col("__cnt") + lit(1)).cast("double") / 2)
+        .drop("__cnt")
+      d.join(r, groupCols :+ valueCol)
+    }
+    val rows = df.select(groupCols.map(col)
+        :+ col(xCol).cast("double").as("__x")
+        :+ col(yCol).cast("double").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val ranked = withRank(withRank(rows, "__x", "__rx"), "__y", "__ry")
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("__rx"), col("__ry")), 6).as("rho"))
+  }
+
+  /** Bradley–Terry preference strengths from a stream of pairwise
+    * outcomes (winnerCol, loserCol) via Hunter '04's MM iteration
+    * w_i ← W_i / Σ_j n_ij/(w_i + w_j), strengths renormalized to sum 1
+    * each step — the preference-data aggregation an RLHF pipeline runs
+    * over comparison logs to score items/policies.
+    *
+    * Scale split: the corpus-sized work is ONE aggregation of the
+    * preference stream into the |items|²-bounded comparison matrix;
+    * the MM fixed-point over that matrix is driver arithmetic under an
+    * explicit item-count gate (the k-means-centroid bounded-collect
+    * convention — items are a dim universe, comparisons are the
+    * corpus). A fixed `iterations` count (not a convergence test)
+    * keeps the result exactly restatable by an external engine.
+    * Output: one row per item (item, n_wins, n_comparisons,
+    * strength, rank) ranked by strength descending (item ascending
+    * breaks exact ties).
+    */
+  def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
+                   iterations: Int, maxItems: Int = 4096): DataFrame = {
+    require(iterations >= 1, s"need >= 1 iterations, got $iterations")
+    val spark = prefs.sparkSession
+    val pairs = prefs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .groupBy(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__nwl"))
+      .persist()
+    graft.Caches.track(pairs)
+    val nItems = pairs.select(explode(array(col("__w"), col("__l"))))
+      .distinct().count()
+    require(nItems <= maxItems,
+      s"bradleyTerry collects the item-level matrix: $nItems items exceeds " +
+        s"the $maxItems gate — this input is not a bounded preference universe")
+    val rows = pairs.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = rows.iterator.flatMap(t => Iterator(t._1, t._2)).toSeq.distinct.sorted
+    val wins = rows.groupBy(_._1).map { case (i, g) => i -> g.map(_._3).sum }
+    val comps = rows.iterator.flatMap { case (w, l, n) =>
+      Iterator((w, l) -> n, (l, w) -> n) }
+      .toSeq.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    var s = items.map(_ -> 1.0 / items.size).toMap
+    for (_ <- 1 to iterations) {
+      val raw = items.map { i =>
+        val den = items.iterator.filter(_ != i).map { j =>
+          comps.getOrElse((i, j), 0L).toDouble / (s(i) + s(j)) }.sum
+        i -> (if (den == 0.0) 0.0 else wins.getOrElse(i, 0L).toDouble / den)
+      }
+      val z = raw.iterator.map(_._2).sum
+      s = raw.map { case (i, v) => i -> (if (z == 0.0) 0.0 else v / z) }.toMap
+    }
+    // rank on the ROUNDED strength (6 dp, HALF_UP — the exact rule the
+    // Spark `round` column function applies) so an external engine that
+    // agrees at 6 dp can never flip a rank by a last-ulp difference
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = items
+      .map { i =>
+        val nc = items.iterator.filter(_ != i)
+          .map(j => comps.getOrElse((i, j), 0L)).sum
+        (i, wins.getOrElse(i, 0L), nc, r6(s(i)))
+      }
+      .sortBy { case (i, _, _, st) => (-st, i) }
+      .zipWithIndex
+      .map { case ((i, w, nc, st), r) => (i, w, nc, st, r + 1L) }
+    import spark.implicits._
+    out.toDF("item", "n_wins", "n_comparisons", "strength", "rank")
   }
 }

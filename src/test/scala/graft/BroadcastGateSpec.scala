@@ -75,6 +75,8 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/Drift.scala" -> (4, "contract: per-group bounds/totals/stats — group-count-sized"),
     "graft/operators/Dsir.scala" -> (4, "contract: hashed-bucket count tables, 2^b rows by parameter"),
     "graft/operators/Features.scala" -> (3, "contract: per-category stats, scalar agg, k breakpoints"),
+    "graft/operators/FilterModel.scala" -> (1,
+      "contract: final-epoch metrics — a 1-row scalar aggregate"),
     "graft/operators/Funnel.scala" -> (1, "contract: per-variant aggregate, variant-count-sized"),
     "graft/operators/Graph.scala" -> (1,
       "gated: adjacency broadcast iff edges <= BroadcastAdjacencyEdges (bytes proxy: one long/edge)"),
@@ -90,8 +92,9 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/SkewJoins.scala" -> (3,
       "contract: scalar total for key-share profile, fixed-size CMS sketch pair; " +
         "gated: adaptiveJoin broadcasts right iff Catalyst plan stats sizeInBytes <= broadcastBytes budget"),
-    "graft/operators/Stats.scala" -> (5,
-      "contract: scalar point estimates / agreement tables, ECE scalar (1-row agg over the nBins-row bin table)"),
+    "graft/operators/Stats.scala" -> (6,
+      "contract: scalar point estimates / agreement tables, ECE scalar (1-row agg over the nBins-row bin table), " +
+        "binaryEval class totals (1-row agg over the distinct-score table)"),
     "graft/operators/Validation.scala" -> (1, "contract: rule table, rule-count-sized"),
     "graft/pipeline/Erasure.scala" -> (2, "contract: subject-key set (erasure requests, small by contract), scalar audit"),
     "graft/pipeline/OlympicCleanI.scala" -> (1, "contract: affiliation dim, bounded by distinct affiliations"),

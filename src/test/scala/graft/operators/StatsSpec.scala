@@ -142,4 +142,151 @@ class StatsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("ece")) < 1e-12))
     graft.Caches.unpersistAll()
   }
+
+  test("isotonicCalibration: monotone bins pass through; a violator pools with its neighbour") {
+    import spark.implicits._
+    // bins 2 (acc 0.2) and 7 (acc 0.8): already isotonic → fit == accuracy
+    val mono = Seq((0.25, false), (0.25, false), (0.25, false), (0.25, false), (0.25, true),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, true), (0.75, false))
+      .toDF("conf", "ok")
+    val m = Stats.isotonicCalibration(mono, "conf", "ok").orderBy("bin").collect()
+    assert(m.map(_.getLong(0)).toSeq == Seq(2L, 7L))
+    m.foreach(r => assert(r.getAs[Double]("iso_fit") == r.getAs[Double]("accuracy")))
+    // violator: bin 2 acc 1.0 > bin 7 acc 0.0, equal weights → pooled 0.5
+    val viol = Seq((0.25, true), (0.75, false)).toDF("conf", "ok")
+    val v = Stats.isotonicCalibration(viol, "conf", "ok").orderBy("bin").collect()
+    assert(v.map(_.getAs[Double]("iso_fit")).toSeq == Seq(0.5, 0.5))
+    // weighted violator: bin 2 has 3 correct, bin 7 has 1 wrong → pooled 0.75
+    val wviol = Seq((0.25, true), (0.25, true), (0.25, true), (0.75, false))
+      .toDF("conf", "ok")
+    val wv = Stats.isotonicCalibration(wviol, "conf", "ok").orderBy("bin").collect()
+    assert(wv.map(_.getAs[Double]("iso_fit")).toSeq == Seq(0.75, 0.75))
+    graft.Caches.unpersistAll()
+  }
+
+  test("isotonicCalibration: three-bin partial pool keeps the fit non-decreasing") {
+    import spark.implicits._
+    // accs 0.0 / 1.0 / 0.5 with equal weights: pool bins 2 and 3 →
+    // (0.0, 0.75, 0.75)
+    val df = Seq((0.15, false), (0.15, false),
+      (0.25, true), (0.25, true), (0.35, true), (0.35, false))
+      .toDF("conf", "ok")
+    val r = Stats.isotonicCalibration(df, "conf", "ok").orderBy("bin").collect()
+    assert(r.map(_.getAs[Double]("iso_fit")).toSeq == Seq(0.0, 0.75, 0.75))
+    val fits = r.map(_.getAs[Double]("iso_fit"))
+    assert(fits.sliding(2).forall(p => p(0) <= p(1)), "fit must be non-decreasing")
+    graft.Caches.unpersistAll()
+  }
+
+  test("binaryEval: perfect separation → both AUCs 1; reversed → ROC 0") {
+    import spark.implicits._
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val r = Stats.binaryEval(perfect, "s", "y").collect()(0)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Long]("n_thresholds") == 4)
+    assert(r.getAs[Double]("roc_auc") == 1.0)
+    assert(r.getAs[Double]("pr_auc") == 1.0)
+    val reversed = Seq((2.0, false), (1.0, true)).toDF("s", "y")
+    assert(Stats.binaryEval(reversed, "s", "y")
+      .collect()(0).getAs[Double]("roc_auc") == 0.0)
+    graft.Caches.unpersistAll()
+  }
+
+  test("binaryEval: tied positive/negative pairs earn exactly half credit") {
+    import spark.implicits._
+    // both scores carry one pos + one neg: of the 4 (pos, neg) pairs,
+    // 1 win + 2 ties → (1 + 2·½)/4 = 0.5; AP steps both give prec 0.5
+    val df = Seq((1.0, false), (1.0, true), (2.0, false), (2.0, true))
+      .toDF("s", "y")
+    val r = Stats.binaryEval(df, "s", "y").collect()(0)
+    assert(r.getAs[Long]("n_thresholds") == 2)
+    assert(r.getAs[Double]("roc_auc") == 0.5)
+    assert(r.getAs[Double]("pr_auc") == 0.5)
+    graft.Caches.unpersistAll()
+  }
+
+  test("binaryEval: one-sided labels → ROC AUC NULL (undefined), not 0") {
+    import spark.implicits._
+    val allPos = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val r = Stats.binaryEval(allPos, "s", "y").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("roc_auc")))
+    assert(r.getAs[Double]("pr_auc") == 1.0)
+    // null score / null label rows are excluded, not counted as a class
+    val withNulls = Seq((Some(1.0), Some(false)), (Some(2.0), Some(true)),
+      (None, Some(true)), (Some(3.0), None)).toDF("s", "y")
+    val r2 = Stats.binaryEval(withNulls, "s", "y").collect()(0)
+    assert(r2.getAs[Long]("n_pos") == 1 && r2.getAs[Long]("n_neg") == 1)
+    assert(r2.getAs[Double]("roc_auc") == 1.0)
+    graft.Caches.unpersistAll()
+  }
+
+  test("binaryEvalBy scores each slice independently and matches the global form") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1.0, false), ("g1", 2.0, true),   // perfect in g1
+      ("g2", 1.0, true), ("g2", 2.0, false))   // reversed in g2
+      .toDF("g", "s", "y")
+    val by = Stats.binaryEvalBy(df, Seq("g"), "s", "y")
+      .orderBy("g").collect()
+    assert(by(0).getAs[Double]("roc_auc") == 1.0)
+    assert(by(1).getAs[Double]("roc_auc") == 0.0)
+    // a single slice reduces to binaryEval on that slice
+    val g1 = df.filter(col("g") === "g1")
+    val whole = Stats.binaryEval(g1, "s", "y").collect()(0)
+    val sliced = Stats.binaryEvalBy(g1, Seq("g"), "s", "y").collect()(0)
+    assert(whole.getAs[Double]("roc_auc") == sliced.getAs[Double]("roc_auc"))
+    assert(whole.getAs[Double]("pr_auc") == sliced.getAs[Double]("pr_auc"))
+    graft.Caches.unpersistAll()
+  }
+
+  test("spearman: monotone (nonlinear) → ±1; tie-aware fractional ranks") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1.0, 1.0), ("up", 2.0, 4.0), ("up", 3.0, 9.0), ("up", 4.0, 100.0),
+      ("down", 1.0, 5.0), ("down", 2.0, 3.0), ("down", 3.0, -10.0))
+      .toDF("g", "x", "y")
+    val r = Stats.spearman(df, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    assert(r(0).getAs[String]("g") == "down" && r(0).getAs[Double]("rho") == -1.0)
+    assert(r(1).getAs[String]("g") == "up" && r(1).getAs[Double]("rho") == 1.0)
+    // ties: x=(1,1,2) ranks (1.5,1.5,3) vs y=(1,2,3) ranks (1,2,3)
+    // → Pearson = 0.75/(0.866025…·1) = √3/2
+    val tied = Seq(("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0))
+      .toDF("g", "x", "y")
+    val rt = Stats.spearman(tied, Seq("g"), "x", "y").collect()(0)
+    assert(rt.getAs[Long]("n") == 3)
+    assert(rt.getAs[Double]("rho") == BigDecimal(math.sqrt(3) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    graft.Caches.unpersistAll()
+  }
+
+  test("bradleyTerry: 2 items converge to the closed-form win-ratio fixed point") {
+    import spark.implicits._
+    // A beats B twice, B beats A once → fixed point (2/3, 1/3)
+    val prefs = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("w", "l")
+    val r = Stats.bradleyTerry(prefs, "w", "l", iterations = 5)
+      .orderBy("rank").collect()
+    assert(r(0).getAs[String]("item") == "A" && r(0).getAs[Long]("rank") == 1)
+    assert(r(0).getAs[Long]("n_wins") == 2 && r(0).getAs[Long]("n_comparisons") == 3)
+    assert(r(0).getAs[Double]("strength") == 0.666667)
+    assert(r(1).getAs[String]("item") == "B"
+      && r(1).getAs[Double]("strength") == 0.333333)
+    graft.Caches.unpersistAll()
+  }
+
+  test("bradleyTerry: transitive outcomes order the items; item gate refuses") {
+    import spark.implicits._
+    val prefs = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"), ("A", "C"))
+      .toDF("w", "l")
+    val r = Stats.bradleyTerry(prefs, "w", "l", iterations = 10)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[String]("item")).toSeq == Seq("A", "B", "C"))
+    assert(r.map(_.getAs[Double]("strength")).sum > 0.999999)
+    val e = intercept[IllegalArgumentException] {
+      Stats.bradleyTerry(prefs, "w", "l", iterations = 1, maxItems = 2)
+    }
+    assert(e.getMessage.contains("gate"))
+    graft.Caches.unpersistAll()
+  }
 }
