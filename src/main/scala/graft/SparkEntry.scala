@@ -4186,6 +4186,54 @@ object SparkEntry {
       .orderBy(col("term_idx"))
   }
 
+  /** UniMax mixture planning ([[graft.operators.Sampling.unimaxAllocation]]):
+    * a 2×-total-tokens training budget spread over sources under a
+    * 4-epoch repetition cap — low-resource sources rise toward the cap,
+    * large sources split the remainder equally at the waterfill level
+    * τ. The corpus-sized work is one token-count aggregate (+ one
+    * scalar total for the budget); the closed-form allocation is
+    * bounded-source arithmetic both engines restate.
+    */
+  private def q229UnimaxMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val counts = docs
+      .select(col("source"), size(toks).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("double").as("tokens"))
+    val total = counts.agg(sum(col("tokens"))).collect()(0).getDouble(0)
+    Sampling.unimaxAllocation(counts, "source", "n_docs", "tokens",
+        budget = 2.0 * total, maxEpochs = 4.0)
+      .orderBy(col("source"))
+  }
+
+  /** Corpus-balance independence audit
+    * ([[graft.operators.Stats.chiSquare]]): Pearson χ² + Cramér's V of
+    * lang × source — "is language mix uniform across sources?" — over
+    * the full r×c grid including zero-observed cells.
+    */
+  private def q230ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    Stats.chiSquare(t(s, dir, "documents"), "source", "lang")
+  }
+
+  /** Distribution-shift significance
+    * ([[graft.operators.Stats.mannWhitney]]): the tie-corrected
+    * Mann–Whitney z for "are English documents longer?" — the
+    * hypothesis-test companion to q223's effect size (U = AUC·n₁n₂,
+    * same rank machinery, same heavily-tied input).
+    */
+  private def q231MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+      .select(col("n_chars").cast("double").as("score"),
+        (col("lang") === "en").as("pos"))
+    Stats.mannWhitney(docs, "score", "pos")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4415,7 +4463,10 @@ object SparkEntry {
     "q225_spearman" -> (q225Spearman _),
     "q226_bradley_terry" -> (q226BradleyTerry _),
     "q227_isotonic_fit" -> (q227IsotonicFit _),
-    "q228_logreg_gd" -> (q228LogregGd _))
+    "q228_logreg_gd" -> (q228LogregGd _),
+    "q229_unimax_mix" -> (q229UnimaxMix _),
+    "q230_chi_square" -> (q230ChiSquare _),
+    "q231_mann_whitney" -> (q231MannWhitney _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8215,6 +8266,95 @@ object SparkEntry {
         | UNION ALL SELECT 2::BIGINT, 'stop_frac', (SELECT c1 FROM wt5)
         | UNION ALL SELECT 3::BIGINT, 'tok_len', (SELECT c2 FROM wt5)) t, mt
         |ORDER BY t.term_idx""".stripMargin,
+
+    // q229: the waterfilling closed form restated — row_number over
+    // (cap, source), prefix sums, m* by the max-m condition, τ from
+    // (budget − P_m*)/(k − m*), allocation = min(cap, τ)
+    "q229_unimax_mix" ->
+      """WITH dt AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split(lower(trim(text)), ' '), t -> t <> '')) AS BIGINT) AS ntok
+        | FROM documents),
+        |c AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(ntok) AS DOUBLE) AS tokens FROM dt GROUP BY 1),
+        |b AS (SELECT 2.0 * sum(tokens) AS budget FROM c),
+        |o AS (SELECT c.*, tokens * 4.0 AS cap,
+        |       CAST(row_number() OVER (ORDER BY tokens * 4.0, source) AS BIGINT) AS i
+        |      FROM c),
+        |p AS (SELECT o.*, sum(cap) OVER (ORDER BY i) AS P,
+        |       (SELECT count(*) FROM o) AS k FROM o),
+        |m AS (SELECT coalesce(max(CASE WHEN cap * (k - i) + P <= (SELECT budget FROM b)
+        |                               THEN i END), 0) AS m FROM p),
+        |sel AS (SELECT m.m,
+        |        coalesce((SELECT P FROM p WHERE p.i = m.m), 0.0) AS pm FROM m),
+        |f AS (SELECT p.*, sel.m, sel.pm,
+        |       ((SELECT budget FROM b) - sel.pm)
+        |         / nullif(CAST(k - sel.m AS DOUBLE), 0.0) AS tau
+        |      FROM p, sel),
+        |a AS (SELECT f.*, CASE WHEN m = k THEN cap ELSE least(cap, tau) END AS alloc
+        |      FROM f)
+        |SELECT source, n_docs, tokens,
+        | round(alloc, 6) AS alloc_tokens,
+        | round(alloc / nullif(tokens, 0.0), 6) AS epochs,
+        | round(alloc / (SELECT budget FROM b), 6) AS share
+        |FROM a ORDER BY source""".stripMargin,
+
+    // q230: expected counts from the marginals over the FULL r×c grid
+    // (zero-observed cells included via the null-safe left join)
+    "q230_chi_square" ->
+      """WITH cells AS (
+        | SELECT source AS a, lang AS b, count(*)::BIGINT AS o
+        | FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(o)::BIGINT AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT b, sum(o)::BIGINT AS nb FROM cells GROUP BY 1),
+        |tt AS (SELECT (SELECT sum(o)::BIGINT FROM cells) AS n,
+        |  (SELECT count(*)::BIGINT FROM ma) AS r,
+        |  (SELECT count(*)::BIGINT FROM mb) AS c),
+        |grid AS (SELECT ma.na, mb.nb, cells.o
+        | FROM ma CROSS JOIN mb
+        | LEFT JOIN cells ON cells.a IS NOT DISTINCT FROM ma.a
+        |                AND cells.b IS NOT DISTINCT FROM mb.b),
+        |ch AS (SELECT sum(
+        |   (coalesce(o, 0) - CAST(na AS DOUBLE) * nb / (SELECT n FROM tt))
+        |   * (coalesce(o, 0) - CAST(na AS DOUBLE) * nb / (SELECT n FROM tt))
+        |   / (CAST(na AS DOUBLE) * nb / (SELECT n FROM tt))) AS chi2 FROM grid)
+        |SELECT tt.n, tt.r, tt.c, (tt.r - 1) * (tt.c - 1) AS dof,
+        | round(ch.chi2, 6) AS chi2,
+        | round(sqrt(ch.chi2 / (tt.n * nullif(least(tt.r - 1, tt.c - 1), 0))), 6)
+        |   AS cramers_v
+        |FROM tt, ch""".stripMargin,
+
+    // q231: the q223 rank algebra extended with the Σ(t³−t) tie term;
+    // z from the tie-corrected variance, NULL on a one-sided input
+    "q231_mann_whitney" ->
+      """WITH g AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS s,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p,
+        |  sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n
+        | FROM documents
+        | WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |c AS (
+        | SELECT p, n,
+        |  COALESCE(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+        |  sum(p) OVER () AS bigp, sum(n) OVER () AS bign
+        | FROM g),
+        |agg AS (
+        | SELECT max(bigp)::BIGINT AS n_pos, max(bign)::BIGINT AS n_neg,
+        |  sum(CAST(p AS DOUBLE) * cn) AS w, sum(CAST(p AS DOUBLE) * n) AS t,
+        |  sum(CAST(p + n AS DOUBLE) * (p + n) * (p + n)
+        |      - CAST(p + n AS DOUBLE)) AS ties
+        | FROM c)
+        |SELECT n_pos, n_neg,
+        | round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN w + t / 2 END, 6) AS u,
+        | round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |   ((w + t / 2) - CAST(n_pos AS DOUBLE) * n_neg / 2)
+        |   / nullif(sqrt(CAST(n_pos AS DOUBLE) * n_neg / 12
+        |       * ((CAST(n_pos AS DOUBLE) + n_neg + 1)
+        |          - ties / ((CAST(n_pos AS DOUBLE) + n_neg)
+        |                    * (CAST(n_pos AS DOUBLE) + n_neg - 1)))), 0.0)
+        |  END, 6) AS z
+        |FROM agg""".stripMargin,
 
     // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise
     // average precision restated from the same distinct-score

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, reproducible sampling and dataset splitting for
@@ -265,6 +266,60 @@ object Sampling {
     // total under target (hashBucket already handles null keys)
     GroupOps.nullSafeBroadcastJoin(df, kp, Seq(groupCol), how = "inner")
       .filter(hashBucket(col(keyCol)) < round(col("keep_p") * NumBuckets))
+  }
+
+  /** UniMax token-budget allocation (Chung et al. ICLR '23): spread a
+    * total training-token budget over sources as equally as possible
+    * without repeating any source more than `maxEpochs` times — the
+    * fairer alternative to temperature sampling ([[temperatureRebalance]])
+    * for low-resource groups. The allocation is the waterfilling
+    * solution alloc_s = min(cap_s, τ) with cap_s = tokens_s·maxEpochs
+    * and τ the level where Σ alloc = budget (everything capped when
+    * Σ cap ≤ budget), computed in CLOSED FORM — sort sources by cap,
+    * prefix-sum, m* = max { m : cap_m·(k−m) + P_m ≤ budget },
+    * τ = (budget − P_{m*})/(k − m*) — no iteration, arithmetic an
+    * external engine restates verbatim.
+    *
+    * `counts` is the per-source aggregate (the caller's ONE
+    * corpus-sized pass); everything here is source-count-sized, so the
+    * global windows ride the bounded-dim convention
+    * ([[graft.operators.GroupOps.rowNumberId]]). Output: (source,
+    * n_docs, tokens, alloc_tokens, epochs, share); a zero-token source
+    * reports NULL epochs (undefined), not 0.
+    */
+  def unimaxAllocation(counts: DataFrame, sourceCol: String, docsCol: String,
+                       tokensCol: String, budget: Double,
+                       maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val base = counts.select(col(sourceCol).as("source"),
+        col(docsCol).cast("long").as("n_docs"),
+        col(tokensCol).cast("double").as("tokens"))
+      .withColumn("cap", col("tokens") * lit(maxEpochs))
+    val ord = base.withColumn("i",
+      row_number().over(Window.orderBy(col("cap"), col("source"))).cast("long"))
+    val pre = ord
+      .withColumn("P", sum(col("cap")).over(Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(ord.agg(count(lit(1)).as("k"))))
+      .persist()
+    graft.Caches.track(pre)
+    val m = pre.agg(coalesce(max(when(
+      col("cap") * (col("k") - col("i")) + col("P") <= budget,
+      col("i"))), lit(0L)).as("m"))
+    val sel = m
+      .join(broadcast(pre.select(col("i"), col("P").as("Pm"))),
+        col("m") === col("i"), "left")
+      .select(col("m"), coalesce(col("Pm"), lit(0.0)).as("Pm"))
+    val tau = ((lit(budget) - col("Pm"))
+      / nullif((col("k") - col("m")).cast("double"), lit(0.0)))
+    val alloc = when(col("m") === col("k"), col("cap"))
+      .otherwise(least(col("cap"), tau))
+    pre.crossJoin(broadcast(sel))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(alloc, 6).as("alloc_tokens"),
+        round(alloc / nullif(col("tokens"), lit(0.0)), 6).as("epochs"),
+        round(alloc / budget, 6).as("share"))
   }
 
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {

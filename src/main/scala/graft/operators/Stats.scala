@@ -287,12 +287,99 @@ object Stats {
     * n_thresholds, roc_auc, pr_auc); both AUCs are NULL when either
     * class is empty (undefined, not 0).
     */
-  def binaryEval(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+  def binaryEval(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    binaryEvalAgg(scoreCumFrame(df, scoreCol, labelCol), Nil)
+
+  /** The shared rank machinery of [[binaryEval]] and [[mannWhitney]]:
+    * the distinct-score contingency with ascending-exclusive prefix
+    * sums (__cp/__cn via the two-phase scan) and class totals
+    * (__bigP/__bigN) on every row.
+    */
+  private def scoreCumFrame(df: DataFrame, scoreCol: String,
+                            labelCol: String): DataFrame = {
     val byScore = scoreContingency(df, scoreCol, labelCol)
     val cp = GroupOps.exclusivePrefixSum(byScore, Seq(col("__s")), col("__p"), "__cp")
     val c = GroupOps.exclusivePrefixSum(cp, Seq(col("__s")), col("__n"), "__cn")
     val tot = c.agg(sum(col("__p")).as("__bigP"), sum(col("__n")).as("__bigN"))
-    binaryEvalAgg(c.crossJoin(broadcast(tot)), Nil)
+    c.crossJoin(broadcast(tot))
+  }
+
+  /** Mann–Whitney U test (two-sided normal approximation with the
+    * standard tie correction; Mann & Whitney '47, Lehmann '75 §1.3):
+    * is the positive class's score distribution stochastically shifted
+    * against the negative class's? U is the rank-sum statistic of the
+    * positive class (= ROC AUC × n₁·n₂ — the same rank algebra as
+    * [[binaryEval]], reduced from the same [[scoreCumFrame]]);
+    *
+    *   z = (U − n₁n₂/2) / √( n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))) )
+    *
+    * with t the tie-group sizes (the distinct-score multiplicities).
+    * No continuity correction (the large-sample corpus regime; an
+    * external engine restates the algebra verbatim). All-tied input
+    * (σ = 0) and an empty class report NULL z — undefined, not 0.
+    * Output: one row (n_pos, n_neg, u, z).
+    */
+  def mannWhitney(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val c = scoreCumFrame(df, scoreCol, labelCol)
+    val t = (col("__p") + col("__n")).cast("double")
+    val agg = c.agg(
+      first(col("__bigP")).as("n_pos"), first(col("__bigN")).as("n_neg"),
+      sum(col("__p").cast("double") * col("__cn")).as("__w"),
+      sum(col("__p").cast("double") * col("__n")).as("__t"),
+      sum(t * t * t - t).as("__ties"))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    val bigN = n1 + n2
+    val u = col("__w") + col("__t") / 2
+    val sigma2 = (n1 * n2 / 12
+      * ((bigN + 1) - col("__ties") / (bigN * (bigN - 1))))
+    agg.select(col("n_pos"), col("n_neg"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0, u), 6).as("u"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0,
+        (u - n1 * n2 / 2) / nullif(sqrt(sigma2), lit(0.0))), 6).as("z"))
+  }
+
+  /** Pearson χ² test of independence between two categorical columns
+    * plus Cramér's V — the corpus-balance audit (is `lang` independent
+    * of `source`?) behind every mixture dashboard. Expected counts
+    * come from the marginals (e = nₐ·n_b/N) over the FULL r×c grid,
+    * including zero-observed cells (dropping them understates χ²);
+    * V = √(χ² / (N·min(r−1, c−1))). NULL is a category level (the
+    * [[cohensKappa]] null-safe convention). dof = (r−1)(c−1); a
+    * single-level column reports NULL V (undefined), not 0.
+    *
+    * Scale: one cell-sized contingency aggregate; the grid is a
+    * bounded-dims cross join of the two marginals (category counts
+    * bounded is the caller's contract). Output: one row
+    * (n, r, c, dof, chi2, cramers_v).
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .persist()
+    graft.Caches.track(cells)
+    val ma = cells.groupBy(col("__a").as("__ka")).agg(sum(col("__o")).as("__na"))
+    val mb = cells.groupBy(col("__b").as("__kb")).agg(sum(col("__o")).as("__nb"))
+    // r/c = marginal ROW counts (a NULL level counts; countDistinct
+    // would silently drop it), N = one scalar over the cells
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+      .crossJoin(broadcast(ma.agg(count(lit(1)).as("r"))))
+      .crossJoin(broadcast(mb.agg(count(lit(1)).as("c"))))
+    val grid = ma.crossJoin(mb).crossJoin(broadcast(tot))
+      .join(cells,
+        col("__ka") <=> col("__a") && col("__kb") <=> col("__b"), "left")
+    val e = col("__na").cast("double") * col("__nb") / col("__n")
+    val o = coalesce(col("__o"), lit(0L)).cast("double")
+    grid.agg(
+        first(col("__n")).as("n"), first(col("r")).as("r"),
+        first(col("c")).as("c"),
+        sum((o - e) * (o - e) / e).as("__chi2"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(col("__chi2"), 6).as("chi2"),
+        round(sqrt(col("__chi2")
+          / (col("n") * nullif(least(col("r") - 1, col("c") - 1), lit(0L)))), 6)
+          .as("cramers_v"))
   }
 
   /** Per-slice [[binaryEval]] (one AUC pair per `groupCols` value) —

@@ -84,7 +84,9 @@ class BroadcastGateSpec extends AnyFunSuite {
       "contract: per-group medians/modes over bounded dims, scalar counts, column-name maps"),
     "graft/operators/Pq.scala" -> (5, "contract: codebooks (k*m*d floats), query ids, probe lists — parameter-sized"),
     "graft/operators/PrefilterJoin.scala" -> (1, "contract: bloom filter, fixed bits by parameter"),
-    "graft/operators/Sampling.scala" -> (4, "contract: scalar grand totals, per-domain plan (domain-count-sized)"),
+    "graft/operators/Sampling.scala" -> (7,
+      "contract: scalar grand totals, per-domain plan (domain-count-sized), " +
+        "unimax source-count scalar + 1-row m*/τ selections over the bounded source table"),
     "graft/operators/Scoring.scala" -> (12,
       "contract: vocab/df tables bounded by vocab contract, scalar corpus stats, k candidates"),
     "graft/operators/Similarity.scala" -> (6,
@@ -92,9 +94,10 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/SkewJoins.scala" -> (3,
       "contract: scalar total for key-share profile, fixed-size CMS sketch pair; " +
         "gated: adaptiveJoin broadcasts right iff Catalyst plan stats sizeInBytes <= broadcastBytes budget"),
-    "graft/operators/Stats.scala" -> (6,
+    "graft/operators/Stats.scala" -> (9,
       "contract: scalar point estimates / agreement tables, ECE scalar (1-row agg over the nBins-row bin table), " +
-        "binaryEval class totals (1-row agg over the distinct-score table)"),
+        "binaryEval class totals (1-row agg over the distinct-score table), " +
+        "chiSquare marginal row counts + N/r/c scalar (cell-table aggs, bounded dims)"),
     "graft/operators/Validation.scala" -> (1, "contract: rule table, rule-count-sized"),
     "graft/pipeline/Erasure.scala" -> (2, "contract: subject-key set (erasure requests, small by contract), scalar audit"),
     "graft/pipeline/OlympicCleanI.scala" -> (1, "contract: affiliation dim, bounded by distinct affiliations"),

@@ -267,4 +267,47 @@ class SamplingSpec extends SparkSpec {
     val heavy = drawn.count(_ <= 500)
     assert(heavy > 75, s"10:1 weights should dominate the sample, got $heavy/100")
   }
+
+  test("unimaxAllocation: waterfill caps the small source and levels the rest") {
+    import spark.implicits._
+    // caps 40 / 400, budget 120: A fully capped (4 epochs), B takes the
+    // remaining 80 at the waterfill level
+    val counts = Seq(("A", 5L, 10.0), ("B", 50L, 100.0)).toDF("src", "d", "tok")
+    val r = Sampling.unimaxAllocation(counts, "src", "d", "tok",
+      budget = 120.0, maxEpochs = 4.0).orderBy("source").collect()
+    assert(r(0).getAs[Double]("alloc_tokens") == 40.0)
+    assert(r(0).getAs[Double]("epochs") == 4.0)
+    assert(r(1).getAs[Double]("alloc_tokens") == 80.0)
+    assert(r(1).getAs[Double]("epochs") == 0.8)
+    assert(r.map(_.getAs[Double]("alloc_tokens")).sum == 120.0)
+    graft.Caches.unpersistAll()
+  }
+
+  test("unimaxAllocation: m = 0 (tight budget) and m = k (loose budget) endpoints") {
+    import spark.implicits._
+    val counts = Seq(("A", 1L, 10.0), ("B", 1L, 100.0)).toDF("src", "d", "tok")
+    // budget 20 < even the smallest cap level: equal split, nobody capped
+    val tight = Sampling.unimaxAllocation(counts, "src", "d", "tok",
+      budget = 20.0, maxEpochs = 4.0).orderBy("source").collect()
+    assert(tight.map(_.getAs[Double]("alloc_tokens")).toSeq == Seq(10.0, 10.0))
+    assert(tight(0).getAs[Double]("epochs") == 1.0)
+    assert(tight(1).getAs[Double]("epochs") == 0.1)
+    // budget beyond sum(cap): everything capped at maxEpochs, budget spare
+    val loose = Sampling.unimaxAllocation(counts, "src", "d", "tok",
+      budget = 1000.0, maxEpochs = 4.0).orderBy("source").collect()
+    assert(loose.map(_.getAs[Double]("alloc_tokens")).toSeq == Seq(40.0, 400.0))
+    assert(loose.forall(_.getAs[Double]("epochs") == 4.0))
+    graft.Caches.unpersistAll()
+  }
+
+  test("unimaxAllocation: a zero-token source reports NULL epochs, not 0/0") {
+    import spark.implicits._
+    val counts = Seq(("A", 1L, 0.0), ("B", 1L, 100.0)).toDF("src", "d", "tok")
+    val r = Sampling.unimaxAllocation(counts, "src", "d", "tok",
+      budget = 50.0, maxEpochs = 4.0).orderBy("source").collect()
+    assert(r(0).getAs[Double]("alloc_tokens") == 0.0)
+    assert(r(0).isNullAt(r(0).fieldIndex("epochs")))
+    assert(r(1).getAs[Double]("alloc_tokens") == 50.0)
+    graft.Caches.unpersistAll()
+  }
 }

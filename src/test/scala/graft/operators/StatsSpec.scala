@@ -261,6 +261,60 @@ class StatsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("mannWhitney: hand-computed tie case; degenerate inputs go NULL") {
+    import spark.implicits._
+    // pos {2,3} vs neg {1,2}: U = 1 + 0.5 + 1 + 1 = 3.5; one tie group
+    // of size 2 → σ² = 4/12·(5 − 6/12) = 1.5, z = 1.5/√1.5 = √1.5
+    val df = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("s", "y")
+    val r = Stats.mannWhitney(df, "s", "y").collect()(0)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("u") == 3.5)
+    assert(r.getAs[Double]("z") == BigDecimal(math.sqrt(1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all scores identical → σ = 0 → z undefined (NULL), U still n₁n₂/2
+    val tied = Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false))
+      .toDF("s", "y")
+    val rt = Stats.mannWhitney(tied, "s", "y").collect()(0)
+    assert(rt.getAs[Double]("u") == 2.0)
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+    // one-sided labels → both undefined
+    val oneSided = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val ro = Stats.mannWhitney(oneSided, "s", "y").collect()(0)
+    assert(ro.isNullAt(ro.fieldIndex("u")) && ro.isNullAt(ro.fieldIndex("z")))
+    graft.Caches.unpersistAll()
+  }
+
+  test("chiSquare: independence → 0; perfect association → V = 1; zero cells counted") {
+    import spark.implicits._
+    val indep = Seq(("r1", "c1"), ("r1", "c2"), ("r2", "c1"), ("r2", "c2"))
+      .toDF("a", "b")
+    val ri = Stats.chiSquare(indep, "a", "b").collect()(0)
+    assert(ri.getAs[Double]("chi2") == 0.0 && ri.getAs[Double]("cramers_v") == 0.0)
+    assert(ri.getAs[Long]("dof") == 1)
+    // diagonal 10/10: χ² = N = 20, V = 1
+    val perfect = ((1 to 10).map(_ => ("x", "u")) ++ (1 to 10).map(_ => ("y", "v")))
+      .toDF("a", "b")
+    val rp = Stats.chiSquare(perfect, "a", "b").collect()(0)
+    assert(rp.getAs[Double]("chi2") == 20.0 && rp.getAs[Double]("cramers_v") == 1.0)
+    // (A,X)×2, (B,Y)×1: both zero-observed off-diagonal cells contribute
+    // their expected mass → χ² = 3 exactly, not the cells-only 1.67
+    val zc = Seq(("A", "X"), ("A", "X"), ("B", "Y")).toDF("a", "b")
+    val rz = Stats.chiSquare(zc, "a", "b").collect()(0)
+    assert(rz.getAs[Double]("chi2") == 3.0)
+    graft.Caches.unpersistAll()
+  }
+
+  test("chiSquare: a NULL category is a level (counts in r and the grid)") {
+    import spark.implicits._
+    val df = Seq((Some("r1"), "c1"), (None, "c2"), (Some("r2"), "c1"))
+      .toDF("a", "b")
+    val r = Stats.chiSquare(df, "a", "b").collect()(0)
+    assert(r.getAs[Long]("r") == 3 && r.getAs[Long]("c") == 2)
+    assert(r.getAs[Long]("n") == 3)
+    graft.Caches.unpersistAll()
+  }
+
   test("bradleyTerry: 2 items converge to the closed-form win-ratio fixed point") {
     import spark.implicits._
     // A beats B twice, B beats A once → fixed point (2/3, 1/3)
