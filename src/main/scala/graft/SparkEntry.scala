@@ -4234,6 +4234,19 @@ object SparkEntry {
     Stats.mannWhitney(docs, "score", "pos")
   }
 
+  /** Distribution-shape drift ([[graft.operators.Stats.ksTest]]): the
+    * two-sample K–S statistic for English-vs-other document lengths —
+    * completes the q223/q231 family (effect size → rank significance →
+    * CDF-shape distance) off the same distinct-score scan.
+    */
+  private def q232KsTest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+      .select(col("n_chars").cast("double").as("score"),
+        (col("lang") === "en").as("pos"))
+    Stats.ksTest(docs, "score", "pos")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4466,7 +4479,8 @@ object SparkEntry {
     "q228_logreg_gd" -> (q228LogregGd _),
     "q229_unimax_mix" -> (q229UnimaxMix _),
     "q230_chi_square" -> (q230ChiSquare _),
-    "q231_mann_whitney" -> (q231MannWhitney _))
+    "q231_mann_whitney" -> (q231MannWhitney _),
+    "q232_ks_test" -> (q232KsTest _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8354,6 +8368,35 @@ object SparkEntry {
         |          - ties / ((CAST(n_pos AS DOUBLE) + n_neg)
         |                    * (CAST(n_pos AS DOUBLE) + n_neg - 1)))), 0.0)
         |  END, 6) AS z
+        |FROM agg""".stripMargin,
+
+    // q232: inclusive class CDFs from the same prefix sums; D = max
+    // gap, scaled by sqrt(n1*n2/(n1+n2))
+    "q232_ks_test" ->
+      """WITH g AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS s,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p,
+        |  sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n
+        | FROM documents
+        | WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |c AS (
+        | SELECT p, n,
+        |  COALESCE(sum(p) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+        |  COALESCE(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+        |  sum(p) OVER () AS bigp, sum(n) OVER () AS bign
+        | FROM g),
+        |agg AS (
+        | SELECT max(bigp)::BIGINT AS n_pos, max(bign)::BIGINT AS n_neg,
+        |  max(abs(CAST(cp + p AS DOUBLE) / bigp
+        |          - CAST(cn + n AS DOUBLE) / bign)) AS d
+        | FROM c)
+        |SELECT n_pos, n_neg,
+        | round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN d END, 6) AS d,
+        | round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |   sqrt(CAST(n_pos AS DOUBLE) * n_neg
+        |        / (CAST(n_pos AS DOUBLE) + n_neg)) * d END, 6) AS ks_stat
         |FROM agg""".stripMargin,
 
     // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise

@@ -339,6 +339,40 @@ object Stats {
         (u - n1 * n2 / 2) / nullif(sqrt(sigma2), lit(0.0))), 6).as("z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test: D = max |F₁(s) − F₂(s)| over
+    * the pooled distinct scores, comparing the positive class's score
+    * distribution against the negative's — the distribution-drift
+    * gate that catches shape changes a mean/variance test misses.
+    * Also reports the sample-size-scaled statistic
+    * √(n₁n₂/(n₁+n₂))·D (the quantity compared against the
+    * Kolmogorov c(α) table; no p-value — the CDF needs a special
+    * function neither engine owns, and thresholding the scaled
+    * statistic is the standard large-sample practice).
+    *
+    * Empirical CDFs are inclusive cumulative class counts from the
+    * SAME [[scoreCumFrame]] two-phase scan as [[binaryEval]] /
+    * [[mannWhitney]] — one distinct-score shuffle, no per-row window.
+    * One-sided input reports NULL (undefined). Output: one row
+    * (n_pos, n_neg, d, ks_stat).
+    */
+  def ksTest(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val c = scoreCumFrame(df, scoreCol, labelCol)
+    // nullif, not a bare /: the division runs INSIDE the aggregate,
+    // before the one-sided `when` guard can mask it — under ANSI mode
+    // an empty class would throw DIVIDE_BY_ZERO instead of going NULL
+    val f1 = (col("__cp") + col("__p")).cast("double") / nullif(col("__bigP"), lit(0L))
+    val f2 = (col("__cn") + col("__n")).cast("double") / nullif(col("__bigN"), lit(0L))
+    val agg = c.agg(
+      first(col("__bigP")).as("n_pos"), first(col("__bigN")).as("n_neg"),
+      max(abs(f1 - f2)).as("__d"))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    agg.select(col("n_pos"), col("n_neg"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0, col("__d")), 6).as("d"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0,
+        sqrt(n1 * n2 / (n1 + n2)) * col("__d")), 6).as("ks_stat"))
+  }
+
   /** Pearson χ² test of independence between two categorical columns
     * plus Cramér's V — the corpus-balance audit (is `lang` independent
     * of `source`?) behind every mixture dashboard. Expected counts
@@ -427,7 +461,10 @@ object Stats {
         count(lit(1)).as("n_thresholds"),
         sum(col("__p").cast("double") * col("__cn")).as("__u"),
         sum(col("__p").cast("double") * col("__n")).as("__t"),
-        sum((col("__p").cast("double") / col("__bigP"))
+        // nullif: the division runs inside the aggregate, before any
+        // guard — a zero-positive slice must go NULL, not throw under
+        // ANSI (tpAt+fpAt ≥ this row's own count ≥ 1, no guard needed)
+        sum((col("__p").cast("double") / nullif(col("__bigP"), lit(0L)))
           * (tpAt.cast("double") / (tpAt + fpAt))).as("__ap"))
       .select(keys ++ Seq(
         col("n_pos"), col("n_neg"), col("n_thresholds"),

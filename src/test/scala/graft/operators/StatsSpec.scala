@@ -212,6 +212,12 @@ class StatsSpec extends SparkSpec {
     val r = Stats.binaryEval(allPos, "s", "y").collect()(0)
     assert(r.isNullAt(r.fieldIndex("roc_auc")))
     assert(r.getAs[Double]("pr_auc") == 1.0)
+    // all-NEGATIVE divides by zero positives inside the aggregate —
+    // must go NULL (ANSI-safe), never throw
+    val allNeg = Seq((1.0, false), (2.0, false)).toDF("s", "y")
+    val rn = Stats.binaryEval(allNeg, "s", "y").collect()(0)
+    assert(rn.isNullAt(rn.fieldIndex("roc_auc")))
+    assert(rn.isNullAt(rn.fieldIndex("pr_auc")))
     // null score / null label rows are excluded, not counted as a class
     val withNulls = Seq((Some(1.0), Some(false)), (Some(2.0), Some(true)),
       (None, Some(true)), (Some(3.0), None)).toDF("s", "y")
@@ -282,6 +288,27 @@ class StatsSpec extends SparkSpec {
     val oneSided = Seq((1.0, true), (2.0, true)).toDF("s", "y")
     val ro = Stats.mannWhitney(oneSided, "s", "y").collect()(0)
     assert(ro.isNullAt(ro.fieldIndex("u")) && ro.isNullAt(ro.fieldIndex("z")))
+    graft.Caches.unpersistAll()
+  }
+
+  test("ksTest: disjoint supports → D = 1; identical → 0; hand-computed interleave = 0.5") {
+    import spark.implicits._
+    val disjoint = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("s", "y")
+    val rd = Stats.ksTest(disjoint, "s", "y").collect()(0)
+    assert(rd.getAs[Double]("d") == 1.0 && rd.getAs[Double]("ks_stat") == 1.0)
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    assert(Stats.ksTest(same, "s", "y").collect()(0).getAs[Double]("d") == 0.0)
+    // pos {1,3} vs neg {2,4}: CDF gaps .5, 0, .5, 0 → D = 0.5
+    val inter = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("s", "y")
+    val ri = Stats.ksTest(inter, "s", "y").collect()(0)
+    assert(ri.getAs[Double]("d") == 0.5)
+    // one-sided → undefined
+    val one = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val ro = Stats.ksTest(one, "s", "y").collect()(0)
+    assert(ro.isNullAt(ro.fieldIndex("d")))
     graft.Caches.unpersistAll()
   }
 
