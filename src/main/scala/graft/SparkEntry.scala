@@ -4247,6 +4247,57 @@ object SparkEntry {
     Stats.ksTest(docs, "score", "pos")
   }
 
+  /** The train→evaluate loop COMPOSED in-engine (the q68 composition
+    * proof for the round-11 model surface): q228's logistic GD trains
+    * a filter, the corpus is scored with the trained (6-dp-rounded —
+    * the cross-engine drift cut) weights, and the trained model is
+    * audited with q222's reliability bins + ECE and q223's tie-aware
+    * AUC pair — every stage individually oracled, here replayed
+    * end-to-end in ONE SQL statement. The weight hand-off is a
+    * 4-double driver collect (bounded by d). Target: the synthetic
+    * corpus carries NO text↔lang signal (q228's honest-but-flat AUC),
+    * so this demo trains the length rule `n_chars > 300` the model
+    * must RECOVER from its features — 50 steps spread the confidences
+    * across ~8 bins, which is what makes the calibration/AUC audit
+    * numerically non-degenerate.
+    */
+  private def q233TrainEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{FilterModel, Stats}
+    val docs = t(s, dir, "documents")
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val ntok = size(toks).cast("double")
+    val stopHits = size(filter(toks,
+      t => t.isin("the", "a", "and", "of", "to", "in")))
+    val charSum = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc, x) => acc + x)
+    val feats = docs.filter(col("text").isNotNull)
+      .select(
+        (col("n_chars") > 300).as("is_long"),
+        (col("n_chars").cast("double") / 1000.0).as("len_k"),
+        when(ntok === 0, 0.0).otherwise(stopHits.cast("double") / ntok)
+          .as("stop_frac"),
+        when(ntok === 0, 0.0).otherwise(charSum.cast("double") / ntok / 10.0)
+          .as("tok_len"))
+    val xCols = Seq("len_k", "stop_frac", "tok_len")
+    val w = FilterModel.logisticGd(feats, xCols, "is_long",
+        iterations = 50, learningRate = 3.0)
+      .orderBy("term_idx").collect().map(_.getAs[Double]("weight"))
+    val z = xCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (c, i)) => acc + col(c) * lit(w(i + 1)) }
+    val scored = feats.select(
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("conf"), col("is_long").as("correct"))
+    val cal = Stats.calibration(scored, "conf", "correct", nBins = 10)
+    val auc = Stats.binaryEval(scored, "conf", "correct")
+      .select(col("roc_auc"), col("pr_auc"))
+    cal.crossJoin(broadcast(auc))
+      .select(col("bin"), col("n"), round(col("avg_conf"), 6).as("avg_conf"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("ece"), 6).as("ece"),
+        col("roc_auc"), col("pr_auc"))
+      .orderBy(col("bin"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4480,7 +4531,8 @@ object SparkEntry {
     "q229_unimax_mix" -> (q229UnimaxMix _),
     "q230_chi_square" -> (q230ChiSquare _),
     "q231_mann_whitney" -> (q231MannWhitney _),
-    "q232_ks_test" -> (q232KsTest _))
+    "q232_ks_test" -> (q232KsTest _),
+    "q233_train_eval" -> (q233TrainEval _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8249,20 +8301,8 @@ object SparkEntry {
     // the 5 GD steps unrolled (gradient avg from the previous weights,
     // z folded left-associatively exactly as the engine builds it)
     "q228_logreg_gd" ->
-      s"""WITH ft AS MATERIALIZED (
-        | SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-        |  CAST(n_chars AS DOUBLE) / 1000.0 AS x0,
-        |  CASE WHEN ntok = 0 THEN 0.0 ELSE nstop / ntok END AS x1,
-        |  CASE WHEN ntok = 0 THEN 0.0 ELSE csum / ntok / 10.0 END AS x2
-        | FROM (
-        |  SELECT lang, n_chars,
-        |   CAST(len(toks) AS DOUBLE) AS ntok,
-        |   CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) AS nstop,
-        |   CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) AS csum
-        |  FROM (SELECT lang, n_chars,
-        |         list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
-        |        FROM documents WHERE text IS NOT NULL) t0) t1
-        | WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      s"""WITH ${logregFeatureCte("CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+          "lang IS NOT NULL AND n_chars IS NOT NULL")},
         |wt0 AS (SELECT 0.0 AS b, 0.0 AS c0, 0.0 AS c1, 0.0 AS c2),
         |${gdIterationCtes(5)},
         |mt AS MATERIALIZED (
@@ -8399,6 +8439,56 @@ object SparkEntry {
         |        / (CAST(n_pos AS DOUBLE) + n_neg)) * d END, 6) AS ks_stat
         |FROM agg""".stripMargin,
 
+    // q233: the full train→score→audit chain — q228's GD CTEs, scoring
+    // with the 6-dp-ROUNDED trained weights (the cross-engine drift
+    // cut), then q222's binning/ECE and q223's AUC algebra over the
+    // trained confidences
+    "q233_train_eval" ->
+      s"""WITH ${logregFeatureCte("CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END",
+          "n_chars IS NOT NULL")},
+        |wt0 AS (SELECT 0.0 AS b, 0.0 AS c0, 0.0 AS c1, 0.0 AS c2),
+        |${gdIterationCtes(50, learningRate = "3.0")},
+        |wr AS (SELECT round(b, 6) AS b, round(c0, 6) AS c0,
+        |        round(c1, 6) AS c1, round(c2, 6) AS c2 FROM wt50),
+        |sc AS MATERIALIZED (
+        | SELECT 1.0 / (1.0 + exp(-(wr.b + ft.x0 * wr.c0
+        |    + ft.x1 * wr.c1 + ft.x2 * wr.c2))) AS conf, ft.y
+        | FROM ft, wr),
+        |bb AS (
+        | SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+        |  count(*)::BIGINT AS n, avg(conf) AS avg_conf,
+        |  avg(CASE WHEN y = 1.0 THEN 1.0 ELSE 0.0 END) AS accuracy
+        | FROM sc GROUP BY 1),
+        |tot AS (SELECT sum(abs(accuracy - avg_conf) * n) / sum(n) AS ece FROM bb),
+        |g AS (
+        | SELECT conf AS s,
+        |  sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS p,
+        |  sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)::BIGINT AS n
+        | FROM sc GROUP BY 1),
+        |cc AS (
+        | SELECT p, n,
+        |  COALESCE(sum(p) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+        |  COALESCE(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+        |  sum(p) OVER () AS bigp, sum(n) OVER () AS bign
+        | FROM g),
+        |auc AS (
+        | SELECT
+        |  round(CASE WHEN max(bigp) > 0 AND max(bign) > 0 THEN
+        |    (sum(CAST(p AS DOUBLE) * cn) + sum(CAST(p AS DOUBLE) * n) / 2)
+        |     / (CAST(max(bigp) AS DOUBLE) * max(bign)) END, 6) AS roc_auc,
+        |  round(CASE WHEN max(bigp) > 0 THEN
+        |    sum((CAST(p AS DOUBLE) / bigp)
+        |      * (CAST(bigp - cp AS DOUBLE) / ((bigp - cp) + (bign - cn)))) END, 6)
+        |    AS pr_auc
+        | FROM cc)
+        |SELECT bb.bin, bb.n, round(bb.avg_conf, 6) AS avg_conf,
+        | round(bb.accuracy, 6) AS accuracy, round(tot.ece, 6) AS ece,
+        | auc.roc_auc, auc.pr_auc
+        |FROM bb, tot, auc
+        |ORDER BY bb.bin""".stripMargin,
+
     // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise
     // average precision restated from the same distinct-score
     // contingency + window prefix sums; q224 is the identical algebra
@@ -8504,12 +8594,33 @@ object SparkEntry {
       |  avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
       | FROM scored GROUP BY 1)""".stripMargin
 
+  /** q228/q233's shared feature CTE: a parametrized binary label + the
+    * three engine-computed text features (length, stopword fraction,
+    * mean token length), q217 tokenization pairing. q228 labels
+    * English-ness; q233 labels the recoverable length rule.
+    */
+  private def logregFeatureCte(labelExpr: String, where: String): String =
+    s"""ft AS MATERIALIZED (
+      | SELECT $labelExpr AS y,
+      |  CAST(n_chars AS DOUBLE) / 1000.0 AS x0,
+      |  CASE WHEN ntok = 0 THEN 0.0 ELSE nstop / ntok END AS x1,
+      |  CASE WHEN ntok = 0 THEN 0.0 ELSE csum / ntok / 10.0 END AS x2
+      | FROM (
+      |  SELECT lang, n_chars,
+      |   CAST(len(toks) AS DOUBLE) AS ntok,
+      |   CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) AS nstop,
+      |   CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) AS csum
+      |  FROM (SELECT lang, n_chars,
+      |         list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+      |        FROM documents WHERE text IS NOT NULL) t0) t1
+      | WHERE $where)""".stripMargin
+
   /** q228's unrolled GD steps: grK = the gradient means under wt(K−1),
     * wtK = wt(K−1) − η·grK with η = 1 — the exact per-step arithmetic
     * [[graft.operators.FilterModel.logisticGd]] runs, z folded in the
     * same left-associated order. MATERIALIZED for the q226 reason.
     */
-  private def gdIterationCtes(iters: Int): String =
+  private def gdIterationCtes(iters: Int, learningRate: String = "1.0"): String =
     (1 to iters).map { k =>
       s"""gr$k AS MATERIALIZED (
         | SELECT avg((p - y) * 1.0) AS g0, avg((p - y) * x0) AS g1,
@@ -8518,10 +8629,10 @@ object SparkEntry {
         |    1.0 / (1.0 + exp(-(wt${k - 1}.b + ft.x0 * wt${k - 1}.c0
         |      + ft.x1 * wt${k - 1}.c1 + ft.x2 * wt${k - 1}.c2))) AS p
         |   FROM ft, wt${k - 1}) t),
-        |wt$k AS (SELECT wt${k - 1}.b - 1.0 * gr$k.g0 AS b,
-        |  wt${k - 1}.c0 - 1.0 * gr$k.g1 AS c0,
-        |  wt${k - 1}.c1 - 1.0 * gr$k.g2 AS c1,
-        |  wt${k - 1}.c2 - 1.0 * gr$k.g3 AS c2
+        |wt$k AS (SELECT wt${k - 1}.b - $learningRate * gr$k.g0 AS b,
+        |  wt${k - 1}.c0 - $learningRate * gr$k.g1 AS c0,
+        |  wt${k - 1}.c1 - $learningRate * gr$k.g2 AS c1,
+        |  wt${k - 1}.c2 - $learningRate * gr$k.g3 AS c2
         | FROM wt${k - 1}, gr$k)""".stripMargin
     }.mkString(",\n")
 

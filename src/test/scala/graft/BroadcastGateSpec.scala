@@ -67,7 +67,8 @@ class BroadcastGateSpec extends AnyFunSuite {
     * "gated" / "caller" entries name the gate.
     */
   private val inventory: Map[String, (Int, String)] = Map(
-    "graft/SparkEntry.scala" -> (14, "contract: dims (nation/region), query sets, sketches, scalar aggs, top-k"),
+    "graft/SparkEntry.scala" -> (15,
+      "contract: dims (nation/region), query sets, sketches, scalar aggs, top-k, q233's 1-row AUC pair"),
     "graft/functions/NocExtract.scala" -> (1, "contract: 33-entry static legacy-country map"),
     "graft/operators/Dedup.scala" -> (2,
       "gated: denseBlockPairJoin bytes gate (elems*16+48/row <= 128MB); " +
