@@ -474,6 +474,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast model joins:\n$p")
   }
 
+  test("q223 binary eval: threshold prefix sums via the two-phase scan — no Window at all") {
+    val p = planOf("q223_binary_eval")
+    // a Window here would mean the distinct-score cumulative counts
+    // regressed to a single-partition sort (the W1 hazard at every-
+    // threshold scale); the two-phase scan hands off through an RDD
+    assert(!p.contains("Window"), s"no window over the score thresholds:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the exclusivePrefixSum RDD handoff:\n$p")
+  }
+
+  test("q224/q225 sliced rank machinery: windows stay PARTITIONED — no single-partition exchange") {
+    for (q <- Seq("q224_auc_by_source", "q225_spearman")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: per-slice windows must never serialize through one partition:\n$p")
+    }
+  }
+
+  test("q228 logreg: the gradient passes reuse the persisted feature projection") {
+    val df = SparkEntry.queries("q228_logreg_gd")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    Caches.unpersistAll()
+    // the final-metrics scan must read the cached features (the same
+    // cache the 5 gradient aggregates folded), not re-tokenize the
+    // corpus; and nothing in the training surface joins the corpus
+    assert(p.contains("InMemoryTableScan"),
+      s"metrics must scan the persisted feature projection:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-sized join anywhere in the model surface:\n$p")
+  }
+
   test("q133 cms: one 64 KB sketch broadcast, top-30 as TakeOrdered") {
     val df = SparkEntry.queries("q133_cms_freq")(spark, dir)
     df.write.format("noop").mode("overwrite").save()
