@@ -4315,6 +4315,20 @@ object SparkEntry {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Batch-drift proportion gate
+    * ([[graft.operators.Stats.twoProportionZ]]): did the English rate
+    * move between the even- and odd-id halves of the corpus? — the
+    * A/B z-test that completes the significance family (rank q231,
+    * shape q232, proportion q235).
+    */
+  private def q235TwoProportion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("cohort"),
+        (col("lang") === "en").as("is_en"))
+    Stats.twoProportionZ(docs, "cohort", "is_en")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4550,7 +4564,8 @@ object SparkEntry {
     "q231_mann_whitney" -> (q231MannWhitney _),
     "q232_ks_test" -> (q232KsTest _),
     "q233_train_eval" -> (q233TrainEval _),
-    "q234_ewma" -> (q234Ewma _))
+    "q234_ewma" -> (q234Ewma _),
+    "q235_two_proportion" -> (q235TwoProportion _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8524,6 +8539,30 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT event_type, event_id, round(ewma, 6) AS ewma FROM s
         |ORDER BY event_type, event_id""".stripMargin,
+
+    // q235: the pooled-SE two-proportion z restated scalar-for-scalar
+    "q235_two_proportion" ->
+      """WITH c AS (
+        | SELECT (doc_id % 2 = 0) AS g, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS k
+        | FROM documents
+        | WHERE doc_id IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |a AS (
+        | SELECT sum(CASE WHEN g THEN n END)::BIGINT AS n1,
+        |  sum(CASE WHEN NOT g THEN n END)::BIGINT AS n2,
+        |  sum(CASE WHEN g THEN k END) AS k1,
+        |  sum(CASE WHEN NOT g THEN k END) AS k2
+        | FROM c)
+        |SELECT n1, n2,
+        | round(CASE WHEN n1 > 0 THEN k1 / CAST(n1 AS DOUBLE) END, 6) AS p1,
+        | round(CASE WHEN n2 > 0 THEN k2 / CAST(n2 AS DOUBLE) END, 6) AS p2,
+        | round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |   (k1 / CAST(n1 AS DOUBLE) - k2 / CAST(n2 AS DOUBLE))
+        |   / nullif(sqrt((k1 + k2) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |       * (1.0 - (k1 + k2) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |       * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0.0)
+        |  END, 6) AS z
+        |FROM a""".stripMargin,
 
     // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise
     // average precision restated from the same distinct-score

@@ -373,6 +373,41 @@ object Stats {
         sqrt(n1 * n2 / (n1 + n2)) * col("__d")), 6).as("ks_stat"))
   }
 
+  /** Two-proportion z-test (pooled standard error): did a binary rate
+    * move between two cohorts (this batch vs last batch, slice A vs
+    * slice B)? z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the
+    * pooled proportion — the A/B arithmetic every ingest gate runs.
+    * One ONE-pass two-row contingency aggregate; everything after is
+    * scalar arithmetic. Rows with a null cohort or null outcome drop;
+    * an empty cohort or a degenerate pooled rate (p̂ ∈ {0, 1}) reports
+    * NULL z (undefined), not 0. Output: one row (n1, n2, p1, p2, z).
+    */
+  def twoProportionZ(df: DataFrame, cohortCol: String,
+                     successCol: String): DataFrame = {
+    val c = df.select(col(cohortCol).cast("boolean").as("__g"),
+        col(successCol).cast("boolean").cast("double").as("__y"))
+      .filter(col("__g").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__k"))
+    val agg = c.agg(
+      sum(when(col("__g"), col("__n"))).as("n1"),
+      sum(when(!col("__g"), col("__n"))).as("n2"),
+      sum(when(col("__g"), col("__k"))).as("__k1"),
+      sum(when(!col("__g"), col("__k"))).as("__k2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val p1 = col("__k1") / n1
+    val p2 = col("__k2") / n2
+    val pp = (col("__k1") + col("__k2")) / (n1 + n2)
+    agg.select(col("n1"), col("n2"),
+      round(when(col("n1") > 0, p1), 6).as("p1"),
+      round(when(col("n2") > 0, p2), 6).as("p2"),
+      round(when(col("n1") > 0 && col("n2") > 0,
+        (p1 - p2) / nullif(
+          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)),
+          lit(0.0))), 6).as("z"))
+  }
+
   /** Pearson χ² test of independence between two categorical columns
     * plus Cramér's V — the corpus-balance audit (is `lang` independent
     * of `source`?) behind every mixture dashboard. Expected counts

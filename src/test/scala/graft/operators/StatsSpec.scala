@@ -312,6 +312,31 @@ class StatsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("twoProportionZ: hand case z = √2; equal rates → 0; degenerate pools → NULL") {
+    import spark.implicits._
+    // 3/4 vs 1/4: pooled 0.5, SE = √(0.5·0.5·0.5) → z = 0.5/√0.125 = √2
+    val df = (Seq.fill(3)((true, true)) ++ Seq((true, false))
+      ++ Seq((false, true)) ++ Seq.fill(3)((false, false))).toDF("g", "y")
+    val r = Stats.twoProportionZ(df, "g", "y").collect()(0)
+    assert(r.getAs[Long]("n1") == 4 && r.getAs[Long]("n2") == 4)
+    assert(r.getAs[Double]("p1") == 0.75 && r.getAs[Double]("p2") == 0.25)
+    assert(r.getAs[Double]("z") == BigDecimal(math.sqrt(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val equal = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("g", "y")
+    assert(Stats.twoProportionZ(equal, "g", "y").collect()(0)
+      .getAs[Double]("z") == 0.0)
+    // pooled rate 0 (no successes anywhere) → SE 0 → z undefined
+    val none = Seq((true, false), (false, false)).toDF("g", "y")
+    val rn = Stats.twoProportionZ(none, "g", "y").collect()(0)
+    assert(rn.isNullAt(rn.fieldIndex("z")))
+    // a single cohort → n2/p2/z all NULL
+    val one = Seq((true, true), (true, false)).toDF("g", "y")
+    val ro = Stats.twoProportionZ(one, "g", "y").collect()(0)
+    assert(ro.isNullAt(ro.fieldIndex("n2")) && ro.isNullAt(ro.fieldIndex("z")))
+    graft.Caches.unpersistAll()
+  }
+
   test("chiSquare: independence → 0; perfect association → V = 1; zero cells counted") {
     import spark.implicits._
     val indep = Seq(("r1", "c1"), ("r1", "c2"), ("r2", "c1"), ("r2", "c2"))
