@@ -4329,6 +4329,20 @@ object SparkEntry {
     Stats.twoProportionZ(docs, "cohort", "is_en")
   }
 
+  /** Score-distribution drift localization ([[graft.operators.Stats.psi]]):
+    * PSI of event value, first half of the stream (expected) vs second
+    * (actual), 10 fixed bins over [0, 500) — the interpretable-threshold
+    * companion to q232's K–S (PSI says WHERE the mass moved).
+    */
+  private def q236Psi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val ev = Tables.withEventTime(t(s, dir, "events"))
+      .select((col("event_time") < lit("2024-01-15").cast("timestamp"))
+        .as("baseline"), col("value"))
+    Stats.psi(ev, "baseline", "value", lo = 0.0, hi = 500.0, nBins = 10)
+      .orderBy(col("bin"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4565,7 +4579,8 @@ object SparkEntry {
     "q232_ks_test" -> (q232KsTest _),
     "q233_train_eval" -> (q233TrainEval _),
     "q234_ewma" -> (q234Ewma _),
-    "q235_two_proportion" -> (q235TwoProportion _))
+    "q235_two_proportion" -> (q235TwoProportion _),
+    "q236_psi" -> (q236Psi _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8563,6 +8578,31 @@ object SparkEntry {
         |       * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0.0)
         |  END, 6) AS z
         |FROM a""".stripMargin,
+
+    // q236: fixed-grid binning with tail clamp, +0.5 Laplace smoothing
+    // on the densified grid, PSI = Σ (p−q)·ln(p/q)
+    "q236_psi" ->
+      """WITH e AS (
+        | SELECT (ts < TIMESTAMP '2024-01-15') AS g, CAST(value AS DOUBLE) AS s
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |cells AS (
+        | SELECT CAST(least(greatest(floor((s - 0.0) / 500.0 * 10), 0.0), 9.0) AS BIGINT) AS bin,
+        |  sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS ne,
+        |  sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS na
+        | FROM e GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 10)) AS bin),
+        |f AS (SELECT grid.bin, coalesce(ne, 0) AS ne, coalesce(na, 0) AS na
+        |      FROM grid LEFT JOIN cells ON grid.bin = cells.bin),
+        |tt AS (SELECT sum(ne) AS te, sum(na) AS ta FROM f),
+        |sc AS (SELECT bin, ne, na,
+        |  (CAST(ne AS DOUBLE) + 0.5) / (te + 0.5 * 10) AS p,
+        |  (CAST(na AS DOUBLE) + 0.5) / (ta + 0.5 * 10) AS q
+        | FROM f, tt),
+        |ps AS (SELECT sum((p - q) * ln(p / q)) AS psi FROM sc)
+        |SELECT bin, ne AS n_expected, na AS n_actual,
+        | round(p, 6) AS p_expected, round(q, 6) AS q_actual,
+        | round((p - q) * ln(p / q), 6) AS contrib, round(ps.psi, 6) AS psi
+        |FROM sc, ps ORDER BY bin""".stripMargin,
 
     // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise
     // average precision restated from the same distinct-score

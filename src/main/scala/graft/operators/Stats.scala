@@ -373,6 +373,69 @@ object Stats {
         sqrt(n1 * n2 / (n1 + n2)) * col("__d")), 6).as("ks_stat"))
   }
 
+  /** Population stability index over fixed equal-width score bins —
+    * the ML-monitoring drift standard (PSI < 0.1 stable, > 0.25
+    * investigate) comparing an ACTUAL cohort's score distribution
+    * against an EXPECTED (baseline) cohort's:
+    * PSI = Σ (p_b − q_b)·ln(p_b / q_b). Bins are [lo, hi) equal-width
+    * with both tails clamped into the edge bins (a fixed grid, so two
+    * runs and two engines bin identically — quantile bins would drift
+    * with the data). Zero cells take a +0.5 Laplace count on BOTH
+    * cohorts (the deterministic, restatable smoothing; the ad-hoc
+    * "replace 0 with 1e-4" convention is not scale-free). Null scores
+    * and null cohorts drop.
+    *
+    * One two-column contingency aggregate over the corpus; the PSI
+    * reduction is nBins-sized. Complements [[ksTest]]: K–S detects ANY
+    * shape change with a p-value-free statistic, PSI localizes WHERE
+    * the mass moved with interpretable thresholds. Output: one row per
+    * bin (bin, n_expected, n_actual, p_expected, p_actual, contrib,
+    * psi) with the scalar repeated (the [[calibration]] convention).
+    */
+  def psi(df: DataFrame, cohortCol: String, scoreCol: String,
+          lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val bin = least(greatest(
+        floor((col("__s") - lo) / lit((hi - lo)) * nBins), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val cells = df.select(col(cohortCol).cast("boolean").as("__exp"),
+        col(scoreCol).cast("double").as("__s"))
+      .filter(col("__exp").isNotNull && col("__s").isNotNull)
+      .select(col("__exp"), bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__exp"), 1L).otherwise(0L)).as("n_expected"),
+        sum(when(!col("__exp"), 1L).otherwise(0L)).as("n_actual"))
+    // densify: every bin exists even if neither cohort hit it (the
+    // smoothing needs the full grid); bins are a bounded dim
+    val grid = df.sparkSession.range(nBins).select(col("id").as("bin"))
+    val full = grid.join(cells, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_expected"), lit(0L)).as("n_expected"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+      .persist()
+    graft.Caches.track(full)
+    val tot = full.agg(sum(col("n_expected")).as("__te"),
+      sum(col("n_actual")).as("__ta"))
+    val smoothedE = col("n_expected").cast("double") + 0.5
+    val smoothedA = col("n_actual").cast("double") + 0.5
+    val p = smoothedE / (col("__te") + lit(0.5) * nBins)
+    val q = smoothedA / (col("__ta") + lit(0.5) * nBins)
+    val scored = full.crossJoin(broadcast(tot))
+      .withColumn("p_expected", p)
+      .withColumn("q_actual", q)
+      .withColumn("contrib",
+        (col("p_expected") - col("q_actual"))
+          * log(col("p_expected") / col("q_actual")))
+    val total = scored.agg(sum(col("contrib")).as("psi"))
+    scored.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_expected"), col("n_actual"),
+        round(col("p_expected"), 6).as("p_expected"),
+        round(col("q_actual"), 6).as("q_actual"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("psi"), 6).as("psi"))
+  }
+
   /** Two-proportion z-test (pooled standard error): did a binary rate
     * move between two cohorts (this batch vs last batch, slice A vs
     * slice B)? z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the

@@ -312,6 +312,34 @@ class StatsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("psi: identical cohorts → 0; disjoint mass → finite positive; tails clamp") {
+    import spark.implicits._
+    // identical distributions → p = q in every bin → psi exactly 0
+    val same = Seq((true, 1.0), (true, 6.0), (false, 1.0), (false, 6.0))
+      .toDF("g", "s")
+    val rs = Stats.psi(same, "g", "s", lo = 0.0, hi = 10.0, nBins = 10)
+      .collect()
+    assert(rs.length == 10)
+    assert(rs.forall(_.getAs[Double]("psi") == 0.0))
+    assert(rs.forall(_.getAs[Double]("contrib") == 0.0))
+    // expected all in bin 0, actual all in bin 9: smoothing keeps every
+    // log finite, psi strictly positive, and mass localizes correctly
+    val moved = Seq((true, 0.5), (true, 0.7), (false, 9.5), (false, 9.9))
+      .toDF("g", "s")
+    val rm = Stats.psi(moved, "g", "s", 0.0, 10.0, 10).orderBy("bin").collect()
+    assert(rm(0).getAs[Long]("n_expected") == 2 && rm(0).getAs[Long]("n_actual") == 0)
+    assert(rm(9).getAs[Long]("n_actual") == 2)
+    val psiVal = rm(0).getAs[Double]("psi")
+    assert(psiVal > 0.25, s"disjoint mass must trip the investigate threshold: $psiVal")
+    assert(!psiVal.isNaN && !psiVal.isInfinite)
+    // out-of-range scores clamp into the edge bins, never drop
+    val clamp = Seq((true, -5.0), (false, 99.0)).toDF("g", "s")
+    val rc = Stats.psi(clamp, "g", "s", 0.0, 10.0, 10).orderBy("bin").collect()
+    assert(rc(0).getAs[Long]("n_expected") == 1)
+    assert(rc(9).getAs[Long]("n_actual") == 1)
+    graft.Caches.unpersistAll()
+  }
+
   test("twoProportionZ: hand case z = √2; equal rates → 0; degenerate pools → NULL") {
     import spark.implicits._
     // 3/4 vs 1/4: pooled 0.5, SE = √(0.5·0.5·0.5) → z = 0.5/√0.125 = √2
