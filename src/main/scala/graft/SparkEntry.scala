@@ -8356,7 +8356,8 @@ object SparkEntry {
         |mt AS MATERIALIZED (
         | SELECT count(*)::BIGINT AS n,
         |  avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS acc,
-        |  avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS loss
+        |  avg(-(y * ln(greatest(least(p, 1.0 - 1e-15), 1e-15))
+        |    + (1.0 - y) * ln(1.0 - greatest(least(p, 1.0 - 1e-15), 1e-15)))) AS loss
         | FROM (SELECT ft.y,
         |    1.0 / (1.0 + exp(-(wt5.b + ft.x0 * wt5.c0 + ft.x1 * wt5.c1 + ft.x2 * wt5.c2))) AS p
         |   FROM ft, wt5) t)
@@ -8503,7 +8504,7 @@ object SparkEntry {
         |    + ft.x1 * wr.c1 + ft.x2 * wr.c2))) AS conf, ft.y
         | FROM ft, wr),
         |bb AS (
-        | SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+        | SELECT CAST(least(greatest(floor(conf * 10), 0), 9) AS BIGINT) AS bin,
         |  count(*)::BIGINT AS n, avg(conf) AS avg_conf,
         |  avg(CASE WHEN y = 1.0 THEN 1.0 ELSE 0.0 END) AS accuracy
         | FROM sc GROUP BY 1),
@@ -8704,7 +8705,7 @@ object SparkEntry {
       |        ELSE 'zh' END = lang) AS correct
       | FROM h),
       |bb AS (
-      | SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+      | SELECT CAST(least(greatest(floor(conf * 10), 0), 9) AS BIGINT) AS bin,
       |  count(*)::BIGINT AS n, avg(conf) AS avg_conf,
       |  avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
       | FROM scored GROUP BY 1)""".stripMargin

@@ -41,6 +41,16 @@ object Bitext {
     * @param threshold minimum margin to emit (1.0 = neighbourhood-
     *                  average; the paper operates around 1.05–1.2)
     * @return (src_id, tgt_id, cosine_sim, margin), the mined pairs
+    *
+    * PRECONDITION (caller contract): `bwd`'s query set must COVER
+    * `fwd`'s neighbour ids (and vice versa) — the standard mutual-kNN
+    * setup where the backward run queries exactly the targets the
+    * forward run retrieved (the q220 harness does this). The margin
+    * join is INNER on the neighbourhood averages, so a candidate whose
+    * counterpart is missing from the other direction's query set drops
+    * BEFORE the best-per-query window — with partial coverage a
+    * runner-up could be crowned "forward best". Generate both
+    * directions from the same candidate universe.
     */
   def marginMine(fwd: DataFrame, bwd: DataFrame,
                  threshold: Double): DataFrame = {

@@ -22,8 +22,11 @@ object Blocklist {
     */
   def hitCounts(text: Column, patterns: Seq[String]): Column = {
     require(patterns.nonEmpty, "blocklist must be non-empty")
+    // Locale.ROOT: the text side case-folds via Spark's locale-
+    // independent lower(); default-locale toLowerCase would turn
+    // "WINDOW" into "wındow" on a Turkish JVM and silently never match
     call_function("aho_corasick_counts", lower(text),
-      array(patterns.map(p => lit(p.toLowerCase)): _*))
+      array(patterns.map(p => lit(p.toLowerCase(java.util.Locale.ROOT))): _*))
   }
 
   /** Adds `hits` (per-pattern counts), `hits_total`, `patterns_hit`,
@@ -39,7 +42,10 @@ object Blocklist {
       .withColumn("patterns_hit",
         aggregate(col("hits"), lit(0L),
           (acc, c) => acc + when(c > 0, 1L).otherwise(0L)))
-      .withColumn("blocked", col("hits_total") > 0)
+      // null text contains no banned term: blocked must be FALSE, not
+      // NULL — a null would silently drop the row through filterClean's
+      // !blocked (data loss in a curation gate, not a screening verdict)
+      .withColumn("blocked", coalesce(col("hits_total") > 0, lit(false)))
   }
 
   /** The gate itself: rows with zero blocklist hits. */

@@ -763,8 +763,11 @@ object Dedup {
       .join(clsInfo.withColumnsRenamed(Map("cls" -> "cls_a", "toks" -> "ta", "ids" -> "ids_a")), "cls_a")
       .join(clsInfo.withColumnsRenamed(Map("cls" -> "cls_b", "toks" -> "tb", "ids" -> "ids_b")), "cls_b")
       .withColumn("__inter", call_function("sorted_intersect_size", col("ta"), col("tb")))
+      // nullif: two sub-n-token documents both shingle to EMPTY arrays
+      // and meet 0/0 here — under ANSI that throws DIVIDE_BY_ZERO; a
+      // NULL jaccard instead falls out of the >= threshold filter
       .withColumn("jaccard", col("__inter").cast("double") /
-        (size(col("ta")) + size(col("tb")) - col("__inter")))
+        nullif(size(col("ta")) + size(col("tb")) - col("__inter"), lit(0)))
       .filter(col("jaccard") >= threshold)
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
@@ -874,8 +877,11 @@ object Dedup {
       .join(ntoks, "new_id")
       .withColumn("__inter",
         call_function("sorted_intersect_size", col("ta"), col("tb")))
+      // nullif: two sub-n-token documents both shingle to EMPTY arrays
+      // and meet 0/0 here — under ANSI that throws DIVIDE_BY_ZERO; a
+      // NULL jaccard instead falls out of the >= threshold filter
       .withColumn("jaccard", col("__inter").cast("double") /
-        (size(col("ta")) + size(col("tb")) - col("__inter")))
+        nullif(size(col("ta")) + size(col("tb")) - col("__inter"), lit(0)))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("new_id"), col("jaccard"))
   }

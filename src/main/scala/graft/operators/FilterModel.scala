@@ -63,11 +63,17 @@ object FilterModel {
       w = Array.tabulate(d + 1)(j => w(j) - learningRate * g.getDouble(j))
     }
     val p = pOf(w)
+    // the loss clamps p away from {0, 1}: σ saturates EXACTLY in double
+    // past |z| ≈ 37, and log(0) on a confidently-correct row would drop
+    // it from the avg (or throw under ANSI) — biasing the reported loss
+    // precisely when the model fits well. 1e-15 is below any real
+    // probability of interest and a no-op when σ is unsaturated.
+    val pc = greatest(least(p, lit(1.0 - 1e-15)), lit(1e-15))
     val metrics = feats.agg(
       count(lit(1)).as("n"),
       avg(when((p >= 0.5) === (col("__y") === 1.0), 1.0).otherwise(0.0))
         .as("__acc"),
-      avg(-(col("__y") * log(p) + (lit(1.0) - col("__y")) * log(lit(1.0) - p)))
+      avg(-(col("__y") * log(pc) + (lit(1.0) - col("__y")) * log(lit(1.0) - pc)))
         .as("__loss"))
     import spark.implicits._
     val terms = ("bias" +: xCols).zip(w.toSeq).zipWithIndex

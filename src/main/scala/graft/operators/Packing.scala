@@ -81,7 +81,12 @@ object Packing {
     require(k > 0, s"shard count must be positive, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val counted = df.select(
+    // null text/id rows DROP (the Rolling.ewma convention): a null
+    // token count would kill the whole job at the non-nullable tuple
+    // encoder instead of failing one row's placement
+    val counted = df
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(
         col(groupCol).cast("string").as("group"),
         col(idCol).cast("long").as("id"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))

@@ -98,9 +98,17 @@ object SkewJoins {
   /** skewFactor × average shuffle-partition rows, floor 1 (package-
     * visible so the spec can pin the formula).
     */
-  private[operators] def autoHotThreshold(left: DataFrame, skewFactor: Double): Long = {
+  private[operators] def autoHotThreshold(left: DataFrame, skewFactor: Double): Long =
+    thresholdFromRows(left, left.count(), skewFactor)
+
+  /** The threshold arithmetic alone, for callers that already paid for
+    * the count — [[decide]] was counting the corpus TWICE (once here,
+    * once for its decision record) before this split.
+    */
+  private def thresholdFromRows(left: DataFrame, rows: Long,
+                                skewFactor: Double): Long = {
     val parts = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    math.max(1L, math.round(skewFactor * left.count() / math.max(1, parts)))
+    math.max(1L, math.round(skewFactor * rows / math.max(1, parts)))
   }
 
   /** The tag is computed by the SAME expression in detection and
@@ -167,7 +175,9 @@ object SkewJoins {
     * q214 oracle and the spec's tri-fixture audit assert this).
     *
     * Cost of deciding: one `left.count()` and one sampled aggregate —
-    * both map-side-combined, neither shuffles the corpus.
+    * both map-side-combined, neither shuffles the corpus. (The salted
+    * EXECUTION path adds its own sampled pass to learn WHICH tags are
+    * hot — decide only measured the max.)
     */
   def decide(left: DataFrame, right: DataFrame, keys: Seq[String],
              broadcastBytes: Long = 64L * 1024 * 1024,
@@ -178,8 +188,8 @@ object SkewJoins {
     val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightBytes <= broadcastBytes)
       return JoinDecision(BroadcastRight, rightBytes, -1L, -1L, -1L)
-    val threshold = autoHotThreshold(left, skewFactor)
     val leftRows = left.count()
+    val threshold = thresholdFromRows(left, leftRows, skewFactor)
     // hottest-key estimate from one sampled aggregate: max sampled key
     // count scaled back by the fraction (the detectHotTags estimator,
     // reduced to its max)

@@ -126,9 +126,13 @@ object Stats {
                            bCol: String, nReplicates: Int,
                            alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    // pairwise-complete rows only: a null score would count in n while
+    // every mean skips it, and its Poisson weight would enter replicate
+    // denominators with no numerator — diluting every resampled delta
     val deltas = df.select(col(idCol).as("__pid"),
       (col(aCol).cast("double") - col(bCol).cast("double")).as("__d"),
       col(aCol).cast("double").as("__a"), col(bCol).cast("double").as("__b"))
+      .filter(col("__d").isNotNull)
     val means = poissonBootstrapMeans(deltas, "__pid", "__d", nReplicates)
     val point = deltas.agg(count(lit(1)).as("n"),
       avg(col("__a")).as("mean_a"), avg(col("__b")).as("mean_b"),
@@ -187,17 +191,31 @@ object Stats {
     * Output: (bin, n, avg_conf, accuracy, gap, ece), one row per
     * non-empty bin.
     */
-  def calibration(df: DataFrame, confCol: String, correctCol: String,
-                  nBins: Int = 10): DataFrame = {
-    require(nBins > 0, s"nBins must be positive, got $nBins")
-    val byBin = df.select(
-        least(floor(col(confCol).cast("double") * nBins), lit(nBins - 1))
-          .cast("long").as("bin"),
-        col(confCol).cast("double").as("__conf"),
+  /** Shared reliability binning of [[calibration]] and
+    * [[isotonicCalibration]] (ONE definition — a pasted copy is the
+    * 1688f12 drift class): rows with a null confidence or null outcome
+    * DROP (a null-conf row would inflate the ECE denominator while
+    * contributing no gap, and its null bin would sort FIRST in this
+    * engine but LAST in an external one, corrupting the PAV prefix
+    * sums); out-of-range confidences clamp into the edge bins.
+    */
+  private def binnedAccuracy(df: DataFrame, confCol: String,
+                             correctCol: String, nBins: Int): DataFrame =
+    df.select(col(confCol).cast("double").as("__conf"),
         col(correctCol).cast("boolean").cast("double").as("__ok"))
+      .filter(col("__conf").isNotNull && col("__ok").isNotNull)
+      .select(
+        greatest(least(floor(col("__conf") * nBins), lit(nBins - 1)), lit(0))
+          .cast("long").as("bin"),
+        col("__conf"), col("__ok"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), avg(col("__conf")).as("avg_conf"),
         avg(col("__ok")).as("accuracy"))
+
+  def calibration(df: DataFrame, confCol: String, correctCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val byBin = binnedAccuracy(df, confCol, correctCol, nBins)
       .withColumn("gap", abs(col("accuracy") - col("avg_conf")))
       .persist()
     graft.Caches.track(byBin)
@@ -225,15 +243,7 @@ object Stats {
   def isotonicCalibration(df: DataFrame, confCol: String, correctCol: String,
                           nBins: Int = 10): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
-    val byBin = df.select(
-        least(floor(col(confCol).cast("double") * nBins), lit(nBins - 1))
-          .cast("long").as("bin"),
-        col(confCol).cast("double").as("__conf"),
-        col(correctCol).cast("boolean").cast("double").as("__ok"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), avg(col("__conf")).as("avg_conf"),
-        avg(col("__ok")).as("accuracy"))
-      .persist()
+    val byBin = binnedAccuracy(df, confCol, correctCol, nBins).persist()
     graft.Caches.track(byBin)
     // global window over the ≤nBins-row bin table — the bounded-dim
     // convention (GroupOps.rowNumberId), never over corpus rows
