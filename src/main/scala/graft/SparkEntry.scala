@@ -4343,6 +4343,21 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** Error bar on the q223 effect size
+    * ([[graft.operators.Stats.binaryEvalBootstrap]]): 100 deterministic
+    * Poisson replicates re-run the weighted rank-sum AUC, percentile
+    * CI at 95% — the q184 draw machinery composed with the q223 rank
+    * machinery, both already oracle-pinned on their own.
+    */
+  private def q237AucCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("score"),
+        (col("lang") === "en").as("pos"))
+    Stats.binaryEvalBootstrap(docs, "doc_id", "score", "pos",
+      nReplicates = 100, alpha = 0.05)
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4580,7 +4595,8 @@ object SparkEntry {
     "q233_train_eval" -> (q233TrainEval _),
     "q234_ewma" -> (q234Ewma _),
     "q235_two_proportion" -> (q235TwoProportion _),
-    "q236_psi" -> (q236Psi _))
+    "q236_psi" -> (q236Psi _),
+    "q237_auc_ci" -> (q237AucCi _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -8604,6 +8620,64 @@ object SparkEntry {
         | round(p, 6) AS p_expected, round(q, 6) AS q_actual,
         | round((p - q) * ln(p / q), 6) AS contrib, round(ps.psi, 6) AS psi
         |FROM sc, ps ORDER BY bin""".stripMargin,
+
+    // q237: the q184 block-md5 Poisson draws feeding the weighted
+    // rank-sum AUC per replicate, quantile_cont percentile CI + the
+    // q223 point algebra
+    "q237_auc_ci" ->
+      """WITH r AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS DOUBLE) AS s,
+        |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        | FROM documents
+        | WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND doc_id IS NOT NULL),
+        |reps AS (SELECT b FROM generate_series(1, 100) t(b)),
+        |w AS (SELECT id, s, y, b,
+        |  (CAST(('0x' || substring(md5(id || '|' || CAST((b - 1) // 4 AS VARCHAR)),
+        |                           1 + 8 * ((b - 1) % 4), 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0 AS u
+        | FROM r CROSS JOIN reps),
+        |wt AS (SELECT b, s, y,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       WHEN u < 0.9994058151824183 THEN 5
+        |       WHEN u < 0.9999167588507119 THEN 6
+        |       ELSE 7 END AS wgt
+        | FROM w),
+        |g AS (SELECT b, s, sum(wgt * y) AS p, sum(wgt * (1.0 - y)) AS n
+        |      FROM wt GROUP BY 1, 2),
+        |c AS (SELECT b, p, n,
+        |  COALESCE(sum(n) OVER (PARTITION BY b ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cn
+        | FROM g),
+        |a AS (SELECT b, sum(p) AS bp, sum(n) AS bn,
+        |       sum(p * cn) AS u_, sum(p * n) AS t_ FROM c GROUP BY 1),
+        |aucs AS (SELECT CASE WHEN bp > 0 AND bn > 0
+        |   THEN (u_ + t_ / 2) / (bp * bn) END AS auc FROM a),
+        |ci AS (SELECT count(auc)::BIGINT AS n_replicates,
+        |        round(quantile_cont(auc, 0.025), 6) AS ci_lo,
+        |        round(quantile_cont(auc, 0.975), 6) AS ci_hi FROM aucs),
+        |gg AS (
+        | SELECT s, sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS p,
+        |  sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)::BIGINT AS n
+        | FROM r GROUP BY 1),
+        |cc AS (
+        | SELECT p, n,
+        |  COALESCE(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+        |  sum(p) OVER () AS bigp, sum(n) OVER () AS bign
+        | FROM gg),
+        |pt AS (
+        | SELECT max(bigp)::BIGINT AS n_pos, max(bign)::BIGINT AS n_neg,
+        |  round(CASE WHEN max(bigp) > 0 AND max(bign) > 0 THEN
+        |    (sum(CAST(p AS DOUBLE) * cn) + sum(CAST(p AS DOUBLE) * n) / 2)
+        |     / (CAST(max(bigp) AS DOUBLE) * max(bign)) END, 6) AS roc_auc
+        | FROM cc)
+        |SELECT pt.n_pos, pt.n_neg, pt.roc_auc,
+        | ci.n_replicates, ci.ci_lo, ci.ci_hi
+        |FROM pt, ci""".stripMargin,
 
     // q223/q224: the rank-sum ROC AUC (tie pairs at ½) and step-wise
     // average precision restated from the same distinct-score

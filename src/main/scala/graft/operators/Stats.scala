@@ -57,6 +57,27 @@ object Stats {
     // do 4× the work for the same entropy. Two-level explode keeps the
     // digest computed once per block row.
     val nBlocks = (nReplicates + 3) / 4
+    df.select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+      .transform(poissonReplicated(_, "__id", nBlocks, nReplicates))
+      .groupBy(col("b"))
+      .agg(sum(col("__w")).as("n_eff"),
+        (sum(col("__w") * col("__v")) / sum(col("__w"))).as("mean_b"))
+  }
+
+  /** The replicate×row expansion shared by [[poissonBootstrapMeans]]
+    * and [[binaryEvalBootstrap]]: every input row exploded to
+    * `nReplicates` rows with its deterministic Poisson(1) weight `__w`
+    * and replicate id `b` ∈ [1, nReplicates] (one md5 per 4-replicate
+    * block — the digest's 128 bits are four independent 32-bit words).
+    *
+    * Pinned fan-out: a single-file input arrives as ONE split, and
+    * this pipeline is pure map-side work into small aggregates —
+    * without the explicit repartition the B× hashing runs on one task
+    * (row-count-proportional work, not input-bytes; same reasoning as
+    * the containment block join).
+    */
+  private def poissonReplicated(df: DataFrame, idCol: String,
+                                nBlocks: Int, nReplicates: Int): DataFrame = {
     val pos = col("__j") * 8 + 1
     val u = (conv(col("__md5").substr(pos, lit(8)), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
@@ -64,22 +85,63 @@ object Stats {
       .foldLeft(lit(7L)) { case (tail, (p, k)) =>
         when(u < p, lit(k.toLong)).otherwise(tail)
       }
-    df.select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
-      // pinned fan-out: a single-file input arrives as ONE split, and
-      // this pipeline is pure map-side work into a B-row aggregate —
-      // without the explicit repartition the B× hashing runs on one
-      // task (row-count-proportional work, not input-bytes; same
-      // reasoning as the containment block join)
+    df
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("__blk", explode(sequence(lit(0), lit(nBlocks - 1))))
-      .withColumn("__md5", md5(concat_ws("|", col("__id"), col("__blk"))))
+      .withColumn("__md5", md5(concat_ws("|", col(idCol), col("__blk"))))
       .withColumn("__j", explode(sequence(lit(0), lit(3))))
-      .withColumn("b", col("__blk") * 4 + col("__j") + 1)
+      .withColumn("b", (col("__blk") * 4 + col("__j") + 1).cast("long"))
       .filter(col("b") <= nReplicates)
       .withColumn("__w", w)
-      .groupBy(col("b").cast("long").as("b"))
-      .agg(sum(col("__w")).as("n_eff"),
-        (sum(col("__w") * col("__v")) / sum(col("__w"))).as("mean_b"))
+      .drop("__blk", "__md5", "__j")
+  }
+
+  /** Percentile bootstrap CI on the tie-aware ROC AUC — the error bar
+    * the filter-model report ships next to q223's point estimate.
+    * Every replicate reweights the SAME rows by a deterministic
+    * Poisson(1) draw ([[poissonWeight]]; Chamandy '12) and re-runs the
+    * weighted rank-sum: with weighted class masses p_g/n_g per distinct
+    * score, AUC_b = (Σ p_g·cn_g + Σ p_g·n_g/2)/(P_b·N_b) — the
+    * Mann–Whitney estimator generalizes verbatim to weighted counts.
+    *
+    * Scale: one replicate×row expansion partial-aggregates into a
+    * B×|distinct scores| table; the cumulative weighted counts come
+    * from windows PARTITIONED BY replicate (parallel across B, each
+    * task bounded by one replicate's threshold count). A replicate
+    * that resamples a class away yields NULL and drops from the
+    * percentile (never a fake 0). Output: one row (n_pos, n_neg,
+    * roc_auc, n_replicates, ci_lo, ci_hi).
+    */
+  def binaryEvalBootstrap(df: DataFrame, idCol: String, scoreCol: String,
+                          labelCol: String, nReplicates: Int,
+                          alpha: Double = 0.05): DataFrame = {
+    require(nReplicates >= 1, s"need >= 1 replicates, got $nReplicates")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val rows = df.select(col(idCol).cast("string").as("__id"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").cast("double").as("__yd"))
+      .filter(col("__s").isNotNull && col("__yd").isNotNull)
+    val g = poissonReplicated(rows, "__id", (nReplicates + 3) / 4, nReplicates)
+      .groupBy(col("b"), col("__s"))
+      .agg(sum(col("__w") * col("__yd")).as("__p"),
+        sum(col("__w") * (lit(1.0) - col("__yd"))).as("__n"))
+    val before = Window.partitionBy(col("b")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("__cn", coalesce(sum(col("__n")).over(before), lit(0.0)))
+    val a = c.groupBy(col("b"))
+      .agg(sum(col("__p")).as("__P"), sum(col("__n")).as("__N"),
+        sum(col("__p") * col("__cn")).as("__u"),
+        sum(col("__p") * col("__n")).as("__t"))
+    val aucs = a.select(when(col("__P") > 0 && col("__N") > 0,
+      (col("__u") + col("__t") / 2) / (col("__P") * col("__N"))).as("__auc"))
+    val point = binaryEval(df, scoreCol, labelCol)
+      .select(col("n_pos"), col("n_neg"), col("roc_auc"))
+    aucs.agg(count(col("__auc")).as("n_replicates"),
+        round(percentile(col("__auc"), lit(alpha / 2)), 6).as("ci_lo"),
+        round(percentile(col("__auc"), lit(1 - alpha / 2)), 6).as("ci_hi"))
+      .crossJoin(broadcast(point))
+      .select(col("n_pos"), col("n_neg"), col("roc_auc"),
+        col("n_replicates"), col("ci_lo"), col("ci_hi"))
   }
 
   /** Percentile confidence interval from the replicate means, plus the

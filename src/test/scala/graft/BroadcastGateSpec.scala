@@ -95,11 +95,12 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/SkewJoins.scala" -> (3,
       "contract: scalar total for key-share profile, fixed-size CMS sketch pair; " +
         "gated: adaptiveJoin broadcasts right iff Catalyst plan stats sizeInBytes <= broadcastBytes budget"),
-    "graft/operators/Stats.scala" -> (11,
+    "graft/operators/Stats.scala" -> (12,
       "contract: scalar point estimates / agreement tables, ECE scalar (1-row agg over the nBins-row bin table), " +
         "binaryEval class totals (1-row agg over the distinct-score table), " +
         "chiSquare marginal row counts + N/r/c scalar (cell-table aggs, bounded dims), " +
-        "psi cohort totals + PSI scalar (nBins-row grid aggs)"),
+        "psi cohort totals + PSI scalar (nBins-row grid aggs), " +
+        "binaryEvalBootstrap point-AUC row (1-row binaryEval output)"),
     "graft/operators/Validation.scala" -> (1, "contract: rule table, rule-count-sized"),
     "graft/pipeline/Erasure.scala" -> (2, "contract: subject-key set (erasure requests, small by contract), scalar audit"),
     "graft/pipeline/OlympicCleanI.scala" -> (1, "contract: affiliation dim, bounded by distinct affiliations"),

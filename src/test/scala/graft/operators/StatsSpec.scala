@@ -312,6 +312,38 @@ class StatsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("binaryEvalBootstrap: perfect separation → degenerate CI at 1; reruns exact") {
+    import spark.implicits._
+    val df = ((1 to 30).map(i => (i.toLong, i + 100.0, true))
+      ++ (1 to 30).map(i => (i + 100L, i * 1.0, false))).toDF("id", "s", "y")
+    val r = Stats.binaryEvalBootstrap(df, "id", "s", "y",
+      nReplicates = 50).collect()(0)
+    assert(r.getAs[Double]("roc_auc") == 1.0)
+    // every replicate that keeps both classes still separates perfectly
+    assert(r.getAs[Double]("ci_lo") == 1.0 && r.getAs[Double]("ci_hi") == 1.0)
+    assert(r.getAs[Long]("n_replicates") <= 50 && r.getAs[Long]("n_replicates") > 0)
+    val again = Stats.binaryEvalBootstrap(df, "id", "s", "y", 50).collect()(0)
+    assert(r == again, "draws are deterministic in (id, replicate)")
+    graft.Caches.unpersistAll()
+  }
+
+  test("binaryEvalBootstrap: CI brackets the point AUC and narrows with n") {
+    import spark.implicits._
+    def mk(n: Int) = ((1 to n).map(i => (i.toLong, (i % 17) + 3.0, true))
+      ++ (1 to n).map(i => (i + 100000L, (i % 19) * 1.0, false))).toDF("id", "s", "y")
+    def ci(df: org.apache.spark.sql.DataFrame) = {
+      val r = Stats.binaryEvalBootstrap(df, "id", "s", "y", nReplicates = 100)
+        .collect()(0)
+      (r.getAs[Double]("ci_lo"), r.getAs[Double]("roc_auc"), r.getAs[Double]("ci_hi"))
+    }
+    val (lo1, pt1, hi1) = ci(mk(60))
+    val (lo2, pt2, hi2) = ci(mk(2000))
+    assert(lo1 <= pt1 && pt1 <= hi1, s"CI must bracket: $lo1 $pt1 $hi1")
+    assert(lo2 <= pt2 && pt2 <= hi2)
+    assert(hi2 - lo2 < hi1 - lo1, "more data → tighter AUC interval")
+    graft.Caches.unpersistAll()
+  }
+
   test("psi: identical cohorts → 0; disjoint mass → finite positive; tails clamp") {
     import spark.implicits._
     // identical distributions → p = q in every bin → psi exactly 0
