@@ -4199,11 +4199,15 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val toks = filter(split(lower(trim(col("text"))), "\\s+"),
       t => length(t) > 0)
+    // persist the per-source aggregate: the budget scalar and the
+    // allocation both read it, so the corpus tokenization runs once
     val counts = docs
       .select(col("source"), size(toks).cast("long").as("ntok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).cast("double").as("tokens"))
+      .persist()
+    graft.Caches.track(counts)
     val total = counts.agg(sum(col("tokens"))).collect()(0).getDouble(0)
     Sampling.unimaxAllocation(counts, "source", "n_docs", "tokens",
         budget = 2.0 * total, maxEpochs = 4.0)
@@ -8254,7 +8258,7 @@ object SparkEntry {
         |SELECT doc_id,
         | sum(cnt)::BIGINT AS hits_total,
         | sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS patterns_hit,
-        | sum(cnt) > 0 AS blocked,
+        | coalesce(sum(cnt) > 0, false) AS blocked,
         | $perPat
         |FROM hits GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
@@ -8782,7 +8786,8 @@ object SparkEntry {
       | SELECT CAST(least(greatest(floor(conf * 10), 0), 9) AS BIGINT) AS bin,
       |  count(*)::BIGINT AS n, avg(conf) AS avg_conf,
       |  avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
-      | FROM scored GROUP BY 1)""".stripMargin
+      | FROM scored WHERE conf IS NOT NULL AND correct IS NOT NULL
+      | GROUP BY 1)""".stripMargin
 
   /** q228/q233's shared feature CTE: a parametrized binary label + the
     * three engine-computed text features (length, stopword fraction,

@@ -274,6 +274,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "aho_corasick_counts takes exactly 2 arguments")
         AhoCorasickCounts(children.head, children(1))
+      }),
+    (FunctionIdentifier("singleton_key"),
+      new ExpressionInfo(classOf[SingletonKey].getName, "singleton_key"),
+      (children: Seq[Expression]) => {
+        require(children.isEmpty, "singleton_key takes no arguments")
+        SingletonKey()
       }))
 
   /** Idempotent runtime registration: the function registry AND the

@@ -71,7 +71,7 @@ object CorpusStats {
       .limit(topN)
     val ranked = top
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("token").asc)))
+        Windows.boundedGlobal(top)(col("freq").desc, col("token").asc)))
       .select(log(col("rank")).as("x"), log(col("freq")).as("y"))
     ranked.agg(
       count(lit(1)).as("n_ranks"),
@@ -99,7 +99,7 @@ object CorpusStats {
     import org.apache.spark.sql.expressions.Window
     val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
       .withColumn("i", row_number().over(
-        Window.orderBy(col("x").asc, col(keyCol).asc)).cast("long"))
+        Windows.boundedGlobal(df)(col("x").asc, col(keyCol).asc)).cast("long"))
     sizes.agg(
       count(lit(1)).as("n_groups"),
       sum(col("x")).as("total"),

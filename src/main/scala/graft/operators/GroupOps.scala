@@ -105,8 +105,13 @@ object GroupOps {
     val w = Iterator.from(0).map(i => s"__w$i").find(!df.columns.contains(_)).get
     // null weights (e.g. token count of a null text) count as 0 — the
     // partition scan reads the long primitively and would NPE otherwise
+    // EXPLICIT partition count (the Dedup.denseBlockPairJoin
+    // convention): the fold's parallelism IS the partition count and a
+    // bare range-repartition is AQE-coalescible; global order across
+    // partitions holds at any count, so pinning it is parallelism-only
     val sorted = df.withColumn(w, coalesce(weight.cast(LongType), lit(0L)))
-      .repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     graft.Caches.track(sorted.persist())
     val wIdx = sorted.schema.fieldIndex(w)
     val counts = sorted.rdd
@@ -127,7 +132,8 @@ object GroupOps {
     * correct and simplest when the input is provably small (a dim table).
     */
   def rowNumberId(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame =
-    df.withColumn(out, row_number().over(Window.orderBy(orderCols: _*)).cast(LongType))
+    df.withColumn(out,
+      row_number().over(Windows.boundedGlobal(df)(orderCols: _*)).cast(LongType))
 
   /** Exact global quantile binning: `out` = the bucket `ntile(k) OVER
     * (ORDER BY orderCols)` would assign, WITHOUT the single-partition

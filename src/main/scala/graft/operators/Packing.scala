@@ -90,7 +90,10 @@ object Packing {
         col(groupCol).cast("string").as("group"),
         col(idCol).cast("long").as("id"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-      .repartition(col("group"))
+      // EXPLICIT partition count (the Dedup.denseBlockPairJoin
+      // convention): the per-group fold's parallelism IS the partition
+      // count, and a bare repartition(col) is AQE-coalescible
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("group"))
       .sortWithinPartitions(col("group"), col("n_tokens").desc, col("id"))
       .as[(String, Long, Long)]
     counted.mapPartitions { it =>

@@ -124,7 +124,12 @@ object Rolling {
       .filter(col(valueCol).isNotNull)
       .select(col(keyCol).cast("string").as("key") +:
         orderCols.map(col) :+ col(valueCol).cast("double").as("value"): _*)
-      .repartition(col("key"))
+      // EXPLICIT partition count (the Dedup.denseBlockPairJoin
+      // convention): for a sequential per-key fold the partition count
+      // IS the parallelism, and a bare repartition(col) is
+      // AQE-coalescible — tiny input bytes would fold the shuffle back
+      // to one task and serialize every key through it
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("key"))
       .sortWithinPartitions(col("key") +: orderCols.map(col): _*)
     val xIdx = prepared.schema.fieldIndex("value")
     // partition-local fold (the GroupOps.exclusivePrefixSum RDD

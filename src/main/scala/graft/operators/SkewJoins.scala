@@ -174,10 +174,15 @@ object SkewJoins {
     * rows meet, so every strategy returns the identical row set (the
     * q214 oracle and the spec's tri-fixture audit assert this).
     *
-    * Cost of deciding: one `left.count()` and one sampled aggregate —
-    * both map-side-combined, neither shuffles the corpus. (The salted
-    * EXECUTION path adds its own sampled pass to learn WHICH tags are
-    * hot — decide only measured the max.)
+    * Cost of deciding: ONE sampled aggregate (map-side-combined, never
+    * a corpus shuffle) — it yields both the hottest-key estimate (max)
+    * and the row-count estimate (sum ∕ fraction, the same estimator
+    * `detectHotTags` trusts per key). When Catalyst plan stats carry a
+    * rowCount the exact value is used at zero scans; a full
+    * `left.count()` runs only as the empty-sample fallback (a corpus
+    * the sample missed entirely is tiny, so the count is cheap). (The
+    * salted EXECUTION path adds its own sampled pass to learn WHICH
+    * tags are hot — decide only measured the max.)
     */
   def decide(left: DataFrame, right: DataFrame, keys: Seq[String],
              broadcastBytes: Long = 64L * 1024 * 1024,
@@ -188,17 +193,21 @@ object SkewJoins {
     val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightBytes <= broadcastBytes)
       return JoinDecision(BroadcastRight, rightBytes, -1L, -1L, -1L)
-    val leftRows = left.count()
-    val threshold = thresholdFromRows(left, leftRows, skewFactor)
-    // hottest-key estimate from one sampled aggregate: max sampled key
-    // count scaled back by the fraction (the detectHotTags estimator,
-    // reduced to its max)
-    val maxSampled = left.sample(withReplacement = false, sampleFraction, seed)
+    // ONE sampled aggregate measures both decision inputs: the hottest
+    // key's sampled count (max) and the sampled row total (sum)
+    val sampled = left.sample(withReplacement = false, sampleFraction, seed)
       .groupBy(tagOf(keys).as("__tag")).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n")).as("__m")).collect()(0)
+      .agg(max(col("__n")).as("__m"), sum(col("__n")).as("__s")).collect()(0)
+    val leftRows = left.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(exact) => exact.toLong // plan stats known — zero scans
+      case None if !sampled.isNullAt(1) =>
+        math.round(sampled.getLong(1) / sampleFraction) // the detectHotTags estimator
+      case None => left.count() // empty sample → tiny corpus, count is cheap
+    }
+    val threshold = thresholdFromRows(left, leftRows, skewFactor)
     val estHot =
-      if (maxSampled.isNullAt(0)) 0L
-      else math.round(maxSampled.getLong(0) / sampleFraction)
+      if (sampled.isNullAt(0)) 0L
+      else math.round(sampled.getLong(0) / sampleFraction)
     if (estHot > threshold) {
       val salt = math.min(maxSalt.toLong,
         math.max(2L, (estHot + threshold - 1) / threshold)).toInt

@@ -120,7 +120,7 @@ object Stats {
     val rows = df.select(col(idCol).cast("string").as("__id"),
         col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("boolean").cast("double").as("__yd"))
-      .filter(col("__s").isNotNull && col("__yd").isNotNull)
+      .filter(col("__id").isNotNull && col("__s").isNotNull && col("__yd").isNotNull)
     val g = poissonReplicated(rows, "__id", (nReplicates + 3) / 4, nReplicates)
       .groupBy(col("b"), col("__s"))
       .agg(sum(col("__w") * col("__yd")).as("__p"),
@@ -309,7 +309,7 @@ object Stats {
     graft.Caches.track(byBin)
     // global window over the ≤nBins-row bin table — the bounded-dim
     // convention (GroupOps.rowNumberId), never over corpus rows
-    val cum = Window.orderBy(col("bin"))
+    val cum = Windows.boundedGlobal(byBin)(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = byBin.select(col("bin"), col("n"), col("accuracy"),
       sum(col("n")).over(cum).as("cw"),
@@ -702,7 +702,8 @@ object Stats {
     * breaks exact ties).
     */
   def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
-                   iterations: Int, maxItems: Int = 4096): DataFrame = {
+                   iterations: Int, maxItems: Int = 4096,
+                   maxPairs: Long = 2000000L): DataFrame = {
     require(iterations >= 1, s"need >= 1 iterations, got $iterations")
     val spark = prefs.sparkSession
     val pairs = prefs
@@ -717,6 +718,14 @@ object Stats {
     require(nItems <= maxItems,
       s"bradleyTerry collects the item-level matrix: $nItems items exceeds " +
         s"the $maxItems gate — this input is not a bounded preference universe")
+    // the item gate alone permits up to maxItems² distinct pairs (~16.7M
+    // at the default 4096); gate the actual collected row count too —
+    // pairs is persisted, so this count reads the cache, not the corpus
+    val nPairs = pairs.count()
+    require(nPairs <= maxPairs,
+      s"bradleyTerry collects the distinct comparison matrix: $nPairs pairs " +
+        s"exceeds the $maxPairs gate — the preference graph is too dense to " +
+        s"solve on the driver")
     val rows = pairs.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val items = rows.iterator.flatMap(t => Iterator(t._1, t._2)).toSeq.distinct.sorted
     val wins = rows.groupBy(_._1).map { case (i, g) => i -> g.map(_._3).sum }

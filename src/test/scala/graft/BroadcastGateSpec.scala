@@ -146,4 +146,50 @@ class BroadcastGateSpec extends AnyFunSuite {
     assert(graph.contains("BroadcastAdjacencyEdges"),
       "Graph.triangleCounts lost its edge-count (bytes-proxy) broadcast gate")
   }
+
+  /** THE REPARTITION-BEFORE-FOLD CONVENTION, enforced the same way.
+    *
+    * Every repartition that feeds a sequential partition-local fold
+    * (mapPartitions carrying running state per key/group) must pass an
+    * EXPLICIT partition count: for a sequential fold the partition
+    * count IS the parallelism, and a bare `repartition(col)` /
+    * `repartitionByRange(cols)` is AQE-coalescible — tiny input BYTES
+    * fold the shuffle back to one task while the per-task WORK is not
+    * byte-proportional (quadratic block joins, per-key recurrences).
+    * Round-11 regression: Rolling.ewma shipped with the bare form the
+    * repo's own Dedup scaladoc bans.
+    *
+    * Enumerated fold sites (each must carry the explicit count):
+    *  - Rolling.ewma           — per-key EWMA recurrence
+    *  - Packing.lptShards      — per-group LPT placement loop
+    *  - GroupOps.exclusivePrefixSum — two-phase global scan
+    *  - Dedup.denseBlockPairJoin    — quadratic block self-join probe
+    */
+  test("sequential folds pin their repartition fan-out explicitly") {
+    def read(rel: String): String = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(srcRoot, rel).toPath), java.nio.charset.StandardCharsets.UTF_8)
+    val pinned = "numShufflePartitions"
+    val sites = Seq(
+      "graft/operators/Rolling.scala" -> "repartition(",
+      "graft/operators/Packing.scala" -> "repartition(",
+      "graft/operators/GroupOps.scala" -> "repartitionByRange(",
+      "graft/operators/Dedup.scala" -> "repartition(")
+    for ((rel, call) <- sites) {
+      // drop comment lines first (scaladoc discusses the bare form by
+      // name), then require each call site to name the pinned count
+      // among its arguments (within the next ~120 chars — calls wrap)
+      val src = read(rel).linesIterator.map(_.trim)
+        .filterNot(s => s.startsWith("//") || s.startsWith("*") || s.startsWith("/*"))
+        .mkString("\n")
+      val bare = java.util.regex.Pattern.quote(call).r
+        .findAllMatchIn(src)
+        .map(m => src.slice(m.start, math.min(src.length, m.start + 120)))
+        .filterNot(_.contains(pinned))
+        .toSeq
+      assert(bare.isEmpty,
+        s"$rel has a bare (AQE-coalescible) $call ahead of a sequential " +
+          s"fold — pass the explicit numShufflePartitions count: " +
+          bare.mkString(" | "))
+    }
+  }
 }

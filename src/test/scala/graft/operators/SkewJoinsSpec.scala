@@ -191,6 +191,37 @@ class SkewJoinsSpec extends SparkSpec {
     assert(rowsOf(bcast.select("k", "lv", "rv")) == rowsOf(plain))
   }
 
+  test("decide costs exactly one action past the broadcast shortcut — no separate count()") {
+    // the row count must come from the SAME sampled aggregate that
+    // measures the hottest key (or from plan stats at zero scans) — a
+    // separate left.count() is a second corpus pass per decision.
+    // Count executed ACTIONS (not scheduler jobs — AQE splits one query
+    // into several) via a QueryExecutionListener.
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = actions.add(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val d = SkewJoins.decide(skewedLeft, smallRight, Seq("k"),
+        broadcastBytes = 0L, sampleFraction = 1.0)
+      assert(d.leftRows == 1000L, s"sum-estimated rows at fraction 1.0 must be exact: $d")
+      // the execution listener fires async — wait for the one expected
+      // action, then grace for any unexpected second one
+      val deadline = System.currentTimeMillis() + 10000
+      while (actions.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(25)
+      Thread.sleep(300)
+      val seen = actions.toArray(Array.empty[String]).toSeq
+      assert(seen == Seq("collect"),
+        s"decide must spend exactly one sampled-aggregate collect, ran: $seen")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("estimateJoinOutputRows: CMS inner product never underestimates, close on a small fixture") {
     val exact = skewedLeft.join(smallRight, Seq("k")).count()
     val est = SkewJoins.estimateJoinOutputRows(skewedLeft, smallRight, Seq("k"))
