@@ -67,8 +67,17 @@ class BroadcastGateSpec extends AnyFunSuite {
     * "gated" / "caller" entries name the gate.
     */
   private val inventory: Map[String, (Int, String)] = Map(
-    "graft/SparkEntry.scala" -> (15,
-      "contract: dims (nation/region), query sets, sketches, scalar aggs, top-k, q233's 1-row AUC pair"),
+    // the former SparkEntry.scala sites (15), split by query family —
+    // all bounded-by-contract: dims (nation/region), query sets,
+    // sketches, scalar aggs, top-k, q233's 1-row AUC pair
+    "graft/queries/RelationalQueries.scala" -> (7,
+      "contract: nation/region dims, scalar aggs, per-dim lookup tables"),
+    "graft/queries/DedupSimilarityQueries.scala" -> (3,
+      "contract: query sets / scalar aggs, parameter-sized"),
+    "graft/queries/EventsStreamingQueries.scala" -> (1,
+      "contract: stream-side dim table, caller-owned dim contract"),
+    "graft/queries/StatsSamplingQueries.scala" -> (4,
+      "contract: scalar aggs + q233's 1-row AUC pair"),
     "graft/functions/NocExtract.scala" -> (1, "contract: 33-entry static legacy-country map"),
     "graft/operators/Dedup.scala" -> (2,
       "gated: denseBlockPairJoin bytes gate (elems*16+48/row <= 128MB); " +
