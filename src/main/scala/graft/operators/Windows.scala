@@ -27,4 +27,15 @@ object Windows {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     Window.partitionBy(call_function("singleton_key")).orderBy(orderCols: _*)
   }
+
+  /** Unordered whole-frame variant (grand totals over a bounded dim —
+    * the q107 share-of-total shape): the frame is the entire partition,
+    * no ordering, same non-foldable constant key. Kept separate from
+    * [[boundedGlobal]] because an EMPTY orderBy is not the same spec as
+    * no orderBy (ordering switches the default frame to running).
+    */
+  def boundedGlobalWhole(df: Dataset[_]): WindowSpec = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    Window.partitionBy(call_function("singleton_key"))
+  }
 }

@@ -881,7 +881,9 @@ private[graft] object RelationalQueries extends QueryRegistry {
       .groupBy(col("r_name"), col("n_name"))
       .agg(sum(col("o_totalprice")).as("rev"))
     val byRegion = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
-    val overall = org.apache.spark.sql.expressions.Window.partitionBy()
+    // bounded dim (region×nation) — the constant-key whole frame keeps
+    // WindowExec's partitionSpec non-empty (no per-task warning)
+    val overall = graft.operators.Windows.boundedGlobalWhole(rev)
     rev
       .withColumn("region_share", round(col("rev") / sum(col("rev")).over(byRegion), 6))
       .withColumn("total_share", round(col("rev") / sum(col("rev")).over(overall), 6))

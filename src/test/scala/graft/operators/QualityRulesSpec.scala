@@ -127,6 +127,24 @@ class QualityRulesSpec extends SparkSpec {
     assert(byHost("good.example").getAs[Long]("n_fail_top_2gram") == 0L)
   }
 
+  test("rule pack is stream-safe: streamed ruleTable == batch (stateless projection)") {
+    // a real ingest runs the quality gate ON THE STREAM — the rule pack
+    // must be a stateless append-mode projection (no window/aggregate)
+    val d = java.nio.file.Files.createTempDirectory("quality_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val batchDocs = spark.read.parquet(s"$d/documents.parquet")
+    val streamDocs = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val streamed = graft.streaming.EventStreams.runToMemory(spark,
+      QualityRules.ruleTable(streamDocs, "doc_id", "text"),
+      "quality_rules_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = QualityRules.ruleTable(batchDocs, "doc_id", "text")
+    assert(rowsOf(streamed) == rowsOf(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("one projection, no shuffle, no UDF in the plan") {
     import spark.implicits._
     val df = Seq((1L, goodText)).toDF("doc_id", "text")
