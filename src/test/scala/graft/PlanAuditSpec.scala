@@ -506,6 +506,27 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus-sized join anywhere in the model surface:\n$p")
   }
 
+  test("q239 gopher rules: scan prunes to (doc_id, text); no shuffle before the ORDER BY") {
+    val p = planOf("q239_gopher_rules")
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(readSchema.exists(s => s.split(",").length <= 2 && s.contains("text")),
+      s"rule pack should read only doc_id+text:\n$readSchema")
+    // the only exchanges allowed are the final ORDER BY's range partition
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("rangepartitioning")),
+      s"rule computation must be map-side (only the output sort may shuffle): $exchanges")
+  }
+
+  test("q240 host gate: ONE hash aggregate keyed on the host — no second corpus pass") {
+    val p = planOf("q240_host_gate")
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(readSchema.exists(s => s.split(",").length <= 3 && s.contains("source")),
+      s"host gate should read only doc_id+source+text:\n$readSchema")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no join anywhere in the host gate:\n$p")
+  }
+
   test("q133 cms: one 64 KB sketch broadcast, top-30 as TakeOrdered") {
     val df = SparkEntry.queries("q133_cms_freq")(spark, dir)
     df.write.format("noop").mode("overwrite").save()
