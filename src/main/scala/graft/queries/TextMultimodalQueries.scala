@@ -1170,29 +1170,37 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     * classifier's own definition). Map-side only — one linear scan per
     * page, no shuffle.
     */
-  private def q238MainContent(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.MainContent
+  /** The chrome-heavy page template shared by q238 and the q242
+    * pipeline: nav + NESTED sidebar + ad banner + footer + script/style
+    * around an article that is exactly `<h1>Document id</h1><p>text</p>`
+    * (text HTML-escaped, so the extractor's entity decode restores it).
+    */
+  private def chromePage(docId: Column, clean: Column): Column = {
     def esc(c: Column): Column =
       regexp_replace(regexp_replace(regexp_replace(c,
         "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    val docs = t(s, dir, "documents")
-      .filter(col("text").isNotNull)
-      .withColumn("__clean", regexp_replace(trim(col("text")), "\\s+", " "))
-      .filter(length(col("__clean")) >= 25)
-    val page = concat(
+    concat(
       lit("<html><head><title>d</title><script>var x = 1 < 2;</script>" +
         "<style>.m{color:red}</style></head><body>"),
       lit("<nav><ul><li><a href=\"/\">Home</a></li>" +
         "<li><a href=\"/all\">All docs</a></li></ul></nav>"),
       lit("<div class=\"sidebar\"><div class=\"promo\">" +
         "<a href=\"/sub\">Subscribe</a></div><a href=\"/t\">Trending</a></div>"),
-      lit("<article><h1>Document "), col("doc_id"), lit("</h1><p>"),
-      esc(col("__clean")),
+      lit("<article><h1>Document "), docId, lit("</h1><p>"),
+      esc(clean),
       lit("</p></article><div class=\"ad-banner\">Buy one get one " +
         "<a href=\"/deal\">free</a></div>"),
       lit("<footer><p>Copyright Example Corp - " +
         "<a href=\"/terms\">Terms</a></p></footer></body></html>"))
-    val e = MainContent.extractColumn(page)
+  }
+
+  private def q238MainContent(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MainContent
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("__clean", regexp_replace(trim(col("text")), "\\s+", " "))
+      .filter(length(col("__clean")) >= 25)
+    val e = MainContent.extractColumn(chromePage(col("doc_id"), col("__clean")))
     docs.select(col("doc_id"),
         md5(e.getField("mainText")).as("main_md5"),
         e.getField("nBlocksTotal").cast("long").as("n_blocks_total"),
@@ -1239,13 +1247,22 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
   /** q239/q240's shared oracle body: documents → synthesized lines →
     * token/line/gram stats → the `rules` table (doc_id, source, stats,
     * 12 booleans, keep). q239 reads it per document; q240 aggregates
-    * it per source.
+    * it per source; q242 re-parametrizes the `seg` input to the
+    * pipeline-extracted body via [[gopherRulesCtesFrom]].
     */
-  private def gopherRulesCtes: String =
-    """seg AS (
-      | SELECT doc_id, source,
+  private def gopherRulesCtes: String = gopherRulesCtesFrom(
+    """SELECT doc_id, source,
       |  regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
-      | FROM documents WHERE text IS NOT NULL),
+      | FROM documents WHERE text IS NOT NULL""".stripMargin)
+
+  /** The rule CTE chain over a caller-chosen `seg` SELECT producing
+    * (doc_id, source, t).
+    */
+  // raw interpolator: the SQL carries \s-class regexes that the s
+  // interpolator would reject as invalid escapes at runtime
+  private def gopherRulesCtesFrom(segSelect: String): String =
+    raw"""seg AS (
+      | $segSelect),
       |base AS (
       | SELECT doc_id, source, t,
       |  list_filter(string_split_regex(trim(t), '\s+'), w -> w <> '') AS ws,
@@ -1332,10 +1349,90 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       | LEFT JOIN g2 ON st.doc_id = g2.doc_id
       | LEFT JOIN g3 ON st.doc_id = g3.doc_id)""".stripMargin
 
+  /** WARC ingest round trip ([[graft.sources.Warc]]): the corpus is
+    * serialized per source as one WARC blob of HTTP-response records
+    * (the Common Crawl container, ISO 28500) and parsed back by the
+    * byte-scanning record reader — the oracle replays the closed-form
+    * record identities (uri from source/id, status 200, body = the
+    * original text). The synthesis groupBy is test scaffolding; the
+    * OPERATOR under test ([[graft.sources.Warc.records]]) is the
+    * map-side per-blob explode a 100 TB crawl read actually runs.
+    */
+  private def q241WarcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id").cast("long"), col("text"))
+      .as[(String, Long, String)]
+    val blobs = docs.groupByKey(_._1).mapGroups { (src, it) =>
+      val blob = it.toSeq.sortBy(_._2).iterator.map { case (_, id, txt) =>
+        Warc.writeHttpResponse(s"<urn:uuid:doc-$id>",
+          s"http://example.com/$src/$id", txt.getBytes(UTF_8))
+      }.toArray.flatten
+      (src, blob)
+    }.toDF("source", "blob")
+    Warc.records(blobs, "blob")
+      .select(col("target_uri"), col("http_status"),
+        md5(col("payload_text")).as("payload_md5"),
+        length(col("payload_text")).cast("long").as("n_chars"))
+      .orderBy(col("target_uri"))
+  }
+
+  /** The composed crawl-curation pipeline — WARC records
+    * ([[graft.sources.Warc.records]]) → main-content extraction
+    * ([[graft.sources.MainContent]]) → Gopher/C4 quality rules
+    * ([[graft.operators.QualityRules]]) → exact body dedup — reduced
+    * to the per-source funnel (records → extracted → quality-kept →
+    * unique). Each page is the q238 chrome template, so every stage
+    * is closed-form replayable: extraction succeeds iff the collapsed
+    * body clears the 25-char floor, the rules run on the extracted
+    * body (single line — derived FROM main_text, the pipeline flows
+    * forward), and dedup keys md5(body). The q68 composition-proof
+    * convention for the ingest surface.
+    */
+  private def q242CrawlPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{MainContent, Warc}
+    import graft.operators.QualityRules
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("__clean", regexp_replace(trim(col("text")), "\\s+", " "))
+      .select(col("source"), col("doc_id").cast("long"),
+        chromePage(col("doc_id"), col("__clean")).as("page"))
+      .as[(String, Long, String)]
+    val blobs = docs.groupByKey(_._1).mapGroups { (src, it) =>
+      val blob = it.toSeq.sortBy(_._2).iterator.map { case (_, id, page) =>
+        Warc.writeHttpResponse(s"<urn:uuid:doc-$id>",
+          s"http://example.com/$src/$id", page.getBytes(UTF_8))
+      }.toArray.flatten
+      (src, blob)
+    }.toDF("source", "blob")
+    val e = MainContent.extractColumn(col("payload_text"))
+    val staged = Warc.records(blobs, "blob")
+      .withColumn("main_text", e.getField("mainText"))
+      .withColumn("extracted", col("main_text") =!= "")
+      .withColumn("body", substring_index(col("main_text"), "\n", -1))
+      .withColumn("body_md5", md5(col("body")))
+      .withColumn("doc_id",
+        element_at(split(col("target_uri"), "/"), -1).cast("long"))
+    QualityRules.ruleTable(staged, "doc_id", "body",
+        carryCols = Seq("source", "extracted", "body_md5"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("extracted").cast("long")).as("n_extracted"),
+        sum((col("keep") && col("extracted")).cast("long")).as("n_quality"),
+        count_distinct(when(col("keep") && col("extracted"), col("body_md5")))
+          .as("n_unique"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q238_main_content" -> (q238MainContent _),
     "q239_gopher_rules" -> (q239GopherRules _),
     "q240_host_gate" -> (q240HostGate _),
+    "q241_warc_ingest" -> (q241WarcIngest _),
+    "q242_crawl_pipeline" -> (q242CrawlPipeline _),
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_id" -> (q30LangId _),
     "q31_fingerprint" -> (q31Fingerprint _),
@@ -1428,6 +1525,35 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |FROM rules
         |GROUP BY source
         |ORDER BY host""".stripMargin,
+    // q241: the WARC round trip is identity on record identities —
+    // uri/status/body restate closed-form from the source table
+    "q241_warc_ingest" ->
+      """SELECT 'http://example.com/' || source || '/' || doc_id AS target_uri,
+        | 200 AS http_status,
+        | md5(text) AS payload_md5,
+        | len(text)::BIGINT AS n_chars
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY target_uri""".stripMargin,
+    // q242: every funnel stage closed-form — extraction iff the
+    // 25-char floor, rules over the extracted single-line body
+    // (the parametrized seg), dedup on md5(body)
+    "q242_crawl_pipeline" ->
+      s"""WITH d0 AS (
+        | SELECT doc_id, source,
+        |  regexp_replace(trim(text), '\\s+', ' ', 'g') AS clean
+        | FROM documents WHERE text IS NOT NULL),
+        |${gopherRulesCtesFrom(
+          "SELECT doc_id, source, CASE WHEN len(clean) >= 25 THEN clean ELSE '' END AS t FROM d0")}
+        |SELECT d0.source AS source,
+        | count(*)::BIGINT AS n_records,
+        | sum(CASE WHEN len(d0.clean) >= 25 THEN 1 ELSE 0 END)::BIGINT AS n_extracted,
+        | sum(CASE WHEN r.keep AND len(d0.clean) >= 25 THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_quality,
+        | count(DISTINCT CASE WHEN r.keep AND len(d0.clean) >= 25
+        |       THEN md5(d0.clean) END)::BIGINT AS n_unique
+        |FROM d0 JOIN rules r ON d0.doc_id = r.doc_id
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q29_text_stats" ->
       """SELECT doc_id,
         | len(toks) AS n_tokens,
