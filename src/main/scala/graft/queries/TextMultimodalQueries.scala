@@ -1427,7 +1427,43 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("source"))
   }
 
+  /** Robots-exclusion gate ([[graft.sources.RobotsTxt]], RFC 9309):
+    * URLs synthesized per document (five path archetypes) against one
+    * per-host policy exercising group selection, longest-match
+    * specificity, the Allow tie-break, the wildcard/$ pattern, and the
+    * unknown-agent fallback to `*` — every decision closed-form in the
+    * oracle because the policy is a fixed literal. One host equi-join
+    * + map-side eval (the operator's 100 TB shape).
+    */
+  private def q243RobotsGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.RobotsTxt
+    val body = "User-agent: graftbot\nDisallow: /private\n" +
+      "Allow: /private/ok\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+    val urls = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example")).as("host"),
+        concat(
+          element_at(array(lit("/public/doc"), lit("/private/doc"),
+            lit("/private/ok/doc"), lit("/tmp/doc"), lit("/archive/doc")),
+            (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 3, lit(".tmp"))
+            .otherwise(lit(""))).as("path"))
+    val robots = urls.select(col("host")).distinct()
+      .withColumn("body", lit(body))
+    val g = RobotsTxt.allowUrls(urls, robots, "host", "path", "body",
+        userAgent = "graftbot/1.0")
+      .withColumnRenamed("allowed", "allowed_graftbot")
+    RobotsTxt.allowUrls(g, robots, "host", "path", "body",
+        userAgent = "strangerbot")
+      .withColumnRenamed("allowed", "allowed_stranger")
+      .select(col("doc_id"), col("host"), col("path"),
+        col("allowed_graftbot"), col("allowed_stranger"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_robots_gate" -> (q243RobotsGate _),
     "q238_main_content" -> (q238MainContent _),
     "q239_gopher_rules" -> (q239GopherRules _),
     "q240_host_gate" -> (q240HostGate _),
@@ -1478,6 +1514,21 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q219_blocklist" -> (q219Blocklist _))
 
   def oracleSql: Map[String, String] = Map(
+    // q243: the policy is a fixed literal, so every RFC 9309 decision
+    // restates closed-form per path archetype
+    "q243_robots_gate" ->
+      """SELECT doc_id,
+        | source || '.example' AS host,
+        | CASE doc_id % 5
+        |  WHEN 0 THEN '/public/doc' || doc_id
+        |  WHEN 1 THEN '/private/doc' || doc_id
+        |  WHEN 2 THEN '/private/ok/doc' || doc_id
+        |  WHEN 3 THEN '/tmp/doc' || doc_id || '.tmp'
+        |  ELSE '/archive/doc' || doc_id END AS path,
+        | doc_id % 5 IN (0, 2, 4) AS allowed_graftbot,
+        | false AS allowed_stranger
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q238_main_content" ->
       """SELECT doc_id,
         | md5('Document ' || doc_id || chr(10) || clean) AS main_md5,
