@@ -57,4 +57,82 @@ object Projection {
     // a null vector must project to a null ARRAY, not an array of nulls
     df.withColumn(out, when(col(vecCol).isNotNull, projected))
   }
+
+  /** Top principal component of a vector corpus by power iteration —
+    * the primitive behind embedding whitening / "all-but-the-top"
+    * postprocessing (Mu & Viswanath ICLR '18: embedding sets share a
+    * large common direction that hurts similarity search; you find it
+    * with exactly this operator) and the 1-component PCA screen.
+    *
+    * Scale split (the k-means-centroid convention): the corpus-sized
+    * work is ONE pass accumulating n, Σv and Σvvᵀ per partition
+    * (d + d² doubles each) reduced to the driver; the centered scatter
+    * G = Σvvᵀ − n·μμᵀ and the power iteration (x ← Gx∕‖Gx‖ from the
+    * uniform start 1∕√d, a FIXED iteration count — exactly restatable
+    * by an external engine, no convergence test) are d²-bounded driver
+    * arithmetic. Nothing corpus-sized shuffles or collects.
+    *
+    * Sign convention (eigenvectors are sign-ambiguous): the component
+    * with the largest |loading| is made positive, ties to the lowest
+    * index — applied ONCE after the final iteration (per-step
+    * normalization is positive-scale so it never flips signs).
+    *
+    * Output: one row per dimension (component 1..d, loading,
+    * eigenvalue, var_share = λ∕trace(G)), all rounded to 6 dp (the
+    * repo's cross-engine float-parity convention).
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+                      iterations: Int = 10): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    require(iterations >= 1, s"need >= 1 iterations, got $iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .as[Seq[Double]]
+    val (n, sums, scatter) = vecs.rdd.mapPartitions { it =>
+      val s = new Array[Double](dim)
+      val m = new Array[Double](dim * dim)
+      var c = 0L
+      it.foreach { v =>
+        c += 1
+        var i = 0
+        while (i < dim) {
+          val vi = v(i)
+          s(i) += vi
+          var j = 0
+          while (j < dim) { m(i * dim + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator((c, s, m))
+    }.collect() // one (d + d²)-double tuple per partition — bounded
+      .foldLeft((0L, new Array[Double](dim), new Array[Double](dim * dim))) {
+        case ((c1, s1, m1), (c2, s2, m2)) =>
+          var i = 0
+          while (i < dim) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < dim * dim) { m1(i) += m2(i); i += 1 }
+          (c1 + c2, s1, m1)
+      }
+    require(n > 0, "pcaTopComponent needs at least one full-dimension vector")
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      scatter(i * dim + j) - sums(i) * sums(j) / n)
+    var x = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iterations) {
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * x(j)).sum)
+      val nrm = math.sqrt(y.map(v => v * v).sum)
+      if (nrm > 0) x = y.map(_ / nrm) // zero scatter → x stays the start
+    }
+    val kMax = x.indices.maxBy(i => (math.abs(x(i)), -i))
+    val xs = if (x(kMax) < 0) x.map(-_) else x
+    val lam = (0 until dim).map(i =>
+      xs(i) * (0 until dim).map(j => g(i)(j) * xs(j)).sum).sum
+    val trace = (0 until dim).map(i => g(i)(i)).sum
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    xs.toSeq.zipWithIndex.map { case (l, i) =>
+      (i + 1L, r6(l), r6(lam), r6(if (trace == 0) 0.0 else lam / trace))
+    }.toDF("component", "loading", "eigenvalue", "var_share")
+  }
 }

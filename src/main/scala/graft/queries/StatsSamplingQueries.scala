@@ -1125,7 +1125,81 @@ private[graft] object StatsSamplingQueries extends QueryRegistry {
         | SELECT i, raw / (SELECT sum(raw) FROM r$k) AS s FROM r$k)""".stripMargin
     }.mkString(",\n")
 
+  /** Top principal component of the embedding corpus
+    * ([[graft.operators.Projection.pcaTopComponent]]): one corpus pass
+    * accumulates (n, Σv, Σvvᵀ); the centered scatter and the 10-step
+    * power iteration are d²-bounded driver arithmetic the oracle
+    * unrolls as MATERIALIZED CTEs (the q228 GD convention). Sign fixed
+    * by the max-|loading| component.
+    */
+  private def q244PcaTop(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Projection
+    Projection.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
+        dim = 64, iterations = 10)
+      .orderBy(col("component"))
+  }
+
+  /** The power-iteration CTE chain x1..x`iters` over scatter table `g`
+    * starting from x0 (uniform 1∕√d): per step one matrix-vector
+    * product and one L2 normalization.
+    */
+  private def pcaIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = if (k == 1) "x0" else s"x${k - 1}"
+      s"""y$k AS MATERIALIZED (
+         | SELECT g.i, sum(g.g * p.x) AS y FROM g JOIN $prev p ON g.j = p.i
+         | GROUP BY g.i),
+         |x$k AS MATERIALIZED (
+         | SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y$k) AS x FROM y$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** All-but-the-top embedding postprocessing (Mu & Viswanath ICLR
+    * '18): remove the mean and the projection on the top principal
+    * component from every embedding — the common-direction fix that
+    * measurably improves similarity search. Composition of q244's
+    * operator with map-side vector algebra: the trained parameters
+    * (64 loadings + 64 means, both 6-dp-rounded — the q233
+    * rounded-weights cross-engine convention) ship as literals, the
+    * per-row work is three array folds, no shuffle. Output per vector:
+    * centered norm, residual norm, and the share of (centered) energy
+    * the top component carried.
+    */
+  private def q245AbttPostprocess(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Projection
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === 64)
+    val u = Projection.pcaTopComponent(emb, "v", dim = 64, iterations = 10)
+      .orderBy("component").select("loading").as[Double].collect().toSeq
+    val muRow = emb.select(
+      (1 to 64).map(i => avg(element_at(col("v"), i))): _*).collect()(0)
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = (0 until 64).map(i => r6(muRow.getDouble(i)))
+    val uc = typedlit(u)
+    val muc = typedlit(mu)
+    def sumSq(c: Column): Column =
+      aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val staged = emb
+      .withColumn("__c", zip_with(col("v"), muc, (a, b) => a - b))
+      .withColumn("__cs", sumSq(col("__c")))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__c"), uc, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      .withColumn("__r", zip_with(col("__c"), uc,
+        (c, ui) => c - col("__dot") * ui))
+    staged.select(col("vec_id"),
+        round(sqrt(col("__cs")), 6).as("centered_norm"),
+        round(sqrt(sumSq(col("__r"))), 6).as("residual_norm"),
+        round(when(col("__cs") > 0,
+          col("__dot") * col("__dot") / col("__cs")).otherwise(0.0), 6)
+          .as("removed_share"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_pca_top" -> (q244PcaTop _),
+    "q245_abtt" -> (q245AbttPostprocess _),
     "q52_approx_distinct" -> (q52ApproxDistinct _),
     "q59_pack_concat" -> (q59PackConcat _),
     "q62_source_cap" -> (q62SourceCap _),
@@ -1173,6 +1247,76 @@ private[graft] object StatsSamplingQueries extends QueryRegistry {
     "q237_auc_ci" -> (q237AucCi _))
 
   def oracleSql: Map[String, String] = Map(
+    // q244: scatter from one pair expansion, then the 10 power steps
+    // unrolled (MATERIALIZED — the q228 GD precedent), sign fixed by
+    // the max-|loading| component, everything rounded at the end only
+    "q244_pca_top" ->
+      s"""WITH base AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |nn AS (SELECT count(*)::DOUBLE AS c FROM base),
+        |mu AS MATERIALIZED (
+        | SELECT r.i, avg(v[r.i]) AS m FROM base, range(1, 65) r(i) GROUP BY r.i),
+        |sc AS MATERIALIZED (
+        | SELECT ri.i AS i, rj.j AS j, sum(v[ri.i] * v[rj.j]) AS s
+        | FROM base, range(1, 65) ri(i), range(1, 65) rj(j)
+        | GROUP BY ri.i, rj.j),
+        |g AS MATERIALIZED (
+        | SELECT sc.i, sc.j, sc.s - (SELECT c FROM nn) * mi.m * mj.m AS g
+        | FROM sc JOIN mu mi ON sc.i = mi.i JOIN mu mj ON sc.j = mj.i),
+        |x0 AS (SELECT i, 1.0 / sqrt(64.0) AS x FROM range(1, 65) r(i)),
+        |${pcaIterCtes(10)},
+        |sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+        |        FROM x10 ORDER BY abs(x) DESC, i ASC LIMIT 1),
+        |xf AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn) AS x FROM x10),
+        |gy AS (SELECT g.i, sum(g.g * xf.x) AS y FROM g JOIN xf ON g.j = xf.i
+        |       GROUP BY g.i),
+        |lam AS (SELECT sum(xf.x * gy.y) AS l FROM gy JOIN xf ON gy.i = xf.i),
+        |tr AS (SELECT sum(g) AS t FROM g WHERE i = j)
+        |SELECT xf.i AS component,
+        | round(xf.x, 6) AS loading,
+        | round((SELECT l FROM lam), 6) AS eigenvalue,
+        | round((SELECT l FROM lam) / (SELECT t FROM tr), 6) AS var_share
+        |FROM xf
+        |ORDER BY component""".stripMargin,
+    // q245: q244's chain re-used; both engines postprocess with the
+    // SAME 6-dp-rounded loadings and means (the q233 rounded-weights
+    // convention), so the per-vector algebra hash-matches
+    "q245_abtt" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |nn AS (SELECT count(*)::DOUBLE AS c FROM base),
+        |mu AS MATERIALIZED (
+        | SELECT r.i, avg(v[r.i]) AS m FROM base, range(1, 65) r(i) GROUP BY r.i),
+        |sc AS MATERIALIZED (
+        | SELECT ri.i AS i, rj.j AS j, sum(v[ri.i] * v[rj.j]) AS s
+        | FROM base, range(1, 65) ri(i), range(1, 65) rj(j)
+        | GROUP BY ri.i, rj.j),
+        |g AS MATERIALIZED (
+        | SELECT sc.i, sc.j, sc.s - (SELECT c FROM nn) * mi.m * mj.m AS g
+        | FROM sc JOIN mu mi ON sc.i = mi.i JOIN mu mj ON sc.j = mj.i),
+        |x0 AS (SELECT i, 1.0 / sqrt(64.0) AS x FROM range(1, 65) r(i)),
+        |${pcaIterCtes(10)},
+        |sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+        |        FROM x10 ORDER BY abs(x) DESC, i ASC LIMIT 1),
+        |xf AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn) AS x FROM x10),
+        |uvec AS (SELECT list(round(x, 6) ORDER BY i) AS u FROM xf),
+        |mvec AS (SELECT list(round(m, 6) ORDER BY i) AS m FROM mu),
+        |per AS MATERIALIZED (
+        | SELECT vec_id,
+        |  list_transform(range(1, 65), i -> v[i] - m[i]) AS c, u
+        | FROM base CROSS JOIN uvec CROSS JOIN mvec),
+        |st AS (
+        | SELECT vec_id, c, u,
+        |  list_sum(list_transform(range(1, 65), i -> c[i] * c[i])) AS cs,
+        |  list_sum(list_transform(range(1, 65), i -> c[i] * u[i])) AS dot
+        | FROM per)
+        |SELECT vec_id,
+        | round(sqrt(cs), 6) AS centered_norm,
+        | round(sqrt(list_sum(list_transform(range(1, 65),
+        |   i -> (c[i] - dot * u[i]) * (c[i] - dot * u[i])))), 6) AS residual_norm,
+        | round(CASE WHEN cs > 0 THEN dot * dot / cs ELSE 0 END, 6) AS removed_share
+        |FROM st
+        |ORDER BY vec_id""".stripMargin,
     // q52: the oracle recomputes the exact counts and expects the 5%
     // accuracy claim to hold (approx_ok literally true per group)
     "q52_approx_distinct" ->

@@ -62,4 +62,56 @@ class ProjectionSpec extends SparkSpec {
       Projection.randomProject(Seq((1L, Seq(1.0f))).toDF("id", "v"), "v", 1, 2, "p")
     }
   }
+
+  test("pcaTopComponent recovers a planted dominant direction") {
+    import spark.implicits._
+    // variance 3:1 along (1,1,0)/√2 vs (0,0,1): top component is the
+    // planted diagonal, up to the sign convention (max |loading| > 0)
+    val planted = Seq(3.0, -3.0, 2.0, -2.0, 1.0, -1.0).map(a => Seq(a, a, 0.0))
+    val noise = Seq(1.0, -1.0).map(b => Seq(0.0, 0.0, b))
+    val df = (planted ++ noise).toDF("v")
+    val got = Projection.pcaTopComponent(df, "v", dim = 3, iterations = 30)
+      .orderBy("component")
+      .select("loading").as[Double].collect().toSeq
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(got(0) - inv) < 1e-6 && math.abs(got(1) - inv) < 1e-6,
+      s"expected the (1,1,0)/sqrt2 direction, got $got")
+    assert(math.abs(got(2)) < 1e-6, s"no mass on the minor axis: $got")
+  }
+
+  test("pcaTopComponent sign convention: max-|loading| component positive") {
+    import spark.implicits._
+    // data along (0, -1): power iteration may land on either sign — the
+    // convention must flip it so loading(2) is positive
+    val df = Seq(Seq(0.0, 5.0), Seq(0.0, -5.0), Seq(0.1, 0.0), Seq(-0.1, 0.0))
+      .toDF("v")
+    val got = Projection.pcaTopComponent(df, "v", dim = 2, iterations = 20)
+      .orderBy("component").select("loading").as[Double].collect().toSeq
+    assert(got(1) > 0.999, s"dominant loading must be positive: $got")
+  }
+
+  test("pcaTopComponent: eigenvalue/var_share arithmetic on a hand case") {
+    import spark.implicits._
+    // two points (±1, 0): mean 0, scatter diag(2, 0) → λ=2, trace=2,
+    // var_share=1, eigenvector (1, 0)
+    val df = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0)).toDF("v")
+    val row = Projection.pcaTopComponent(df, "v", dim = 2, iterations = 10)
+      .orderBy("component").collect()
+    assert(row(0).getDouble(1) == 1.0 && row(1).getDouble(1) == 0.0, row.toSeq)
+    assert(row(0).getDouble(2) == 2.0, "eigenvalue = 2")
+    assert(row(0).getDouble(3) == 1.0, "var_share = 1")
+  }
+
+  test("pcaTopComponent drops null / wrong-dimension vectors; empty input refuses") {
+    import spark.implicits._
+    val df = Seq(Some(Seq(1.0, 0.0)), Some(Seq(-1.0, 0.0)),
+      None, Some(Seq(1.0, 2.0, 3.0))).toDF("v")
+    val row = Projection.pcaTopComponent(df, "v", dim = 2, iterations = 5)
+      .orderBy("component").collect()
+    assert(row(0).getDouble(2) == 2.0, "only the two valid vectors count")
+    intercept[IllegalArgumentException] {
+      Projection.pcaTopComponent(
+        Seq(Seq(1.0, 2.0, 3.0)).toDF("v"), "v", dim = 2, iterations = 5)
+    }
+  }
 }
