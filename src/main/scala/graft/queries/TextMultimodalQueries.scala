@@ -1200,12 +1200,15 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .filter(col("text").isNotNull)
       .withColumn("__clean", regexp_replace(trim(col("text")), "\\s+", " "))
       .filter(length(col("__clean")) >= 25)
-    val e = MainContent.extractColumn(chromePage(col("doc_id"), col("__clean")))
-    docs.select(col("doc_id"),
-        md5(e.getField("mainText")).as("main_md5"),
-        e.getField("nBlocksTotal").cast("long").as("n_blocks_total"),
-        e.getField("nBlocksKept").cast("long").as("n_blocks_kept"),
-        length(e.getField("mainText")).cast("long").as("main_chars"))
+    // struct materialized in its own projection → ONE parse per row
+    // (four getFields on the raw UDF call would each re-run it)
+    docs.withColumn("__e",
+        MainContent.extractColumn(chromePage(col("doc_id"), col("__clean"))))
+      .select(col("doc_id"),
+        md5(col("__e.mainText")).as("main_md5"),
+        col("__e.nBlocksTotal").cast("long").as("n_blocks_total"),
+        col("__e.nBlocksKept").cast("long").as("n_blocks_kept"),
+        length(col("__e.mainText")).cast("long").as("main_chars"))
       .orderBy(col("doc_id"))
   }
 

@@ -188,9 +188,13 @@ object MainContent {
   def withMainContent(df: DataFrame, htmlCol: String,
                       minChars: Int = 25,
                       maxLinkDensity: Double = 1.0 / 3): DataFrame = {
-    val e = extractColumn(col(htmlCol), minChars, maxLinkDensity)
-    df.withColumn("main_text", e.getField("mainText"))
-      .withColumn("n_blocks_total", e.getField("nBlocksTotal"))
-      .withColumn("n_blocks_kept", e.getField("nBlocksKept"))
+    // materialize the struct in its OWN projection: a non-cheap UDF
+    // referenced from several fields is not inlined by CollapseProject,
+    // so the page parses once per row, not once per output column
+    df.withColumn("__mc", extractColumn(col(htmlCol), minChars, maxLinkDensity))
+      .withColumn("main_text", col("__mc.mainText"))
+      .withColumn("n_blocks_total", col("__mc.nBlocksTotal"))
+      .withColumn("n_blocks_kept", col("__mc.nBlocksKept"))
+      .drop("__mc")
   }
 }
