@@ -506,6 +506,13 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus-sized join anywhere in the model surface:\n$p")
   }
 
+  test("q238 main content: the extraction UDF runs ONCE per row (own projection)") {
+    val p = planOf("q238_main_content")
+    val udfCount = "UDF".r.findAllMatchIn(p).size
+    assert(udfCount == 1,
+      s"expected exactly one extraction UDF site in the plan, found $udfCount:\n$p")
+  }
+
   test("q239 gopher rules: scan prunes to (doc_id, text); no shuffle before the ORDER BY") {
     val p = planOf("q239_gopher_rules")
     val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1))
