@@ -83,7 +83,46 @@ object Projection {
     */
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
                       iterations: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (xs, lam, share) = pcaDeflated(df, vecCol, dim, 1, iterations).head
+    xs.toSeq.zipWithIndex.map { case (l, i) =>
+      (i + 1L, r6(l), r6(lam), r6(share))
+    }.toDF("component", "loading", "eigenvalue", "var_share")
+  }
+
+  /** Top-k principal components via power iteration + Hotelling
+    * deflation (G ← G − λ·uuᵀ after each extracted component) — the
+    * actual all-but-the-top recipe removes the top ~d∕100 components,
+    * not one. Same scale split as [[pcaTopComponent]]: one corpus pass
+    * for the scatter, k·d²-bounded driver arithmetic after; var_share
+    * is against the ORIGINAL trace so the shares of successive
+    * components are comparable. Output: (pc 1..k, component 1..d,
+    * loading, eigenvalue, var_share), 6-dp rounded.
+    */
+  def pcaComponents(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                    iterations: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pcaDeflated(df, vecCol, dim, k, iterations).zipWithIndex.flatMap {
+      case ((xs, lam, share), pcIdx) =>
+        xs.toSeq.zipWithIndex.map { case (l, i) =>
+          (pcIdx + 1L, i + 1L, r6(l), r6(lam), r6(share))
+        }
+    }.toDF("pc", "component", "loading", "eigenvalue", "var_share")
+  }
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Shared core: one scatter pass, then k rounds of (power iteration,
+    * sign fix, Rayleigh λ, deflation). Returns per component the
+    * UNROUNDED (loadings, λ, λ∕trace₀).
+    */
+  private def pcaDeflated(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                          iterations: Int): Seq[(Array[Double], Double, Double)] = {
     require(dim >= 1, s"dim must be positive, got $dim")
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
     require(iterations >= 1, s"need >= 1 iterations, got $iterations")
     val spark = df.sparkSession
     import spark.implicits._
@@ -115,24 +154,25 @@ object Projection {
           while (i < dim * dim) { m1(i) += m2(i); i += 1 }
           (c1 + c2, s1, m1)
       }
-    require(n > 0, "pcaTopComponent needs at least one full-dimension vector")
+    require(n > 0, "pca needs at least one full-dimension vector")
     val g = Array.tabulate(dim, dim)((i, j) =>
       scatter(i * dim + j) - sums(i) * sums(j) / n)
-    var x = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    for (_ <- 1 to iterations) {
-      val y = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * x(j)).sum)
-      val nrm = math.sqrt(y.map(v => v * v).sum)
-      if (nrm > 0) x = y.map(_ / nrm) // zero scatter → x stays the start
+    val trace0 = (0 until dim).map(i => g(i)(i)).sum
+    (1 to k).map { _ =>
+      var x = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 1 to iterations) {
+        val y = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * x(j)).sum)
+        val nrm = math.sqrt(y.map(v => v * v).sum)
+        if (nrm > 0) x = y.map(_ / nrm) // zero scatter → x stays the start
+      }
+      val kMax = x.indices.maxBy(i => (math.abs(x(i)), -i))
+      val xs = if (x(kMax) < 0) x.map(-_) else x
+      val lam = (0 until dim).map(i =>
+        xs(i) * (0 until dim).map(j => g(i)(j) * xs(j)).sum).sum
+      // Hotelling deflation with the UNROUNDED component
+      for (i <- 0 until dim; j <- 0 until dim)
+        g(i)(j) -= lam * xs(i) * xs(j)
+      (xs, lam, if (trace0 == 0) 0.0 else lam / trace0)
     }
-    val kMax = x.indices.maxBy(i => (math.abs(x(i)), -i))
-    val xs = if (x(kMax) < 0) x.map(-_) else x
-    val lam = (0 until dim).map(i =>
-      xs(i) * (0 until dim).map(j => g(i)(j) * xs(j)).sum).sum
-    val trace = (0 until dim).map(i => g(i)(i)).sum
-    def r6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    xs.toSeq.zipWithIndex.map { case (l, i) =>
-      (i + 1L, r6(l), r6(lam), r6(if (trace == 0) 0.0 else lam / trace))
-    }.toDF("component", "loading", "eigenvalue", "var_share")
   }
 }

@@ -1139,18 +1139,21 @@ private[graft] object StatsSamplingQueries extends QueryRegistry {
       .orderBy(col("component"))
   }
 
-  /** The power-iteration CTE chain x1..x`iters` over scatter table `g`
-    * starting from x0 (uniform 1∕√d): per step one matrix-vector
-    * product and one L2 normalization.
+  /** The power-iteration CTE chain `p`1..`p``iters` over scatter table
+    * `gT` starting from `p`0 (uniform 1∕√d): per step one
+    * matrix-vector product and one L2 normalization. Parametrized so
+    * q246's deflated second chain reuses it verbatim.
     */
-  private def pcaIterCtes(iters: Int): String =
+  private def pcaIterCtes(iters: Int, gT: String = "g", p: String = "x"): String =
     (1 to iters).map { k =>
-      val prev = if (k == 1) "x0" else s"x${k - 1}"
-      s"""y$k AS MATERIALIZED (
-         | SELECT g.i, sum(g.g * p.x) AS y FROM g JOIN $prev p ON g.j = p.i
-         | GROUP BY g.i),
-         |x$k AS MATERIALIZED (
-         | SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y$k) AS x FROM y$k)""".stripMargin
+      val prev = if (k == 1) s"${p}0" else s"$p${k - 1}"
+      s"""${p}y$k AS MATERIALIZED (
+         | SELECT $gT.i, sum($gT.g * pp.x) AS y
+         | FROM $gT JOIN $prev pp ON $gT.j = pp.i
+         | GROUP BY $gT.i),
+         |$p$k AS MATERIALIZED (
+         | SELECT i, y / (SELECT sqrt(sum(y * y)) FROM ${p}y$k) AS x
+         | FROM ${p}y$k)""".stripMargin
     }.mkString(",\n")
 
   /** All-but-the-top embedding postprocessing (Mu & Viswanath ICLR
@@ -1197,9 +1200,24 @@ private[graft] object StatsSamplingQueries extends QueryRegistry {
       .orderBy(col("vec_id"))
   }
 
+  /** Top-2 principal components via Hotelling deflation
+    * ([[graft.operators.Projection.pcaComponents]]): the same scatter
+    * pass, then per component a 10-step power chain and G ← G − λuuᵀ
+    * with the UNROUNDED component (both engines deflate identically;
+    * rounding happens at output only). var_share is against the
+    * ORIGINAL trace so shares compare across components.
+    */
+  private def q246PcaDeflate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Projection
+    Projection.pcaComponents(t(s, dir, "embeddings"), "embedding",
+        dim = 64, k = 2, iterations = 10)
+      .orderBy(col("pc"), col("component"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_pca_top" -> (q244PcaTop _),
     "q245_abtt" -> (q245AbttPostprocess _),
+    "q246_pca_deflate" -> (q246PcaDeflate _),
     "q52_approx_distinct" -> (q52ApproxDistinct _),
     "q59_pack_concat" -> (q59PackConcat _),
     "q62_source_cap" -> (q62SourceCap _),
@@ -1317,6 +1335,53 @@ private[graft] object StatsSamplingQueries extends QueryRegistry {
         | round(CASE WHEN cs > 0 THEN dot * dot / cs ELSE 0 END, 6) AS removed_share
         |FROM st
         |ORDER BY vec_id""".stripMargin,
+    // q246: q244's chain, then Hotelling deflation with the
+    // FULL-PRECISION first component and a second identical chain
+    "q246_pca_deflate" ->
+      s"""WITH base AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |nn AS (SELECT count(*)::DOUBLE AS c FROM base),
+        |mu AS MATERIALIZED (
+        | SELECT r.i, avg(v[r.i]) AS m FROM base, range(1, 65) r(i) GROUP BY r.i),
+        |sc AS MATERIALIZED (
+        | SELECT ri.i AS i, rj.j AS j, sum(v[ri.i] * v[rj.j]) AS s
+        | FROM base, range(1, 65) ri(i), range(1, 65) rj(j)
+        | GROUP BY ri.i, rj.j),
+        |g AS MATERIALIZED (
+        | SELECT sc.i, sc.j, sc.s - (SELECT c FROM nn) * mi.m * mj.m AS g
+        | FROM sc JOIN mu mi ON sc.i = mi.i JOIN mu mj ON sc.j = mj.i),
+        |tr AS (SELECT sum(g) AS t FROM g WHERE i = j),
+        |x0 AS (SELECT i, 1.0 / sqrt(64.0) AS x FROM range(1, 65) r(i)),
+        |${pcaIterCtes(10)},
+        |sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+        |        FROM x10 ORDER BY abs(x) DESC, i ASC LIMIT 1),
+        |xf AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn) AS x FROM x10),
+        |gy1 AS (SELECT g.i, sum(g.g * xf.x) AS y FROM g JOIN xf ON g.j = xf.i
+        |        GROUP BY g.i),
+        |lam1 AS (SELECT sum(xf.x * gy1.y) AS l FROM gy1 JOIN xf ON gy1.i = xf.i),
+        |g2 AS MATERIALIZED (
+        | SELECT g.i, g.j, g.g - (SELECT l FROM lam1) * xa.x * xb.x AS g
+        | FROM g JOIN xf xa ON g.i = xa.i JOIN xf xb ON g.j = xb.i),
+        |w0 AS (SELECT i, 1.0 / sqrt(64.0) AS x FROM range(1, 65) r(i)),
+        |${pcaIterCtes(10, "g2", "w")},
+        |sgn2 AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+        |         FROM w10 ORDER BY abs(x) DESC, i ASC LIMIT 1),
+        |wf AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn2) AS x FROM w10),
+        |gy2 AS (SELECT g2.i, sum(g2.g * wf.x) AS y FROM g2 JOIN wf ON g2.j = wf.i
+        |        GROUP BY g2.i),
+        |lam2 AS (SELECT sum(wf.x * gy2.y) AS l FROM gy2 JOIN wf ON gy2.i = wf.i)
+        |SELECT 1::BIGINT AS pc, xf.i AS component,
+        | round(xf.x, 6) AS loading,
+        | round((SELECT l FROM lam1), 6) AS eigenvalue,
+        | round((SELECT l FROM lam1) / (SELECT t FROM tr), 6) AS var_share
+        |FROM xf
+        |UNION ALL
+        |SELECT 2::BIGINT AS pc, wf.i AS component,
+        | round(wf.x, 6) AS loading,
+        | round((SELECT l FROM lam2), 6) AS eigenvalue,
+        | round((SELECT l FROM lam2) / (SELECT t FROM tr), 6) AS var_share
+        |FROM wf
+        |ORDER BY pc, component""".stripMargin,
     // q52: the oracle recomputes the exact counts and expects the 5%
     // accuracy claim to hold (approx_ok literally true per group)
     "q52_approx_distinct" ->

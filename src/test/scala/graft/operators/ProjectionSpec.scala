@@ -102,6 +102,29 @@ class ProjectionSpec extends SparkSpec {
     assert(row(0).getDouble(3) == 1.0, "var_share = 1")
   }
 
+  test("pcaComponents: deflation yields orthogonal components with ordered eigenvalues") {
+    import spark.implicits._
+    // axis-aligned variance 9 : 4 : 1 → components e1, e2 with λ 18, 8
+    val df = Seq(
+      Seq(3.0, 0.0, 0.0), Seq(-3.0, 0.0, 0.0),
+      Seq(0.0, 2.0, 0.0), Seq(0.0, -2.0, 0.0),
+      Seq(0.0, 0.0, 1.0), Seq(0.0, 0.0, -1.0)).toDF("v")
+    val rows = Projection.pcaComponents(df, "v", dim = 3, k = 2, iterations = 40)
+      .orderBy("pc", "component").collect()
+    val pc1 = rows.filter(_.getLong(0) == 1L).map(_.getDouble(2))
+    val pc2 = rows.filter(_.getLong(0) == 2L).map(_.getDouble(2))
+    assert(math.abs(pc1(0) - 1.0) < 1e-5 && math.abs(pc1(1)) < 1e-5, pc1.toSeq)
+    assert(math.abs(pc2(1) - 1.0) < 1e-5 && math.abs(pc2(0)) < 1e-5, pc2.toSeq)
+    val dot = pc1.zip(pc2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-5, s"components must be orthogonal, dot=$dot")
+    val l1 = rows.filter(_.getLong(0) == 1L).head.getDouble(3)
+    val l2 = rows.filter(_.getLong(0) == 2L).head.getDouble(3)
+    assert(l1 == 18.0 && l2 == 8.0, s"eigenvalues 18/8, got $l1/$l2")
+    // shares against the ORIGINAL trace (18+8+2 = 28): 18/28
+    assert(rows.head.getDouble(4) == BigDecimal(18.0 / 28)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("pcaTopComponent drops null / wrong-dimension vectors; empty input refuses") {
     import spark.implicits._
     val df = Seq(Some(Seq(1.0, 0.0)), Some(Seq(-1.0, 0.0)),
