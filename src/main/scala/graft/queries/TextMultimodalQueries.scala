@@ -1206,6 +1206,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         MainContent.extractColumn(chromePage(col("doc_id"), col("__clean"))))
       .select(col("doc_id"),
         md5(col("__e.mainText")).as("main_md5"),
+        col("__e.title").as("page_title"),
         col("__e.nBlocksTotal").cast("long").as("n_blocks_total"),
         col("__e.nBlocksKept").cast("long").as("n_blocks_kept"),
         length(col("__e.mainText")).cast("long").as("main_chars"))
@@ -1535,6 +1536,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q238_main_content" ->
       """SELECT doc_id,
         | md5('Document ' || doc_id || chr(10) || clean) AS main_md5,
+        | 'd' AS page_title,
         | 2::BIGINT AS n_blocks_total,
         | 2::BIGINT AS n_blocks_kept,
         | (len('Document ' || doc_id) + 1 + len(clean))::BIGINT AS main_chars

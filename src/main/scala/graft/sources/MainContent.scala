@@ -48,9 +48,22 @@ object MainContent {
   /** One segmented block, pre-classification (exposed for the spec). */
   final case class Block(tag: String, text: String, linkChars: Int)
 
-  /** Extraction result: article text + audit counts. */
+  /** Extraction result: article text + audit counts + the page title
+    * (the one `<head>` element a text pipeline KEEPS as metadata while
+    * the rest of the head is chrome).
+    */
   final case class Extraction(mainText: String, nBlocksTotal: Int,
-                              nBlocksKept: Int)
+                              nBlocksKept: Int, title: String)
+
+  private val TitleRe = "(?is)<title[^>]*>(.*?)</title>".r
+
+  /** The page title, entity-decoded and whitespace-collapsed; "" when
+    * absent (titles live inside `<head>`, which [[blocks]] strips, so
+    * this reads the raw page before the strip).
+    */
+  def title(html: String): String =
+    if (html == null) ""
+    else TitleRe.findFirstMatchIn(html).map(m => collapse(m.group(1))).getOrElse("")
 
   private val StripRe =
     "(?is)<!--.*?-->|<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>|<noscript\\b[^>]*>.*?</noscript>|<template\\b[^>]*>.*?</template>|<head\\b[^>]*>.*?</head>".r
@@ -171,7 +184,8 @@ object MainContent {
       }
     }
     val keptBlocks = bs.indices.filter(kept).map(bs(_).text)
-    Extraction(keptBlocks.mkString("\n"), bs.length, keptBlocks.length)
+    Extraction(keptBlocks.mkString("\n"), bs.length, keptBlocks.length,
+      title(html))
   }
 
   /** DataFrame form: adds (main_text, n_blocks_total, n_blocks_kept)
@@ -193,6 +207,7 @@ object MainContent {
     // so the page parses once per row, not once per output column
     df.withColumn("__mc", extractColumn(col(htmlCol), minChars, maxLinkDensity))
       .withColumn("main_text", col("__mc.mainText"))
+      .withColumn("title", col("__mc.title"))
       .withColumn("n_blocks_total", col("__mc.nBlocksTotal"))
       .withColumn("n_blocks_kept", col("__mc.nBlocksKept"))
       .drop("__mc")

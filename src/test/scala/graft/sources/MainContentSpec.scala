@@ -94,10 +94,19 @@ class MainContentSpec extends SparkSpec {
   }
 
   test("null / empty / chrome-only pages extract to empty") {
-    assert(MainContent.extract(null) == MainContent.Extraction("", 0, 0))
-    assert(MainContent.extract("") == MainContent.Extraction("", 0, 0))
+    assert(MainContent.extract(null) == MainContent.Extraction("", 0, 0, ""))
+    assert(MainContent.extract("") == MainContent.Extraction("", 0, 0, ""))
     val chrome = "<body><nav><a href='/'>Home</a></nav><footer>legal</footer></body>"
     assert(MainContent.extract(chrome).mainText == "")
+  }
+
+  test("the title survives as metadata while the rest of the head is chrome") {
+    val e = MainContent.extract(article)
+    assert(e.title == "ignored") // the fixture's <title>
+    assert(!e.mainText.contains("ignored"))
+    assert(MainContent.title("<head><title> Fish &amp;  Chips </title></head>")
+      == "Fish & Chips")
+    assert(MainContent.title("<body>no head</body>") == "")
   }
 
   test("DataFrame op is map-side only (no shuffle in the plan)") {
