@@ -1383,6 +1383,36 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("target_uri"))
   }
 
+  /** Gzipped WARC ingest ([[graft.sources.Warc.inflate]]): the same
+    * corpus round trip as q241, but each record serialized as its OWN
+    * gzip member and the members concatenated per source — the actual
+    * Common Crawl `.warc.gz` layout (per-record members are what let a
+    * 100 TB crawl split at record boundaries). [[graft.sources.Warc.records]]
+    * member-chain-inflates and parses in one map-side pass, so the
+    * oracle is the identical closed-form record identity as q241:
+    * compression must be invisible to the reader.
+    */
+  private def q247WarcGzIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id").cast("long"), col("text"))
+      .as[(String, Long, String)]
+    val blobs = docs.groupByKey(_._1).mapGroups { (src, it) =>
+      val blob = it.toSeq.sortBy(_._2).iterator.map { case (_, id, txt) =>
+        Warc.gzipMember(Warc.writeHttpResponse(s"<urn:uuid:doc-$id>",
+          s"http://example.com/$src/$id", txt.getBytes(UTF_8)))
+      }.toArray.flatten
+      (src, blob)
+    }.toDF("source", "blob")
+    Warc.records(blobs, "blob")
+      .select(col("target_uri"), col("http_status"),
+        md5(col("payload_text")).as("payload_md5"),
+        length(col("payload_text")).cast("long").as("n_chars"))
+      .orderBy(col("target_uri"))
+  }
+
   /** The composed crawl-curation pipeline — WARC records
     * ([[graft.sources.Warc.records]]) → main-content extraction
     * ([[graft.sources.MainContent]]) → Gopher/C4 quality rules
@@ -1472,6 +1502,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q239_gopher_rules" -> (q239GopherRules _),
     "q240_host_gate" -> (q240HostGate _),
     "q241_warc_ingest" -> (q241WarcIngest _),
+    "q247_warc_gz_ingest" -> (q247WarcGzIngest _),
     "q242_crawl_pipeline" -> (q242CrawlPipeline _),
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_id" -> (q30LangId _),
@@ -1584,6 +1615,15 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     // q241: the WARC round trip is identity on record identities —
     // uri/status/body restate closed-form from the source table
     "q241_warc_ingest" ->
+      """SELECT 'http://example.com/' || source || '/' || doc_id AS target_uri,
+        | 200 AS http_status,
+        | md5(text) AS payload_md5,
+        | len(text)::BIGINT AS n_chars
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY target_uri""".stripMargin,
+    // q247: gzip must be invisible — the same closed-form identity as
+    // q241 proves the member-chain inflater reproduces every record
+    "q247_warc_gz_ingest" ->
       """SELECT 'http://example.com/' || source || '/' || doc_id AS target_uri,
         | 200 AS http_status,
         | md5(text) AS payload_md5,

@@ -61,6 +61,55 @@ object Warc {
 
   private val CrlfCrlf = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
+  /** Inflate a `.warc.gz` blob — a CHAIN of gzip members, one per
+    * record (the Common Crawl convention this file's header cites:
+    * per-record members are what let a 100 TB crawl split at record
+    * boundaries, because a task can start inflating at any member
+    * offset). JDK `GZIPInputStream` consumes concatenated members
+    * natively (after each member's trailer it probes for the next
+    * header), so one stream yields the whole chain.
+    *
+    * Contract mirrors [[parse]]'s malformed-input rule: a TRUNCATED
+    * member (EOF mid-deflate, bad CRC) returns the bytes inflated so
+    * far — the intact prefix records still parse, the cut tail is
+    * dropped by [[parse]]'s own overrun check. A blob that does not
+    * start with the gzip magic (0x1f 0x8b) passes through unchanged,
+    * so [[records]] reads plain and gzipped WARC files with one code
+    * path. Null/empty → empty.
+    */
+  def inflate(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b)
+      return bytes // not gzip — plain WARC passthrough
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), buf.length)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch {
+      case _: java.io.IOException => // truncated/corrupt member → keep prefix
+    }
+    out.toByteArray
+  }
+
+  /** Gzip one record (or any byte run) as its OWN member — the writer
+    * half of the per-record member chain convention. Concatenating the
+    * results of per-record calls yields a valid `.warc.gz` blob that
+    * [[inflate]] (and any standard gunzip) consumes whole.
+    */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record)
+    gz.close()
+    bos.toByteArray
+  }
+
   /** Parse every record in a WARC blob (one file / one gzip member
     * chain, already decompressed). Null/empty → no records.
     */
@@ -139,11 +188,13 @@ object Warc {
   /** DataFrame op: explode a binary WARC-blob column into one row per
     * record — (warc_type, record_id, target_uri, http_status,
     * payload_text) columns added, other columns carried. Map-side
-    * only (posexplode of a per-row parse; no shuffle).
+    * only (posexplode of a per-row parse; no shuffle). Gzipped blobs
+    * ([[inflate]]'s magic check) are member-chain-inflated in the same
+    * per-row pass, so `.warc` and `.warc.gz` files read identically.
     */
   def records(df: DataFrame, blobCol: String): DataFrame = {
     val parseUdf = udf((blob: Array[Byte]) =>
-      parse(blob).map(r => (r.warcType, r.recordId, r.targetUri,
+      parse(inflate(blob)).map(r => (r.warcType, r.recordId, r.targetUri,
         r.httpStatus, r.payloadText)))
     df.withColumn("__recs", parseUdf(col(blobCol)))
       .withColumn("__r", explode(col("__recs")))

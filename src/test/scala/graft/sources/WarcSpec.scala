@@ -68,4 +68,58 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
       s"record parse must not shuffle (only the test's orderBy may):\n$plan")
   }
+
+  test("inflate: multi-member gzip chain round-trips byte-exact") {
+    val r1 = Warc.writeHttpResponse("<urn:uuid:1>", "http://g.example/1",
+      "first gzipped body".getBytes(UTF_8))
+    val r2 = Warc.writeRecord("warcinfo", "<urn:uuid:info>", "",
+      "software: graft".getBytes(UTF_8))
+    val r3 = Warc.writeHttpResponse("<urn:uuid:3>", "http://g.example/3",
+      "naïve… multi-byte".getBytes(UTF_8), status = 404)
+    // one gzip member per record — the Common Crawl .warc.gz convention
+    val gz = blob(Warc.gzipMember(r1), Warc.gzipMember(r2), Warc.gzipMember(r3))
+    assert(Warc.inflate(gz).toSeq == blob(r1, r2, r3).toSeq,
+      "member-chain inflation must reproduce the concatenated records byte-exact")
+    val rs = Warc.parse(Warc.inflate(gz))
+    assert(rs.map(_.warcType) == Vector("response", "warcinfo", "response"))
+    assert(rs(2).payloadText == "naïve… multi-byte" && rs(2).httpStatus.contains(404))
+  }
+
+  test("inflate: truncated member keeps the intact prefix records") {
+    val r1 = Warc.writeHttpResponse("<urn:uuid:1>", "http://tr.example/1",
+      "survives".getBytes(UTF_8))
+    val r2 = Warc.writeHttpResponse("<urn:uuid:2>", "http://tr.example/2",
+      "this member is cut mid-deflate".getBytes(UTF_8))
+    val m2 = Warc.gzipMember(r2)
+    val gz = blob(Warc.gzipMember(r1), m2.dropRight(m2.length / 2))
+    val rs = Warc.parse(Warc.inflate(gz))
+    assert(rs.map(_.targetUri) == Vector("http://tr.example/1"),
+      s"exactly the intact first member's record survives: ${rs.map(_.targetUri)}")
+  }
+
+  test("inflate: non-gzip blob passes through unchanged; null/empty → empty") {
+    val plain = Warc.writeHttpResponse("<urn:uuid:1>", "http://p.example/1",
+      "plain warc".getBytes(UTF_8))
+    assert(Warc.inflate(plain) eq plain, "plain WARC must pass through without copy")
+    assert(Warc.inflate(null).isEmpty && Warc.inflate(Array.empty).isEmpty)
+    // single 0x1f byte: too short for the magic check, passes through
+    val oneByte = Array(0x1f.toByte)
+    assert(Warc.inflate(oneByte).toSeq == oneByte.toSeq)
+  }
+
+  test("records() consumes gzipped and plain blobs through one code path") {
+    import spark.implicits._
+    val r1 = Warc.writeHttpResponse("<urn:uuid:1>", "http://m.example/1", "one".getBytes(UTF_8))
+    val r2 = Warc.writeHttpResponse("<urn:uuid:2>", "http://m.example/2", "two".getBytes(UTF_8))
+    val gzBlob = blob(Warc.gzipMember(r1), Warc.gzipMember(r2))
+    val plainBlob = Warc.writeHttpResponse("<urn:uuid:3>", "http://m.example/3", "three".getBytes(UTF_8))
+    val df = Seq(("gz", gzBlob), ("plain", plainBlob)).toDF("file", "blob")
+    val got = Warc.records(df, "blob").orderBy("target_uri")
+      .select("file", "target_uri", "payload_text")
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("gz", "http://m.example/1", "one"),
+      ("gz", "http://m.example/2", "two"),
+      ("plain", "http://m.example/3", "three")))
+  }
 }
