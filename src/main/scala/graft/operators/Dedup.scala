@@ -26,13 +26,15 @@ object Dedup {
     * key with `a.id < b.id`, so the caller projects the verification
     * kernel over the a/b-aliased result.
     *
-    * The probe side repartitions to the full shuffle-partition count
+    * The probe side repartitions to the [[pairPartitions]]-sized count
     * with an EXPLICIT count: the corpus often arrives as one file
     * split and a broadcast join inherits the stream side's
     * partitioning, while a bare `repartition(col)` is AQE-coalescible
     * and tiny input bytes would fold it back to one task — but the
     * work is quadratic in rows per task, not input-proportional, so
-    * the fan-out must be pinned.
+    * the fan-out must be pinned, and pinned to a DATA-sized count
+    * (`estPairs` — the caller's already-measured Σ|block|²), not the
+    * session default.
     *
     * The build side broadcasts only under a BYTES gate, never a row
     * gate (a row bound let a long-document corpus smuggle a multi-GB
@@ -45,9 +47,36 @@ object Dedup {
     * convention. Beyond the bound: plain shuffled join, AQE skew
     * split takes over.
     */
-  private def denseBlockPairJoin(side: DataFrame, elemCount: Column): DataFrame = {
+  /** Shuffle-partition count for a pair-mining stage, sized by the
+    * MEASURED candidate-pair estimate (the Σdf² / Σ|block|² scalars the
+    * cost-based strategy already computes) instead of the session
+    * default. The failure mode this prevents (reproduced at the 10×
+    * board on the default 8 GiB heap): per-task pair state is
+    * `pairs ∕ partitions`, so at a FIXED partition count a 10× data
+    * step grows every task's hash-map state ~100× until the final
+    * aggregate's `BytesToBytesMap` cannot acquire its initial page and
+    * the query hard-fails — the engine must size the fan-out from the
+    * data, exactly as a real cluster does by scaling partitions with
+    * input. Budget: ~2²⁰ pairs/task ≈ 64 MB of aggregate state (64 B
+    * per entry: 16 B two-long key + map/pointer overhead), safely
+    * inside the ≈150 MB execution-memory share a 32-thread 8 GiB
+    * executor gives each task. Never BELOW the session default (small
+    * corpora keep the pinned parallelism contract); capped at 2¹⁶
+    * tasks — past that, task-launch overhead dominates and the
+    * sort-based spill fallback is the right tool.
+    */
+  private[operators] def pairPartitions(spark: org.apache.spark.sql.SparkSession,
+                                        estPairs: Long): Int = {
+    val default = spark.sessionState.conf.numShufflePartitions.toLong
+    val perTask = 1L << 20
+    val needed = (math.max(0L, estPairs) + perTask - 1) / perTask
+    math.min(1L << 16, math.max(default, needed)).toInt
+  }
+
+  private def denseBlockPairJoin(side: DataFrame, elemCount: Column,
+                                 estPairs: Long): DataFrame = {
     val stream = side.repartition(
-      side.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+      pairPartitions(side.sparkSession, estPairs), col("id"))
     val estBytes = {
       val r = side.agg(sum(elemCount.cast("long") * 16L + 48L)).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty corpus
@@ -261,7 +290,7 @@ object Dedup {
         // (partitioning + broadcast-gate policy in [[denseBlockPairJoin]])
         denseBlockPairJoin(
             base.select(col("id"), col("blk"), col("n"), col("grams")),
-            col("n"))
+            col("n"), blockPairRows)
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             col("a.n").as("na"), col("b.n").as("nb"),
             call_function("sorted_intersect_size",
@@ -286,6 +315,21 @@ object Dedup {
                 (col("a.n") === col("b.n") && col("a.id") =!= col("b.id"))))
           .select(least(col("a.id"), col("b.id")).as("id_a"),
             greatest(col("a.id"), col("b.id")).as("id_b"))
+          // the dedup aggregate's hash map holds this stage's pair
+          // state — when the measured Σdf² estimate outgrows the
+          // session default, fan it out so per-task state stays
+          // bounded at any SF (the explicit repartition shares its
+          // exchange with the distinct: same keys, no second shuffle).
+          // Below the threshold keep the bare distinct: its map-side
+          // partial dedup combines duplicate pairs before the shuffle,
+          // which an explicit repartition would forfeit (measured
+          // +12% on q174 at sf0.1)
+          .transform { cands =>
+            val pp = pairPartitions(df.sparkSession, iiPairRows)
+            if (pp > df.sparkSession.sessionState.conf.numShufflePartitions)
+              cands.repartition(pp, col("id_a"), col("id_b"))
+            else cands
+          }
           .distinct()
         candidates
           .join(base.select(col("id").as("id_a"), col("grams").as("__ga"),
@@ -376,7 +420,7 @@ object Dedup {
       if (blockPairRows <= fpPairRows) {
         denseBlockPairJoin(
             base.select(col("id"), col("blk"), col("fps")),
-            size(col("fps")))
+            size(col("fps")), blockPairRows)
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             call_function("sorted_intersect_size",
               col("a.fps"), col("b.fps")).cast("long").as("shared_fps"))
@@ -385,6 +429,18 @@ object Dedup {
           .join(tok.as("b"),
             col("a.fp") === col("b.fp") &&
               col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+          // the pair-count aggregate holds this stage's state — when
+          // the measured Σdf² estimate outgrows the session default,
+          // size its fan-out (see [[pairPartitions]]; the repartition
+          // hash-partitions on the groupBy keys, one shuffle total);
+          // below the threshold keep the bare groupBy's map-side
+          // partial counts, which the explicit repartition forfeits
+          .transform { joined =>
+            val pp = pairPartitions(df.sparkSession, fpPairRows)
+            if (pp > df.sparkSession.sessionState.conf.numShufflePartitions)
+              joined.repartition(pp, col("a.id"), col("b.id"))
+            else joined
+          }
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .agg(count(lit(1)).as("shared_fps"))
       }

@@ -629,4 +629,20 @@ class DedupSpec extends SparkSpec {
       } else (0 until 8).map(j => s"t${i}x$j").mkString(" ")
     checkContainmentExact(text, nDocs = 60, threshold = 0.8)
   }
+
+  test("pairPartitions scales with the measured pair estimate, floored at the session default") {
+    val default = spark.sessionState.conf.numShufflePartitions
+    // small corpora keep the pinned-parallelism contract
+    assert(Dedup.pairPartitions(spark, 0L) == default)
+    assert(Dedup.pairPartitions(spark, 1000L) == default)
+    // ~2^20 pairs per task: a 2^30-pair estimate needs 1024 tasks
+    assert(Dedup.pairPartitions(spark, 1L << 30) == 1024)
+    // 10× the estimate → 10× the fan-out (per-task state stays constant)
+    val p1 = Dedup.pairPartitions(spark, 100L << 20)
+    val p10 = Dedup.pairPartitions(spark, 1000L << 20)
+    assert(p1 == 100 && p10 == 1000)
+    // capped: past 2^16 tasks, launch overhead dominates and the
+    // sort-based spill fallback takes over
+    assert(Dedup.pairPartitions(spark, Long.MaxValue / 2) == (1 << 16))
+  }
 }
