@@ -77,6 +77,12 @@ object GraftFunctions {
         require(children.length == 2, "char_gram_hashes takes exactly 2 arguments")
         CharGramHashes(children.head, children(1))
       }),
+    (FunctionIdentifier("char_gram_buckets"),
+      new ExpressionInfo(classOf[CharGramBuckets].getName, "char_gram_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "char_gram_buckets takes exactly 3 arguments")
+        CharGramBuckets(children.head, children(1), children(2))
+      }),
     (FunctionIdentifier("lcs_length"),
       new ExpressionInfo(classOf[LcsLength].getName, "lcs_length"),
       (children: Seq[Expression]) => {

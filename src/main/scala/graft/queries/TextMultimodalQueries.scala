@@ -1461,6 +1461,26 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("source"))
   }
 
+  /** Trained naive-Bayes language ID ([[graft.operators.LangNb]]):
+    * multinomial NB over md5-hashed char-3-grams, trained in-engine on
+    * the corpus's own labels and scored map-side against the broadcast
+    * model. Every model cell is integer-quantized micro-log units, so
+    * a document's class score is a SUM OF LONGS — exact and
+    * summation-order-independent — and the oracle replays the full
+    * train-then-score pipeline (gram buckets, smoothed counts, priors,
+    * argmax with lang-ascending tie-break) in SQL and hash-matches the
+    * exact scores. The trained complement to q30's stopword heuristic,
+    * which LangNbSpec shows failing on short/no-stopword texts.
+    */
+  private def q248LangNb(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LangNb
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = LangNb.fit(docs, "text", "lang", n = 3, buckets = 1024)
+    LangNb.predict(docs, "text", model)
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Robots-exclusion gate ([[graft.sources.RobotsTxt]], RFC 9309):
     * URLs synthesized per document (five path archetypes) against one
     * per-host policy exercising group selection, longest-match
@@ -1506,6 +1526,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q242_crawl_pipeline" -> (q242CrawlPipeline _),
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_id" -> (q30LangId _),
+    "q248_lang_nb" -> (q248LangNb _),
     "q31_fingerprint" -> (q31Fingerprint _),
     "q36_multimodal" -> (q36Multimodal _),
     "q46_pii_scrub" -> (q46PiiScrub _),
@@ -1621,6 +1642,50 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         | len(text)::BIGINT AS n_chars
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY target_uri""".stripMargin,
+    // q248: the full NB train-then-score replayed — gram buckets from
+    // md5 hex, add-one-smoothed counts and priors quantized to integer
+    // micro-log units with round() (both engines round half away from
+    // zero), scores as exact BIGINT sums, argmax tie-broken lang-asc
+    "q248_lang_nb" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        | SELECT doc_id,
+        |  CAST(('0x' || substring(md5(substr(t, p, 3)), 1, 8)) AS BIGINT) % 1024 AS b
+        | FROM d, unnest(generate_series(1, len(t) - 2)) AS p(p)),
+        |cnt AS (
+        | SELECT d.lang, g.b, count(*)::BIGINT AS c
+        | FROM g JOIN d ON g.doc_id = d.doc_id GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+        |cls AS (
+        | SELECT lang, round(ln(1.0 / (tot + 1024)) * 1000000)::BIGINT AS dflt
+        | FROM tot),
+        |pri AS (
+        | SELECT lang,
+        |  round(ln(count(*)::DOUBLE / (SELECT count(*) FROM d)) * 1000000)::BIGINT AS pq
+        | FROM d GROUP BY 1),
+        |ll AS (
+        | SELECT cnt.lang, cnt.b,
+        |  round(ln((cnt.c + 1)::DOUBLE / (tot.tot + 1024)) * 1000000)::BIGINT AS llq
+        | FROM cnt JOIN tot ON cnt.lang = tot.lang),
+        |gs AS (
+        | SELECT g.doc_id, c.lang AS cand,
+        |  sum(COALESCE(ll.llq, c.dflt))::BIGINT AS gq
+        | FROM g CROSS JOIN cls c
+        | LEFT JOIN ll ON ll.lang = c.lang AND ll.b = g.b
+        | GROUP BY 1, 2),
+        |sc AS (
+        | SELECT d.doc_id, d.lang, p.lang AS cand,
+        |  p.pq + COALESCE(gs.gq, 0) AS score_q,
+        |  row_number() OVER (PARTITION BY d.doc_id
+        |    ORDER BY p.pq + COALESCE(gs.gq, 0) DESC, p.lang ASC) AS rk
+        | FROM d CROSS JOIN pri p
+        | LEFT JOIN gs ON gs.doc_id = d.doc_id AND gs.cand = p.lang)
+        |SELECT doc_id, lang, cand AS pred_lang, score_q
+        |FROM sc WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
     // q247: gzip must be invisible — the same closed-form identity as
     // q241 proves the member-chain inflater reproduces every record
     "q247_warc_gz_ingest" ->
