@@ -32,6 +32,9 @@ object Verify {
       // per-query cache scope: operator-internal persisted intermediates
       // (class tables) release after each query, so ~50 queries in one
       // session don't accumulate cached blocks
+      // progress marker on stderr: interleaves with log4j warnings, so
+      // a warning in the stream attributes to the query that logged it
+      System.err.println(s"[verify] running $name")
       Caches.withScope {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -273,6 +273,10 @@ object Dedup {
       .withColumn("n", size(col("grams")))
       .filter(col("n") > 0)
       .persist()
+    // track for scope cleanup — untracked, the cache outlives the query
+    // and the next query building the identical plan double-caches (the
+    // q174→q175 CacheManager warning)
+    graft.Caches.track(base)
     val tok = base.select(col("id"), col("blk"), col("n"),
       explode(col("grams")).as("g"))
     def pairRows(counts: DataFrame): Long = {
@@ -407,6 +411,7 @@ object Dedup {
       .withColumn("fps", array_sort(array_distinct(windows)))
       .select(col("id"), col("blk"), col("fps"))
       .persist()
+    graft.Caches.track(base) // scope cleanup (see containmentPairs)
     val tok = base.select(col("id"), col("blk"), explode(col("fps")).as("fp"))
     def pairRows(counts: DataFrame): Long = {
       val r = counts.agg(sum(col("__d") * col("__d"))).collect()(0)

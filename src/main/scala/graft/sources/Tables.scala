@@ -146,6 +146,22 @@ object Tables {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
   }
 
+  /** Read a table's `_manifest` side-table by its part-FILE paths.
+    * Passing the directory itself to the reader makes `DataSource`
+    * warn "All paths were ignored" on every open: the dir's
+    * underscore-prefixed NAME is hidden by the reader's own convention
+    * (which is exactly what keeps data scans of the parent from
+    * swallowing it) even though its contents read fine. Listing the
+    * part files and passing them explicitly reads the same bytes
+    * warning-free.
+    */
+  def readManifest(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val (_, parts) = parquetDataFiles(spark, s"$path/_manifest")
+    require(parts.nonEmpty, s"no manifest part files under $path/_manifest")
+    spark.read.parquet(parts.map(_.getPath.toString): _*)
+  }
+
   /** Open a parquet footer, hand it to `f`, close it even on throw. */
   private[sources] def withFooter[T](conf: org.apache.hadoop.conf.Configuration,
       path: org.apache.hadoop.fs.Path)(

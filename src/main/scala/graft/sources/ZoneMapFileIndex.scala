@@ -139,7 +139,7 @@ object ZoneMapFileIndex {
     * planner, no helper API in the read path.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/_manifest")
+    val manifest = Tables.readManifest(spark, path)
     val index = new ZoneMapFileIndex(spark, new Path(path), manifest)
     // schema from the data files (driver-side footer read, one-time);
     // partition columns (if the directory is hive-partitioned) live in

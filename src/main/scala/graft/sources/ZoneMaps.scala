@@ -88,7 +88,7 @@ object ZoneMaps {
     val manifestPath = new org.apache.hadoop.fs.Path(s"$path/_manifest")
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifestPath)) return None
-    val existing = spark.read.parquet(manifestPath.toString)
+    val existing = Tables.readManifest(spark, path)
     if (!existing.columns.contains("col")) return None
     val zoneCols = existing.select("col").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -226,7 +226,7 @@ object ZoneMaps {
     */
   def readPruned(spark: SparkSession, path: String,
                  filters: Seq[ZoneFilter]): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/_manifest")
+    val manifest = Tables.readManifest(spark, path)
     val kept = selectFiles(manifest, filters)
     val base =
       if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))

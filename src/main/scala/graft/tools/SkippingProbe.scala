@@ -57,7 +57,7 @@ object SkippingProbe {
     val zDir = s"/tmp/graft_skipping/zoned"
     ZoneMaps.writeWithZoneMap(
       li.repartitionByRange(files, col("l_orderkey")), zDir, Seq("l_orderkey"))
-    val manifest = spark.read.parquet(s"$zDir/_manifest")
+    val manifest = graft.sources.Tables.readManifest(spark, zDir)
       .select("file", "bytes").distinct().collect()
     val (allFiles, allBytes) = (manifest.length, manifest.map(_.getLong(1)).sum)
     // selective probe: a ~1% orderkey band in the middle of the domain
