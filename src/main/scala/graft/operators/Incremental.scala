@@ -79,4 +79,28 @@ object Incremental {
                 keys: Seq[String]): DataFrame =
     deltaA.join(oldB.unionByName(deltaB), keys)
       .unionByName(oldA.join(deltaB, keys))
+
+  /** Incremental exact-dedup admission: the rows of a NEW batch whose
+    * content fingerprint is absent from the already-curated `index`,
+    * deduplicated within the batch itself by minimum id (the
+    * [[Dedup.exactDedupGroups]] keep rule). This is what lets a crawl
+    * pipeline curate batch N against N−1 batches of history WITHOUT
+    * recomputing the corpus: admitted = dedupDelta(batch, index);
+    * index' = index ∪ admitted fingerprints. As long as batches arrive
+    * in id order (a crawl's ids are arrival-ordered by construction),
+    * fold-left admission is EXTENSIONALLY EQUAL to a cold recompute's
+    * min-id dedup over the union — the q249 oracle pins that identity.
+    *
+    * Scale shape: one fingerprint-keyed anti-join (|batch| + one probe
+    * of the index — keep the persisted index BUCKETED on the
+    * fingerprint, the [[graft.sources.Tables]] bucketed-layout
+    * convention, and the index side shuffles zero bytes) plus one
+    * |batch|-sized min aggregate. Cost is O(delta), never O(corpus).
+    */
+  def dedupDelta(batch: DataFrame, index: DataFrame,
+                 idCol: String, fpCol: String): DataFrame = {
+    val fresh = batch.join(index.select(col(fpCol)), Seq(fpCol), "left_anti")
+    val winners = fresh.groupBy(col(fpCol)).agg(min(col(idCol)).as(idCol))
+    fresh.join(winners, Seq(fpCol, idCol), "left_semi")
+  }
 }

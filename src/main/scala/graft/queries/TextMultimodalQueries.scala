@@ -1461,6 +1461,84 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("source"))
   }
 
+  /** Incremental crawl curation ([[graft.operators.Incremental.dedupDelta]]
+    * composed with the q242 funnel): the corpus arrives as TWO WARC
+    * batches split at half the id range (ids are the crawl's arrival
+    * order); each batch flows WARC records → main-content extraction →
+    * Gopher/C4 rules, and batch 2 is admitted against batch 1's
+    * fingerprint index — O(delta) per batch, the corpus never
+    * recomputed. The oracle is a COLD FULL RECOMPUTE of the same
+    * curation (the q63 identity convention): fold-left admission must
+    * be indistinguishable from curating the union in one pass.
+    *
+    * Two deliberate parameter choices keep every stage EXERCISED on the
+    * synthetic corpus (a funnel identity over an empty set proves
+    * nothing): the rule gate drops the stopword rule — the one rule
+    * whose English prior zeroes this corpus (q239's table: stop_hits
+    * passes 0/500, every other rule ≥ 277/500) — and the dedup
+    * fingerprint is the md5 of the body's SORTED DISTINCT token set
+    * (bag-of-words identity, 54 within-corpus collisions at sf0.01),
+    * so the index probe admits and rejects real rows at both SFs.
+    */
+  private def q249IncrementalCrawl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{MainContent, Warc}
+    import graft.operators.{Incremental, QualityRules}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("__clean", regexp_replace(trim(col("text")), "\\s+", " "))
+      .select(col("source"), col("doc_id").cast("long"),
+        chromePage(col("doc_id"), col("__clean")).as("page"))
+      .as[(String, Long, String)]
+    // one scalar for the batch boundary (bounded-collect convention)
+    val cut = docs.toDF("source", "doc_id", "page")
+      .agg(floor(max(col("doc_id")) / 2).cast("long")).collect()(0).getLong(0)
+
+    def curatedBatch(batch: org.apache.spark.sql.Dataset[(String, Long, String)])
+        : DataFrame = {
+      val blobs = batch.groupByKey(_._1).mapGroups { (src, it) =>
+        val blob = it.toSeq.sortBy(_._2).iterator.map { case (_, id, page) =>
+          Warc.writeHttpResponse(s"<urn:uuid:doc-$id>",
+            s"http://example.com/$src/$id", page.getBytes(UTF_8))
+        }.toArray.flatten
+        (src, blob)
+      }.toDF("source", "blob")
+      val e = MainContent.extractColumn(col("payload_text"))
+      val staged = Warc.records(blobs, "blob")
+        .withColumn("main_text", e.getField("mainText"))
+        .withColumn("extracted", col("main_text") =!= "")
+        .withColumn("body", substring_index(col("main_text"), "\n", -1))
+        .withColumn("body_md5",
+          md5(array_join(array_sort(array_distinct(
+            split(lower(col("body")), " "))), " ")))
+        .withColumn("doc_id",
+          element_at(split(col("target_uri"), "/"), -1).cast("long"))
+      val rules = QualityRules.ruleTable(staged, "doc_id", "body",
+        carryCols = Seq("source", "extracted", "body_md5"))
+      // every rule except stopwords (see the scaladoc)
+      val keep = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_dup_lines", "r_top_2gram", "r_top_3gram", "r_no_brace",
+        "r_no_lorem").map(col).reduce(_ && _)
+      rules.filter(keep && col("extracted"))
+        .select(col("doc_id"), col("source"), col("body_md5"))
+    }
+
+    // batch 1 feeds both the output and the index — persist once
+    val admitted1 = Incremental.dedupDelta(
+      curatedBatch(docs.filter(_._2 <= cut)),
+      curatedBatch(docs.filter(_._2 <= cut)).select(col("body_md5")).limit(0),
+      "doc_id", "body_md5").persist()
+    graft.Caches.track(admitted1)
+    val admitted2 = Incremental.dedupDelta(
+      curatedBatch(docs.filter(_._2 > cut)),
+      admitted1.select(col("body_md5")),
+      "doc_id", "body_md5")
+    admitted1.unionByName(admitted2)
+      .select(col("doc_id"), col("source"), col("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Trained naive-Bayes language ID ([[graft.operators.LangNb]]):
     * multinomial NB over md5-hashed char-3-grams, trained in-engine on
     * the corpus's own labels and scored map-side against the broadcast
@@ -1524,6 +1602,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q241_warc_ingest" -> (q241WarcIngest _),
     "q247_warc_gz_ingest" -> (q247WarcGzIngest _),
     "q242_crawl_pipeline" -> (q242CrawlPipeline _),
+    "q249_incremental_crawl" -> (q249IncrementalCrawl _),
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_id" -> (q30LangId _),
     "q248_lang_nb" -> (q248LangNb _),
@@ -1642,6 +1721,32 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         | len(text)::BIGINT AS n_chars
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY target_uri""".stripMargin,
+    // q249: the incremental path must be indistinguishable from a COLD
+    // recompute — the oracle curates the whole corpus in one pass
+    // (extraction floor, rules over the extracted body, min-id winner
+    // per fingerprint) and never mentions batches
+    "q249_incremental_crawl" ->
+      s"""WITH d0 AS (
+        | SELECT doc_id, source,
+        |  regexp_replace(trim(text), '\\s+', ' ', 'g') AS clean
+        | FROM documents WHERE text IS NOT NULL),
+        |${gopherRulesCtesFrom(
+          "SELECT doc_id, source, CASE WHEN len(clean) >= 25 THEN clean ELSE '' END AS t FROM d0")},
+        |kept AS (
+        | SELECT d0.doc_id, d0.source,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(d0.clean), ' '))), ' ')) AS body_md5
+        | FROM d0 JOIN rules r ON d0.doc_id = r.doc_id
+        | WHERE len(d0.clean) >= 25
+        |  AND r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
+        |  AND r.r_bullet_lines AND r.r_ellipsis_lines AND r.r_alpha_words
+        |  AND r.r_dup_lines AND r.r_top_2gram AND r.r_top_3gram
+        |  AND r.r_no_brace AND r.r_no_lorem),
+        |winners AS (SELECT body_md5, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+        |SELECT k.doc_id, k.source, k.body_md5
+        |FROM kept k JOIN winners w
+        |  ON k.doc_id = w.doc_id AND k.body_md5 = w.body_md5
+        |ORDER BY k.doc_id""".stripMargin,
     // q248: the full NB train-then-score replayed — gram buckets from
     // md5 hex, add-one-smoothed counts and priors quantized to integer
     // micro-log units with round() (both engines round half away from

@@ -92,4 +92,24 @@ class IncrementalSpec extends SparkSpec {
     // no row of the delta was already in the old join (appends only)
     assert(rows(delta).toSet.intersect(rows(oldJoin).toSet).isEmpty)
   }
+
+  test("dedupDelta: fold-left admission over id-ordered batches == cold min-id dedup") {
+    import spark.implicits._
+    // fingerprints: f1 dups across batches, f2 dups within batch 2,
+    // f3/f4 singletons
+    val rows = Seq((1L, "f1"), (2L, "f3"), (3L, "f1"),
+      (4L, "f2"), (5L, "f2"), (6L, "f4"))
+    val all = rows.toDF("id", "fp")
+    val batch1 = all.filter(col("id") <= 3)
+    val batch2 = all.filter(col("id") > 3)
+    val a1 = Incremental.dedupDelta(batch1, all.select(col("fp")).limit(0), "id", "fp")
+    val a2 = Incremental.dedupDelta(batch2, a1.select(col("fp")), "id", "fp")
+    val incremental = a1.unionByName(a2)
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq
+    val cold = all.groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .collect().map(r => (r.getLong(1), r.getString(0))).sorted.toSeq
+    assert(incremental == cold,
+      s"fold-left admission must equal the cold recompute: $incremental vs $cold")
+    assert(incremental.map(_._1) == Seq(1L, 2L, 4L, 6L))
+  }
 }
