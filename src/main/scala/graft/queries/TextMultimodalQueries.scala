@@ -1264,6 +1264,105 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     */
   // raw interpolator: the SQL carries \s-class regexes that the s
   // interpolator would reject as invalid escapes at runtime
+  /** Shared CTE chain for the q250/q251 oracles: the unigram-LM train
+    * replayed in SQL — word frequencies, substring seed scores with the
+    * (score desc, piece asc) top-100 multi-char cut, seed probs, the
+    * E-step's forward/backward lattice sums as recursive CTEs carrying
+    * a sliding 4-state window (each 4-term sum parenthesized exactly as
+    * [[graft.operators.UnigramLm.fitOnVocab]] folds it, so the doubles
+    * are bit-identical), per-occurrence expected counts quantized to
+    * 10⁻⁹-unit BIGINTs, and the M-step renormalization. Callers open
+    * with WITH RECURSIVE and close the final `model` CTE.
+    */
+  private val unigramModelCtes: String =
+    raw"""wsrc AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+      | FROM documents WHERE text IS NOT NULL),
+      |wl AS (
+      | SELECT w, count(*)::BIGINT AS n, len(w) AS len
+      | FROM (SELECT unnest(ws) AS w FROM wsrc) GROUP BY 1, 3),
+      |socc AS (
+      | SELECT substr(v.w, i.i + 1, k.k) AS piece, v.n
+      | FROM wl v,
+      |      unnest(generate_series(0, v.len - 1)) AS i(i),
+      |      unnest(generate_series(1, 4)) AS k(k)
+      | WHERE i.i + k.k <= v.len),
+      |pscore AS (SELECT piece, sum(n)::BIGINT AS score FROM socc GROUP BY 1),
+      |seed AS (
+      | SELECT piece, score FROM pscore WHERE len(piece) = 1
+      | UNION ALL
+      | SELECT piece, score FROM (
+      |  SELECT piece, score,
+      |   row_number() OVER (ORDER BY score DESC, piece ASC) AS rk
+      |  FROM pscore WHERE len(piece) > 1) t
+      | WHERE rk <= 100),
+      |stot AS (SELECT sum(score)::BIGINT AS t FROM seed),
+      |probs0 AS (
+      | SELECT s.piece, s.score, s.score::DOUBLE / stot.t AS prob
+      | FROM seed s, stot),
+      |fwd AS (
+      | SELECT w, len, 0 AS pos,
+      |  1.0::DOUBLE AS a0, 0.0::DOUBLE AS a1, 0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3
+      | FROM wl
+      | UNION ALL
+      | SELECT f.w, f.len, f.pos + 1,
+      |  ((((0.0
+      |    + COALESCE(p1.prob * f.a0, 0.0))
+      |    + COALESCE(p2.prob * f.a1, 0.0))
+      |    + COALESCE(p3.prob * f.a2, 0.0))
+      |    + COALESCE(p4.prob * f.a3, 0.0)),
+      |  f.a0, f.a1, f.a2
+      | FROM fwd f
+      | LEFT JOIN probs0 p1 ON p1.piece = substr(f.w, f.pos + 1, 1)
+      | LEFT JOIN probs0 p2 ON f.pos + 1 >= 2 AND p2.piece = substr(f.w, f.pos, 2)
+      | LEFT JOIN probs0 p3 ON f.pos + 1 >= 3 AND p3.piece = substr(f.w, f.pos - 1, 3)
+      | LEFT JOIN probs0 p4 ON f.pos + 1 >= 4 AND p4.piece = substr(f.w, f.pos - 2, 4)
+      | WHERE f.pos < f.len),
+      |zt AS (SELECT w, a0 AS z FROM fwd WHERE pos = len),
+      |bwd AS (
+      | SELECT w, len, len AS pos,
+      |  1.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2, 0.0::DOUBLE AS b3
+      | FROM wl
+      | UNION ALL
+      | SELECT g.w, g.len, g.pos - 1,
+      |  ((((0.0
+      |    + COALESCE(q1.prob * g.b0, 0.0))
+      |    + COALESCE(q2.prob * g.b1, 0.0))
+      |    + COALESCE(q3.prob * g.b2, 0.0))
+      |    + COALESCE(q4.prob * g.b3, 0.0)),
+      |  g.b0, g.b1, g.b2
+      | FROM bwd g
+      | LEFT JOIN probs0 q1 ON q1.piece = substr(g.w, g.pos, 1)
+      | LEFT JOIN probs0 q2 ON q2.piece = substr(g.w, g.pos, 2)
+      | LEFT JOIN probs0 q3 ON q3.piece = substr(g.w, g.pos, 3)
+      | LEFT JOIN probs0 q4 ON q4.piece = substr(g.w, g.pos, 4)
+      | WHERE g.pos > 0),
+      |occ AS (
+      | SELECT v.w, v.n, i.i AS i, k.k AS k, substr(v.w, i.i + 1, k.k) AS piece
+      | FROM wl v,
+      |      unnest(generate_series(0, v.len - 1)) AS i(i),
+      |      unnest(generate_series(1, 4)) AS k(k)
+      | WHERE i.i + k.k <= v.len),
+      |contrib AS (
+      | SELECT o.piece,
+      |  round(o.n * (((fa.a0 * p.prob) * fb.b0) / zt.z) * 1000000000)::BIGINT AS cq
+      | FROM occ o
+      | JOIN probs0 p ON p.piece = o.piece
+      | JOIN fwd fa ON fa.w = o.w AND fa.pos = o.i
+      | JOIN bwd fb ON fb.w = o.w AND fb.pos = o.i + o.k
+      | JOIN zt ON zt.w = o.w
+      | WHERE zt.z > 0),
+      |m1 AS (SELECT piece, sum(cq)::BIGINT AS expq FROM contrib GROUP BY 1),
+      |mtot AS (SELECT sum(expq)::BIGINT AS t FROM m1),
+      |model AS (
+      | SELECT s.piece, s.score AS seed_score,
+      |  COALESCE(m1.expq, 0)::BIGINT AS expq,
+      |  CASE WHEN mtot.t > 0
+      |       THEN COALESCE(m1.expq, 0)::DOUBLE / mtot.t::DOUBLE
+      |       ELSE s.score::DOUBLE / stot.t END AS prob
+      | FROM seed s LEFT JOIN m1 ON s.piece = m1.piece, mtot, stot)""".stripMargin
+
   private def gopherRulesCtesFrom(segSelect: String): String =
     raw"""seg AS (
       | $segSelect),
@@ -1539,6 +1638,45 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM tokenizer training ([[graft.operators.UnigramLm]],
+    * Kudo '18 — the SentencePiece unigram model): seed vocabulary from
+    * corpus substring scores (all chars + the top-100 multi-char
+    * pieces), then ONE EM step over the segmentation lattice. The
+    * oracle replays the ENTIRE train — seed selection, the
+    * forward/backward E-step as recursive CTEs whose 4-term sums are
+    * written in the operator's exact fold order (bit-identical
+    * doubles), per-occurrence expected counts quantized to 10⁻⁹ units
+    * (exact BIGINT sums), and the M-step renormalization — and
+    * hash-matches every model cell.
+    */
+  private def q250UnigramEm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = UnigramLm.fit(docs, "text", maxPieceLen = 4,
+      seedMulti = 100, iters = 1)
+    UnigramLm.modelTable(s, model)
+      .select(col("piece"), col("seed_score"), col("expq"), col("prob"))
+      .orderBy(col("piece"))
+  }
+
+  /** Unigram-LM Viterbi token counting
+    * ([[graft.operators.UnigramLm.tokenCounts]]): the corpus tokenized
+    * map-side under the q250 model in INTEGER micro-log space — path
+    * scores are long sums, ties break to fewer tokens — so the oracle
+    * replays Viterbi as a recursive CTE carrying (score, count) state
+    * per position and the doc-level sums hash-match exactly. The
+    * subword complement to the whitespace/BPE-regex counters (q29's
+    * n_tokens, [[graft.functions.TextFunctions.bpeishTokenCount]]).
+    */
+  private def q251UnigramTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = UnigramLm.fit(docs, "text", maxPieceLen = 4,
+      seedMulti = 100, iters = 1)
+    UnigramLm.tokenCounts(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
   /** Trained naive-Bayes language ID ([[graft.operators.LangNb]]):
     * multinomial NB over md5-hashed char-3-grams, trained in-engine on
     * the corpus's own labels and scored map-side against the broadcast
@@ -1606,6 +1744,8 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_id" -> (q30LangId _),
     "q248_lang_nb" -> (q248LangNb _),
+    "q250_unigram_em" -> (q250UnigramEm _),
+    "q251_unigram_tokens" -> (q251UnigramTokens _),
     "q31_fingerprint" -> (q31Fingerprint _),
     "q36_multimodal" -> (q36Multimodal _),
     "q46_pii_scrub" -> (q46PiiScrub _),
@@ -1721,6 +1861,63 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         | len(text)::BIGINT AS n_chars
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY target_uri""".stripMargin,
+    // q250: the whole unigram-LM train replayed (seed selection,
+    // bit-identical lattice sums, quantized E-step, M-step) — see
+    // unigramModelCtes
+    "q250_unigram_em" ->
+      s"""WITH RECURSIVE $unigramModelCtes
+        |SELECT piece, seed_score, expq, prob FROM model
+        |ORDER BY piece""".stripMargin,
+    // q251: Viterbi over the q250 model in integer micro-log space —
+    // the recursion carries (score, count) for the last 4 positions;
+    // candidates collapse via list_sort on (-score, count) structs, so
+    // ties break to fewer tokens exactly as the operator's scan does
+    "q251_unigram_tokens" ->
+      s"""WITH RECURSIVE $unigramModelCtes,
+        |llq AS (
+        | SELECT piece, round(ln(prob) * 1000000)::BIGINT AS q
+        | FROM model WHERE prob > 0),
+        |vit AS (
+        | SELECT w, len, 0 AS pos,
+        |  0::BIGINT AS s0, NULL::BIGINT AS s1, NULL::BIGINT AS s2, NULL::BIGINT AS s3,
+        |  0::BIGINT AS n0, NULL::BIGINT AS n1, NULL::BIGINT AS n2, NULL::BIGINT AS n3
+        | FROM wl
+        | UNION ALL
+        | SELECT w, len, pos + 1,
+        |  -(x.ns), s0, s1, s2,
+        |  x.n, n0, n1, n2
+        | FROM (
+        |  SELECT v.w, v.len, v.pos, v.s0, v.s1, v.s2, v.s3,
+        |   v.n0, v.n1, v.n2, v.n3,
+        |   list_sort(list_filter([
+        |     {'ok': TRUE,
+        |      'ns': -(v.s0 + COALESCE(l1.q, -30000000)), 'n': v.n0 + 1},
+        |     {'ok': v.s1 IS NOT NULL AND l2.q IS NOT NULL,
+        |      'ns': -(v.s1 + l2.q), 'n': v.n1 + 1},
+        |     {'ok': v.s2 IS NOT NULL AND l3.q IS NOT NULL,
+        |      'ns': -(v.s2 + l3.q), 'n': v.n2 + 1},
+        |     {'ok': v.s3 IS NOT NULL AND l4.q IS NOT NULL,
+        |      'ns': -(v.s3 + l4.q), 'n': v.n3 + 1}
+        |    ], c -> c.ok))[1] AS x
+        |  FROM vit v
+        |  LEFT JOIN llq l1 ON l1.piece = substr(v.w, v.pos + 1, 1)
+        |  LEFT JOIN llq l2 ON v.pos + 1 >= 2 AND l2.piece = substr(v.w, v.pos, 2)
+        |  LEFT JOIN llq l3 ON v.pos + 1 >= 3 AND l3.piece = substr(v.w, v.pos - 1, 3)
+        |  LEFT JOIN llq l4 ON v.pos + 1 >= 4 AND l4.piece = substr(v.w, v.pos - 2, 4)
+        |  WHERE v.pos < v.len) t),
+        |wtok AS (SELECT w, n0 AS ntok FROM vit WHERE pos = len),
+        |docw AS (SELECT doc_id, unnest(ws) AS w FROM wsrc),
+        |agg AS (
+        | SELECT d.doc_id, count(*)::BIGINT AS n_words,
+        |  sum(t.ntok)::BIGINT AS n_tokens
+        | FROM docw d JOIN wtok t ON d.w = t.w
+        | GROUP BY 1)
+        |SELECT m.doc_id,
+        | COALESCE(a.n_words, 0)::BIGINT AS n_words,
+        | COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens
+        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) m
+        |LEFT JOIN agg a ON m.doc_id = a.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     // q249: the incremental path must be indistinguishable from a COLD
     // recompute — the oracle curates the whole corpus in one pass
     // (extraction floor, rules over the extracted body, min-id winner
