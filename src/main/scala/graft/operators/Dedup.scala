@@ -329,9 +329,10 @@ object Dedup {
           // which an explicit repartition would forfeit (measured
           // +12% on q174 at sf0.1)
           .transform { cands =>
-            val pp = pairPartitions(df.sparkSession, iiPairRows)
-            if (pp > df.sparkSession.sessionState.conf.numShufflePartitions)
-              cands.repartition(pp, col("id_a"), col("id_b"))
+            if (pairPartitions(df.sparkSession, iiPairRows) >
+                df.sparkSession.sessionState.conf.numShufflePartitions)
+              cands.repartition(pairPartitions(df.sparkSession, iiPairRows),
+                col("id_a"), col("id_b"))
             else cands
           }
           .distinct()
@@ -441,9 +442,10 @@ object Dedup {
           // below the threshold keep the bare groupBy's map-side
           // partial counts, which the explicit repartition forfeits
           .transform { joined =>
-            val pp = pairPartitions(df.sparkSession, fpPairRows)
-            if (pp > df.sparkSession.sessionState.conf.numShufflePartitions)
-              joined.repartition(pp, col("a.id"), col("b.id"))
+            if (pairPartitions(df.sparkSession, fpPairRows) >
+                df.sparkSession.sessionState.conf.numShufflePartitions)
+              joined.repartition(pairPartitions(df.sparkSession, fpPairRows),
+                col("a.id"), col("b.id"))
             else joined
           }
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

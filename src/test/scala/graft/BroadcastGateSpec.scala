@@ -92,6 +92,11 @@ class BroadcastGateSpec extends AnyFunSuite {
       "gated: adjacency broadcast iff edges <= BroadcastAdjacencyEdges (bytes proxy: one long/edge)"),
     "graft/operators/GroupOps.scala" -> (7,
       "contract: per-group medians/modes over bounded dims, scalar counts, column-name maps"),
+    "graft/operators/LangNb.scala" -> (2,
+      "contract: 1-row doc-total aggregate for priors; scoring model " +
+        "broadcast bounded by the classes x buckets fit gate"),
+    "graft/operators/UnigramLm.scala" -> (1,
+      "contract: token-count model broadcast, seed-vocab-sized (chars + seedMulti pieces)"),
     "graft/operators/Pq.scala" -> (5, "contract: codebooks (k*m*d floats), query ids, probe lists — parameter-sized"),
     "graft/operators/PrefilterJoin.scala" -> (1, "contract: bloom filter, fixed bits by parameter"),
     "graft/operators/Sampling.scala" -> (7,
@@ -177,7 +182,10 @@ class BroadcastGateSpec extends AnyFunSuite {
   test("sequential folds pin their repartition fan-out explicitly") {
     def read(rel: String): String = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(srcRoot, rel).toPath), java.nio.charset.StandardCharsets.UTF_8)
-    val pinned = "numShufflePartitions"
+    // accepted pinning markers: the session default, or the data-sized
+    // pair-estimate count (Dedup.pairPartitions — explicit by
+    // construction, floored at the session default)
+    val pinned = Seq("numShufflePartitions", "pairPartitions")
     val sites = Seq(
       "graft/operators/Rolling.scala" -> "repartition(",
       "graft/operators/Packing.scala" -> "repartition(",
@@ -193,7 +201,7 @@ class BroadcastGateSpec extends AnyFunSuite {
       val bare = java.util.regex.Pattern.quote(call).r
         .findAllMatchIn(src)
         .map(m => src.slice(m.start, math.min(src.length, m.start + 120)))
-        .filterNot(_.contains(pinned))
+        .filterNot(w => pinned.exists(w.contains))
         .toSeq
       assert(bare.isEmpty,
         s"$rel has a bare (AQE-coalescible) $call ahead of a sequential " +
