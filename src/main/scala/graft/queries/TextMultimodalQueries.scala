@@ -1623,15 +1623,19 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         .select(col("doc_id"), col("source"), col("body_md5"))
     }
 
-    // batch 1 feeds both the output and the index — persist once
-    val admitted1 = Incremental.dedupDelta(
-      curatedBatch(docs.filter(_._2 <= cut)),
-      curatedBatch(docs.filter(_._2 <= cut)).select(col("body_md5")).limit(0),
-      "doc_id", "body_md5").persist()
-    graft.Caches.track(admitted1)
+    // each curated batch feeds two plan branches of its dedupDelta
+    // (fresh rows + winner mins) and batch 1 additionally feeds the
+    // index — persist each ONCE or the WARC-parse/extraction map work
+    // re-evaluates per branch (first cut of this query paid 3x)
+    val curated1 = graft.Caches.track(
+      curatedBatch(docs.filter(_._2 <= cut)).persist())
+    val curated2 = graft.Caches.track(
+      curatedBatch(docs.filter(_._2 > cut)).persist())
+    val admitted1 = graft.Caches.track(Incremental.dedupDelta(
+      curated1, Seq.empty[String].toDF("body_md5"),
+      "doc_id", "body_md5").persist())
     val admitted2 = Incremental.dedupDelta(
-      curatedBatch(docs.filter(_._2 > cut)),
-      admitted1.select(col("body_md5")),
+      curated2, admitted1.select(col("body_md5")),
       "doc_id", "body_md5")
     admitted1.unionByName(admitted2)
       .select(col("doc_id"), col("source"), col("body_md5"))
