@@ -157,9 +157,27 @@ object UnigramLm {
       .take(seedMulti)
     val seed: Map[String, Long] = (chars ++ multi).toMap
     val seedTotal = seed.valuesIterator.sum
-    var probs: Map[String, Double] =
+    val probs0: Map[String, Double] =
       seed.map { case (p, s) => p -> s.toDouble / seedTotal }
+    val (lastExpq, probs) = emSteps(vocab, seed.keySet, probs0, maxPieceLen, iters)
+    UnigramModel(
+      seed.map { case (p, s) =>
+        p -> PieceStat(s, lastExpq.getOrElse(p, 0L), probs(p))
+      },
+      maxPieceLen)
+  }
 
+  /** The EM loop over a weighted word vocabulary with a FIXED piece
+    * set: `iters` E/M rounds from `probsInit`, returning the LAST
+    * round's quantized expected counts and the final probabilities.
+    * Shared by the plain fit and the prune round (the prune re-enters
+    * with the survivor set and renormalized probs).
+    */
+  private def emSteps(vocab: Array[(String, Long)], pieces: Set[String],
+                      probsInit: Map[String, Double], maxPieceLen: Int,
+                      iters: Int): (Map[String, Long], Map[String, Double]) = {
+    import scala.jdk.CollectionConverters._
+    var probs = probsInit
     var lastExpq: Map[String, Long] = Map.empty
     var it = 0
     while (it < iters) {
@@ -221,15 +239,52 @@ object UnigramLm {
       }
       val snap = expq.asScala.toMap.withDefaultValue(0L)
       val tot = snap.valuesIterator.sum
-      lastExpq = seed.map { case (p, _) => p -> snap(p) }
+      lastExpq = pieces.iterator.map(p => p -> snap(p)).toMap
       probs =
         if (tot == 0L) probs
-        else seed.map { case (p, _) => p -> snap(p).toDouble / tot.toDouble }
+        else pieces.iterator.map(p => p -> (snap(p).toDouble / tot.toDouble)).toMap
       it += 1
     }
+    (lastExpq, probs)
+  }
+
+  /** The full Kudo '18 training loop: seed + EM, then a PRUNE round —
+    * keep every single character (coverage) plus the `keepMulti`
+    * multi-char pieces with the highest expected counts (ties
+    * piece-ascending; expected-count mass is the standard
+    * likelihood-loss proxy: a piece the lattice barely uses cannot
+    * hurt much by leaving), renormalize over the survivors, and run
+    * `finalIters` more EM steps on the pruned vocabulary. Same
+    * determinism contract as [[fit]] — exact long ranks, long-sum
+    * M-steps — so the whole two-phase train is SQL-replayable (q252).
+    */
+  def fitPruned(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                seedMulti: Int = 100, emIters: Int = 1, keepMulti: Int = 50,
+                finalIters: Int = 1, maxVocab: Int = 50000): UnigramModel = {
+    require(keepMulti >= 0 && finalIters >= 1, s"bad keepMulti=$keepMulti finalIters=$finalIters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+    val phase1 = fitOnVocab(vocab, maxPieceLen, seedMulti, emIters)
+    val stats = phase1.pieces.toSeq
+    val kept: Map[String, PieceStat] = (stats.filter(_._1.length == 1) ++
+      stats.filter(_._1.length > 1)
+        .sortBy { case (p, st) => (-st.expq, p) } // expq desc, piece asc
+        .take(keepMulti)).toMap
+    val keptTotal = kept.valuesIterator.map(_.expq).sum
+    val probs2: Map[String, Double] =
+      if (keptTotal == 0L) kept.map { case (p, st) => p -> st.prob }
+      else kept.map { case (p, st) => p -> (st.expq.toDouble / keptTotal.toDouble) }
+    val (expqF, probsF) = emSteps(vocab, kept.keySet, probs2, maxPieceLen, finalIters)
     UnigramModel(
-      seed.map { case (p, s) =>
-        p -> PieceStat(s, lastExpq.getOrElse(p, 0L), probs(p))
+      kept.map { case (p, st) =>
+        p -> PieceStat(st.seedScore, expqF.getOrElse(p, 0L), probsF(p))
       },
       maxPieceLen)
   }

@@ -1279,7 +1279,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       | SELECT doc_id,
       |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
       | FROM documents WHERE text IS NOT NULL),
-      |wl AS (
+      |wl AS MATERIALIZED (
       | SELECT w, count(*)::BIGINT AS n, len(w) AS len
       | FROM (SELECT unnest(ws) AS w FROM wsrc) GROUP BY 1, 3),
       |socc AS (
@@ -1298,10 +1298,33 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       |  FROM pscore WHERE len(piece) > 1) t
       | WHERE rk <= 100),
       |stot AS (SELECT sum(score)::BIGINT AS t FROM seed),
-      |probs0 AS (
+      |probs0 AS MATERIALIZED (
       | SELECT s.piece, s.score, s.score::DOUBLE / stot.t AS prob
       | FROM seed s, stot),
-      |fwd AS (
+      |occ AS MATERIALIZED (
+      | SELECT v.w, v.n, i.i AS i, k.k AS k, substr(v.w, i.i + 1, k.k) AS piece
+      | FROM wl v,
+      |      unnest(generate_series(0, v.len - 1)) AS i(i),
+      |      unnest(generate_series(1, 4)) AS k(k)
+      | WHERE i.i + k.k <= v.len),
+      |${unigramLatticeCtes(sfx = "1", probs = "probs0")},
+      |model AS MATERIALIZED (
+      | SELECT s.piece, s.score AS seed_score,
+      |  COALESCE(m1.expq, 0)::BIGINT AS expq,
+      |  CASE WHEN mtot1.t > 0
+      |       THEN COALESCE(m1.expq, 0)::DOUBLE / mtot1.t::DOUBLE
+      |       ELSE s.score::DOUBLE / stot.t END AS prob
+      | FROM seed s LEFT JOIN m1 ON s.piece = m1.piece, mtot1, stot)""".stripMargin
+
+  /** One E/M round of the q250 lattice as CTE text, parameterized by a
+    * name suffix and the piece-probability table to run under —
+    * generated so the prune oracle (q252) can CHAIN rounds without
+    * duplicating the recursion by hand. Emits `fwd$sfx`, `zt$sfx`,
+    * `bwd$sfx`, `contrib$sfx`, `m$sfx`, `mtot$sfx`; expects `wl` and
+    * `occ` in scope and `$probs(piece, prob)`.
+    */
+  private def unigramLatticeCtes(sfx: String, probs: String): String =
+    raw"""fwd$sfx AS (
       | SELECT w, len, 0 AS pos,
       |  1.0::DOUBLE AS a0, 0.0::DOUBLE AS a1, 0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3
       | FROM wl
@@ -1313,14 +1336,14 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       |    + COALESCE(p3.prob * f.a2, 0.0))
       |    + COALESCE(p4.prob * f.a3, 0.0)),
       |  f.a0, f.a1, f.a2
-      | FROM fwd f
-      | LEFT JOIN probs0 p1 ON p1.piece = substr(f.w, f.pos + 1, 1)
-      | LEFT JOIN probs0 p2 ON f.pos + 1 >= 2 AND p2.piece = substr(f.w, f.pos, 2)
-      | LEFT JOIN probs0 p3 ON f.pos + 1 >= 3 AND p3.piece = substr(f.w, f.pos - 1, 3)
-      | LEFT JOIN probs0 p4 ON f.pos + 1 >= 4 AND p4.piece = substr(f.w, f.pos - 2, 4)
+      | FROM fwd$sfx f
+      | LEFT JOIN $probs p1 ON p1.piece = substr(f.w, f.pos + 1, 1)
+      | LEFT JOIN $probs p2 ON f.pos + 1 >= 2 AND p2.piece = substr(f.w, f.pos, 2)
+      | LEFT JOIN $probs p3 ON f.pos + 1 >= 3 AND p3.piece = substr(f.w, f.pos - 1, 3)
+      | LEFT JOIN $probs p4 ON f.pos + 1 >= 4 AND p4.piece = substr(f.w, f.pos - 2, 4)
       | WHERE f.pos < f.len),
-      |zt AS (SELECT w, a0 AS z FROM fwd WHERE pos = len),
-      |bwd AS (
+      |zt$sfx AS (SELECT w, a0 AS z FROM fwd$sfx WHERE pos = len),
+      |bwd$sfx AS (
       | SELECT w, len, len AS pos,
       |  1.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2, 0.0::DOUBLE AS b3
       | FROM wl
@@ -1332,36 +1355,23 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       |    + COALESCE(q3.prob * g.b2, 0.0))
       |    + COALESCE(q4.prob * g.b3, 0.0)),
       |  g.b0, g.b1, g.b2
-      | FROM bwd g
-      | LEFT JOIN probs0 q1 ON q1.piece = substr(g.w, g.pos, 1)
-      | LEFT JOIN probs0 q2 ON q2.piece = substr(g.w, g.pos, 2)
-      | LEFT JOIN probs0 q3 ON q3.piece = substr(g.w, g.pos, 3)
-      | LEFT JOIN probs0 q4 ON q4.piece = substr(g.w, g.pos, 4)
+      | FROM bwd$sfx g
+      | LEFT JOIN $probs q1 ON q1.piece = substr(g.w, g.pos, 1)
+      | LEFT JOIN $probs q2 ON q2.piece = substr(g.w, g.pos, 2)
+      | LEFT JOIN $probs q3 ON q3.piece = substr(g.w, g.pos, 3)
+      | LEFT JOIN $probs q4 ON q4.piece = substr(g.w, g.pos, 4)
       | WHERE g.pos > 0),
-      |occ AS (
-      | SELECT v.w, v.n, i.i AS i, k.k AS k, substr(v.w, i.i + 1, k.k) AS piece
-      | FROM wl v,
-      |      unnest(generate_series(0, v.len - 1)) AS i(i),
-      |      unnest(generate_series(1, 4)) AS k(k)
-      | WHERE i.i + k.k <= v.len),
-      |contrib AS (
+      |contrib$sfx AS (
       | SELECT o.piece,
-      |  round(o.n * (((fa.a0 * p.prob) * fb.b0) / zt.z) * 1000000000)::BIGINT AS cq
+      |  round(o.n * (((fa.a0 * p.prob) * fb.b0) / z.z) * 1000000000)::BIGINT AS cq
       | FROM occ o
-      | JOIN probs0 p ON p.piece = o.piece
-      | JOIN fwd fa ON fa.w = o.w AND fa.pos = o.i
-      | JOIN bwd fb ON fb.w = o.w AND fb.pos = o.i + o.k
-      | JOIN zt ON zt.w = o.w
-      | WHERE zt.z > 0),
-      |m1 AS (SELECT piece, sum(cq)::BIGINT AS expq FROM contrib GROUP BY 1),
-      |mtot AS (SELECT sum(expq)::BIGINT AS t FROM m1),
-      |model AS (
-      | SELECT s.piece, s.score AS seed_score,
-      |  COALESCE(m1.expq, 0)::BIGINT AS expq,
-      |  CASE WHEN mtot.t > 0
-      |       THEN COALESCE(m1.expq, 0)::DOUBLE / mtot.t::DOUBLE
-      |       ELSE s.score::DOUBLE / stot.t END AS prob
-      | FROM seed s LEFT JOIN m1 ON s.piece = m1.piece, mtot, stot)""".stripMargin
+      | JOIN $probs p ON p.piece = o.piece
+      | JOIN fwd$sfx fa ON fa.w = o.w AND fa.pos = o.i
+      | JOIN bwd$sfx fb ON fb.w = o.w AND fb.pos = o.i + o.k
+      | JOIN zt$sfx z ON z.w = o.w
+      | WHERE z.z > 0),
+      |m$sfx AS (SELECT piece, sum(cq)::BIGINT AS expq FROM contrib$sfx GROUP BY 1),
+      |mtot$sfx AS (SELECT sum(expq)::BIGINT AS t FROM m$sfx)""".stripMargin
 
   private def gopherRulesCtesFrom(segSelect: String): String =
     raw"""seg AS (
@@ -1663,6 +1673,27 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("piece"))
   }
 
+  /** Unigram-LM PRUNE round ([[graft.operators.UnigramLm.fitPruned]]
+    * — the vocabulary-reduction half of Kudo '18): after the q250 EM
+    * step, keep every single character plus the 50 multi-char pieces
+    * with the highest expected counts (the likelihood-loss proxy),
+    * renormalize over the survivors, and run one MORE EM step on the
+    * pruned vocabulary. The oracle CHAINS two generated lattice
+    * rounds (the q250 recursive-CTE block, parameterized by the
+    * probability table it runs under) with the rank cut and
+    * renormalization in between — the whole two-phase train
+    * hash-matched cell by cell.
+    */
+  private def q252UnigramPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = UnigramLm.fitPruned(docs, "text", maxPieceLen = 4,
+      seedMulti = 100, emIters = 1, keepMulti = 50, finalIters = 1)
+    UnigramLm.modelTable(s, model)
+      .select(col("piece"), col("seed_score"), col("expq"), col("prob"))
+      .orderBy(col("piece"))
+  }
+
   /** Unigram-LM Viterbi token counting
     * ([[graft.operators.UnigramLm.tokenCounts]]): the corpus tokenized
     * map-side under the q250 model in INTEGER micro-log space — path
@@ -1750,6 +1781,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q248_lang_nb" -> (q248LangNb _),
     "q250_unigram_em" -> (q250UnigramEm _),
     "q251_unigram_tokens" -> (q251UnigramTokens _),
+    "q252_unigram_prune" -> (q252UnigramPrune _),
     "q31_fingerprint" -> (q31Fingerprint _),
     "q36_multimodal" -> (q36Multimodal _),
     "q46_pii_scrub" -> (q46PiiScrub _),
@@ -1922,6 +1954,36 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) m
         |LEFT JOIN agg a ON m.doc_id = a.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // q252: the prune round chained onto q250's model — rank cut on
+    // expected counts, renormalize, one more generated lattice round
+    "q252_unigram_prune" ->
+      s"""WITH RECURSIVE $unigramModelCtes,
+        |kept AS MATERIALIZED (
+        | SELECT piece, seed_score, expq, prob FROM model WHERE len(piece) = 1
+        | UNION ALL
+        | SELECT piece, seed_score, expq, prob FROM (
+        |  SELECT piece, seed_score, expq, prob,
+        |   row_number() OVER (ORDER BY expq DESC, piece ASC) AS rk
+        |  FROM model WHERE len(piece) > 1) t
+        | WHERE rk <= 50),
+        |ktot AS (SELECT sum(expq)::BIGINT AS t FROM kept),
+        |probs2 AS MATERIALIZED (
+        | SELECT k.piece,
+        |  CASE WHEN ktot.t > 0 THEN k.expq::DOUBLE / ktot.t::DOUBLE
+        |       ELSE k.prob END AS prob
+        | FROM kept k, ktot),
+        |${unigramLatticeCtes(sfx = "2", probs = "probs2")},
+        |model2 AS (
+        | SELECT k.piece, k.seed_score,
+        |  COALESCE(m2.expq, 0)::BIGINT AS expq,
+        |  CASE WHEN mtot2.t > 0
+        |       THEN COALESCE(m2.expq, 0)::DOUBLE / mtot2.t::DOUBLE
+        |       ELSE p2.prob END AS prob
+        | FROM kept k
+        | LEFT JOIN m2 ON k.piece = m2.piece
+        | JOIN probs2 p2 ON k.piece = p2.piece, mtot2)
+        |SELECT piece, seed_score, expq, prob FROM model2
+        |ORDER BY piece""".stripMargin,
     // q249: the incremental path must be indistinguishable from a COLD
     // recompute — the oracle curates the whole corpus in one pass
     // (extraction floor, rules over the extracted body, min-id winner
@@ -1933,7 +1995,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         | FROM documents WHERE text IS NOT NULL),
         |${gopherRulesCtesFrom(
           "SELECT doc_id, source, CASE WHEN len(clean) >= 25 THEN clean ELSE '' END AS t FROM d0")},
-        |kept AS (
+        |kept AS MATERIALIZED (
         | SELECT d0.doc_id, d0.source,
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(d0.clean), ' '))), ' ')) AS body_md5

@@ -63,6 +63,25 @@ class UnigramLmSpec extends SparkSpec {
     assert(got(0)._3 >= got(0)._2 && got(0)._3 <= "prefixruning".length)
   }
 
+  test("prune round keeps the reused morphemes, drops boundary-straddlers, " +
+      "and segmentation survives") {
+    val df = planted.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .grouped(7).map(_.mkString(" ")).toSeq.toDF("text")
+    val pruned = UnigramLm.fitPruned(df, "text", maxPieceLen = 4,
+      seedMulti = 60, emIters = 2, keepMulti = 6, finalIters = 2)
+    val multi = pruned.pieces.keySet.filter(_.length > 1)
+    assert(multi.size <= 6)
+    // the planted morphemes carry the expected-count mass and survive
+    // a cut to 6 multi-char pieces; straddlers like "efix" don't
+    Seq("pre", "fix", "ing", "run").foreach(m =>
+      assert(multi.contains(m), s"morpheme '$m' must survive the prune: $multi"))
+    assert(!multi.contains("efix") && !multi.contains("xing"))
+    assert(pruned.segment("prefixing") == Seq("pre", "fix", "ing"))
+    // single chars always survive (coverage): every corpus char present
+    assert(planted.flatMap(_._1.toSeq).toSet
+      .forall(c => pruned.pieces.contains(c.toString)))
+  }
+
   test("token-count parity: unigram counts track the BPE-regex counter on word text") {
     val model = UnigramLm.fitOnVocab(planted, maxPieceLen = 4,
       seedMulti = 60, iters = 3)
