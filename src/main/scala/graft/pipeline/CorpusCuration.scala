@@ -32,6 +32,45 @@ object CorpusCuration {
   // gate only reads n_tokens/n_unique, so the list's content is inert here
   private val Stop = Seq("the", "a", "and", "of", "to")
 
+  /** The crawl-side funnel transform shared by q249 and
+    * [[graft.streaming.CrawlStream]]: a frame of WARC blobs (any
+    * carried columns + a binary `blobCol`; `source` must be among
+    * them) → one curated row per admitted-candidate record:
+    * (doc_id, source, body_md5). Stages: WARC record explode
+    * ([[graft.sources.Warc.records]] — gzip member chains inflate
+    * inline) → main-content extraction
+    * ([[graft.sources.MainContent]]) → the Gopher/C4 rule table
+    * MINUS the stopword rule (its English prior zeroes synthetic and
+    * code-heavy corpora; the q249 scaladoc carries the measurement) →
+    * bag-of-words fingerprint (md5 of the body's sorted distinct
+    * tokens). Every stage is a NARROW map-side projection, which is
+    * what makes the same transform legal on a streaming frame —
+    * micro-batches flow through it unchanged and only the admission
+    * step (dedup against the index) needs per-batch state.
+    */
+  def curateWarcBlobs(blobs: DataFrame, blobCol: String = "blob"): DataFrame = {
+    import graft.sources.{MainContent, Warc}
+    import graft.operators.QualityRules
+    val e = MainContent.extractColumn(col("payload_text"))
+    val staged = Warc.records(blobs, blobCol)
+      .withColumn("main_text", e.getField("mainText"))
+      .withColumn("extracted", col("main_text") =!= "")
+      .withColumn("body", substring_index(col("main_text"), "\n", -1))
+      .withColumn("body_md5",
+        md5(array_join(array_sort(array_distinct(
+          split(lower(col("body")), " "))), " ")))
+      .withColumn("doc_id",
+        element_at(split(col("target_uri"), "/"), -1).cast("long"))
+    val rules = QualityRules.ruleTable(staged, "doc_id", "body",
+      carryCols = Seq("source", "extracted", "body_md5"))
+    val keep = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+      "r_dup_lines", "r_top_2gram", "r_top_3gram", "r_no_brace",
+      "r_no_lorem").map(col).reduce(_ && _)
+    rules.filter(keep && col("extracted"))
+      .select(col("doc_id"), col("source"), col("body_md5"))
+  }
+
   /** Stages 1–2 (shared single source of truth): language-filtered and
     * quality-filtered frames, unpersisted.
     */

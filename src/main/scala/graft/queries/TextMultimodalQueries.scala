@@ -1591,8 +1591,8 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     */
   private def q249IncrementalCrawl(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.sources.{MainContent, Warc}
-    import graft.operators.{Incremental, QualityRules}
+    import graft.sources.Warc
+    import graft.operators.Incremental
     import java.nio.charset.StandardCharsets.UTF_8
     val docs = t(s, dir, "documents").filter(col("text").isNotNull)
       .withColumn("__clean", regexp_replace(trim(col("text")), "\\s+", " "))
@@ -1603,6 +1603,9 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     val cut = docs.toDF("source", "doc_id", "page")
       .agg(floor(max(col("doc_id")) / 2).cast("long")).collect()(0).getLong(0)
 
+    // blob synthesis (test scaffolding) + the SHARED funnel transform
+    // ([[graft.pipeline.CorpusCuration.curateWarcBlobs]] — the same
+    // code path CrawlStream runs per micro-batch)
     def curatedBatch(batch: org.apache.spark.sql.Dataset[(String, Long, String)])
         : DataFrame = {
       val blobs = batch.groupByKey(_._1).mapGroups { (src, it) =>
@@ -1612,25 +1615,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         }.toArray.flatten
         (src, blob)
       }.toDF("source", "blob")
-      val e = MainContent.extractColumn(col("payload_text"))
-      val staged = Warc.records(blobs, "blob")
-        .withColumn("main_text", e.getField("mainText"))
-        .withColumn("extracted", col("main_text") =!= "")
-        .withColumn("body", substring_index(col("main_text"), "\n", -1))
-        .withColumn("body_md5",
-          md5(array_join(array_sort(array_distinct(
-            split(lower(col("body")), " "))), " ")))
-        .withColumn("doc_id",
-          element_at(split(col("target_uri"), "/"), -1).cast("long"))
-      val rules = QualityRules.ruleTable(staged, "doc_id", "body",
-        carryCols = Seq("source", "extracted", "body_md5"))
-      // every rule except stopwords (see the scaladoc)
-      val keep = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
-        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
-        "r_dup_lines", "r_top_2gram", "r_top_3gram", "r_no_brace",
-        "r_no_lorem").map(col).reduce(_ && _)
-      rules.filter(keep && col("extracted"))
-        .select(col("doc_id"), col("source"), col("body_md5"))
+      graft.pipeline.CorpusCuration.curateWarcBlobs(blobs)
     }
 
     // each curated batch feeds two plan branches of its dedupDelta

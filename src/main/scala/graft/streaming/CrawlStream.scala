@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+
+/** Continuous crawl curation: the q249 funnel run as a Structured
+  * Streaming pipeline — WARC blob files arrive in a watched directory,
+  * each micro-batch flows through the SHARED narrow funnel transform
+  * ([[graft.pipeline.CorpusCuration.curateWarcBlobs]]: record explode,
+  * main-content extraction, quality rules, bag-of-words fingerprint),
+  * and a `foreachBatch` sink ADMITS the batch against the fingerprints
+  * of every previously committed batch
+  * ([[graft.operators.Incremental.dedupDelta]]) — O(batch) per
+  * trigger, the curated corpus never recomputed. This is how the q249
+  * identity actually runs at 100 TB: the batch query proves
+  * incremental ≡ cold recompute; this wires the same admission into
+  * the engine's streaming runtime.
+  *
+  * Exactly-once contract (the [[EventStreams.exactlyOnceParquetSink]]
+  * convention, extended for SELF-REFERENTIAL state): each batch writes
+  * to its own `batch_<id>` subdirectory and commits with a marker
+  * file. The admission index reads ONLY committed sibling batch
+  * directories and NEVER the current batch's own id — a redelivered
+  * batch after a partial write would otherwise see its own orphaned
+  * fingerprints, admit nothing, and overwrite good data with an empty
+  * result. Parquet column pruning makes the index probe a
+  * fingerprint-column-only scan of the curated table itself — no
+  * second index table to keep in sync.
+  */
+object CrawlStream {
+
+  val BlobSchema: StructType = StructType(Seq(
+    StructField("source", StringType),
+    StructField("blob", BinaryType)))
+
+  /** Watch a directory of blob parquet files as a stream, one file per
+    * micro-batch (each crawl dump admits atomically, in arrival order).
+    */
+  def readBlobStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(BlobSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** The curated-and-admitted table so far: committed batch dirs only. */
+  def readCurated(spark: SparkSession, tableDir: String): DataFrame = {
+    val dirs = committedBatchDirs(spark, tableDir, excludeBatchId = -1L)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("source", StringType),
+          StructField("body_md5", StringType))))
+    else spark.read.parquet(dirs: _*)
+  }
+
+  private def committedBatchDirs(spark: SparkSession, tableDir: String,
+                                 excludeBatchId: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+      .filter(st => st.getPath.getName != s"batch_$excludeBatchId")
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
+      .map(_.getPath.toString)
+  }
+
+  /** foreachBatch sink: admit a curated micro-batch against the
+    * committed history and append the survivors. Idempotent under
+    * redelivery (marker check + own-batch exclusion above).
+    */
+  def admitSink(tableDir: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val dir = new org.apache.hadoop.fs.Path(s"$tableDir/batch_$batchId")
+      val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        import spark.implicits._
+        val committed = committedBatchDirs(spark, tableDir, excludeBatchId = batchId)
+        val index =
+          if (committed.isEmpty) Seq.empty[String].toDF("body_md5")
+          else spark.read.parquet(committed: _*).select("body_md5")
+        graft.operators.Incremental
+          .dedupDelta(batch, index, "doc_id", "body_md5")
+          .select("doc_id", "source", "body_md5")
+          .write.mode("overwrite").parquet(dir.toString)
+        fs.create(marker, true).close()
+      }
+  }
+
+  /** Wire the whole pipeline: blob stream → shared funnel → admission
+    * sink; runs all available files then stops (the bounded-source
+    * test/demo shape — production drops the AvailableNow trigger and
+    * keeps a checkpoint).
+    */
+  def runAvailable(spark: SparkSession, blobDir: String, tableDir: String,
+                   checkpointDir: String): Unit = {
+    val curated = graft.pipeline.CorpusCuration
+      .curateWarcBlobs(readBlobStream(spark, blobDir))
+    val q = curated.writeStream
+      .foreachBatch(admitSink(tableDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
