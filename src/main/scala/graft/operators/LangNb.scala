@@ -64,6 +64,28 @@ object LangNb {
       }
       (langs(bestI), bestS)
     }
+
+    /** [[predict]] plus the winner-vs-runner-up margin (exact long
+      * difference of the two top scores) — the routing-confidence
+      * signal a curation pipeline thresholds before committing a
+      * document to a per-language path. Single-class models have no
+      * runner-up; margin 0 by convention.
+      */
+    def predictWithMargin(grams: Seq[Int]): (String, Long, Long) = {
+      var bestI = 0
+      var bestS = Long.MinValue
+      var secondS = Long.MinValue
+      var c = 0
+      while (c < langs.length) {
+        var s = priorsQ(c)
+        val ll = logLikQ(c)
+        grams.foreach(b => s += ll(b))
+        if (s > bestS) { secondS = bestS; bestS = s; bestI = c }
+        else if (s > secondS) { secondS = s }
+        c += 1
+      }
+      (langs(bestI), bestS, if (langs.length < 2) 0L else bestS - secondS)
+    }
   }
 
   /** The normalization both train and predict share: lowercase, trim,
@@ -146,6 +168,20 @@ object LangNb {
         score(gramBuckets(df, col(textCol), model.n, model.buckets)))
       .withColumn("pred_lang", col("__pred._1"))
       .withColumn("score_q", col("__pred._2"))
+      .drop("__pred")
+  }
+
+  /** [[predict]] plus the exact winner-vs-runner-up margin column
+    * (`margin_q`, integer micro-log units) — same map-side shape.
+    */
+  def predictMargins(df: DataFrame, textCol: String, model: Model): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val score = udf((grams: Seq[Int]) => bc.value.predictWithMargin(grams))
+    df.withColumn("__pred",
+        score(gramBuckets(df, col(textCol), model.n, model.buckets)))
+      .withColumn("pred_lang", col("__pred._1"))
+      .withColumn("score_q", col("__pred._2"))
+      .withColumn("margin_q", col("__pred._3"))
       .drop("__pred")
   }
 }

@@ -1264,6 +1264,50 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     */
   // raw interpolator: the SQL carries \s-class regexes that the s
   // interpolator would reject as invalid escapes at runtime
+  /** Shared CTE chain for the q248/q253 oracles: the naive-Bayes
+    * language-ID train-then-score replayed in SQL, ending at `sc` —
+    * one row per (doc, candidate lang) with the exact integer score
+    * and its rank under (score desc, lang asc). `d` (normalized docs)
+    * stays in scope for callers needing word counts.
+    */
+  private val langNbCtes: String =
+    raw"""d AS (
+      | SELECT doc_id, lang,
+      |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      | FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      | SELECT doc_id,
+      |  CAST(('0x' || substring(md5(substr(t, p, 3)), 1, 8)) AS BIGINT) % 1024 AS b
+      | FROM d, unnest(generate_series(1, len(t) - 2)) AS p(p)),
+      |cnt AS (
+      | SELECT d.lang, g.b, count(*)::BIGINT AS c
+      | FROM g JOIN d ON g.doc_id = d.doc_id GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+      |cls AS (
+      | SELECT lang, round(ln(1.0 / (tot + 1024)) * 1000000)::BIGINT AS dflt
+      | FROM tot),
+      |pri AS (
+      | SELECT lang,
+      |  round(ln(count(*)::DOUBLE / (SELECT count(*) FROM d)) * 1000000)::BIGINT AS pq
+      | FROM d GROUP BY 1),
+      |ll AS (
+      | SELECT cnt.lang, cnt.b,
+      |  round(ln((cnt.c + 1)::DOUBLE / (tot.tot + 1024)) * 1000000)::BIGINT AS llq
+      | FROM cnt JOIN tot ON cnt.lang = tot.lang),
+      |gs AS (
+      | SELECT g.doc_id, c.lang AS cand,
+      |  sum(COALESCE(ll.llq, c.dflt))::BIGINT AS gq
+      | FROM g CROSS JOIN cls c
+      | LEFT JOIN ll ON ll.lang = c.lang AND ll.b = g.b
+      | GROUP BY 1, 2),
+      |sc AS MATERIALIZED (
+      | SELECT d.doc_id, d.lang, p.lang AS cand,
+      |  p.pq + COALESCE(gs.gq, 0) AS score_q,
+      |  row_number() OVER (PARTITION BY d.doc_id
+      |    ORDER BY p.pq + COALESCE(gs.gq, 0) DESC, p.lang ASC) AS rk
+      | FROM d CROSS JOIN pri p
+      | LEFT JOIN gs ON gs.doc_id = d.doc_id AND gs.cand = p.lang)""".stripMargin
+
   /** Shared CTE chain for the q250/q251 oracles: the unigram-LM train
     * replayed in SQL — word frequencies, substring seed scores with the
     * (score desc, piece asc) top-100 multi-char cut, seed probs, the
@@ -1717,6 +1761,31 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** Language routing audit ([[graft.operators.LangNb.predictMargins]]
+    * composed with corpus statistics): the trained classifier routes
+    * every document to its predicted language, and the per-route
+    * rollup reports volume (docs, words), EXACT routing-confidence
+    * mass (Σ winner-vs-runner-up margins — long sums of the q248
+    * integer scores, so the oracle hash-matches them), and agreement
+    * with the original labels — the audit a curation pipeline runs
+    * before committing documents to per-language processing paths.
+    */
+  private def q253LangRouting(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LangNb
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = LangNb.fit(docs, "text", "lang", n = 3, buckets = 1024)
+    LangNb.predictMargins(docs, "text", model)
+      .withColumn("n_words",
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          w => w =!= lit(""))).cast("long"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("margin_q")).as("sum_margin_q"),
+        sum((col("pred_lang") === col("lang")).cast("long")).as("n_label_agree"))
+      .orderBy(col("pred_lang"))
+  }
+
   /** Robots-exclusion gate ([[graft.sources.RobotsTxt]], RFC 9309):
     * URLs synthesized per document (five path archetypes) against one
     * per-host policy exercising group selection, longest-match
@@ -1764,6 +1833,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_id" -> (q30LangId _),
     "q248_lang_nb" -> (q248LangNb _),
+    "q253_lang_routing" -> (q253LangRouting _),
     "q250_unigram_em" -> (q250UnigramEm _),
     "q251_unigram_tokens" -> (q251UnigramTokens _),
     "q252_unigram_prune" -> (q252UnigramPrune _),
@@ -2000,45 +2070,30 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     // micro-log units with round() (both engines round half away from
     // zero), scores as exact BIGINT sums, argmax tie-broken lang-asc
     "q248_lang_nb" ->
-      """WITH d AS (
-        | SELECT doc_id, lang,
-        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        | FROM documents WHERE text IS NOT NULL),
-        |g AS (
-        | SELECT doc_id,
-        |  CAST(('0x' || substring(md5(substr(t, p, 3)), 1, 8)) AS BIGINT) % 1024 AS b
-        | FROM d, unnest(generate_series(1, len(t) - 2)) AS p(p)),
-        |cnt AS (
-        | SELECT d.lang, g.b, count(*)::BIGINT AS c
-        | FROM g JOIN d ON g.doc_id = d.doc_id GROUP BY 1, 2),
-        |tot AS (SELECT lang, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
-        |cls AS (
-        | SELECT lang, round(ln(1.0 / (tot + 1024)) * 1000000)::BIGINT AS dflt
-        | FROM tot),
-        |pri AS (
-        | SELECT lang,
-        |  round(ln(count(*)::DOUBLE / (SELECT count(*) FROM d)) * 1000000)::BIGINT AS pq
-        | FROM d GROUP BY 1),
-        |ll AS (
-        | SELECT cnt.lang, cnt.b,
-        |  round(ln((cnt.c + 1)::DOUBLE / (tot.tot + 1024)) * 1000000)::BIGINT AS llq
-        | FROM cnt JOIN tot ON cnt.lang = tot.lang),
-        |gs AS (
-        | SELECT g.doc_id, c.lang AS cand,
-        |  sum(COALESCE(ll.llq, c.dflt))::BIGINT AS gq
-        | FROM g CROSS JOIN cls c
-        | LEFT JOIN ll ON ll.lang = c.lang AND ll.b = g.b
-        | GROUP BY 1, 2),
-        |sc AS (
-        | SELECT d.doc_id, d.lang, p.lang AS cand,
-        |  p.pq + COALESCE(gs.gq, 0) AS score_q,
-        |  row_number() OVER (PARTITION BY d.doc_id
-        |    ORDER BY p.pq + COALESCE(gs.gq, 0) DESC, p.lang ASC) AS rk
-        | FROM d CROSS JOIN pri p
-        | LEFT JOIN gs ON gs.doc_id = d.doc_id AND gs.cand = p.lang)
+      s"""WITH $langNbCtes
         |SELECT doc_id, lang, cand AS pred_lang, score_q
         |FROM sc WHERE rk = 1
         |ORDER BY doc_id""".stripMargin,
+    // q253: the q248 chain aggregated per PREDICTED language, with the
+    // exact rk1−rk2 margin sums (ties margin 0, same as the operator)
+    "q253_lang_routing" ->
+      s"""WITH $langNbCtes,
+        |win AS (SELECT doc_id, lang, cand, score_q FROM sc WHERE rk = 1),
+        |run2 AS (SELECT doc_id, score_q AS s2 FROM sc WHERE rk = 2),
+        |wc AS (
+        | SELECT doc_id,
+        |  len(list_filter(string_split(t, ' '), x -> x <> ''))::BIGINT AS n_words
+        | FROM d)
+        |SELECT w.cand AS pred_lang,
+        | count(*)::BIGINT AS n_docs,
+        | sum(wc.n_words)::BIGINT AS sum_words,
+        | sum(w.score_q - r.s2)::BIGINT AS sum_margin_q,
+        | sum(CASE WHEN w.cand = w.lang THEN 1 ELSE 0 END)::BIGINT AS n_label_agree
+        |FROM win w
+        |JOIN run2 r ON w.doc_id = r.doc_id
+        |JOIN wc ON w.doc_id = wc.doc_id
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q247: gzip must be invisible — the same closed-form identity as
     // q241 proves the member-chain inflater reproduces every record
     "q247_warc_gz_ingest" ->

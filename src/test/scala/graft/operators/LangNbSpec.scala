@@ -97,6 +97,28 @@ class LangNbSpec extends SparkSpec {
     assert(out.getLong(1) == model.priorsQ(model.langs.indexOf(model.langs.min)))
   }
 
+  test("predictWithMargin: margin is the exact top-two gap; ties give margin 0") {
+    val df = Seq("el rápido zorro marrón", "ab").toDF("text")
+    val out = LangNb.predictMargins(df, "text", model)
+      .select(col("text"), col("pred_lang"), col("score_q"), col("margin_q"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // confident Spanish text: positive margin, winner matches predict()
+    val (pEs, sEs, mEs) = out("el rápido zorro marrón")
+    assert(pEs == "es" && mEs > 0)
+    // recompute the gap by scoring every class directly
+    val grams = Seq("el rápido zorro marrón").toDF("text")
+      .select(LangNb.gramBuckets(df, col("text"), model.n, model.buckets))
+      .collect()(0).getSeq[Int](0)
+    val scores = model.langs.indices.map { c =>
+      model.priorsQ(c) + grams.map(model.logLikQ(c)(_)).sum
+    }.sorted.reverse
+    assert(sEs == scores(0) && mEs == scores(0) - scores(1))
+    // no grams + equal priors: every class ties → margin 0
+    val (_, _, mTie) = out("ab")
+    assert(mTie == 0L)
+  }
+
   test("fit gates the driver collect on classes x buckets") {
     val err = intercept[IllegalArgumentException] {
       LangNb.fit(trainDf, "text", "lang", n = 3, buckets = 512, maxCells = 100)
