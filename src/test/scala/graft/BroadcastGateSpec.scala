@@ -92,9 +92,10 @@ class BroadcastGateSpec extends AnyFunSuite {
       "gated: adjacency broadcast iff edges <= BroadcastAdjacencyEdges (bytes proxy: one long/edge)"),
     "graft/operators/GroupOps.scala" -> (7,
       "contract: per-group medians/modes over bounded dims, scalar counts, column-name maps"),
-    "graft/operators/LangNb.scala" -> (2,
-      "contract: 1-row doc-total aggregate for priors; scoring model " +
-        "broadcast bounded by the classes x buckets fit gate"),
+    "graft/operators/LangNb.scala" -> (3,
+      "contract: 1-row doc-total aggregate for priors; the two scoring " +
+        "model broadcasts (predict/predictMargins) bounded by the " +
+        "classes x buckets fit gate"),
     "graft/operators/UnigramLm.scala" -> (1,
       "contract: token-count model broadcast, seed-vocab-sized (chars + seedMulti pieces)"),
     "graft/operators/Pq.scala" -> (5, "contract: codebooks (k*m*d floats), query ids, probe lists — parameter-sized"),
