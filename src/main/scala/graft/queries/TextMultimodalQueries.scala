@@ -1308,6 +1308,53 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       | FROM d CROSS JOIN pri p
       | LEFT JOIN gs ON gs.doc_id = d.doc_id AND gs.cand = p.lang)""".stripMargin
 
+  /** Shared CTE tail for the q251/q254 oracles: integer-micro-log
+    * Viterbi over the q250 model (the recursion carries (score, count)
+    * state for the last 4 positions; candidates collapse via
+    * list_sort on (-score, count) structs — ties to fewer tokens,
+    * exactly the operator's scan), ending at `agg` (per-doc word and
+    * token counts). Expects `model`, `wl`, `wsrc` in scope.
+    */
+  private val unigramViterbiCtes: String =
+    raw"""llq AS (
+      | SELECT piece, round(ln(prob) * 1000000)::BIGINT AS q
+      | FROM model WHERE prob > 0),
+      |vit AS (
+      | SELECT w, len, 0 AS pos,
+      |  0::BIGINT AS s0, NULL::BIGINT AS s1, NULL::BIGINT AS s2, NULL::BIGINT AS s3,
+      |  0::BIGINT AS n0, NULL::BIGINT AS n1, NULL::BIGINT AS n2, NULL::BIGINT AS n3
+      | FROM wl
+      | UNION ALL
+      | SELECT w, len, pos + 1,
+      |  -(x.ns), s0, s1, s2,
+      |  x.n, n0, n1, n2
+      | FROM (
+      |  SELECT v.w, v.len, v.pos, v.s0, v.s1, v.s2, v.s3,
+      |   v.n0, v.n1, v.n2, v.n3,
+      |   list_sort(list_filter([
+      |     {'ok': TRUE,
+      |      'ns': -(v.s0 + COALESCE(l1.q, -30000000)), 'n': v.n0 + 1},
+      |     {'ok': v.s1 IS NOT NULL AND l2.q IS NOT NULL,
+      |      'ns': -(v.s1 + l2.q), 'n': v.n1 + 1},
+      |     {'ok': v.s2 IS NOT NULL AND l3.q IS NOT NULL,
+      |      'ns': -(v.s2 + l3.q), 'n': v.n2 + 1},
+      |     {'ok': v.s3 IS NOT NULL AND l4.q IS NOT NULL,
+      |      'ns': -(v.s3 + l4.q), 'n': v.n3 + 1}
+      |    ], c -> c.ok))[1] AS x
+      |  FROM vit v
+      |  LEFT JOIN llq l1 ON l1.piece = substr(v.w, v.pos + 1, 1)
+      |  LEFT JOIN llq l2 ON v.pos + 1 >= 2 AND l2.piece = substr(v.w, v.pos, 2)
+      |  LEFT JOIN llq l3 ON v.pos + 1 >= 3 AND l3.piece = substr(v.w, v.pos - 1, 3)
+      |  LEFT JOIN llq l4 ON v.pos + 1 >= 4 AND l4.piece = substr(v.w, v.pos - 2, 4)
+      |  WHERE v.pos < v.len) t),
+      |wtok AS (SELECT w, n0 AS ntok FROM vit WHERE pos = len),
+      |docw AS (SELECT doc_id, unnest(ws) AS w FROM wsrc),
+      |agg AS MATERIALIZED (
+      | SELECT d.doc_id, count(*)::BIGINT AS n_words,
+      |  sum(t.ntok)::BIGINT AS n_tokens
+      | FROM docw d JOIN wtok t ON d.w = t.w
+      | GROUP BY 1)""".stripMargin
+
   /** Shared CTE chain for the q250/q251 oracles: the unigram-LM train
     * replayed in SQL — word frequencies, substring seed scores with the
     * (score desc, piece asc) top-100 multi-char cut, seed probs, the
@@ -1741,6 +1788,32 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by language
+    * ([[graft.operators.UnigramLm.tokenCounts]] rolled up per lang):
+    * subword tokens per whitespace word — THE standard
+    * tokenizer-equity metric (a language whose fertility runs high
+    * pays more sequence length per sentence, the SentencePiece eval
+    * table every multilingual pipeline publishes). Counts are exact
+    * longs from the integer-Viterbi path, so the oracle extends
+    * q251's replayed chain with the label join and hash-matches; the
+    * ratio is one exact-long division rounded at 6 dp.
+    */
+  private def q254TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = UnigramLm.fit(docs, "text", maxPieceLen = 4,
+      seedMulti = 100, iters = 1)
+    UnigramLm.tokenCounts(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .orderBy(col("lang"))
+  }
+
   /** Trained naive-Bayes language ID ([[graft.operators.LangNb]]):
     * multinomial NB over md5-hashed char-3-grams, trained in-engine on
     * the corpus's own labels and scored map-side against the broadcast
@@ -1837,6 +1910,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q250_unigram_em" -> (q250UnigramEm _),
     "q251_unigram_tokens" -> (q251UnigramTokens _),
     "q252_unigram_prune" -> (q252UnigramPrune _),
+    "q254_tokenizer_fertility" -> (q254TokenizerFertility _),
     "q31_fingerprint" -> (q31Fingerprint _),
     "q36_multimodal" -> (q36Multimodal _),
     "q46_pii_scrub" -> (q46PiiScrub _),
@@ -1965,50 +2039,28 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     // ties break to fewer tokens exactly as the operator's scan does
     "q251_unigram_tokens" ->
       s"""WITH RECURSIVE $unigramModelCtes,
-        |llq AS (
-        | SELECT piece, round(ln(prob) * 1000000)::BIGINT AS q
-        | FROM model WHERE prob > 0),
-        |vit AS (
-        | SELECT w, len, 0 AS pos,
-        |  0::BIGINT AS s0, NULL::BIGINT AS s1, NULL::BIGINT AS s2, NULL::BIGINT AS s3,
-        |  0::BIGINT AS n0, NULL::BIGINT AS n1, NULL::BIGINT AS n2, NULL::BIGINT AS n3
-        | FROM wl
-        | UNION ALL
-        | SELECT w, len, pos + 1,
-        |  -(x.ns), s0, s1, s2,
-        |  x.n, n0, n1, n2
-        | FROM (
-        |  SELECT v.w, v.len, v.pos, v.s0, v.s1, v.s2, v.s3,
-        |   v.n0, v.n1, v.n2, v.n3,
-        |   list_sort(list_filter([
-        |     {'ok': TRUE,
-        |      'ns': -(v.s0 + COALESCE(l1.q, -30000000)), 'n': v.n0 + 1},
-        |     {'ok': v.s1 IS NOT NULL AND l2.q IS NOT NULL,
-        |      'ns': -(v.s1 + l2.q), 'n': v.n1 + 1},
-        |     {'ok': v.s2 IS NOT NULL AND l3.q IS NOT NULL,
-        |      'ns': -(v.s2 + l3.q), 'n': v.n2 + 1},
-        |     {'ok': v.s3 IS NOT NULL AND l4.q IS NOT NULL,
-        |      'ns': -(v.s3 + l4.q), 'n': v.n3 + 1}
-        |    ], c -> c.ok))[1] AS x
-        |  FROM vit v
-        |  LEFT JOIN llq l1 ON l1.piece = substr(v.w, v.pos + 1, 1)
-        |  LEFT JOIN llq l2 ON v.pos + 1 >= 2 AND l2.piece = substr(v.w, v.pos, 2)
-        |  LEFT JOIN llq l3 ON v.pos + 1 >= 3 AND l3.piece = substr(v.w, v.pos - 1, 3)
-        |  LEFT JOIN llq l4 ON v.pos + 1 >= 4 AND l4.piece = substr(v.w, v.pos - 2, 4)
-        |  WHERE v.pos < v.len) t),
-        |wtok AS (SELECT w, n0 AS ntok FROM vit WHERE pos = len),
-        |docw AS (SELECT doc_id, unnest(ws) AS w FROM wsrc),
-        |agg AS (
-        | SELECT d.doc_id, count(*)::BIGINT AS n_words,
-        |  sum(t.ntok)::BIGINT AS n_tokens
-        | FROM docw d JOIN wtok t ON d.w = t.w
-        | GROUP BY 1)
+        |$unigramViterbiCtes
         |SELECT m.doc_id,
         | COALESCE(a.n_words, 0)::BIGINT AS n_words,
         | COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens
         |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) m
         |LEFT JOIN agg a ON m.doc_id = a.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // q254: the q251 chain joined to the labels and rolled up per
+    // language — exact long token sums, one rounded ratio
+    "q254_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $unigramModelCtes,
+        |$unigramViterbiCtes
+        |SELECT doc.lang,
+        | count(*)::BIGINT AS n_docs,
+        | sum(COALESCE(a.n_words, 0))::BIGINT AS n_words,
+        | sum(COALESCE(a.n_tokens, 0))::BIGINT AS n_tokens,
+        | round(sum(COALESCE(a.n_tokens, 0))::DOUBLE
+        |   / sum(COALESCE(a.n_words, 0)), 6) AS fertility
+        |FROM (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL) doc
+        |LEFT JOIN agg a ON doc.doc_id = a.doc_id
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q252: the prune round chained onto q250's model — rank cut on
     // expected counts, renormalize, one more generated lattice round
     "q252_unigram_prune" ->
