@@ -58,6 +58,10 @@ object Bench {
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Option[String]) = {
+      // progress marker on stderr (the Verify convention): log4j
+      // warnings interleave with these, so a CacheManager/broadcast
+      // warning in the stream attributes to the query that logged it
+      System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Spark prune the projections being measured)

@@ -159,11 +159,15 @@ object LangNb {
 
   /** Score a corpus against a trained model map-side: one fused gram
     * pass + broadcast-model argmax per row, no shuffle. Adds
-    * `pred_lang` and the exact integer score `score_q`.
+    * `pred_lang` and the exact integer score `score_q`. Null text
+    * scores as an EMPTY gram set (prior-only argmax) — [[fit]] filters
+    * nulls out of training, but the scoring API must not NPE on them
+    * (the gram kernel is null-intolerant, so the UDF sees a null Seq).
     */
   def predict(df: DataFrame, textCol: String, model: Model): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
-    val score = udf((grams: Seq[Int]) => bc.value.predict(grams))
+    val score = udf((grams: Seq[Int]) =>
+      bc.value.predict(if (grams == null) Nil else grams))
     df.withColumn("__pred",
         score(gramBuckets(df, col(textCol), model.n, model.buckets)))
       .withColumn("pred_lang", col("__pred._1"))
@@ -172,11 +176,13 @@ object LangNb {
   }
 
   /** [[predict]] plus the exact winner-vs-runner-up margin column
-    * (`margin_q`, integer micro-log units) — same map-side shape.
+    * (`margin_q`, integer micro-log units) — same map-side shape and
+    * the same null-text contract (empty grams, prior-only score).
     */
   def predictMargins(df: DataFrame, textCol: String, model: Model): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
-    val score = udf((grams: Seq[Int]) => bc.value.predictWithMargin(grams))
+    val score = udf((grams: Seq[Int]) =>
+      bc.value.predictWithMargin(if (grams == null) Nil else grams))
     df.withColumn("__pred",
         score(gramBuckets(df, col(textCol), model.n, model.buckets)))
       .withColumn("pred_lang", col("__pred._1"))

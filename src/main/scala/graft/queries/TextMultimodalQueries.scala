@@ -1356,7 +1356,12 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       | GROUP BY 1)""".stripMargin
 
   /** Shared CTE chain for the q250/q251 oracles: the unigram-LM train
-    * replayed in SQL — word frequencies, substring seed scores with the
+    * replayed in SQL — word frequencies (`wl`, uncapped: the Viterbi
+    * tail tokenizes EVERY corpus word), the TRAINING vocabulary `wlt`
+    * with [[graft.operators.UnigramLm.fit]]'s exact (n desc, w asc)
+    * top-50000 `maxVocab` cut (so the identity survives corpora with
+    * more distinct words than the cap — the train-side CTEs `socc` and
+    * `occ` read `wlt`, never `wl`), substring seed scores with the
     * (score desc, piece asc) top-100 multi-char cut, seed probs, the
     * E-step's forward/backward lattice sums as recursive CTEs carrying
     * a sliding 4-state window (each 4-term sum parenthesized exactly as
@@ -1373,9 +1378,12 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       |wl AS MATERIALIZED (
       | SELECT w, count(*)::BIGINT AS n, len(w) AS len
       | FROM (SELECT unnest(ws) AS w FROM wsrc) GROUP BY 1, 3),
+      |wlt AS MATERIALIZED (
+      | SELECT w, n, len FROM wl
+      | QUALIFY row_number() OVER (ORDER BY n DESC, w ASC) <= 50000),
       |socc AS (
       | SELECT substr(v.w, i.i + 1, k.k) AS piece, v.n
-      | FROM wl v,
+      | FROM wlt v,
       |      unnest(generate_series(0, v.len - 1)) AS i(i),
       |      unnest(generate_series(1, 4)) AS k(k)
       | WHERE i.i + k.k <= v.len),
@@ -1394,7 +1402,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       | FROM seed s, stot),
       |occ AS MATERIALIZED (
       | SELECT v.w, v.n, i.i AS i, k.k AS k, substr(v.w, i.i + 1, k.k) AS piece
-      | FROM wl v,
+      | FROM wlt v,
       |      unnest(generate_series(0, v.len - 1)) AS i(i),
       |      unnest(generate_series(1, 4)) AS k(k)
       | WHERE i.i + k.k <= v.len),
@@ -1411,14 +1419,15 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     * name suffix and the piece-probability table to run under —
     * generated so the prune oracle (q252) can CHAIN rounds without
     * duplicating the recursion by hand. Emits `fwd$sfx`, `zt$sfx`,
-    * `bwd$sfx`, `contrib$sfx`, `m$sfx`, `mtot$sfx`; expects `wl` and
-    * `occ` in scope and `$probs(piece, prob)`.
+    * `bwd$sfx`, `contrib$sfx`, `m$sfx`, `mtot$sfx`; expects `wlt` (the
+    * maxVocab-capped training vocabulary) and `occ` in scope and
+    * `$probs(piece, prob)`.
     */
   private def unigramLatticeCtes(sfx: String, probs: String): String =
     raw"""fwd$sfx AS (
       | SELECT w, len, 0 AS pos,
       |  1.0::DOUBLE AS a0, 0.0::DOUBLE AS a1, 0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3
-      | FROM wl
+      | FROM wlt
       | UNION ALL
       | SELECT f.w, f.len, f.pos + 1,
       |  ((((0.0
@@ -1437,7 +1446,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       |bwd$sfx AS (
       | SELECT w, len, len AS pos,
       |  1.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2, 0.0::DOUBLE AS b3
-      | FROM wl
+      | FROM wlt
       | UNION ALL
       | SELECT g.w, g.len, g.pos - 1,
       |  ((((0.0
@@ -2127,7 +2136,10 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |FROM sc WHERE rk = 1
         |ORDER BY doc_id""".stripMargin,
     // q253: the q248 chain aggregated per PREDICTED language, with the
-    // exact rk1−rk2 margin sums (ties margin 0, same as the operator)
+    // exact rk1−rk2 margin sums (ties margin 0, same as the operator).
+    // run2 joins LEFT with a 0 fallback: a single-language corpus has
+    // no rank-2 row, and the operator's convention there is margin 0 —
+    // an inner join would return zero rows instead
     "q253_lang_routing" ->
       s"""WITH $langNbCtes,
         |win AS (SELECT doc_id, lang, cand, score_q FROM sc WHERE rk = 1),
@@ -2139,10 +2151,10 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |SELECT w.cand AS pred_lang,
         | count(*)::BIGINT AS n_docs,
         | sum(wc.n_words)::BIGINT AS sum_words,
-        | sum(w.score_q - r.s2)::BIGINT AS sum_margin_q,
+        | sum(COALESCE(w.score_q - r.s2, 0))::BIGINT AS sum_margin_q,
         | sum(CASE WHEN w.cand = w.lang THEN 1 ELSE 0 END)::BIGINT AS n_label_agree
         |FROM win w
-        |JOIN run2 r ON w.doc_id = r.doc_id
+        |LEFT JOIN run2 r ON w.doc_id = r.doc_id
         |JOIN wc ON w.doc_id = wc.doc_id
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
