@@ -48,11 +48,31 @@ object CorpusCuration {
     * micro-batches flow through it unchanged and only the admission
     * step (dedup against the index) needs per-batch state.
     */
-  def curateWarcBlobs(blobs: DataFrame, blobCol: String = "blob"): DataFrame = {
-    import graft.sources.{MainContent, Warc}
+  def curateWarcBlobs(blobs: DataFrame, blobCol: String = "blob"): DataFrame =
+    curateWarcRecords(graft.sources.Warc.records(blobs, blobCol))
+
+  /** The same funnel over FILE-GRANULAR ingest
+    * ([[graft.sources.Warc.recordsFromFiles]] — record-streamed, no
+    * 2 GB blob cap, the at-scale path for real ~1 GB `.warc.gz` crawl
+    * segments): a frame of paths, one row per file; `source` derives
+    * from the file stem (one dump file per source batch — the Common
+    * Crawl segment-naming convention).
+    */
+  def curateWarcFiles(paths: DataFrame, pathCol: String = "path"): DataFrame =
+    curateWarcRecords(
+      graft.sources.Warc.recordsFromFiles(paths, pathCol)
+        .withColumn("source",
+          regexp_extract(col("file"), "([^/]+?)(?:\\.warc)?(?:\\.gz)?$", 1)))
+
+  /** The post-record stages shared by the blob-column and file-path
+    * ingest forms (one funnel, two readers): expects the
+    * [[graft.sources.Warc.records]] columns plus `source`.
+    */
+  def curateWarcRecords(records: DataFrame): DataFrame = {
+    import graft.sources.MainContent
     import graft.operators.QualityRules
     val e = MainContent.extractColumn(col("payload_text"))
-    val staged = Warc.records(blobs, blobCol)
+    val staged = records
       .withColumn("main_text", e.getField("mainText"))
       .withColumn("extracted", col("main_text") =!= "")
       .withColumn("body", substring_index(col("main_text"), "\n", -1))

@@ -1622,6 +1622,49 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("target_uri"))
   }
 
+  /** File-granular streamed WARC ingest
+    * ([[graft.sources.Warc.recordsFromFiles]]): the same per-record
+    * gzip-member corpus as q247, but written as ACTUAL `.warc.gz`
+    * FILES (one per source) and read back record-streamed — paths →
+    * `mapPartitions` → `GZIPInputStream` over the filesystem handle,
+    * O(record) task memory, no 2 GB single-row blob cap (the reader a
+    * real ~1 GB-compressed crawl segment needs; WarcSpec instruments
+    * the incremental consumption). The oracle is the identical
+    * closed-form record identity as q247/q241: the container — blob
+    * column or file — must be invisible to the reader.
+    *
+    * The file WRITE here is synthesis scaffolding (driver-side, one
+    * bounded file per source); the operator under test is the
+    * distributed read path.
+    */
+  private def q255WarcFileIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id").cast("long"), col("text"))
+      .as[(String, Long, String)]
+    val files = docs.groupByKey(_._1).mapGroups { (src, it) =>
+      val blob = it.toSeq.sortBy(_._2).iterator.map { case (_, id, txt) =>
+        Warc.gzipMember(Warc.writeHttpResponse(s"<urn:uuid:doc-$id>",
+          s"http://example.com/$src/$id", txt.getBytes(UTF_8)))
+      }.toArray.flatten
+      (src, blob)
+    }.collect()
+    val outDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_q255_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(outDir)
+    files.foreach { case (src, blob) =>
+      java.nio.file.Files.write(outDir.resolve(s"$src.warc.gz"), blob) }
+    val paths = files.map { case (src, _) =>
+      outDir.resolve(s"$src.warc.gz").toString }.toSeq.toDF("path")
+    Warc.recordsFromFiles(paths)
+      .select(col("target_uri"), col("http_status"),
+        md5(col("payload_text")).as("payload_md5"),
+        length(col("payload_text")).cast("long").as("n_chars"))
+      .orderBy(col("target_uri"))
+  }
+
   /** The composed crawl-curation pipeline — WARC records
     * ([[graft.sources.Warc.records]]) → main-content extraction
     * ([[graft.sources.MainContent]]) → Gopher/C4 quality rules
@@ -1910,6 +1953,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q240_host_gate" -> (q240HostGate _),
     "q241_warc_ingest" -> (q241WarcIngest _),
     "q247_warc_gz_ingest" -> (q247WarcGzIngest _),
+    "q255_warc_file_ingest" -> (q255WarcFileIngest _),
     "q242_crawl_pipeline" -> (q242CrawlPipeline _),
     "q249_incremental_crawl" -> (q249IncrementalCrawl _),
     "q29_text_stats" -> (q29TextStats _),
@@ -2161,6 +2205,17 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     // q247: gzip must be invisible — the same closed-form identity as
     // q241 proves the member-chain inflater reproduces every record
     "q247_warc_gz_ingest" ->
+      """SELECT 'http://example.com/' || source || '/' || doc_id AS target_uri,
+        | 200 AS http_status,
+        | md5(text) AS payload_md5,
+        | len(text)::BIGINT AS n_chars
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY target_uri""".stripMargin,
+    // q255: the CONTAINER must be invisible — the record-streamed
+    // file reader must reproduce exactly what the q247 blob path (and
+    // the q241 plain path) read, so all three share one closed-form
+    // record identity
+    "q255_warc_file_ingest" ->
       """SELECT 'http://example.com/' || source || '/' || doc_id AS target_uri,
         | 200 AS http_status,
         | md5(text) AS payload_md5,

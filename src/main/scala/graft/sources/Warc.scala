@@ -110,6 +110,41 @@ object Warc {
     bos.toByteArray
   }
 
+  /** Header text (version line included) → field map. WARC headers are
+    * ASCII by spec (ISO 28500 §4).
+    */
+  private def headerFields(header: String): Map[String, String] =
+    header.split("\r\n").iterator.drop(1) // drop version line
+      .map(_.split(":", 2))
+      .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+      .toMap
+
+  /** Fields + raw block → record: the HTTP-response strip (status line
+    * + headers cut at the first CRLF-CRLF) shared by the blob parser
+    * and the streaming iterator, so the two paths can never disagree
+    * about what a record IS.
+    */
+  private def buildRecord(fields: Map[String, String],
+                          block: Array[Byte]): WarcRecord = {
+    val warcType = fields.getOrElse("warc-type", "")
+    val isHttp = warcType == "response" &&
+      fields.get("content-type").exists(_.startsWith("application/http"))
+    val (status, payload) =
+      if (isHttp) {
+        val split = indexOf(block, CrlfCrlf, 0)
+        if (split < 0) (None, block) // headerless HTTP — keep whole block
+        else {
+          val statusLine = new String(block, 0,
+            math.min(split, block.length), StandardCharsets.US_ASCII)
+            .split("\r\n")(0)
+          val st = statusLine.split("\\s+").lift(1).flatMap(_.toIntOption)
+          (st, java.util.Arrays.copyOfRange(block, split + 4, block.length))
+        }
+      } else (None, block)
+    WarcRecord(warcType, fields.getOrElse("warc-record-id", ""),
+      fields.getOrElse("warc-target-uri", ""), status, payload)
+  }
+
   /** Parse every record in a WARC blob (one file / one gzip member
     * chain, already decompressed). Null/empty → no records.
     */
@@ -120,36 +155,15 @@ object Warc {
     while (pos >= 0) {
       val hdrEnd = indexOf(bytes, CrlfCrlf, pos)
       if (hdrEnd < 0) return out.result() // truncated header → stop
-      // WARC headers are ASCII by spec (ISO 28500 §4)
-      val header = new String(bytes, pos, hdrEnd - pos, StandardCharsets.US_ASCII)
-      val fields = header.split("\r\n").iterator.drop(1) // drop version line
-        .map(_.split(":", 2))
-        .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
-        .toMap
+      val fields = headerFields(
+        new String(bytes, pos, hdrEnd - pos, StandardCharsets.US_ASCII))
       val len = fields.get("content-length").flatMap(_.toLongOption)
       len match {
         case Some(n) if hdrEnd + 4 + n <= bytes.length =>
           val blockStart = hdrEnd + 4
           val block = java.util.Arrays.copyOfRange(
             bytes, blockStart, blockStart + n.toInt)
-          val warcType = fields.getOrElse("warc-type", "")
-          val isHttp = warcType == "response" &&
-            fields.get("content-type").exists(_.startsWith("application/http"))
-          val (status, payload) =
-            if (isHttp) {
-              val split = indexOf(block, CrlfCrlf, 0)
-              if (split < 0) (None, block) // headerless HTTP — keep whole block
-              else {
-                val statusLine = new String(block, 0,
-                  math.min(split, block.length), StandardCharsets.US_ASCII)
-                  .split("\r\n")(0)
-                val st = statusLine.split("\\s+").lift(1).flatMap(_.toIntOption)
-                (st, java.util.Arrays.copyOfRange(block, split + 4, block.length))
-              }
-            } else (None, block)
-          out += WarcRecord(warcType,
-            fields.getOrElse("warc-record-id", ""),
-            fields.getOrElse("warc-target-uri", ""), status, payload)
+          out += buildRecord(fields, block)
           pos = indexOf(bytes, Magic, blockStart + n.toInt)
         case Some(_) => return out.result() // declared length overruns → stop
         case None => pos = indexOf(bytes, Magic, hdrEnd + 4) // resync
@@ -205,5 +219,211 @@ object Warc {
       .withColumn("http_status", col("__r._4"))
       .withColumn("payload_text", col("__r._5"))
       .drop("__r")
+  }
+
+  /** Default per-record size cap for the streaming reader: a record
+    * whose declared Content-Length exceeds this is SKIPPED (its block
+    * read-and-discarded in 64 KB chunks, never materialized) — the
+    * bound that keeps one pathological record from OOMing a task.
+    * Common Crawl truncates response payloads at 1 MiB; 256 MiB leaves
+    * three orders of magnitude of headroom while staying far under any
+    * executor's task share.
+    */
+  val MaxRecordBytes: Long = 256L * 1024 * 1024
+
+  /** Incremental record parser over a RAW byte stream — the
+    * file-granular reader: O(record) memory regardless of file size,
+    * where [[parse]]+[[inflate]] need the whole decompressed chain as
+    * one array (JVM cap 2 GB — under a real ~1 GB-compressed /
+    * ~4-5 GB-decompressed crawl segment). Gzip member chains are
+    * detected by magic and inflated through the SAME streaming pass
+    * (JDK GZIPInputStream consumes concatenated members natively), so
+    * `.warc` and `.warc.gz` streams read identically.
+    *
+    * Malformed-input contract mirrors [[parse]] exactly, restated for
+    * a stream: EOF mid-header or mid-block (the truncated tail — also
+    * what a cut gzip member surfaces as) ends iteration keeping the
+    * records parsed so far; gibberish between records is skipped by
+    * scanning to the next "WARC/" magic; a record with no parseable
+    * Content-Length resyncs after its header. Additions only a stream
+    * needs: a header that runs past 64 KiB without its CRLF-CRLF is
+    * treated as gibberish (resync), and a block longer than
+    * `maxRecordBytes` is skipped without materializing (cap above).
+    *
+    * The caller owns closing `raw`; iteration never reads past what it
+    * needs (plus the inflater's 64 KB readahead), so records stream
+    * off a network/object-store handle at O(record) memory.
+    */
+  def recordIterator(raw: java.io.InputStream,
+                     maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] = {
+    val MaxHeaderBytes = 64 * 1024
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 64 * 1024), 2)
+    val h1 = pb.read()
+    val h2 = if (h1 < 0) -1 else pb.read()
+    if (h2 >= 0) pb.unread(h2)
+    if (h1 >= 0) pb.unread(h1)
+    val in: java.io.InputStream =
+      if (h1 == 0x1f && h2 == 0x8b)
+        new java.util.zip.GZIPInputStream(pb, 64 * 1024)
+      else pb
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      // scan to just past the "WARC/" magic; false at EOF. A stream
+      // IOException anywhere (truncated/corrupt gzip member) reads as
+      // EOF: keep the prefix, drop the cut tail — the inflate contract.
+      private def readByte(): Int =
+        try in.read() catch { case _: java.io.IOException => -1 }
+
+      private def scanToMagic(): Boolean = {
+        var m = 0
+        while (m < Magic.length) {
+          val b = readByte()
+          if (b < 0) return false
+          m = if (b == Magic(m)) m + 1
+              else if (b == Magic(0)) 1
+              else 0
+        }
+        true
+      }
+
+      // header bytes AFTER the magic, up to and including CRLF-CRLF;
+      // null at EOF or past the header cap (caller resyncs)
+      private def readHeaderTail(): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream(512)
+        var tail = 0L // rolling CRLFCRLF matcher packed into a long
+        while (buf.size < MaxHeaderBytes) {
+          val b = readByte()
+          if (b < 0) return null
+          buf.write(b)
+          tail = ((tail << 8) | b) & 0xffffffffL
+          if (tail == 0x0d0a0d0aL) return buf.toByteArray
+        }
+        null
+      }
+
+      private def readFully(n: Long): Array[Byte] = {
+        val out = new Array[Byte](n.toInt)
+        var off = 0
+        while (off < n) {
+          val r = try in.read(out, off, n.toInt - off)
+                  catch { case _: java.io.IOException => -1 }
+          if (r < 0) return null // truncated block → drop the tail
+          off += r
+        }
+        out
+      }
+
+      private def discard(n: Long): Boolean = {
+        val buf = new Array[Byte](64 * 1024)
+        var left = n
+        while (left > 0) {
+          val r = try in.read(buf, 0, math.min(left, buf.length).toInt)
+                  catch { case _: java.io.IOException => -1 }
+          if (r < 0) return false
+          left -= r
+        }
+        true
+      }
+
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          if (!scanToMagic()) { done = true; return }
+          val hdr = readHeaderTail()
+          if (hdr == null) {
+            // EOF mid-header ends on the next scan; header-cap overrun
+            // already consumed the garbage — loop resyncs on the magic
+          } else {
+            val fields = headerFields("WARC/" +
+              new String(hdr, 0, hdr.length - 4, StandardCharsets.US_ASCII))
+            // JVM arrays cap near 2^31 — a maxRecordBytes above that
+            // still must route big declared lengths to the skip path
+            val effMax = math.min(maxRecordBytes, Int.MaxValue - 8L)
+            fields.get("content-length").flatMap(_.toLongOption) match {
+              case Some(n) if n >= 0 && n <= effMax =>
+                val block = readFully(n)
+                if (block == null) done = true // truncated tail → stop
+                else nextRec = buildRecord(fields, block)
+              case Some(n) if n >= 0 => // oversized: skip, don't materialize
+                if (!discard(n)) done = true
+              case _ => // unparseable length → resync after header
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+        val r = nextRec
+        nextRec = null
+        r
+      }
+    }
+  }
+
+  /** Hadoop Configuration is not Serializable; ship it to tasks via its
+    * own Writable protocol (the standard Spark-source pattern).
+    */
+  private final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends java.io.Serializable {
+    def get: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** File-granular streamed WARC ingest — the at-scale reader: a frame
+    * of FILE PATHS (not blobs) explodes into one row per record, each
+    * task streaming its files record-by-record through
+    * [[recordIterator]] over an FSDataInputStream. Peak task memory is
+    * O(largest record), not O(file): a standard ~1 GB-compressed /
+    * ~4-5 GB-decompressed Common Crawl segment — over the JVM's 2 GB
+    * single-array cap that bounds the [[records]] blob-column path —
+    * streams through unchanged. Parallelism is the path frame's
+    * partitioning (one crawl segment per task is the Common Crawl
+    * convention; `paths.repartition(n)` to spread).
+    *
+    * Output: (file, warc_type, record_id, target_uri, http_status,
+    * payload_text) — the [[records]] columns plus the source file, so
+    * the two ingest forms compose with the same downstream funnel.
+    */
+  def recordsFromFiles(paths: DataFrame, pathCol: String = "path",
+                       maxRecordBytes: Long = MaxRecordBytes): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    paths.select(col(pathCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val conf = confBc.value.get
+        it.flatMap { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(conf)
+          val raw = fs.open(path)
+          // release the handle when the task finishes, even if the
+          // downstream consumer stops early (limit, failure)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raw.close()))
+          recordIterator(raw, maxRecordBytes).map(r =>
+            (p, r.warcType, r.recordId, r.targetUri, r.httpStatus,
+              r.payloadText))
+        }
+      }
+      .toDF("file", "warc_type", "record_id", "target_uri", "http_status",
+        "payload_text")
   }
 }

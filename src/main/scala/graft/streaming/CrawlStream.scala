@@ -131,4 +131,35 @@ object CrawlStream {
       .start()
     q.awaitTermination()
   }
+
+  /** FILE-GRANULAR streaming ingest — the at-scale form of
+    * [[runAvailable]]: watch a directory of MANIFEST text files (one
+    * `.warc`/`.warc.gz` path per line — how crawl dumps actually
+    * announce themselves: a segment listing, not the segment bytes).
+    * Each micro-batch's paths stream record-by-record through
+    * [[graft.pipeline.CorpusCuration.curateWarcFiles]] /
+    * [[graft.sources.Warc.recordsFromFiles]] — O(record) task memory,
+    * no 2 GB blob-row cap, so real ~1 GB-compressed crawl segments
+    * flow through the same funnel + admission the blob mode runs.
+    * Curation happens INSIDE foreachBatch (the paths frame is a plain
+    * batch frame there), admission is the shared [[admitSink]] — same
+    * exactly-once markers, same redelivery contract.
+    */
+  def runAvailableFiles(spark: SparkSession, manifestDir: String,
+                        tableDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(manifestDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val curated = graft.pipeline.CorpusCuration
+          .curateWarcFiles(batch.select(col("value").as("path")))
+        admitSink(tableDir)(curated, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -114,4 +114,51 @@ class CrawlStreamSpec extends SparkSpec {
       s"fingerprint sets must match: ${got.map(_._2)} vs ${cold.map(_._2)}")
     assert(got.size == cold.size, "exactly one admission per fingerprint")
   }
+
+  /** The same docs as REAL `.warc.gz` files on disk (per-record gzip
+    * members), one file per source per half.
+    */
+  private def writeWarcFiles(dir: String, rows: Seq[(String, Long, String)],
+                             tag: String): Seq[String] =
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val bytes = rs.sortBy(_._2).iterator.map { case (_, id, text) =>
+        Warc.gzipMember(Warc.writeHttpResponse(s"<urn:uuid:doc-$id>",
+          s"http://example.com/$src/$id",
+          s"<html><head><title>d</title></head><body><h1>Document $id</h1><p>$text</p></body></html>"
+            .getBytes(UTF_8)))
+      }.toArray.flatten
+      val p = java.nio.file.Paths.get(dir, s"$src-$tag.warc.gz")
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+
+  test("manifest stream: file-granular record-streamed ingest == blob-mode admission") {
+    val warcDir = java.nio.file.Files.createTempDirectory("crawl_warcs").toString
+    val manifestDir = java.nio.file.Files.createTempDirectory("crawl_manifests").toString
+    val table = java.nio.file.Files.createTempDirectory("crawl_ftable").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl_fckpt").toString
+    // two dumps, each announced by a one-line-per-path manifest file
+    val paths1 = writeWarcFiles(warcDir, docs.filter(_._2 <= 3), "h1")
+    val paths2 = writeWarcFiles(warcDir, docs.filter(_._2 > 3), "h2")
+    val t0 = System.currentTimeMillis() - 60000
+    def manifest(name: String, paths: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(manifestDir, name)
+      java.nio.file.Files.write(f.toPath,
+        (paths.mkString("\n") + "\n").getBytes(UTF_8))
+      f.setLastModified(mtime)
+    }
+    manifest("0001.txt", paths1, t0)
+    manifest("0002.txt", paths2, t0 + 30000)
+    CrawlStream.runAvailableFiles(spark, manifestDir, table, ckpt)
+    val got = admitted(table)
+    val cold = coldWinners(docs)
+    assert(got.map(_._2) == cold.map(_._2),
+      s"fingerprint sets must match: ${got.map(_._2)} vs ${cold.map(_._2)}")
+    assert(got.size == cold.size, "exactly one admission per fingerprint")
+    // redelivery contract carries over: re-running the same manifests
+    // against the same table+checkpoint admits nothing new
+    val ckpt2 = java.nio.file.Files.createTempDirectory("crawl_fckpt2").toString
+    CrawlStream.runAvailableFiles(spark, manifestDir, table, ckpt2)
+    assert(admitted(table) == got, "replaying the manifests must be a no-op")
+  }
 }
