@@ -57,10 +57,20 @@ object Bpe {
     * smallest pair.
     */
   private[operators] def trainOnVocab(vocab: Array[(String, Long)],
-                                      numMerges: Int): BpeModel = {
-    var words: Array[(Array[String], Long)] = vocab.map { case (w, n) =>
+                                      numMerges: Int): BpeModel =
+    trainOnSymbolVocab(vocab.map { case (w, n) =>
       ((w.map(_.toString) :+ EndOfWord).toArray, n)
-    }
+    }, numMerges)
+
+  /** The core merge learner over an ALREADY-SYMBOLIZED vocabulary —
+    * shared by the char+`</w>` trainer above and the byte-level trainer
+    * ([[trainBytes]], which symbolizes into the 256-char byte alphabet
+    * and needs no end-of-word marker: the chunk boundary IS the word
+    * boundary, with `Ġ` carrying the leading space).
+    */
+  private def trainOnSymbolVocab(vocab: Array[(Array[String], Long)],
+                                 numMerges: Int): BpeModel = {
+    var words: Array[(Array[String], Long)] = vocab
     val merges = Vector.newBuilder[(String, String)]
     var step = 0
     var done = false
@@ -114,8 +124,15 @@ object Bpe {
     * (the GPT-2 application order — equivalent to replaying the learned
     * merge sequence, cheaper than scanning all merges).
     */
-  private[operators] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = (word.map(_.toString) :+ EndOfWord).toArray
+  private[operators] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] =
+    mergeLoop((word.map(_.toString) :+ EndOfWord).toArray, ranks)
+
+  /** The rank-greedy merge application shared by the `</w>` and
+    * byte-level encoders.
+    */
+  private def mergeLoop(init: Array[String],
+                        ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = init
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -153,6 +170,142 @@ object Bpe {
           val tokens = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
             var t = cache.get(w)
             if (t == null) { t = encodeWord(w, ranks); cache.put(w, t) }
+            t
+          }.toArray
+          BpeTokens(id, tokens)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Byte-level BPE (the GPT-2 convention, Radford et al. 2019 §2.2):
+  // the base alphabet is the 256 BYTE values, so every string — emoji,
+  // CJK, mixed scripts, control chars — tokenizes losslessly with ZERO
+  // possible OOV. The whitespace-lowercase trainer above approximates
+  // token budgets for such text; this is the exact path.
+  // ------------------------------------------------------------------
+
+  /** The GPT-2 byte↔unicode table: printable latin-1 bytes map to
+    * themselves; the other 68 bytes map to 256+k (k in ascending byte
+    * order), keeping every symbol a single visible code point. The
+    * well-known markers fall out: space→`Ġ` (U+0120), `\n`→`Ċ`
+    * (U+010A), `\t`→`ĉ` (U+0109).
+    */
+  val byteToChar: Array[Char] = {
+    val printable = (33 to 126) ++ (161 to 172) ++ (174 to 255)
+    val isPrintable = printable.toSet
+    val out = new Array[Char](256)
+    var k = 0
+    (0 to 255).foreach { b =>
+      if (isPrintable(b)) out(b) = b.toChar
+      else { out(b) = (256 + k).toChar; k += 1 }
+    }
+    out
+  }
+
+  private val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** GPT-2-style pretokenization, simplified but LOSSLESS: each chunk
+    * is either (one optional leading space + a non-space run) or a
+    * whitespace run — a run before a word yields its last space to the
+    * word (the `\s+(?!\S)` lookahead), so `"a  b"` → `"a"`, `" "`,
+    * `" b"`. Chunks concatenate back to the input exactly; BPE merges
+    * never cross a chunk boundary.
+    */
+  private val PretokenPattern =
+    java.util.regex.Pattern.compile(" ?[^\\s]+|\\s+(?!\\S)|\\s+")
+
+  def pretokenize(text: String): Vector[String] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val m = PretokenPattern.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** A chunk as a string over the byte alphabet (UTF-8 bytes mapped
+    * through [[byteToChar]]) — what the byte-level merges operate on.
+    */
+  def toByteChars(chunk: String): String = {
+    val bytes = chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(byteToChar(b & 0xff)))
+    sb.toString
+  }
+
+  /** Inverse of [[toByteChars]]: byte-alphabet string → original text.
+    * Total on the encoder's image; unknown chars throw (they cannot be
+    * produced by [[toByteChars]] and would silently corrupt bytes).
+    */
+  def fromByteChars(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      bytes(i) = charToByte.getOrElse(s.charAt(i),
+        throw new IllegalArgumentException(
+          s"char U+${s.charAt(i).toInt.toHexString} is not in the byte alphabet"))
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Detokenize byte-level tokens: concatenate and map back through
+    * the byte table. `decode(encode(text)) == text` for EVERY string —
+    * the zero-OOV guarantee q256 hash-gates per document.
+    */
+  def decodeBytes(tokens: Seq[String]): String =
+    fromByteChars(tokens.mkString)
+
+  /** Train byte-level merges: one distributed chunk-frequency count
+    * (the [[train]] scale split — corpus-sized work distributed,
+    * merge learning on the bounded top-`maxVocab` chunk vocabulary),
+    * chunks symbolized into the byte alphabet, NO end-of-word marker
+    * (`Ġ` already encodes the boundary). Case is preserved — byte
+    * level exists for losslessness, and lowercasing would break it.
+    */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+                 maxVocab: Int = 50000): BpeModel = {
+    require(numMerges >= 0 && maxVocab > 0, s"bad numMerges=$numMerges maxVocab=$maxVocab")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = df
+      .select(col(textCol).cast("string").as("t"))
+      .filter(col("t").isNotNull)
+      .as[String]
+      .flatMap(pretokenize(_))
+      .toDF("w")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+    trainOnSymbolVocab(
+      vocab.map { case (w, n) =>
+        (toByteChars(w).map(_.toString).toArray, n) },
+      numMerges)
+  }
+
+  /** Map-side byte-level corpus tokenization: broadcast ranks,
+    * per-partition chunk memo cache, zero shuffles — [[encode]]'s
+    * shape with the byte-alphabet symbolization and no `</w>`.
+    */
+  def encodeBytes(df: DataFrame, idCol: String, textCol: String,
+                  model: BpeModel): Dataset[BpeTokens] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merges = model.merges
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = BpeModel(merges).ranks
+        val cache = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val tokens = pretokenize(text).iterator.flatMap { w =>
+            var t = cache.get(w)
+            if (t == null) {
+              t = mergeLoop(toByteChars(w).map(_.toString).toArray, ranks)
+              cache.put(w, t)
+            }
             t
           }.toArray
           BpeTokens(id, tokens)

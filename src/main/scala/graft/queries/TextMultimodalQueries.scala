@@ -323,6 +323,41 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** Byte-level BPE ([[graft.operators.Bpe.trainBytes]]/`encodeBytes`
+    * — the GPT-2 convention): the base alphabet is the 256 byte
+    * values, so EVERY string — emoji, CJK, control chars — tokenizes
+    * with zero possible OOV, where q124's char+`</w>` model and the
+    * q250 unigram LM both fall back to per-char/UNK handling. The
+    * cross-engine row is the strongest round-trip the family has:
+    * detokenizing must reproduce the ORIGINAL text exactly (not the
+    * whitespace-normalized lowercase q124 settles for), whose md5 and
+    * UTF-8 byte length DuckDB restates verbatim — any merge, encode,
+    * pretokenize, or byte-table corruption breaks the per-document
+    * hash gate. BpeSpec pins the published byte-table landmarks
+    * (space→Ġ, \n→Ċ, \t→ĉ) and a hand-computed merge sequence.
+    */
+  private def q256ByteBpe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = Bpe.trainBytes(docs, "text", numMerges = 200)
+    val decode = udf((tokens: Seq[String]) => Bpe.decodeBytes(tokens))
+    Bpe.encodeBytes(docs, "doc_id", "text", model).toDF()
+      .join(docs.select(col("doc_id").cast("long").as("id"), col("text")), Seq("id"))
+      .withColumn("__nt", size(col("tokens")).cast("long"))
+      .withColumn("__nb", octet_length(col("text")).cast("long"))
+      .select(col("id").as("doc_id"),
+        md5(col("text")).as("text_md5"),
+        col("__nb").as("n_bytes"),
+        // token counts aren't SQL-replayable (training is iterative),
+        // but their BOUNDS are: merges only ever shrink the sequence,
+        // so 1 ≤ n_tokens ≤ n_bytes on non-empty text — the banded
+        // verdict the oracle asserts TRUE (the q124 convention)
+        (col("__nt") <= col("__nb") &&
+          (col("__nb") === 0 || col("__nt") >= 1)).as("tokens_bounded"),
+        (decode(col("tokens")) === col("text")).as("lossless"))
+      .orderBy(col("doc_id"))
+  }
+
 
   /** Real image downsampling ([[graft.operators.Multimodal.imagePool]]):
     * 4×4 box-mean thumbnails over actually-decoded BMP pixels — the
@@ -1980,6 +2015,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q112_lm_crossentropy" -> (q112LmCrossEntropy _),
     "q119_frame_sample" -> (q119FrameSample _),
     "q124_bpe_tokenize" -> (q124BpeTokenize _),
+    "q256_byte_bpe" -> (q256ByteBpe _),
     "q134_image_pool" -> (q134ImagePool _),
     "q136_audio_spectrum" -> (q136AudioSpectrum _),
     "q161_stupid_backoff" -> (q161StupidBackoff _),
@@ -2562,6 +2598,18 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     // lowercase original (md5 + word count); lossless is the engine-side
     // verdict that detokenizing the BPE output reproduces it, asserted
     // TRUE (documents carry no exotic whitespace, verified per-SF)
+    // q256: byte-level BPE's zero-OOV guarantee — the original text's
+    // md5 and UTF-8 byte length restate verbatim; lossless and the
+    // 1..n_bytes token-count band are the engine-side verdicts,
+    // asserted TRUE per document
+    "q256_byte_bpe" ->
+      """SELECT doc_id,
+        | md5(text) AS text_md5,
+        | octet_length(encode(text))::BIGINT AS n_bytes,
+        | TRUE AS tokens_bounded,
+        | TRUE AS lossless
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "q124_bpe_tokenize" ->
       """WITH n AS (
         | SELECT doc_id,
