@@ -48,8 +48,9 @@ object CorpusCuration {
     * micro-batches flow through it unchanged and only the admission
     * step (dedup against the index) needs per-batch state.
     */
-  def curateWarcBlobs(blobs: DataFrame, blobCol: String = "blob"): DataFrame =
-    curateWarcRecords(graft.sources.Warc.records(blobs, blobCol))
+  def curateWarcBlobs(blobs: DataFrame, blobCol: String = "blob",
+                      keepBody: Boolean = false): DataFrame =
+    curateWarcRecords(graft.sources.Warc.records(blobs, blobCol), keepBody)
 
   /** The same funnel over FILE-GRANULAR ingest
     * ([[graft.sources.Warc.recordsFromFiles]] — record-streamed, no
@@ -67,8 +68,13 @@ object CorpusCuration {
   /** The post-record stages shared by the blob-column and file-path
     * ingest forms (one funnel, two readers): expects the
     * [[graft.sources.Warc.records]] columns plus `source`.
+    * `keepBody = true` carries the extracted body through (what a
+    * downstream scorer — e.g. [[graft.streaming.CrawlStream]]'s routed
+    * admission — consumes); the default stays the lean
+    * (doc_id, source, body_md5) admission shape.
     */
-  def curateWarcRecords(records: DataFrame): DataFrame = {
+  def curateWarcRecords(records: DataFrame,
+                        keepBody: Boolean = false): DataFrame = {
     import graft.sources.MainContent
     import graft.operators.QualityRules
     val e = MainContent.extractColumn(col("payload_text"))
@@ -82,13 +88,15 @@ object CorpusCuration {
       .withColumn("doc_id",
         element_at(split(col("target_uri"), "/"), -1).cast("long"))
     val rules = QualityRules.ruleTable(staged, "doc_id", "body",
-      carryCols = Seq("source", "extracted", "body_md5"))
+      carryCols = Seq("source", "extracted", "body_md5") ++
+        (if (keepBody) Seq("body") else Nil))
     val keep = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
       "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
       "r_dup_lines", "r_top_2gram", "r_top_3gram", "r_no_brace",
       "r_no_lorem").map(col).reduce(_ && _)
     rules.filter(keep && col("extracted"))
-      .select(col("doc_id"), col("source"), col("body_md5"))
+      .select(col("doc_id") +: col("source") +: col("body_md5") +:
+        (if (keepBody) Seq(col("body")) else Nil): _*)
   }
 
   /** Stages 1–2 (shared single source of truth): language-filtered and

@@ -1946,6 +1946,31 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("pred_lang"))
   }
 
+  /** Per-language ROUTED curation ([[graft.operators.LangRouting]] —
+    * [[graft.operators.LangNb.predictMargins]] composed with
+    * [[graft.operators.QualityRules]]): confidence margin ≥ τ routes a
+    * document to its predicted language's rule thresholds — the
+    * stopword rule (an English word list; q239's table shows it
+    * passing 0/500 on this corpus) is active ONLY for the 'en' route,
+    * every other route runs the 11 language-neutral rules — and
+    * low-margin documents land in a quarantine bucket that never
+    * silently keeps. τ = 500000 micro-log units (0.5 nats; ~7% of this
+    * corpus quarantines, so both branches are exercised). ONE map-side
+    * pass: the broadcast-model scorer's columns carry through the rule
+    * projection — no join, no shuffle. The oracle chains the q253
+    * scored CTEs with the q239 rule CTEs and replays route, per-route
+    * keep, and the exact margin mass.
+    */
+  private def q257RoutedCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{LangNb, LangRouting}
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val lined = docs.withColumn("__lt",
+      regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n"))
+    val model = LangNb.fit(docs, "text", "lang", n = 3, buckets = 1024)
+    LangRouting.routedFunnel(lined, "doc_id", "__lt", model, tauQ = 500000L)
+      .orderBy(col("route"))
+  }
+
   /** Robots-exclusion gate ([[graft.sources.RobotsTxt]], RFC 9309):
     * URLs synthesized per document (five path archetypes) against one
     * per-host policy exercising group selection, longest-match
@@ -1995,6 +2020,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q30_lang_id" -> (q30LangId _),
     "q248_lang_nb" -> (q248LangNb _),
     "q253_lang_routing" -> (q253LangRouting _),
+    "q257_routed_curation" -> (q257RoutedCuration _),
     "q250_unigram_em" -> (q250UnigramEm _),
     "q251_unigram_tokens" -> (q251UnigramTokens _),
     "q252_unigram_prune" -> (q252UnigramPrune _),
@@ -2236,6 +2262,38 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |FROM win w
         |LEFT JOIN run2 r ON w.doc_id = r.doc_id
         |JOIN wc ON w.doc_id = wc.doc_id
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // q257: the q253 scored chain composed with the q239 rule chain —
+    // route = margin-thresholded predicted language (else quarantine),
+    // keep under the route's OWN ruleset (stopword rule en-only,
+    // quarantine never keeps), margins exact BIGINT sums
+    "q257_routed_curation" ->
+      s"""WITH $langNbCtes,
+        |$gopherRulesCtes,
+        |win AS (SELECT doc_id, cand, score_q FROM sc WHERE rk = 1),
+        |run2 AS (SELECT doc_id, score_q AS s2 FROM sc WHERE rk = 2),
+        |routed AS (
+        | SELECT w.doc_id,
+        |  CASE WHEN COALESCE(w.score_q - r2.s2, 0) >= 500000
+        |       THEN w.cand ELSE 'quarantine' END AS route,
+        |  COALESCE(w.score_q - r2.s2, 0) AS margin_q
+        | FROM win w LEFT JOIN run2 r2 ON w.doc_id = r2.doc_id),
+        |kr AS (
+        | SELECT rt.route, rt.margin_q, r.r_stopwords,
+        |  CASE WHEN rt.route = 'quarantine' THEN FALSE
+        |       WHEN rt.route = 'en' THEN r.keep
+        |       ELSE r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
+        |        AND r.r_bullet_lines AND r.r_ellipsis_lines AND r.r_alpha_words
+        |        AND r.r_dup_lines AND r.r_top_2gram AND r.r_top_3gram
+        |        AND r.r_no_brace AND r.r_no_lorem END AS keep_routed
+        | FROM routed rt JOIN rules r ON rt.doc_id = r.doc_id)
+        |SELECT route,
+        | count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN keep_routed THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        | sum(CASE WHEN r_stopwords THEN 0 ELSE 1 END)::BIGINT AS n_fail_stopwords,
+        | sum(margin_q)::BIGINT AS sum_margin_q
+        |FROM kr
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
     // q247: gzip must be invisible — the same closed-form identity as

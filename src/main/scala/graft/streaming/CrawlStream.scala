@@ -50,8 +50,19 @@ object CrawlStream {
         StructType(Seq(StructField("doc_id", org.apache.spark.sql.types.LongType),
           StructField("source", StringType),
           StructField("body_md5", StringType))))
-    else spark.read.parquet(dirs: _*)
+    else readBatchDirs(spark, dirs)
   }
+
+  /** One read per batch dir, unioned: routed batches carry
+    * `route=<lang>/` partition subdirs, and a single multi-path read
+    * refuses to infer partitions across the non-partition `batch_N`
+    * roots (CONFLICTING_DIRECTORY_STRUCTURES). Per-dir reads keep
+    * partition discovery local to each batch; the union is
+    * column-pruned like any scan.
+    */
+  private def readBatchDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   private def committedBatchDirs(spark: SparkSession, tableDir: String,
                                  excludeBatchId: Long): Seq[String] = {
@@ -84,35 +95,77 @@ object CrawlStream {
     */
   def admitSink(tableDir: String): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val dir = new org.apache.hadoop.fs.Path(s"$tableDir/batch_$batchId")
-      val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
-        import spark.implicits._
-        import org.apache.spark.sql.functions.{col, max, min}
-        val committed = committedBatchDirs(spark, tableDir, excludeBatchId = batchId)
-        val index =
-          if (committed.isEmpty) Seq.empty[String].toDF("body_md5")
-          else spark.read.parquet(committed: _*).select("body_md5")
-        val admitted = graft.operators.Incremental
-          .dedupDelta(batch, index, "doc_id", "body_md5")
-          .select("doc_id", "source", "body_md5")
-        admitted.write.mode("overwrite").parquet(dir.toString)
-        if (committed.nonEmpty) {
-          val batchMin = Option(spark.read.parquet(dir.toString)
-            .agg(min(col("doc_id"))).collect()(0).get(0)).map(_.toString.toLong)
-          val committedMax = Option(spark.read.parquet(committed: _*)
-            .agg(max(col("doc_id"))).collect()(0).get(0)).map(_.toString.toLong)
-          for (bm <- batchMin; cm <- committedMax; if bm < cm)
-            org.slf4j.LoggerFactory.getLogger(CrawlStream.getClass).warn(
-              s"[crawl-stream] batch $batchId id range starts at $bm, BEFORE " +
-                s"committed history's max id $cm — out-of-order dump arrival; " +
-                "the admitted corpus stays a correct dedup but is no longer " +
-                "the min-id canonical (see admitSink scaladoc)")
-        }
-        fs.create(marker, true).close()
+      admitCore(tableDir, batch, batchId) { (admitted, dir) =>
+        admitted.select("doc_id", "source", "body_md5")
+          .write.mode("overwrite").parquet(dir)
       }
+  }
+
+  /** [[admitSink]] plus per-language ROUTING (the q257 composition run
+    * in the stream): each micro-batch's curated bodies score map-side
+    * against the BROADCAST NB model, the margin threshold routes to
+    * the predicted language (low-margin → quarantine), and the
+    * admitted survivors land PARTITIONED by route
+    * ([[graft.sources.Tables.writePartitioned]] → `route=<lang>/`
+    * subdirectories inside the batch dir) — so the streaming funnel
+    * produces the routed layout downstream per-language consumers
+    * partition-prune at the scan. Requires the curated batch to CARRY
+    * the body text ([[graft.pipeline.CorpusCuration.curateWarcBlobs]]
+    * with `keepBody = true`); the dedup index probe is unchanged
+    * (body_md5-pruned, partition dirs are invisible to it). Same
+    * markers, same redelivery contract, same order precondition.
+    */
+  def routedAdmitSink(tableDir: String, model: graft.operators.LangNb.Model,
+                      tauQ: Long): (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    (batch: DataFrame, batchId: Long) =>
+      val scored = graft.operators.LangNb.predictMargins(batch, "body", model)
+        .withColumn("route",
+          when(col("margin_q") >= tauQ, col("pred_lang"))
+            .otherwise(lit(graft.operators.LangRouting.QuarantineRoute)))
+      admitCore(tableDir, scored, batchId) { (admitted, dir) =>
+        graft.sources.Tables.writePartitioned(
+          admitted.select("doc_id", "source", "body_md5", "route"),
+          dir, Seq("route"))
+      }
+  }
+
+  /** The shared admission transaction: marker check, committed-index
+    * probe (own batch excluded), dedupDelta, caller-shaped write,
+    * out-of-order warning, marker commit.
+    */
+  private def admitCore(tableDir: String, batch: DataFrame, batchId: Long)
+                       (write: (DataFrame, String) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$tableDir/batch_$batchId")
+    val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, max, min}
+      val committed = committedBatchDirs(spark, tableDir, excludeBatchId = batchId)
+      val index =
+        if (committed.isEmpty) Seq.empty[String].toDF("body_md5")
+        else readBatchDirs(spark, committed).select("body_md5")
+      val admitted = graft.operators.Incremental
+        .dedupDelta(batch, index, "doc_id", "body_md5")
+      write(admitted, dir.toString)
+      if (committed.nonEmpty) {
+        // arrival order is a property of the DUMP, not its survivors:
+        // probe the in-flight batch, not the written admission
+        val batchMin = Option(batch
+          .agg(min(col("doc_id"))).collect()(0).get(0)).map(_.toString.toLong)
+        val committedMax = Option(readBatchDirs(spark, committed)
+          .agg(max(col("doc_id"))).collect()(0).get(0)).map(_.toString.toLong)
+        for (bm <- batchMin; cm <- committedMax; if bm < cm)
+          org.slf4j.LoggerFactory.getLogger(CrawlStream.getClass).warn(
+            s"[crawl-stream] batch $batchId id range starts at $bm, BEFORE " +
+              s"committed history's max id $cm — out-of-order dump arrival; " +
+              "the admitted corpus stays a correct dedup but is no longer " +
+              "the min-id canonical (see admitSink scaladoc)")
+      }
+      fs.create(marker, true).close()
+    }
   }
 
   /** Wire the whole pipeline: blob stream → shared funnel → admission
@@ -126,6 +179,25 @@ object CrawlStream {
       .curateWarcBlobs(readBlobStream(spark, blobDir))
     val q = curated.writeStream
       .foreachBatch(admitSink(tableDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[runAvailable]] with per-language routed admission: the funnel
+    * carries the extracted body, each micro-batch scores against the
+    * broadcast model, and admitted rows land partitioned by route
+    * ([[routedAdmitSink]]).
+    */
+  def runAvailableRouted(spark: SparkSession, blobDir: String,
+                         tableDir: String, checkpointDir: String,
+                         model: graft.operators.LangNb.Model,
+                         tauQ: Long): Unit = {
+    val curated = graft.pipeline.CorpusCuration
+      .curateWarcBlobs(readBlobStream(spark, blobDir), keepBody = true)
+    val q = curated.writeStream
+      .foreachBatch(routedAdmitSink(tableDir, model, tauQ))
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

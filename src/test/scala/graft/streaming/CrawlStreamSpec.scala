@@ -161,4 +161,77 @@ class CrawlStreamSpec extends SparkSpec {
     CrawlStream.runAvailableFiles(spark, manifestDir, table, ckpt2)
     assert(admitted(table) == got, "replaying the manifests must be a no-op")
   }
+
+  test("routed stream: broadcast NB scoring in-batch, admission partitioned by language") {
+    import graft.operators.LangNb
+    // bilingual corpus: en docs reuse the diverse-word fixture; es docs
+    // repeat a Spanish sentence (same shape LangRoutingSpec pins)
+    val esText = Seq.fill(7)("el rápido zorro marrón salta sobre el perro perezoso")
+      .mkString(" ")
+    val biDocs: Seq[(String, Long, String)] = Seq(
+      ("srcA", 1L, words(1)),
+      ("srcA", 2L, words(1)), // dup of 1, same batch
+      ("srcB", 3L, esText),
+      ("srcB", 14L, esText), // dup of 3, later batch
+      ("srcA", 15L, words(15)),
+      ("srcB", 16L, esText + " distinto extra final"))
+    val trainDf = Seq(
+      (words(1), "en"), (words(15), "en"), (words(7), "en"),
+      (esText, "es"),
+      ("la señora compró naranjas y limones en el mercado pequeño", "es"),
+      ("los niños juegan en el jardín durante la mañana soleada", "es"))
+      .toDF("text", "lang")
+    val model = LangNb.fit(trainDf, "text", "lang", n = 3, buckets = 512)
+
+    val blobDir = java.nio.file.Files.createTempDirectory("crawl_rblobs").toString
+    val table = java.nio.file.Files.createTempDirectory("crawl_rtable").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl_rckpt").toString
+    blobFrame(biDocs.filter(_._2 <= 3)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$blobDir/f1")
+    blobFrame(biDocs.filter(_._2 > 3)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$blobDir/f2")
+    def promote(sub: String, name: String, mtime: Long): Unit = {
+      val part = new java.io.File(s"$blobDir/$sub").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$blobDir/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$blobDir/$sub"))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    promote("f1", "0001.parquet", t0)
+    promote("f2", "0002.parquet", t0 + 30000)
+    val tauQ = 1000000L
+    CrawlStream.runAvailableRouted(spark, blobDir, table, ckpt, model, tauQ)
+
+    // the batch equivalent: curate whole corpus with bodies, score,
+    // route, min-id dedup — the q257 composition over the q249 algebra
+    val curatedAll = CorpusCuration.curateWarcBlobs(blobFrame(biDocs), keepBody = true)
+    val scoredAll = LangNb.predictMargins(curatedAll, "body", model)
+      .withColumn("route", when(col("margin_q") >= tauQ, col("pred_lang"))
+        .otherwise(lit(graft.operators.LangRouting.QuarantineRoute)))
+    val winners = scoredAll.groupBy(col("body_md5")).agg(min(col("doc_id")).as("doc_id"))
+    val cold = scoredAll.join(winners, Seq("body_md5", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("body_md5"), col("route"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    val got = CrawlStream.readCurated(spark, table)
+      .select(col("doc_id"), col("body_md5"), col("route").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == cold, s"routed streamed admission must equal the batch route: $got vs $cold")
+    assert(got.map(_._3).contains("en") && got.map(_._3).contains("es"),
+      s"both language routes must be exercised: ${got.map(_._3)}")
+    // the on-disk layout is partition-pruned per language
+    val routeDirs = new java.io.File(s"$table/batch_0").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(routeDirs.exists(_.startsWith("route=")),
+      s"batch dirs must contain route= partition subdirs: $routeDirs")
+    // redelivery still a no-op
+    val ckpt2 = java.nio.file.Files.createTempDirectory("crawl_rckpt2").toString
+    CrawlStream.runAvailableRouted(spark, blobDir, table, ckpt2, model, tauQ)
+    assert(CrawlStream.readCurated(spark, table)
+      .select(col("doc_id"), col("body_md5"), col("route").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet == got,
+      "replaying the routed stream must admit nothing new")
+  }
 }
