@@ -211,17 +211,22 @@ object Retrieval {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
     graft.expressions.GraftFunctions.register(cands.sparkSession)
     // both tables feed every greedy round — persist, or round i
-    // re-derives the candidate pull and the N² cosine pass i times
-    val c = cands.select(col(queryCol).as("__q"), col(docCol).as("__d"),
-      round(col(relCol).cast("double"), 6).as("__rel"), col(vecCol).as("__v"))
-      .persist()
-    val sims = c.as("a").join(c.as("b"),
+    // re-derives the candidate pull and the N² cosine pass i times.
+    // TRACKED: an untracked persist outlives its query, and the next
+    // identical plan double-caches AND rides the leaked cache — the
+    // q197/q216 measurement-subsidy bug, found here by the round-14
+    // bench-marker attribution (the last CacheManager warning pair)
+    val c = graft.Caches.track(
+      cands.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        round(col(relCol).cast("double"), 6).as("__rel"), col(vecCol).as("__v"))
+        .persist())
+    val sims = graft.Caches.track(c.as("a").join(c.as("b"),
         col("a.__q") === col("b.__q") && col("a.__d") =!= col("b.__d"))
       .select(col("a.__q").as("__q"), col("a.__d").as("__d"),
         col("b.__d").as("__db"),
         round(call_function("cosine_similarity", col("a.__v"), col("b.__v")), 6)
           .as("__sim"))
-      .persist()
+      .persist())
     val mu = lit(1 - lambda) // IEEE 1−λ, restated identically by oracles
     def pickRound(scored: DataFrame, rank: Int): DataFrame =
       scored

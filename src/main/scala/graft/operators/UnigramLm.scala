@@ -104,6 +104,51 @@ object UnigramLm {
     }
 
     def tokenCount(word: String): Int = segment(word).length
+
+    /** Deterministic n-best segmentations — the oracle-checkable half
+      * of Kudo '18's subword regularization (the stochastic sampler
+      * draws from exactly this lattice; a deterministic k-best list
+      * with exact integer scores is what an external SQL engine can
+      * replay): up to `k` (score_q, n_tokens, segmentation) triples
+      * ranked by score desc, then FEWER tokens, then the
+      * piece-sequence string ascending (pieces joined with '|') — a
+      * total order, so both engines agree on every rank. Same UNK
+      * contract as [[segment]] (unknown single chars at [[UnkLlq]]).
+      * Rank 1 matches [[segment]]'s (score, count) optimum; on full
+      * (score, count) ties the explicit seg-string order may pick a
+      * different witness than segment's first-shorter-piece scan.
+      */
+    def nBestSegmentations(word: String, k: Int): Vector[(Long, Int, String)] = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val L = word.length
+      if (L == 0) return Vector.empty
+      val states = new Array[Vector[(Long, Int, String)]](L + 1)
+      states(0) = Vector((0L, 0, ""))
+      var j = 1
+      while (j <= L) {
+        val cand = Vector.newBuilder[(Long, Int, String)]
+        var l = 1
+        while (l <= math.min(maxPieceLen, j)) {
+          val piece = word.substring(j - l, j)
+          val q = llq.get(piece) match {
+            case s @ Some(_) => s
+            case None if l == 1 => Some(UnkLlq)
+            case None => None
+          }
+          q.foreach { x =>
+            states(j - l).foreach { case (s, n, seg) =>
+              cand += ((s + x, n + 1,
+                if (seg.isEmpty) piece else seg + "|" + piece))
+            }
+          }
+          l += 1
+        }
+        states(j) = cand.result()
+          .sortBy { case (s, n, seg) => (-s, n, seg) }.take(k)
+        j += 1
+      }
+      states(L)
+    }
   }
 
   private def halfUp(x: Double): Long =
@@ -298,6 +343,28 @@ object UnigramLm {
     model.pieces.toSeq
       .map { case (p, st) => (p, st.seedScore, st.expq, st.prob) }
       .toDF("piece", "seed_score", "expq", "prob")
+  }
+
+  /** Corpus-level n-best table: up to `k` ranked segmentations per
+    * DISTINCT corpus word — (w, rk, score_q, n_tokens, seg), output
+    * bounded by vocab × k. One distinct aggregate (the only shuffle),
+    * then a map-side flatMap under the broadcast model.
+    */
+  def nBestTable(df: DataFrame, textCol: String, model: UnigramModel,
+                 k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .as[String]
+      .flatMap { w =>
+        bc.value.nBestSegmentations(w, k).zipWithIndex.map {
+          case ((s, n, seg), i) => (w, (i + 1).toLong, s, n.toLong, seg)
+        }
+      }
+      .toDF("w", "rk", "score_q", "n_tokens", "seg")
   }
 
   /** Map-side corpus token counting under a trained model: broadcast

@@ -31,7 +31,13 @@ private[graft] object StatsSamplingQueries extends QueryRegistry {
     // group keys: combining countDistinct with a low-rsd HLL in one agg
     // makes the distinct-rewrite Expand drag the sketch's ~2^17-register
     // fixed-width buffer through a sort-based aggregate per expanded row
-    // (measured 24.7 s vs 1.4 s split at sf0.1)
+    // (measured 24.7 s vs 1.4 s split at sf0.1).
+    // This query is the bench tail's three ~1 MB "large task binary"
+    // broadcasts: the rsd=1% sketch inflates the codegen'd plan shipped
+    // per stage. Legitimate and bounded — the accuracy contract (3% at
+    // 3 SE) requires the low rsd; a task binary is per-stage, not
+    // per-row, so the cost is constant at any corpus size
+
     val li = t(s, dir, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n_exact"))

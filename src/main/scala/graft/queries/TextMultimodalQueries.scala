@@ -1875,6 +1875,28 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic n-best subword segmentations
+    * ([[graft.operators.UnigramLm.nBestSegmentations]] — the
+    * oracle-checkable half of Kudo '18 subword regularization: the
+    * stochastic sampler draws from exactly this lattice, so a
+    * deterministic k-best list with exact integer scores is the
+    * replayable surface): up to k = 3 ranked segmentations per
+    * distinct corpus word under the q250 model, total-ordered by
+    * (score desc, fewer tokens, seg asc). The oracle extends the q251
+    * Viterbi recursion to carry a LIST of top-k (ns, n, seg) structs
+    * per lattice position — candidates concat, struct-sort, slice
+    * [1:3] — and every rank's exact score, token count, and piece
+    * sequence hash-matches.
+    */
+  private def q258UnigramNbest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = UnigramLm.fit(docs, "text", maxPieceLen = 4,
+      seedMulti = 100, iters = 1)
+    UnigramLm.nBestTable(docs, "text", model, k = 3)
+      .orderBy(col("w"), col("rk"))
+  }
+
   /** Tokenizer fertility by language
     * ([[graft.operators.UnigramLm.tokenCounts]] rolled up per lang):
     * subword tokens per whitespace word — THE standard
@@ -2024,6 +2046,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q250_unigram_em" -> (q250UnigramEm _),
     "q251_unigram_tokens" -> (q251UnigramTokens _),
     "q252_unigram_prune" -> (q252UnigramPrune _),
+    "q258_unigram_nbest" -> (q258UnigramNbest _),
     "q254_tokenizer_fertility" -> (q254TokenizerFertility _),
     "q31_fingerprint" -> (q31Fingerprint _),
     "q36_multimodal" -> (q36Multimodal _),
@@ -2176,6 +2199,59 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |LEFT JOIN agg a ON doc.doc_id = a.doc_id
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q258: the q251 Viterbi recursion widened to n-best — each
+    // lattice position carries a LIST of top-3 (ns, n, seg) structs
+    // (ns = negated score so DuckDB's field-order struct sort ranks
+    // score desc, then fewer tokens, then seg asc — the operator's
+    // exact total order); candidates concat + sort + slice [1:3]
+    "q258_unigram_nbest" ->
+      s"""WITH RECURSIVE $unigramModelCtes,
+        |llq AS (
+        | SELECT piece, round(ln(prob) * 1000000)::BIGINT AS q
+        | FROM model WHERE prob > 0),
+        |nb AS (
+        | SELECT w, len, 0 AS pos,
+        |  [{'ns': 0::BIGINT, 'n': 0::BIGINT, 'seg': ''}] AS s0,
+        |  []::STRUCT(ns BIGINT, n BIGINT, seg VARCHAR)[] AS s1,
+        |  []::STRUCT(ns BIGINT, n BIGINT, seg VARCHAR)[] AS s2,
+        |  []::STRUCT(ns BIGINT, n BIGINT, seg VARCHAR)[] AS s3
+        | FROM wl
+        | UNION ALL
+        | SELECT v.w, v.len, v.pos + 1,
+        |  list_sort(list_concat(list_concat(list_concat(
+        |   list_transform(v.s0, c -> {'ns': c.ns - COALESCE(l1.q, -30000000),
+        |    'n': c.n + 1,
+        |    'seg': CASE WHEN c.seg = '' THEN substr(v.w, v.pos + 1, 1)
+        |           ELSE c.seg || '|' || substr(v.w, v.pos + 1, 1) END}),
+        |   CASE WHEN l2.q IS NOT NULL THEN
+        |    list_transform(v.s1, c -> {'ns': c.ns - l2.q, 'n': c.n + 1,
+        |     'seg': CASE WHEN c.seg = '' THEN substr(v.w, v.pos, 2)
+        |            ELSE c.seg || '|' || substr(v.w, v.pos, 2) END})
+        |   ELSE []::STRUCT(ns BIGINT, n BIGINT, seg VARCHAR)[] END),
+        |   CASE WHEN l3.q IS NOT NULL THEN
+        |    list_transform(v.s2, c -> {'ns': c.ns - l3.q, 'n': c.n + 1,
+        |     'seg': CASE WHEN c.seg = '' THEN substr(v.w, v.pos - 1, 3)
+        |            ELSE c.seg || '|' || substr(v.w, v.pos - 1, 3) END})
+        |   ELSE []::STRUCT(ns BIGINT, n BIGINT, seg VARCHAR)[] END),
+        |   CASE WHEN l4.q IS NOT NULL THEN
+        |    list_transform(v.s3, c -> {'ns': c.ns - l4.q, 'n': c.n + 1,
+        |     'seg': CASE WHEN c.seg = '' THEN substr(v.w, v.pos - 2, 4)
+        |            ELSE c.seg || '|' || substr(v.w, v.pos - 2, 4) END})
+        |   ELSE []::STRUCT(ns BIGINT, n BIGINT, seg VARCHAR)[] END))[1:3],
+        |  v.s0, v.s1, v.s2
+        | FROM nb v
+        | LEFT JOIN llq l1 ON l1.piece = substr(v.w, v.pos + 1, 1)
+        | LEFT JOIN llq l2 ON v.pos + 1 >= 2 AND l2.piece = substr(v.w, v.pos, 2)
+        | LEFT JOIN llq l3 ON v.pos + 1 >= 3 AND l3.piece = substr(v.w, v.pos - 1, 3)
+        | LEFT JOIN llq l4 ON v.pos + 1 >= 4 AND l4.piece = substr(v.w, v.pos - 2, 4)
+        | WHERE v.pos < v.len),
+        |fin AS (SELECT w, s0 FROM nb WHERE pos = len)
+        |SELECT f.w AS w, i.i::BIGINT AS rk,
+        | (-(f.s0[i.i].ns))::BIGINT AS score_q,
+        | f.s0[i.i].n::BIGINT AS n_tokens,
+        | f.s0[i.i].seg AS seg
+        |FROM fin f, unnest(generate_series(1, len(f.s0))) AS i(i)
+        |ORDER BY w, rk""".stripMargin,
     // q252: the prune round chained onto q250's model — rank cut on
     // expected counts, renormalize, one more generated lattice round
     "q252_unigram_prune" ->

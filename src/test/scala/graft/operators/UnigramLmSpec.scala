@@ -95,4 +95,59 @@ class UnigramLmSpec extends SparkSpec {
     // expected relation for morphologically regular text
     assert(bpeish == 4 && uni == 8L, s"bpeish=$bpeish uni=$uni")
   }
+
+  test("nBest: rank 1 is the Viterbi optimum, ranks follow the exact total order") {
+    val model = UnigramLm.fitOnVocab(planted, maxPieceLen = 4,
+      seedMulti = 60, iters = 5)
+    Seq("prefixing", "runing", "prerun", "runfix").foreach { w =>
+      val nb = model.nBestSegmentations(w, 3)
+      assert(nb.nonEmpty && nb.length <= 3)
+      // rank 1 carries the same optimum (score, tokens) as segment()
+      val vit = model.segment(w)
+      val vitScore = vit.map(p => model.llq.getOrElse(p, UnigramLm.UnkLlq)).sum
+      assert(nb.head._1 == vitScore && nb.head._2 == vit.length,
+        s"$w rank-1 ${nb.head} vs viterbi ($vitScore, ${vit.length})")
+      assert(nb.head._3 == vit.mkString("|"),
+        s"$w rank-1 witness must be the Viterbi path on this fixture")
+      // each rank's score is the exact llq sum of its own pieces
+      nb.foreach { case (s, n, seg) =>
+        val pieces = seg.split("\\|").toSeq
+        assert(pieces.length == n)
+        assert(pieces.map(p => model.llq.getOrElse(p, UnigramLm.UnkLlq)).sum == s,
+          s"$w: $seg must score exactly $s")
+      }
+      // strict total order: (score desc, n asc, seg asc), no dup paths
+      nb.sliding(2).foreach {
+        case Vector((s1, n1, g1), (s2, n2, g2)) =>
+          assert(s1 > s2 || (s1 == s2 && (n1 < n2 || (n1 == n2 && g1 < g2))),
+            s"$w ranks out of order: ($s1,$n1,$g1) then ($s2,$n2,$g2)")
+        case _ =>
+      }
+      assert(nb.map(_._3).distinct.length == nb.length, "paths must be distinct")
+    }
+    // a 1-char word has exactly one path regardless of k
+    val one = model.nBestSegmentations("p", 3)
+    assert(one.length == 1 && one.head._2 == 1)
+    // empty word → no paths; k must be >= 1
+    assert(model.nBestSegmentations("", 3).isEmpty)
+    intercept[IllegalArgumentException](model.nBestSegmentations("pre", 0))
+  }
+
+  test("nBestTable: distinct-word table, rank-1 token counts agree with tokenCounts") {
+    import spark.implicits._
+    val df = planted.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
+      .toDF("doc_id", "text")
+    val model = UnigramLm.fitOnVocab(planted, maxPieceLen = 4,
+      seedMulti = 60, iters = 5)
+    val nb = UnigramLm.nBestTable(df, "text", model, k = 3)
+    val rows = nb.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == planted.map(_._1).sorted.toSeq,
+      "one group per distinct corpus word")
+    rows.filter(_._2 == 1L).foreach { case (w, _, _, n, _) =>
+      assert(n == model.tokenCount(w), s"$w rank-1 token count")
+    }
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+  }
 }
