@@ -105,6 +105,42 @@ object UnigramLm {
 
     def tokenCount(word: String): Int = segment(word).length
 
+    /** The Viterbi optimum's (score, token count) WITHOUT
+      * materializing the path — the per-word unit of document LM
+      * scoring ([[UnigramLm.tokenScores]]). Same DP and tie-break as
+      * [[segment]]; the score is tie-invariant (equal by definition
+      * of a tie), the count is the fewer-tokens winner.
+      */
+    def scoreCount(word: String): (Long, Int) = {
+      val L = word.length
+      if (L == 0) return (0L, 0)
+      val score = new Array[Long](L + 1)
+      val ntok = new Array[Int](L + 1)
+      var j = 1
+      while (j <= L) {
+        var bestS = Long.MinValue
+        var bestN = Int.MaxValue
+        var k = 1
+        while (k <= math.min(maxPieceLen, j)) {
+          val piece = word.substring(j - k, j)
+          val pq = llq.get(piece) match {
+            case s @ Some(_) => s
+            case None if k == 1 => Some(UnkLlq)
+            case None => None
+          }
+          pq.foreach { q =>
+            val s = score(j - k) + q
+            val n = ntok(j - k) + 1
+            if (s > bestS || (s == bestS && n < bestN)) { bestS = s; bestN = n }
+          }
+          k += 1
+        }
+        score(j) = bestS; ntok(j) = bestN
+        j += 1
+      }
+      (score(L), ntok(L))
+    }
+
     /** Deterministic n-best segmentations — the oracle-checkable half
       * of Kudo '18's subword regularization (the stochastic sampler
       * draws from exactly this lattice; a deterministic k-best list
@@ -365,6 +401,39 @@ object UnigramLm {
         }
       }
       .toDF("w", "rk", "score_q", "n_tokens", "seg")
+  }
+
+  /** [[tokenCounts]] plus the document's exact LM log-likelihood: the
+    * sum over words of the Viterbi path's integer micro-log score —
+    * a LONG sum, order-free, hash-matchable. Output:
+    * (id, n_words, n_tokens, llq). What perplexity filtering
+    * ([[PerplexityBuckets]]) consumes; same map-side shape.
+    */
+  def tokenScores(df: DataFrame, idCol: String, textCol: String,
+                  model: UnigramModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(col(idCol).cast("long"), lower(trim(col(textCol))))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val cache = new java.util.HashMap[String, (Long, Int)]()
+        it.map { case (id, text) =>
+          var nWords = 0L
+          var nTok = 0L
+          var llqSum = 0L
+          text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+            nWords += 1
+            var t = cache.get(w)
+            if (t == null) { t = m.scoreCount(w); cache.put(w, t) }
+            llqSum += t._1
+            nTok += t._2
+          }
+          (id, nWords, nTok, llqSum)
+        }
+      }
+      .toDF(idCol, "n_words", "n_tokens", "llq")
   }
 
   /** Map-side corpus token counting under a trained model: broadcast

@@ -1382,11 +1382,12 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       |  LEFT JOIN llq l3 ON v.pos + 1 >= 3 AND l3.piece = substr(v.w, v.pos - 1, 3)
       |  LEFT JOIN llq l4 ON v.pos + 1 >= 4 AND l4.piece = substr(v.w, v.pos - 2, 4)
       |  WHERE v.pos < v.len) t),
-      |wtok AS (SELECT w, n0 AS ntok FROM vit WHERE pos = len),
+      |wtok AS (SELECT w, n0 AS ntok, s0 AS wscore FROM vit WHERE pos = len),
       |docw AS (SELECT doc_id, unnest(ws) AS w FROM wsrc),
       |agg AS MATERIALIZED (
       | SELECT d.doc_id, count(*)::BIGINT AS n_words,
-      |  sum(t.ntok)::BIGINT AS n_tokens
+      |  sum(t.ntok)::BIGINT AS n_tokens,
+      |  sum(t.wscore)::BIGINT AS llq
       | FROM docw d JOIN wtok t ON d.w = t.w
       | GROUP BY 1)""".stripMargin
 
@@ -1897,6 +1898,48 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("w"), col("rk"))
   }
 
+  /** CCNet-style per-language perplexity bucketing
+    * ([[graft.operators.PerplexityBuckets]] over
+    * [[graft.operators.LangNb]] routing and
+    * [[graft.operators.UnigramLm.tokenScores]] — Wenzek et al. '20):
+    * route documents by classifier margin (quarantine dropped, as
+    * CCNet drops unidentified text), score each under the q250
+    * unigram LM (exact integer micro-log likelihood — a LONG sum),
+    * quantize the per-token mean NLL to milli-nats, and cut each
+    * route into head/middle/tail terciles from the BOUNDED
+    * (route, milli-nat) histogram — per-language thresholds carry
+    * CCNet's per-language calibration; no corpus sort anywhere
+    * (exact integer `ceil` cuts over the histogram's cumulative
+    * window, broadcast joined back). The oracle stacks three proven
+    * chains — NB scoring, the unigram train, the score-carrying
+    * Viterbi — plus the histogram cut, and hash-matches per-route
+    * bucket volumes, token mass, and thresholds.
+    */
+  private def q259CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{LangNb, PerplexityBuckets, UnigramLm}
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val nbModel = LangNb.fit(docs, "text", "lang", n = 3, buckets = 1024)
+    val lm = UnigramLm.fit(docs, "text", maxPieceLen = 4,
+      seedMulti = 100, iters = 1)
+    val routed = LangNb.predictMargins(docs, "text", nbModel)
+      .withColumn("route",
+        when(col("margin_q") >= 500000L, col("pred_lang"))
+          .otherwise(lit(graft.operators.LangRouting.QuarantineRoute)))
+      .filter(col("route") =!= graft.operators.LangRouting.QuarantineRoute)
+      .select(col("doc_id").cast("long").as("doc_id"), col("route"))
+    val scored = UnigramLm.tokenScores(docs, "doc_id", "text", lm)
+      .join(routed, Seq("doc_id"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("nll_milli", PerplexityBuckets.nllMilli())
+    PerplexityBuckets.bucketed(scored, "route")
+      .groupBy(col("route"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("t1_milli")).as("t1_milli"),
+        min(col("t2_milli")).as("t2_milli"))
+      .orderBy(col("route"), col("bucket"))
+  }
+
   /** Tokenizer fertility by language
     * ([[graft.operators.UnigramLm.tokenCounts]] rolled up per lang):
     * subword tokens per whitespace word — THE standard
@@ -2047,6 +2090,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q251_unigram_tokens" -> (q251UnigramTokens _),
     "q252_unigram_prune" -> (q252UnigramPrune _),
     "q258_unigram_nbest" -> (q258UnigramNbest _),
+    "q259_ccnet_buckets" -> (q259CcnetBuckets _),
     "q254_tokenizer_fertility" -> (q254TokenizerFertility _),
     "q31_fingerprint" -> (q31Fingerprint _),
     "q36_multimodal" -> (q36Multimodal _),
@@ -2199,6 +2243,57 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |LEFT JOIN agg a ON doc.doc_id = a.doc_id
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // q259: three proven chains stacked — NB route (q253's win/run2),
+    // the unigram train + score-carrying Viterbi (q250/q251's agg,
+    // now with llq) — then the CCNet tercile cut replayed over the
+    // bounded milli-nat histogram with exact integer ceil arithmetic
+    "q259_ccnet_buckets" ->
+      s"""WITH RECURSIVE $langNbCtes,
+        |$unigramModelCtes,
+        |$unigramViterbiCtes,
+        |win AS (SELECT doc_id, cand, score_q FROM sc WHERE rk = 1),
+        |run2 AS (SELECT doc_id, score_q AS s2 FROM sc WHERE rk = 2),
+        |routed AS (
+        | SELECT w.doc_id, w.cand AS route
+        | FROM win w LEFT JOIN run2 r2 ON w.doc_id = r2.doc_id
+        | WHERE COALESCE(w.score_q - r2.s2, 0) >= 500000),
+        |scored AS MATERIALIZED (
+        | SELECT rt.route, a.doc_id, a.n_tokens,
+        |  round(-(a.llq::DOUBLE) / (a.n_tokens::DOUBLE * 1000.0))::BIGINT AS nll_milli
+        | FROM routed rt JOIN agg a ON rt.doc_id = a.doc_id
+        | WHERE a.n_tokens > 0),
+        |hist AS (SELECT route, nll_milli, count(*)::BIGINT AS c
+        |         FROM scored GROUP BY 1, 2),
+        |cumh AS (
+        | SELECT route, nll_milli,
+        |  sum(c) OVER (PARTITION BY route ORDER BY nll_milli
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        | FROM hist),
+        |tots AS (SELECT route, sum(c)::BIGINT AS n FROM hist GROUP BY 1),
+        |t1 AS (
+        | SELECT h.route, min(h.nll_milli) AS t1_milli
+        | FROM cumh h JOIN tots t ON h.route = t.route
+        | WHERE h.cum >= (t.n + 2) // 3 GROUP BY 1),
+        |t2 AS (
+        | SELECT h.route, min(h.nll_milli) AS t2_milli
+        | FROM cumh h JOIN tots t ON h.route = t.route
+        | WHERE h.cum >= (t.n * 2 + 2) // 3 GROUP BY 1),
+        |bk AS (
+        | SELECT s.route,
+        |  CASE WHEN s.nll_milli <= t1.t1_milli THEN 'head'
+        |       WHEN s.nll_milli <= t2.t2_milli THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  s.n_tokens, t1.t1_milli, t2.t2_milli
+        | FROM scored s
+        | JOIN t1 ON s.route = t1.route
+        | JOIN t2 ON s.route = t2.route)
+        |SELECT route, bucket, count(*)::BIGINT AS n_docs,
+        | sum(n_tokens)::BIGINT AS sum_tokens,
+        | min(t1_milli)::BIGINT AS t1_milli,
+        | min(t2_milli)::BIGINT AS t2_milli
+        |FROM bk
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q258: the q251 Viterbi recursion widened to n-best — each
     // lattice position carries a LIST of top-3 (ns, n, seg) structs
     // (ns = negated score so DuckDB's field-order struct sort ranks

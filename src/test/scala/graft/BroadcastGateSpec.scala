@@ -96,8 +96,8 @@ class BroadcastGateSpec extends AnyFunSuite {
       "contract: 1-row doc-total aggregate for priors; the two scoring " +
         "model broadcasts (predict/predictMargins) bounded by the " +
         "classes x buckets fit gate"),
-    "graft/operators/UnigramLm.scala" -> (2,
-      "contract: token-count + n-best model broadcasts, seed-vocab-sized (chars + seedMulti pieces)"),
+    "graft/operators/UnigramLm.scala" -> (3,
+      "contract: token-count/score + n-best model broadcasts, seed-vocab-sized (chars + seedMulti pieces)"),
     "graft/operators/Pq.scala" -> (5, "contract: codebooks (k*m*d floats), query ids, probe lists — parameter-sized"),
     "graft/operators/PrefilterJoin.scala" -> (1, "contract: bloom filter, fixed bits by parameter"),
     "graft/operators/Sampling.scala" -> (7,
@@ -122,6 +122,8 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/pipeline/OlympicCleanII.scala" -> (2, "contract: per-discipline medians, ISO lookup (~250 rows)"),
     "graft/plans/CosineTopKJoin.scala" -> (1, "contract: query-vector rows, parameter-sized (TorrentBroadcast)"),
     "graft/streaming/EventStreams.scala" -> (1, "contract: stream-side dim table, caller-owned dim contract"),
+    "graft/operators/PerplexityBuckets.scala" -> (1,
+      "contract: per-group tercile thresholds — group-count-sized (languages)"),
     "graft/sources/Warc.scala" -> (1,
       "contract: serialized Hadoop Configuration for recordsFromFiles tasks — KB-sized, data-independent")
   )
