@@ -2036,6 +2036,45 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("route"))
   }
 
+  /** URL canonicalization + URL-level dedup ([[graft.sources.Urls]] —
+    * RFC 3986 §6 syntax normalization plus the C4/FineWeb crawl
+    * conventions): five URL archetypes per document — mixed-case
+    * host+scheme with default port, dot-segments and a fragment;
+    * the already-canonical form; tracking params (`utm_*`); an
+    * unreserved percent-encoding (`%63`→`c`); and a genuinely
+    * different https page with a reserved encoding to uppercase
+    * (`%3f`→`%3F`) — of which the first four collapse to ONE
+    * canonical URL. Every canonical form is closed-form (the q243
+    * fixed-archetype convention), so the oracle restates collapse
+    * counts, the canonical string itself, and the min-id dedup
+    * winners verbatim. Canonicalization is a pure per-row function
+    * (map-side, no shuffle); the dedup adds the one canonical-key
+    * hash aggregate.
+    */
+  private def q260UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Urls
+    val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+    def v(prefix: String, suffix: String): Column =
+      concat(lit(prefix), col("doc_id"), lit(suffix))
+    val rows = docs.select(col("doc_id"), posexplode(array(
+        v("HTTP://Host", ".Example.COM:80/a/./b/../c?b=2&a=1#frag"),
+        v("http://host", ".example.com/a/c?a=1&b=2"),
+        v("http://host", ".example.com/a/b/../c?utm_source=x&b=2&a=1"),
+        v("http://host", ".example.com:80/a/%63?a=1&b=2"),
+        v("https://host", ".example.com:443/other%3f"))).as(Seq("v", "url")))
+      .withColumn("row_id", (col("doc_id") * 10 + col("v")).cast("long"))
+    val canoned = rows.withColumn("canon", Urls.canonical(col("url")))
+    val winners = Urls.dedupByUrl(rows, "url", "row_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_winners"), min(col("row_id")).as("min_winner_id"))
+    canoned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_variants"),
+        count_distinct(col("canon")).as("n_canon"),
+        min(col("canon")).as("base_canon"))
+      .join(winners, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Robots-exclusion gate ([[graft.sources.RobotsTxt]], RFC 9309):
     * URLs synthesized per document (five path archetypes) against one
     * per-host policy exercising group selection, longest-match
@@ -2073,6 +2112,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_robots_gate" -> (q243RobotsGate _),
+    "q260_url_canon" -> (q260UrlCanon _),
     "q238_main_content" -> (q238MainContent _),
     "q239_gopher_rules" -> (q239GopherRules _),
     "q240_host_gate" -> (q240HostGate _),
@@ -2149,6 +2189,18 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |  ELSE '/archive/doc' || doc_id END AS path,
         | doc_id % 5 IN (0, 2, 4) AS allowed_graftbot,
         | false AS allowed_stranger
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // q260: every archetype's canonical form is closed-form — the
+    // first four collapse to the http base, the https page stands
+    // alone, winners are the min row ids of the two groups
+    "q260_url_canon" ->
+      """SELECT doc_id,
+        | 5::BIGINT AS n_variants,
+        | 2::BIGINT AS n_canon,
+        | 'http://host' || doc_id || '.example.com/a/c?a=1&b=2' AS base_canon,
+        | 2::BIGINT AS n_winners,
+        | (doc_id * 10)::BIGINT AS min_winner_id
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q238_main_content" ->
