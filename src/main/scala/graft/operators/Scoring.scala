@@ -316,6 +316,82 @@ object Scoring {
         (-sum(col("__m") * col("__logp")) / sum(col("__m"))).as("cross_entropy"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney '95; the Chen &
+    * Goodman '98 standard formulation) — THE n-gram smoothing behind
+    * KenLM-class models, completing the LM family next to the MLE
+    * in-corpus entropy ([[bigramCrossEntropy]]) and web-scale Stupid
+    * Backoff ([[stupidBackoff]]):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *            + (D · N1+(w1,·)/c(w1)) · (N1+(·,w2)/N1+(·,·))
+    *
+    * with fixed discount D and the continuation counts N1+ = distinct
+    * bigram TYPES (following w1 / preceding w2 / total) — the
+    * insight that "Francisco" is frequent but only ever follows
+    * "San", so its unigram fallback weight should be tiny.
+    * Self-scored on the corpus (the [[bigramCrossEntropy]]
+    * convention), so every doc bigram has model support; the
+    * interpolation term still reshapes every probability.
+    *
+    * Exact-replay engineering (the q248 convention): each DISTINCT
+    * bigram type's log-prob is computed ONCE in a fixed-
+    * parenthesization double expression and quantized to integer
+    * micro-log units in Spark SQL `round()`; a document's total is
+    * then a sum of count·llq LONGS — order-free, hash-matchable.
+    *
+    * Scale shape: [[bigramCrossEntropy]]'s exactly — per-doc
+    * multiplicities collapse map-side before any join, all four model
+    * tables are bigram-TYPE-sized aggregates, the scalar type total
+    * rides in broadcast, and the llq join is per distinct doc-bigram,
+    * never per token.
+    *
+    * Output: (id, n_bigrams, sum_llq, nll_milli) — docs with fewer
+    * than two tokens have no bigrams and produce no row; nll_milli is
+    * the q259 milli-nat mean quantization.
+    */
+  def kneserNeyBigram(df: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val toks = df.select(col(idCol).as("__id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
+    val bg = toks
+      .select(col("__id"),
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))))).as("__b"))
+      .select(col("__id"), col("__b.0").as("w1"), col("__b.1").as("w2"))
+    val docBg = bg.groupBy(col("__id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__m"))
+      .persist()
+    graft.Caches.track(docBg)
+    val c12 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("__m")).as("__c12"))
+      .persist()
+    graft.Caches.track(c12)
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1fw"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("__n1bw"))
+    val totDf = c12.agg(count(lit(1)).as("__tot"))
+    // one llq per bigram TYPE; parenthesization mirrored verbatim by
+    // the oracle so the doubles are bit-identical before quantization
+    val typeScores = c12.join(c1, "w1").join(cont, "w2")
+      .crossJoin(broadcast(totDf))
+      .select(col("w1"), col("w2"),
+        round(log(
+          (greatest(col("__c12").cast("double") - discount, lit(0.0)) /
+            col("__c1").cast("double")) +
+          (((lit(discount) * col("__n1fw").cast("double")) /
+            col("__c1").cast("double")) *
+            (col("__n1bw").cast("double") / col("__tot").cast("double")))
+        ) * 1e6, 0).cast("long").as("__llq"))
+    docBg.join(typeScores, Seq("w1", "w2"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum(col("__m") * col("__llq")).as("sum_llq"))
+      .withColumn("nll_milli",
+        round(-col("sum_llq").cast("double") /
+          (col("n_bigrams").cast("double") * 1000.0), 0).cast("long"))
+  }
+
   /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — THE web-scale
     * distributed-LM recipe: no discounting, no normalization, just

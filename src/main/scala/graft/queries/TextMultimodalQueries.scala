@@ -270,6 +270,23 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity
+    * ([[graft.operators.Scoring.kneserNeyBigram]] — Kneser & Ney '95,
+    * Chen & Goodman '98): the standard discount-plus-continuation
+    * smoothing behind KenLM-class quality filters, self-scored on the
+    * corpus. Every distinct bigram type's probability is one fixed-
+    * parenthesization double expression quantized to integer
+    * micro-logs, doc totals are exact long sums, and the oracle
+    * rebuilds all four type-level count tables (c12, c1, the two
+    * continuation-type counts) and replays the identical arithmetic —
+    * scores, not just shapes, hash-match.
+    */
+  private def q261KneserNey(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scoring
+    Scoring.kneserNeyBigram(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
 
   /** Frame sampling over real MP4 sample tables: every 2nd sample's
     * byte extent + decode timestamp, resolved from the actual stsz/
@@ -2146,6 +2163,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q109_audio_features" -> (q109AudioFeatures _),
     "q110_video_metadata" -> (q110VideoMetadata _),
     "q112_lm_crossentropy" -> (q112LmCrossEntropy _),
+    "q261_kneser_ney" -> (q261KneserNey _),
     "q119_frame_sample" -> (q119FrameSample _),
     "q124_bpe_tokenize" -> (q124BpeTokenize _),
     "q256_byte_bpe" -> (q256ByteBpe _),
@@ -2847,6 +2865,37 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         |FROM d
         |JOIN m12 ON d.w1 = m12.w1 AND d.w2 = m12.w2
         |JOIN m1 ON d.w1 = m1.w1
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q261: the q112 count chain extended with continuation-type
+    // tables; the KN probability's parenthesization mirrors the
+    // operator verbatim (bit-identical doubles before the micro-log
+    // quantization), totals are exact BIGINT sums
+    "q261_kneser_ney" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        |bg AS (
+        | SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        | FROM toks, unnest(range(1, len(t))) AS u(i)),
+        |d AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+        |m12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12 FROM d GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |        count(*)::BIGINT AS n1fw FROM m12 GROUP BY 1),
+        |mc AS (SELECT w2, count(*)::BIGINT AS n1bw FROM m12 GROUP BY 1),
+        |mt AS (SELECT count(*)::BIGINT AS tot FROM m12),
+        |ts AS (
+        | SELECT m12.w1, m12.w2,
+        |  round(ln(
+        |   (greatest(m12.c12::DOUBLE - 0.75, 0.0) / m1.c1::DOUBLE) +
+        |   (((0.75 * m1.n1fw::DOUBLE) / m1.c1::DOUBLE) *
+        |    (mc.n1bw::DOUBLE / mt.tot::DOUBLE))
+        |  ) * 1000000)::BIGINT AS llq
+        | FROM m12 JOIN m1 ON m12.w1 = m1.w1 JOIN mc ON m12.w2 = mc.w2, mt)
+        |SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+        | CAST(sum(d.m * ts.llq) AS BIGINT) AS sum_llq,
+        | round(-(CAST(sum(d.m * ts.llq) AS BIGINT)::DOUBLE)
+        |   / (CAST(sum(d.m) AS BIGINT)::DOUBLE * 1000.0))::BIGINT AS nll_milli
+        |FROM d JOIN ts ON d.w1 = ts.w1 AND d.w2 = ts.w2
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // q119: the synth sample table in closed form — per = 256 // n bytes

@@ -103,8 +103,8 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/Sampling.scala" -> (7,
       "contract: scalar grand totals, per-domain plan (domain-count-sized), " +
         "unimax source-count scalar + 1-row m*/τ selections over the bounded source table"),
-    "graft/operators/Scoring.scala" -> (12,
-      "contract: vocab/df tables bounded by vocab contract, scalar corpus stats, k candidates"),
+    "graft/operators/Scoring.scala" -> (13,
+      "contract: vocab/df tables bounded by vocab contract, scalar corpus stats (incl. the KN bigram-type total), k candidates"),
     "graft/operators/Similarity.scala" -> (6,
       "contract: query sets and centroid/cell tables — parameter-sized by API contract"),
     "graft/operators/SkewJoins.scala" -> (3,

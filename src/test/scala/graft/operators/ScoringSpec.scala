@@ -339,4 +339,43 @@ class ScoringSpec extends SparkSpec {
       .collect()(0).getAs[Double]("mi")
     assert(math.abs(mi1 - math.log(2)) < 1e-12, s"got $mi1")
   }
+
+  test("kneserNeyBigram: independent re-derivation + the continuation-count effect") {
+    import spark.implicits._
+    // 'fran' always follows 'san' (the paper's Francisco case);
+    // 'dog' follows three different contexts
+    val docs = Seq(
+      (1L, "san fran san fran the dog a dog"),
+      (2L, "my dog the cat"),
+      (3L, "san fran")).toDF("doc_id", "text")
+    val got = Scoring.kneserNeyBigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent reimplementation: plain Scala maps over the same corpus
+    val corpus = Seq("san fran san fran the dog a dog".split(" ").toSeq,
+      "my dog the cat".split(" ").toSeq, "san fran".split(" ").toSeq)
+    val bigrams = corpus.flatMap(t => t.zip(t.tail))
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1fw = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1bw = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tot = c12.size.toLong
+    def llq(w1: String, w2: String): Long = {
+      val p = (math.max(c12((w1, w2)).toDouble - 0.75, 0.0) / c1(w1)) +
+        (((0.75 * n1fw(w1)) / c1(w1)) * (n1bw(w2).toDouble / tot))
+      BigDecimal(math.log(p) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val bgs = t.zip(t.tail)
+      val expect = (bgs.length.toLong, bgs.map { case (a, b) => llq(a, b) }.sum)
+      assert(got(i + 1L)._1 == expect._1 && got(i + 1L)._2 == expect._2,
+        s"doc ${i + 1}: got ${got(i + 1L)}, expected $expect")
+    }
+    // the Kneser-Ney point: 'dog' (3 distinct left contexts) gets a
+    // larger continuation share than 'fran' (only ever after 'san'),
+    // even though both appear 3 and 3 times — compare the fallback
+    // factors directly
+    assert(n1bw("dog") == 3 && n1bw("fran") == 1)
+    assert(n1bw("dog").toDouble / tot > n1bw("fran").toDouble / tot,
+      "dog's continuation probability must exceed fran's despite equal frequency")
+  }
 }
