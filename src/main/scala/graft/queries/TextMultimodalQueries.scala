@@ -376,6 +376,46 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
   }
 
 
+  /** WordPiece ([[graft.operators.WordPiece]] — the BERT tokenizer),
+    * completing the subword family triptych next to merge-replay BPE
+    * (q124/q256) and the unigram LM (q250): merges are learned by the
+    * LIKELIHOOD score count(ab)∕(count(a)·count(b)) and encoding is
+    * greedy longest-match-first with `##` continuations. The base
+    * alphabet is collected from the FULL corpus, so greedy matching
+    * always has the single-character floor and the training corpus
+    * encodes with ZERO `[UNK]` — the cross-engine rows are the q124
+    * convention: DuckDB restates the normalized text's md5, word and
+    * char counts verbatim; zero-UNK, the n_words ≤ n_tokens ≤ n_chars
+    * band, and detokenization losslessness are the engine-side
+    * verdicts asserted TRUE per document. WordPieceSpec pins the
+    * Hugging Face worked example (the (##g,##s) 1∕20 winner over every
+    * 1∕36 pair) and the greedy "unaffable" decomposition.
+    */
+  private def q262WordPiece(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.WordPiece
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val model = WordPiece.train(docs, "text", numMerges = 200)
+    val decode = udf((tokens: Seq[String]) => WordPiece.decode(tokens))
+    val norm = docs.select(col("doc_id").cast("long").as("id"),
+      concat_ws(" ", filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= lit(""))).as("__norm"))
+    WordPiece.encode(docs, "doc_id", "text", model).toDF()
+      .join(norm, Seq("id"))
+      .withColumn("__nt", size(col("tokens")))
+      .withColumn("__nw", size(filter(split(col("__norm"), " "), w => w =!= lit(""))))
+      .withColumn("__nc", length(replace(col("__norm"), lit(" "), lit(""))))
+      .select(col("id").as("doc_id"),
+        md5(col("__norm")).as("norm_md5"),
+        col("__nw").as("n_words"),
+        col("__nc").as("n_chars"),
+        ((col("__nw") === 0 && col("__nt") === 0) ||
+          (col("__nt") >= col("__nw") && col("__nt") <= col("__nc"))).as("tokens_bounded"),
+        (!array_contains(col("tokens"), WordPiece.Unk)).as("zero_unk"),
+        (decode(col("tokens")) === col("__norm")).as("lossless"))
+      .orderBy(col("doc_id"))
+  }
+
+
   /** Real image downsampling ([[graft.operators.Multimodal.imagePool]]):
     * 4×4 box-mean thumbnails over actually-decoded BMP pixels — the
     * resize kernel a vision pipeline runs before embedding, with
@@ -2167,6 +2207,7 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
     "q119_frame_sample" -> (q119FrameSample _),
     "q124_bpe_tokenize" -> (q124BpeTokenize _),
     "q256_byte_bpe" -> (q256ByteBpe _),
+    "q262_wordpiece" -> (q262WordPiece _),
     "q134_image_pool" -> (q134ImagePool _),
     "q136_audio_spectrum" -> (q136AudioSpectrum _),
     "q161_stupid_backoff" -> (q161StupidBackoff _),
@@ -2939,6 +2980,25 @@ private[graft] object TextMultimodalQueries extends QueryRegistry {
         | TRUE AS tokens_bounded,
         | TRUE AS lossless
         |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // q262: WordPiece — md5/word/char counts of the normalized text
+    // restate verbatim; zero-UNK (full-corpus alphabet), the
+    // n_words..n_chars token band, and greedy-decode losslessness are
+    // the engine-side verdicts, asserted TRUE per document
+    "q262_wordpiece" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), w -> len(w) > 0),
+        |    ' ') AS norm
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        | len(list_filter(string_split(norm, ' '), w -> len(w) > 0)) AS n_words,
+        | len(replace(norm, ' ', '')) AS n_chars,
+        | TRUE AS tokens_bounded,
+        | TRUE AS zero_unk,
+        | TRUE AS lossless
+        |FROM n
         |ORDER BY doc_id""".stripMargin,
     "q124_bpe_tokenize" ->
       """WITH n AS (
