@@ -93,6 +93,79 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * edge list, fixed iteration count — the link-analysis complement
+    * of [[pageRank]] for bipartite-flavored crawl graphs (hub pages
+    * pointing at authoritative hosts, parts "endorsing" suppliers):
+    * each iteration `auth(v) = Σ_{u→v} hub(u)` then
+    * `hub(u) = Σ_{u→v} auth(v)`, each L1-normalized to sum 1 (the SUM
+    * norm keeps every step a join + aggregate + one scalar divide an
+    * external engine restates verbatim; the classic L2 adds only a
+    * sqrt that changes no ordering). Duplicate edges collapse first
+    * (one edge = one endorsement, the [[pageRank]] convention); hubs
+    * start uniform at 1∕N. Sources with no in-links hold authority 0,
+    * sinks with no out-links hub 0 — both stay in the output.
+    *
+    * Scale shape mirrors [[pageRank]]: per half-iteration one edge ⨝
+    * score join, a node-keyed sum with map-side combine, a 1-row total
+    * broadcast back, and eager localCheckpoint lineage cuts; score
+    * state is one row per node.
+    *
+    * Output: (id, auth, hub), one row per node.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist()
+    graft.Caches.track(e)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    graft.Caches.track(nodes)
+    val n = nodes.count()
+    if (n == 0) {
+      return nodes.withColumn("auth", lit(0.0)).withColumn("hub", lit(0.0))
+    }
+
+    // one L1-normalized propagation half-step: scores flow across the
+    // edge list from `from` endpoints onto `onto` endpoints
+    def halfStep(scores: DataFrame, scoreCol: String,
+                 from: String, onto: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("id").as(from), col(scoreCol)), from)
+        .groupBy(col(onto).as("id"))
+        .agg(sum(col(scoreCol)).as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      nodes
+        .join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id"),
+          when(col("__tot") > 0, coalesce(col("__raw"), lit(0.0)) / col("__tot"))
+            .otherwise(lit(0.0)).as(outCol))
+    }
+
+    var curCk = nodes
+      .withColumn("auth", lit(0.0))
+      .withColumn("hub", lit(1.0 / n))
+      .localCheckpoint(true)
+    var scores = curCk
+    for (_ <- 1 to iterations) {
+      val auth = halfStep(scores.select(col("id"), col("hub")), "hub",
+        "src", "dst", "auth")
+      val hub = halfStep(auth, "auth", "dst", "src", "hub")
+      val next = auth.join(hub, "id").localCheckpoint(true)
+      curCk.unpersist(blocking = false)
+      curCk = next
+      scores = next
+    }
+    graft.Caches.track(curCk)
+    scores.select(col("id"), col("auth"), col("hub"))
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) —
     * community detection over the same corpus graphs: every node
     * starts labeled with its own id; each iteration it adopts the

@@ -439,6 +439,28 @@ private[graft] object DedupSimilarityQueries extends QueryRegistry {
   }
 
 
+  /** HITS hubs-and-authorities ([[graft.operators.Graph.hits]],
+    * Kleinberg '99) over the DIRECTED part→supplier endorsement graph
+    * — the link-analysis complement of q113's symmetrized PageRank:
+    * parts act as pure hubs (no in-links, authority 0), suppliers as
+    * pure authorities (no out-links, hub 0), and two L1-normalized
+    * mutual-reinforcement rounds rank suppliers by the hub quality of
+    * the parts citing them, not raw in-degree. Fixed iterations + SUM
+    * normalization keep every step a join + aggregate + scalar divide
+    * the oracle unrolls verbatim (the q113 convention).
+    */
+  private def q263Hits(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val edges = t(s, dir, "lineitem")
+      .select(concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+    Graph.hits(edges, "a", "b", iterations = 2)
+      .select(col("id"), round(col("auth") * 1000, 6).as("auth_milli"),
+        round(col("hub") * 1000, 6).as("hub_milli"))
+      .orderBy(col("id"))
+  }
+
+
   /** The mining-regime LSH configuration itself, oracle-checked: same
     * near-dup contract as q44 (bigram shingles, threshold 0.5, classed
     * miner) but under [[graft.operators.Dedup.selectiveBanding]] inside
@@ -1289,6 +1311,7 @@ private[graft] object DedupSimilarityQueries extends QueryRegistry {
     "q103_filtered_ann" -> (q103FilteredAnn _),
     "q111_semantic_dedup" -> (q111SemanticDedup _),
     "q113_pagerank" -> (q113PageRank _),
+    "q263_hits" -> (q263Hits _),
     "q114_selective_lsh" -> (q114SelectiveLsh _),
     "q115_incremental_dedup" -> (q115IncrementalDedup _),
     "q116_line_dedup" -> (q116LineDedup _),
@@ -1692,6 +1715,48 @@ private[graft] object DedupSimilarityQueries extends QueryRegistry {
         |r3 AS (SELECT nodes.id, (1 - 0.85)::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c3.cin, 0) AS pr
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
         |SELECT id, round(pr * 1000, 6) AS pr_milli FROM r3 ORDER BY id""".stripMargin,
+    // q263: HITS unrolled — two L1-normalized mutual-reinforcement
+    // rounds over the directed part→supplier graph, hub start 1/N,
+    // raw sum → total → divide replayed with identical arithmetic
+    "q263_hits" ->
+      """WITH e0 AS (
+        | SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        | FROM lineitem),
+        |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |h0 AS (SELECT id, 1.0::DOUBLE / nn.n AS hub FROM nodes, nn),
+        |a1r AS (SELECT e0.dst AS id, sum(h0.hub) AS raw
+        |        FROM e0 JOIN h0 ON h0.id = e0.src GROUP BY e0.dst),
+        |a1t AS (SELECT sum(raw) AS tot FROM a1r),
+        |a1 AS (SELECT nodes.id,
+        |        CASE WHEN t.tot > 0 THEN coalesce(a1r.raw, 0) / t.tot
+        |             ELSE 0 END AS auth
+        |       FROM nodes LEFT JOIN a1r ON a1r.id = nodes.id CROSS JOIN a1t t),
+        |h1r AS (SELECT e0.src AS id, sum(a1.auth) AS raw
+        |        FROM e0 JOIN a1 ON a1.id = e0.dst GROUP BY e0.src),
+        |h1t AS (SELECT sum(raw) AS tot FROM h1r),
+        |h1 AS (SELECT nodes.id,
+        |        CASE WHEN t.tot > 0 THEN coalesce(h1r.raw, 0) / t.tot
+        |             ELSE 0 END AS hub
+        |       FROM nodes LEFT JOIN h1r ON h1r.id = nodes.id CROSS JOIN h1t t),
+        |a2r AS (SELECT e0.dst AS id, sum(h1.hub) AS raw
+        |        FROM e0 JOIN h1 ON h1.id = e0.src GROUP BY e0.dst),
+        |a2t AS (SELECT sum(raw) AS tot FROM a2r),
+        |a2 AS (SELECT nodes.id,
+        |        CASE WHEN t.tot > 0 THEN coalesce(a2r.raw, 0) / t.tot
+        |             ELSE 0 END AS auth
+        |       FROM nodes LEFT JOIN a2r ON a2r.id = nodes.id CROSS JOIN a2t t),
+        |h2r AS (SELECT e0.src AS id, sum(a2.auth) AS raw
+        |        FROM e0 JOIN a2 ON a2.id = e0.dst GROUP BY e0.src),
+        |h2t AS (SELECT sum(raw) AS tot FROM h2r),
+        |h2 AS (SELECT nodes.id,
+        |        CASE WHEN t.tot > 0 THEN coalesce(h2r.raw, 0) / t.tot
+        |             ELSE 0 END AS hub
+        |       FROM nodes LEFT JOIN h2r ON h2r.id = nodes.id CROSS JOIN h2t t)
+        |SELECT nodes.id, round(a2.auth * 1000, 6) AS auth_milli,
+        | round(h2.hub * 1000, 6) AS hub_milli
+        |FROM nodes JOIN a2 ON a2.id = nodes.id JOIN h2 ON h2.id = nodes.id
+        |ORDER BY nodes.id""".stripMargin,
     // q114: same output contract as q44 — selectiveBanding changes the
     // candidate machinery only, so the identical brute-force oracle is
     // exactly the check that makes the scale banding adoptable

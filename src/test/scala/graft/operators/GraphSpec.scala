@@ -202,4 +202,60 @@ class GraphSpec extends SparkSpec {
     assert(Seq("a", "b", "c", "d").forall(n => t(n) == ((1L, 0L, 0.0))))
     assert(triRows(Graph.triangleCounts(star.repartition(5), "s", "d")) == t)
   }
+
+  private def hitsRows(df: org.apache.spark.sql.DataFrame): Map[String, (Double, Double)] =
+    df.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+  test("hits: two L1 rounds on a hand-traced bipartite graph") {
+    import spark.implicits._
+    // a -> c, b -> c, b -> d. N = 4, h0 = 1/4 each.
+    // auth1 raw: c = 1/2, d = 1/4, tot 3/4  -> c = 2/3, d = 1/3
+    // hub1 raw:  a = 2/3, b = 1,   tot 5/3  -> a = 2/5, b = 3/5
+    // auth2 raw: c = 1,   d = 3/5, tot 8/5  -> c = 5/8, d = 3/8
+    // hub2 raw:  a = 5/8, b = 1,   tot 13/8 -> a = 5/13, b = 8/13
+    val e = Seq(("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "dst")
+    val h = hitsRows(Graph.hits(e, "src", "dst", 2))
+    assert(h.keySet == Set("a", "b", "c", "d"))
+    assert(math.abs(h("c")._1 - 5.0 / 8) < 1e-12 && math.abs(h("d")._1 - 3.0 / 8) < 1e-12)
+    assert(math.abs(h("a")._2 - 5.0 / 13) < 1e-12 && math.abs(h("b")._2 - 8.0 / 13) < 1e-12)
+    // bipartite sources hold no authority, sinks no hub score
+    assert(h("a")._1 == 0.0 && h("b")._1 == 0.0)
+    assert(h("c")._2 == 0.0 && h("d")._2 == 0.0)
+    // L1 normalization: each score vector sums to 1
+    assert(math.abs(h.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(h.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("hits: duplicate edges collapse; iterations = 0 is the uniform hub start") {
+    import spark.implicits._
+    val e = Seq(("a", "c"), ("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "dst")
+    val h2 = hitsRows(Graph.hits(e, "src", "dst", 2))
+    assert(math.abs(h2("c")._1 - 5.0 / 8) < 1e-12,
+      "a duplicated endorsement must not change the ranking")
+    val h0 = hitsRows(Graph.hits(e, "src", "dst", 0))
+    assert(h0.values.forall { case (a, hb) => a == 0.0 && math.abs(hb - 0.25) < 1e-12 })
+  }
+
+  test("hits: mutual reinforcement ranks a supplier cited by the better hub higher") {
+    import spark.implicits._
+    // hubs: h1 cites {s1, s2}; h2 cites {s2, s3}; h3 cites {s3}.
+    // s2 is cited by two strong hubs, s3 by one strong + one weak —
+    // after two rounds auth(s2) > auth(s3) > auth(s1) despite s2 and
+    // s3 sharing in-degree 2
+    val e = Seq(("h1", "s1"), ("h1", "s2"), ("h2", "s2"), ("h2", "s3"), ("h3", "s3"))
+      .toDF("src", "dst")
+    val h = hitsRows(Graph.hits(e, "src", "dst", 2))
+    assert(h("s2")._1 > h("s3")._1 && h("s3")._1 > h("s1")._1)
+  }
+
+  test("hits: deterministic across partitionings") {
+    import spark.implicits._
+    val e = (0 until 60).map(i => (s"p${i % 7}", s"s${i % 11}")).toDF("src", "dst")
+    val a = hitsRows(Graph.hits(e, "src", "dst", 2))
+    val b = hitsRows(Graph.hits(e.repartition(13), "src", "dst", 2))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, (au, hu)) =>
+      assert(math.abs(au - b(k)._1) < 1e-9 && math.abs(hu - b(k)._2) < 1e-9)
+    }
+  }
 }
