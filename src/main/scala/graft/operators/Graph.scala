@@ -28,6 +28,17 @@ object Graph {
     */
   val BroadcastAdjacencyEdges: Long = 8000000L
 
+  /** The iterative operators ([[pageRank]], [[hits]],
+    * [[labelPropagation]], [[kCore]]) broadcast their node-sized
+    * per-iteration state (ranks / scores / labels / survivors) while
+    * the graph has at most this many nodes — ~200 MB of id+score rows
+    * at the cutoff — so no iteration ever shuffles the edge list
+    * (guide §2.4: a broadcast join replaces the shuffle of the large
+    * side). Larger graphs fall back to the keyed shuffle joins, which
+    * compute the identical result.
+    */
+  val BroadcastNodeState: Long = 4000000L
+
   /** Damped PageRank over a DIRECTED edge list, fixed iteration count.
     *
     * `pr(id) = (1-d)/N + d * Σ_{src→id} pr(src)/outdeg(src)` from a
@@ -67,20 +78,29 @@ object Graph {
       return nodes.withColumn("pr", lit(0.0))
     }
     val teleport = (1.0 - damping) / n
+    // degree is attached to the edge list ONCE (it used to be re-joined
+    // every iteration — one whole extra edge-sized join per round); the
+    // division stays pr/__deg with the raw long count, so the per-edge
+    // contribution doubles are bit-identical to the old plan's
+    val eDeg = e.join(outDeg, "src").persist()
+    graft.Caches.track(eDeg)
+    // node-sized state broadcasts below the cutoff: the per-iteration
+    // joins become map-side and the edge list is never shuffled
+    val attach: DataFrame => DataFrame =
+      if (n <= BroadcastNodeState) df => broadcast(df) else identity
 
     // curCk backs `ranks`; each round's eager checkpoint both computes
     // the iteration and truncates lineage, then releases the previous one
     var curCk = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     var ranks = curCk
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(outDeg, "src")
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      val contribs = eDeg
+        .join(attach(ranks.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), (col("pr") / col("__deg")).as("__c"))
         .groupBy("id")
         .agg(sum(col("__c")).as("__in"))
       val next = nodes
-        .join(contribs, Seq("id"), "left")
+        .join(attach(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)))
             .as("pr"))
@@ -131,17 +151,28 @@ object Graph {
       return nodes.withColumn("auth", lit(0.0)).withColumn("hub", lit(0.0))
     }
 
+    // node-sized score tables broadcast below the cutoff (the
+    // [[pageRank]] dispatch): both per-half-step joins go map-side and
+    // the edge list is never shuffled
+    val attach: DataFrame => DataFrame =
+      if (n <= BroadcastNodeState) df => broadcast(df) else identity
+
     // one L1-normalized propagation half-step: scores flow across the
-    // edge list from `from` endpoints onto `onto` endpoints
+    // edge list from `from` endpoints onto `onto` endpoints. `raw` is
+    // persisted for the step: it feeds both the 1-row total and the
+    // node join, and used to be recomputed (a whole extra edge pass)
+    // for each.
     def halfStep(scores: DataFrame, scoreCol: String,
                  from: String, onto: String, outCol: String): DataFrame = {
       val raw = e
-        .join(scores.select(col("id").as(from), col(scoreCol)), from)
+        .join(attach(scores.select(col("id").as(from), col(scoreCol))), from)
         .groupBy(col(onto).as("id"))
         .agg(sum(col(scoreCol)).as("__raw"))
+        .persist()
+      graft.Caches.track(raw)
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
       nodes
-        .join(raw, Seq("id"), "left")
+        .join(attach(raw), Seq("id"), "left")
         .crossJoin(broadcast(tot))
         .select(col("id"),
           when(col("__tot") > 0, coalesce(col("__raw"), lit(0.0)) / col("__tot"))
@@ -186,7 +217,6 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    import org.apache.spark.sql.expressions.Window
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
@@ -197,23 +227,33 @@ object Graph {
       .distinct()
       .persist()
     graft.Caches.track(nodes)
+    val n = nodes.count()
+    // node-sized label state broadcasts below the cutoff (the
+    // [[pageRank]] dispatch): the per-iteration joins go map-side and
+    // the edge list is never shuffled
+    val attach: DataFrame => DataFrame =
+      if (n <= BroadcastNodeState) df => broadcast(df) else identity
 
     var curCk = nodes.withColumn("label", col("id")).localCheckpoint(true)
     var labels = curCk
     for (_ <- 1 to iterations) {
       val votes = e
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(attach(labels.withColumnRenamed("id", "dst")), "dst")
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("__n"))
+      // winner per node = most frequent label, ties to the SMALLEST —
+      // exactly the old row_number-over-window's (__n desc, label asc)
+      // rank-1 row, but as a map-side-combinable aggregate: min of
+      // (-count, label) is lexicographically (count desc, label asc),
+      // so the window's sort + single-partition-per-key pass is gone
       val winner = votes
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("id"))
-            .orderBy(col("__n").desc, col("label").asc)))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("label").as("__new"))
+        .groupBy("id")
+        .agg(min(struct((-col("__n")).as("__negn"), col("label").as("__l")))
+          .as("__w"))
+        .select(col("id"), col("__w.__l").as("__new"))
       val next = nodes
-        .join(winner, Seq("id"), "left")
-        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .join(attach(winner), Seq("id"), "left")
+        .join(attach(labels.withColumnRenamed("label", "__old")), Seq("id"))
         .select(col("id"), coalesce(col("__new"), col("__old")).as("label"))
         .localCheckpoint(true)
       curCk.unpersist(blocking = false)
@@ -256,13 +296,24 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    // survivor sets are node-sized (≤ 2·edges, shrinking every round):
+    // below the cutoff they broadcast, making both per-round semi-joins
+    // map-side so the edge list is never shuffled (the [[pageRank]]
+    // dispatch, decided once on the initial — largest — edge count)
+    val attach: DataFrame => DataFrame =
+      if (e.count() <= BroadcastNodeState) df => broadcast(df) else identity
     for (_ <- 1 to rounds) {
+      // persisted: surv feeds BOTH semi-joins — without it the degree
+      // aggregation runs twice per round (the two subtrees' exprIds
+      // differ, so exchange reuse never matched them)
       val surv = degrees(e).filter(col("degree") >= k).select(col("id"))
+        .persist()
       val next = e
-        .join(surv.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-        .join(surv.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .join(attach(surv.withColumnRenamed("id", "a")), Seq("a"), "left_semi")
+        .join(attach(surv.withColumnRenamed("id", "b")), Seq("b"), "left_semi")
         .localCheckpoint(true)
       e.unpersist(blocking = false)
+      surv.unpersist(blocking = false)
       e = next
     }
     graft.Caches.track(e)

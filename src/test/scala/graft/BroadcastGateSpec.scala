@@ -88,8 +88,12 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/FilterModel.scala" -> (1,
       "contract: final-epoch metrics — a 1-row scalar aggregate"),
     "graft/operators/Funnel.scala" -> (1, "contract: per-variant aggregate, variant-count-sized"),
-    "graft/operators/Graph.scala" -> (1,
-      "gated: adjacency broadcast iff edges <= BroadcastAdjacencyEdges (bytes proxy: one long/edge)"),
+    "graft/operators/Graph.scala" -> (6,
+      "gated: adjacency broadcast iff edges <= BroadcastAdjacencyEdges (bytes proxy: one long/edge); " +
+        "the four iterative-state attach sites (pageRank ranks/contribs, hits scores, " +
+        "labelPropagation labels/winner, kCore survivors) broadcast iff nodes <= " +
+        "BroadcastNodeState (bytes proxy: one edge-width id + one fixed-width " +
+        "score/label per node); contract: hits' 1-row L1 total"),
     "graft/operators/GroupOps.scala" -> (7,
       "contract: per-group medians/modes over bounded dims, scalar counts, column-name maps"),
     "graft/operators/LangNb.scala" -> (3,
@@ -164,6 +168,10 @@ class BroadcastGateSpec extends AnyFunSuite {
     val graph = read("graft/operators/Graph.scala")
     assert(graph.contains("BroadcastAdjacencyEdges"),
       "Graph.triangleCounts lost its edge-count (bytes-proxy) broadcast gate")
+    // every iterative operator's node-state attach must dispatch on the
+    // node-count gate (one per operator: pageRank, hits, labelProp, kCore)
+    assert("BroadcastNodeState\\b".r.findAllIn(graph).size >= 5, // 1 def + 4 uses
+      "Graph's iterative node-state broadcasts lost their BroadcastNodeState gate")
   }
 
   /** THE REPARTITION-BEFORE-FOLD CONVENTION, enforced the same way.
