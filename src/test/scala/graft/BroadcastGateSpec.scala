@@ -85,8 +85,6 @@ class BroadcastGateSpec extends AnyFunSuite {
     "graft/operators/Drift.scala" -> (4, "contract: per-group bounds/totals/stats — group-count-sized"),
     "graft/operators/Dsir.scala" -> (4, "contract: hashed-bucket count tables, 2^b rows by parameter"),
     "graft/operators/Features.scala" -> (3, "contract: per-category stats, scalar agg, k breakpoints"),
-    "graft/operators/FilterModel.scala" -> (1,
-      "contract: final-epoch metrics — a 1-row scalar aggregate"),
     "graft/operators/Funnel.scala" -> (1, "contract: per-variant aggregate, variant-count-sized"),
     "graft/operators/Graph.scala" -> (6,
       "gated: adjacency broadcast iff edges <= BroadcastAdjacencyEdges (bytes proxy: one long/edge); " +
