@@ -41,6 +41,12 @@ object GraftFunctions {
         require(children.length == 2, "minhash_signature takes exactly 2 arguments")
         MinHashSignature(children.head, children(1))
       }),
+    (FunctionIdentifier("lsh_band_hashes"),
+      new ExpressionInfo(classOf[LshBandHashes].getName, "lsh_band_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "lsh_band_hashes takes exactly 3 arguments")
+        LshBandHashes(children.head, children(1), children(2))
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => {

@@ -736,11 +736,14 @@ object Dedup {
     // runs (statistically equivalent to slot-hashing the strings directly;
     // candidates differ but the exact-Jaccard verify fixes the output).
     graft.expressions.GraftFunctions.register(df.sparkSession)
+    // the fused signature+banding kernel (LshBandHashes): the two-step
+    // minhash_signature → lshBands form re-evaluated the signature once
+    // per band inside the interpreted transform lambda after projection
+    // collapse (no CSE inside HOF lambdas) — b× the kernel cost
     val withBand = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
-      call_function("minhash_signature",
-        hashedShingleSet(df, col(textCol), 1), lit(k)).as("sig"))
-      .withColumn("band", explode(lshBands(col("sig"), b, r)))
+      explode(call_function("lsh_band_hashes",
+        hashedShingleSet(df, col(textCol), 1), lit(k), lit(b))).as("band"))
       .select(col("id"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
     val candidates = withBand.as("a")
@@ -802,15 +805,16 @@ object Dedup {
       .withColumn("jaccard", lit(1.0))
       .select("id_a", "id_b", "jaccard")
 
-    // signatures over the already-hashed token longs via the native
-    // codegen'd kernel (bit-identical to the HOF formulation
-    // transform(sequence(0,k-1), i => array_min(transform(toks, h =>
-    // xxhash64(h, i)))) — see MinHashSignature); the interpreted HOF was
-    // the dominant cost of this miner at bench
+    // signature + banding in ONE native codegen'd kernel (LshBandHashes,
+    // bit-identical to lshBands over the HOF/native signature — DedupSpec
+    // pins it): splitting them let projection collapse inline
+    // minhash_signature into lshBands' interpreted transform lambda,
+    // re-evaluating the signature once per band (104× here under
+    // selective banding) with JIT-profile-dependent 8× bench swings
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val sig = call_function("minhash_signature", col("toks"), lit(k))
     val banded = classes
-      .withColumn("band", explode(lshBands(sig, b, r)))
+      .select(col("cls"), col("blk"),
+        explode(call_function("lsh_band_hashes", col("toks"), lit(k), lit(b))).as("band"))
       .select(col("cls"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
     val candidates = banded.as("a").join(banded.as("b"),
@@ -885,10 +889,11 @@ object Dedup {
   private def bandRows(df: DataFrame, idCol: String, textCol: String,
                        blockCol: String, k: Int, b: Int, ngram: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
+    // fused kernel — see [[minhashDupPairs]] for why the two-step form
+    // re-evaluated the signature once per band
     df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        call_function("minhash_signature",
-          hashedShingleSet(df, col(textCol), ngram), lit(k)).as("sig"))
-      .withColumn("band", explode(lshBands(col("sig"), b, k / b)))
+        explode(call_function("lsh_band_hashes",
+          hashedShingleSet(df, col(textCol), ngram), lit(k), lit(b))).as("band"))
       .select(col("id"), col("blk"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
   }

@@ -53,6 +53,24 @@ class DedupSpec extends SparkSpec {
     assert(agree14 < 10, s"unrelated docs should rarely agree, got $agree14/48")
   }
 
+  test("lsh_band_hashes fused kernel == declarative lshBands(minhashSignature) " +
+    "bit-for-bit, including empty token arrays") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 64).map { i =>
+      Tuple1(Seq.fill(if (i % 16 == 0) 0 else rnd.nextInt(80) + 1)(rnd.nextLong()))
+    }
+    val df = rows.toDF("toks")
+    for ((k, b) <- Seq((48, 16), (312, 104), (48, 24))) {
+      val fused = df.select(
+        call_function("lsh_band_hashes", col("toks"), lit(k), lit(b)).as("bands"))
+      val reference = df.select(
+        Dedup.lshBands(Dedup.minhashSignature(col("toks"), k), b, k / b).as("bands"))
+      assert(rowsOf(fused) == rowsOf(reference), s"banding mismatch at k=$k b=$b")
+    }
+  }
+
   test("jaccardPairsClassed == jaccardPairs (same pair set and values)") {
     val a = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
     val b = Dedup.jaccardPairsClassed(docs, "doc_id", "text", "lang", 0.5)
