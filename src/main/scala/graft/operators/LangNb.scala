@@ -115,7 +115,9 @@ object LangNb {
           maxCells: Long = 4L * 1024 * 1024): Model = {
     val docs = df.filter(col(textCol).isNotNull)
       .select(col(labelCol).cast("string").as("lang"), col(textCol).as("__t"))
-    val grams = docs.select(col("lang"),
+    // FanOut: gram hashing is row-proportional CPU that otherwise runs
+    // inside the (single-split at bench) scan task before the partial agg
+    val grams = FanOut(docs).select(col("lang"),
       explode(gramBuckets(df, col("__t"), n, buckets)).as("b"))
     val counts = grams.groupBy(col("lang"), col("b"))
       .agg(count(lit(1)).as("c"))
@@ -168,7 +170,7 @@ object LangNb {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val score = udf((grams: Seq[Int]) =>
       bc.value.predict(if (grams == null) Nil else grams))
-    df.withColumn("__pred",
+    FanOut(df).withColumn("__pred",
         score(gramBuckets(df, col(textCol), model.n, model.buckets)))
       .withColumn("pred_lang", col("__pred._1"))
       .withColumn("score_q", col("__pred._2"))
@@ -183,7 +185,7 @@ object LangNb {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val score = udf((grams: Seq[Int]) =>
       bc.value.predictWithMargin(if (grams == null) Nil else grams))
-    df.withColumn("__pred",
+    FanOut(df).withColumn("__pred",
         score(gramBuckets(df, col(textCol), model.n, model.buckets)))
       .withColumn("pred_lang", col("__pred._1"))
       .withColumn("score_q", col("__pred._2"))

@@ -201,7 +201,9 @@ object UnigramLm {
       s"bad maxPieceLen=$maxPieceLen seedMulti=$seedMulti iters=$iters maxVocab=$maxVocab")
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab: Array[(String, Long)] = df
+    // FanOut: the explode + map-side partial count is row-proportional
+    // work that otherwise runs inside the (single-split at bench) scan task
+    val vocab: Array[(String, Long)] = FanOut(df.select(col(textCol)))
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -345,7 +347,7 @@ object UnigramLm {
     require(keepMulti >= 0 && finalIters >= 1, s"bad keepMulti=$keepMulti finalIters=$finalIters")
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab: Array[(String, Long)] = df
+    val vocab: Array[(String, Long)] = FanOut(df.select(col(textCol)))
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -414,7 +416,9 @@ object UnigramLm {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    df.select(col(idCol).cast("long"), lower(trim(col(textCol))))
+    // FanOut: the per-word Viterbi below is row-proportional CPU with no
+    // shuffle of its own — a 1-split scan would run it on one core
+    FanOut(df.select(col(idCol).cast("long"), lower(trim(col(textCol)))))
       .as[(Long, String)]
       .mapPartitions { it =>
         val m = bc.value
@@ -445,7 +449,8 @@ object UnigramLm {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    df.select(col(idCol).cast("long"), lower(trim(col(textCol))))
+    // FanOut: same reasoning as [[tokenScores]]
+    FanOut(df.select(col(idCol).cast("long"), lower(trim(col(textCol)))))
       .as[(Long, String)]
       .mapPartitions { it =>
         val m = bc.value
